@@ -1,0 +1,492 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a
+(spark_fn, oracle_sql) pair over the fixture tables.
+
+Contract (driver-enforced): `spark_fn(spark, sf_dir) -> DataFrame` and
+`oracle_sql` is ANSI SQL DuckDB runs over the same parquet (views
+pre-registered). Results must match on row count + schema + sorted
+value hash, so:
+  - every computed column is aliased identically on both sides,
+  - money aggregates sum DECIMAL(18,2) then cast to DOUBLE (float
+    summation order differs between engines; decimal summation is exact
+    and order-independent),
+  - top-k queries use a total ordering (unique tiebreak key).
+
+Determinism-at-scale note: each spark_fn is a declarative plan — filters
+reach the parquet scan via pushdown, aggregates are partial+final hash
+aggs, small dims broadcast. No collects, no Python row loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.filters import mongo_filter_to_column
+from hummingbird_spark.functions.masks import (
+    MASK_DEFAULT,
+    MASK_HEX,
+    MASK_PARTIAL,
+    mask_dataframe,
+)
+from hummingbird_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None -> non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — the reference's group-count
+# aggregation (workspace.go:214-256) generalized to multi-measure agg.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1: Mongo-filter translation ($in / range / $or / $exists) — include
+# filters from testdata/quickstart.json & data-only.json re-targeted at the
+# fixture tables.
+# ---------------------------------------------------------------------------
+
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = mongo_filter_to_column(
+        {"p_brand": {"$in": ["Brand#1", "Brand#3"]}, "p_size": {"$gte": 10}}
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+
+
+ORACLE_FILTER_IN = """
+SELECT p_partkey, p_brand, p_size FROM part
+WHERE p_brand IN ('Brand#1','Brand#3') AND p_size >= 10
+"""
+
+
+def q_filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quickstart.json's {ts: {$gt: {$date: ...}}} include-filter shape
+    pred = mongo_filter_to_column(
+        {"o_orderdate": {"$gt": {"$date": "1997-01-01T00:00:00Z"}},
+         "o_orderstatus": "O"}
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(pred)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+ORACLE_FILTER_DATE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00' AND o_orderstatus = 'O'
+"""
+
+
+def q_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = mongo_filter_to_column(
+        {"$or": [
+            {"c_mktsegment": "BUILDING", "c_acctbal": {"$gt": 5000}},
+            {"c_mktsegment": {"$in": ["MACHINERY"]}, "c_acctbal": {"$lt": 0}},
+        ]}
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(pred)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+ORACLE_FILTER_OR = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE (c_mktsegment = 'BUILDING' AND c_acctbal > 5000)
+   OR (c_mktsegment IN ('MACHINERY') AND c_acctbal < 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2: range scan — the _id-range block copy (task.go:54-61). Range
+# predicates land in PushedFilters, so only matching row groups are read.
+# ---------------------------------------------------------------------------
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = mongo_filter_to_column(
+        {"l_orderkey": {"$gte": 1000, "$lte": 2000}}
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(pred)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+ORACLE_RANGE_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8-F11: masking — golden semantics from mask_test.go.
+# ---------------------------------------------------------------------------
+
+def q_mask_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return mask_dataframe(df, ["c_name"], MASK_DEFAULT)
+
+
+ORACLE_MASK_DEFAULT = """
+SELECT c_custkey, regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g') AS c_name
+FROM customer
+"""
+
+
+def q_mask_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return mask_dataframe(df, ["c_name"], MASK_PARTIAL)
+
+
+ORACLE_MASK_PARTIAL = """
+SELECT c_custkey,
+       CASE WHEN length(c_name) > 4
+            THEN regexp_replace(substr(c_name, 1, length(c_name)-4), '[a-zA-Z0-9]', 'X', 'g')
+                 || substr(c_name, length(c_name)-3, 4)
+            ELSE regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g') END AS c_name
+FROM customer
+"""
+
+
+def q_mask_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return mask_dataframe(df, ["c_name"], MASK_HEX)
+
+
+ORACLE_MASK_HEX = """
+SELECT c_custkey, substr(sha256(c_name || 'hummingbird'), 1, 24) AS c_name
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: group-by counts (workspace.go:214-256 CountAllStatus shape).
+# ---------------------------------------------------------------------------
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("status")
+    )
+
+
+ORACLE_STATUS_COUNTS = """
+SELECT o_orderstatus AS status, COUNT(*) AS count
+FROM orders GROUP BY o_orderstatus ORDER BY status
+"""
+
+
+def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENT_TYPE_COUNTS = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# O5/O6: limit & top-k with total ordering.
+# ---------------------------------------------------------------------------
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )
+
+
+ORACLE_TOPK_EVENTS = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# U2/U3: unions & except-diff (compare.go:13-31 validation shape).
+# ---------------------------------------------------------------------------
+
+def q_union_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    lo = c.filter(F.col("c_acctbal") < -900).select("c_custkey", "c_name")
+    return hi.unionByName(lo)
+
+
+ORACLE_UNION = """
+SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT c_custkey, c_name FROM customer WHERE c_acctbal < -900
+"""
+
+
+def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") >= 5).select("p_partkey", "p_brand")
+    small = p.filter(F.col("p_size") >= 25).select("p_partkey", "p_brand")
+    return big.exceptAll(small)
+
+
+ORACLE_EXCEPT = """
+SELECT p_partkey, p_brand FROM part WHERE p_size >= 5
+EXCEPT ALL
+SELECT p_partkey, p_brand FROM part WHERE p_size >= 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J3 + join family: anti/semi (dup-key reconciliation, task.go:88-101)
+# and the broadcast-dim star join.
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    nation/region/customer broadcast (small dims); the single shuffle is
+    the lineitem⋈orders sort-merge + final agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name", "r_name")
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY n_name, r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions (splitter row_number analogue) & §2.4 rollup.
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) t
+WHERE rank <= 3
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# ST5 as a batch query: per-key last-writer-wins reduction — the heart of
+# the CDC merge (oplog_utils.go:208-281 -> row_number desc, keep first).
+# ---------------------------------------------------------------------------
+
+def q_cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                F.col("ts").alias("last_ts"))
+    )
+
+
+ORACLE_CDC_LAST_STATE = """
+SELECT user_id, event_type AS last_event_type, value AS last_value, ts AS last_ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,
+                                 "flagship multi-measure agg (A1 generalized)"),
+    "filter_in": QuerySpec(q_filter_in, ORACLE_FILTER_IN, "F1 $in translator"),
+    "filter_date_range": QuerySpec(q_filter_date_range, ORACLE_FILTER_DATE,
+                                   "F1 $gt/$date translator"),
+    "filter_or": QuerySpec(q_filter_or, ORACLE_FILTER_OR, "F1 $or/$and"),
+    "range_scan": QuerySpec(q_range_scan, ORACLE_RANGE_SCAN, "S2 _id-range block"),
+    "mask_default": QuerySpec(q_mask_default, ORACLE_MASK_DEFAULT, "F9"),
+    "mask_partial": QuerySpec(q_mask_partial, ORACLE_MASK_PARTIAL, "F10"),
+    "mask_hex": QuerySpec(q_mask_hex, ORACLE_MASK_HEX, "F11 (salted-hash deviation)"),
+    "status_counts": QuerySpec(q_status_counts, ORACLE_STATUS_COUNTS, "A1"),
+    "event_type_counts": QuerySpec(q_event_type_counts, ORACLE_EVENT_TYPE_COUNTS,
+                                   "A1+distinct agg"),
+    "topk_events": QuerySpec(q_topk_events, ORACLE_TOPK_EVENTS, "O6 top-k"),
+    "union_namespaces": QuerySpec(q_union_namespaces, ORACLE_UNION, "U1/U2"),
+    "except_diff": QuerySpec(q_except_diff, ORACLE_EXCEPT, "U3/V1 diff"),
+    "anti_join": QuerySpec(q_anti_join, ORACLE_ANTI_JOIN, "J1 dup-key anti-join"),
+    "semi_join": QuerySpec(q_semi_join, ORACLE_SEMI_JOIN, "J1 existence semi-join"),
+    "revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
+                                   "join family: broadcast star join"),
+    "window_rank": QuerySpec(q_window_rank, ORACLE_WINDOW_RANK, "§2.5 window"),
+    "rollup_agg": QuerySpec(q_rollup, ORACLE_ROLLUP, "§2.4 rollup extension"),
+    "cdc_last_state": QuerySpec(q_cdc_last_state, ORACLE_CDC_LAST_STATE,
+                                "ST5 last-writer-wins reduction"),
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items()
+            if spec.oracle is not None}
