@@ -1,0 +1,86 @@
+"""Validation compare — the reference's `-compare` command (SURVEY §2.12
+V1, compare.go:13-31, delegated there to the keyhole comparator:
+doc counts + sampled doc-level compare).
+
+Spark-native: per namespace, (a) count equality, (b) bidirectional
+exceptAll diff counts (exact, distributed — no driver materialization),
+(c) optional sampled row-hash compare for wide-value spot checks.
+All three are single declarative plans; at scale the exceptAll is a
+shuffle on the full row which is exactly what a full-fidelity diff
+costs anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CompareResult:
+    namespace: str
+    source_count: int
+    target_count: int
+    missing_in_target: int  # rows in source not in target
+    extra_in_target: int    # rows in target not in source
+
+    @property
+    def equal(self) -> bool:
+        return (
+            self.source_count == self.target_count
+            and self.missing_in_target == 0
+            and self.extra_in_target == 0
+        )
+
+
+def compare_tables(
+    source: DataFrame, target: DataFrame, namespace: str = ""
+) -> CompareResult:
+    """Full-fidelity compare: counts + bidirectional exceptAll."""
+    cols = sorted(source.columns)
+    s = source.select(*cols)
+    t = target.select(*cols)
+    return CompareResult(
+        namespace=namespace,
+        source_count=s.count(),
+        target_count=t.count(),
+        missing_in_target=s.exceptAll(t).count(),
+        extra_in_target=t.exceptAll(s).count(),
+    )
+
+
+def row_hash(df: DataFrame) -> DataFrame:
+    """Stable per-row fingerprint: sha2 over the canonical JSON of the
+    full row (column-name order fixed). The sampled-compare primitive."""
+    cols = sorted(df.columns)
+    return df.withColumn(
+        "__row_hash",
+        F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256),
+    )
+
+
+def sampled_hash_compare(
+    source: DataFrame,
+    target: DataFrame,
+    key: str,
+    fraction: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample source keys, join to target on key, compare row hashes.
+    Returns the mismatched keys (empty DataFrame = converged). This is
+    the keyhole 'sample docs and deep-compare' step, broadcast-friendly:
+    the sample is small by construction, so the join broadcasts it."""
+    s = row_hash(source).select(key, F.col("__row_hash").alias("__src_hash"))
+    t = row_hash(target).select(key, F.col("__row_hash").alias("__tgt_hash"))
+    sample = s.sample(fraction=fraction, seed=seed)
+    return (
+        F.broadcast(sample)
+        .join(t, key, "left")
+        .filter(
+            F.col("__tgt_hash").isNull()
+            | (F.col("__src_hash") != F.col("__tgt_hash"))
+        )
+        .select(key, "__src_hash", "__tgt_hash")
+    )

@@ -1,0 +1,171 @@
+"""Batch copy pipeline — the reference's data-copy phase re-expressed as
+one declarative Spark plan per namespace (SURVEY §3.1 steps 1-5).
+
+Reference flow: enumerate includes -> split into _id-range tasks ->
+workers cursor-copy each range with the include filter conjoined
+(data_copier.go:66-113, task.go:54-105). Spark flow: per table,
+`read -> filter -> mask -> limit -> rename -> range-partitioned write`.
+The task queue, workers, stragglers, and resume bookkeeping collapse into
+Spark's scheduler + an idempotent write; what remains is this thin layer.
+
+Scale notes:
+  - filter/projection reach the parquet scan (Catalyst pushdown);
+  - the only shuffle is the optional repartitionByRange that reproduces
+    the reference's block partitioning (and gives balanced output files);
+  - idempotent re-copy (task_test.go:13-51 semantics) is a left_anti join
+    on the key against the existing target — at scale, with Delta, this
+    would be MERGE whenNotMatchedInsert; on plain parquet the anti-join
+    is the portable equivalent.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbird_spark.config import Include, MigrationConfig
+from hummingbird_spark.filters import mongo_filter_to_column
+from hummingbird_spark.functions.masks import mask_dataframe
+from hummingbird_spark.operators.split import partition_for_copy
+from hummingbird_spark.sources.catalog import expand_namespaces, split_namespace
+
+
+@dataclass
+class CopyResult:
+    namespace: str
+    target_namespace: str
+    rows_copied: int
+    skipped: bool = False
+
+
+@dataclass
+class MigrationReport:
+    results: list[CopyResult] = field(default_factory=list)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(r.rows_copied for r in self.results)
+
+
+def _table_path(root: str, namespace: str) -> str:
+    # namespace "db.coll" -> {root}/{coll}.parquet ; bare "coll" likewise.
+    db, coll = split_namespace(namespace)
+    return os.path.join(root, f"{coll or db}.parquet")
+
+
+def list_source_namespaces(source: str) -> list[str]:
+    """Enumerate copyable namespaces in a source directory — the catalog
+    scan (S5) for file-based sources."""
+    return sorted(
+        os.path.basename(p)[: -len(".parquet")]
+        for p in glob.glob(os.path.join(source, "*.parquet"))
+    )
+
+
+def transform_for_include(df: DataFrame, include: Include) -> DataFrame:
+    """The per-namespace dataflow: filter ∧ mask ∧ limit
+    (task.go:54-61 + mask.go:23-28 + includes.go:16)."""
+    out = df.filter(mongo_filter_to_column(include.filter))
+    if include.masks:
+        out = mask_dataframe(out, include.masks, include.method)
+    if include.limit:
+        out = out.limit(include.limit)
+    return out
+
+
+def copy_table(
+    spark: SparkSession,
+    cfg: MigrationConfig,
+    include: Include,
+    resume: bool = False,
+) -> CopyResult:
+    """Copy one namespace source->target. Modes:
+      - cfg.drop: overwrite target (DropCollections, migrator.go:155-193)
+      - resume + target exists: skip (completed-task skip, splitter.go:33-35)
+      - target exists, no drop: idempotent top-up — append only rows whose
+        key is missing (dup-key reconciliation J1, task.go:88-101)
+    """
+    src_path = _table_path(cfg.source, include.namespace)
+    dst_path = _table_path(cfg.target, include.target_namespace)
+    df = transform_for_include(spark.read.parquet(src_path), include)
+
+    target_exists = os.path.exists(os.path.join(dst_path, "_SUCCESS"))
+    if resume and target_exists:
+        return CopyResult(include.namespace, include.target_namespace, 0,
+                          skipped=True)
+
+    mode = "overwrite"
+    if target_exists and not cfg.drop:
+        existing = spark.read.parquet(dst_path).select(
+            F.col(cfg.key).alias("__existing_key")
+        )
+        df = df.join(
+            existing, df[cfg.key] == existing["__existing_key"], "left_anti"
+        )
+        mode = "append"
+
+    key_in_schema = cfg.key in df.columns
+    if key_in_schema:
+        df = partition_for_copy(df, cfg.key, block=cfg.block)
+
+    if mode == "append":
+        # Appending to the path we may also be reading (self-read) is
+        # unsafe on plain parquet: materialize the delta rows first.
+        delta_rows = df.collect()
+        n = len(delta_rows)
+        if n:
+            spark.createDataFrame(delta_rows, df.schema).write.mode(
+                "append"
+            ).parquet(dst_path)
+    else:
+        df.write.mode("overwrite").parquet(dst_path)
+        n = spark.read.parquet(dst_path).count()
+    return CopyResult(include.namespace, include.target_namespace, n)
+
+
+def run_migration(
+    spark: SparkSession, cfg: MigrationConfig, resume: bool = False
+) -> MigrationReport:
+    """The `-start` data phase (start.go:78-82): resolve includes against
+    the source catalog (wildcards expand, data_copier.go:78-102), then
+    copy each namespace. Tables are independent jobs — Spark runs the
+    stages of each in parallel across the cluster; at 100 TB per-table
+    parallelism (partitions) dominates, not table count.
+    """
+    if cfg.drop and os.path.isdir(cfg.target) and not resume:
+        # Drop target namespaces (migrator.go:155-193), scoped to tables
+        # we are about to write.
+        for inc in cfg.includes or []:
+            p = _table_path(cfg.target, inc.target_namespace)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    available = list_source_namespaces(cfg.source)
+    report = MigrationReport()
+
+    if cfg.includes:
+        expanded: list[Include] = []
+        for inc in cfg.includes:
+            db, coll = split_namespace(inc.namespace)
+            if "*" in inc.namespace:
+                for ns in expand_namespaces(available, [inc.namespace]):
+                    expanded.append(
+                        Include(namespace=ns, filter=inc.filter,
+                                limit=inc.limit, masks=inc.masks,
+                                method=inc.method)
+                    )
+            else:
+                expanded.append(inc)
+    else:
+        # empty include list copies everything qualified (minimum.json)
+        expanded = [Include(namespace=ns) for ns in available]
+
+    os.makedirs(cfg.target, exist_ok=True)
+    for inc in expanded:
+        report.results.append(copy_table(spark, cfg, inc, resume=resume))
+    return report

@@ -1,0 +1,199 @@
+"""End-to-end migration pipeline tests — the Spark analogue of the
+reference's start_test.go / data_copier_test.go / task_test.go scenarios,
+run over the sf0.001 fixture tables into a tmp target."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbird_spark.config import ConfigError, Include, MigrationConfig
+from hummingbird_spark.operators.compare import (
+    compare_tables,
+    sampled_hash_compare,
+)
+from hummingbird_spark.operators.copy import copy_table, run_migration
+from hummingbird_spark.operators.split import block_boundaries
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def target_dir(tmp_path):
+    d = str(tmp_path / "target")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _cfg(target, includes, key, **kw):
+    return MigrationConfig(
+        command=kw.pop("command", "data-only"),
+        source=SF_SMOKE,
+        target=target,
+        includes=includes,
+        key=key,
+        **kw,
+    )
+
+
+def test_copy_with_filter_and_limit(spark, target_dir):
+    # quickstart.json's vehicles include: $in filter + limit 1024
+    inc = Include(
+        namespace="part",
+        filter={"p_brand": {"$in": ["Brand#1", "Brand#3"]}},
+        limit=50,
+    )
+    cfg = _cfg(target_dir, [inc], key="p_partkey", drop=True)
+    report = run_migration(spark, cfg)
+    assert len(report.results) == 1
+    out = spark.read.parquet(f"{target_dir}/part.parquet")
+    assert out.count() == min(50, report.total_rows) == report.total_rows
+    brands = {r.p_brand for r in out.select("p_brand").distinct().collect()}
+    assert brands <= {"Brand#1", "Brand#3"}
+
+
+def test_copy_with_rename(spark, target_dir):
+    # quickstart.json: "keyhole.numbers" -> "testdb.counts"
+    inc = Include(namespace="nation", to="nations_renamed")
+    cfg = _cfg(target_dir, [inc], key="n_nationkey", drop=True)
+    run_migration(spark, cfg)
+    assert os.path.exists(f"{target_dir}/nations_renamed.parquet/_SUCCESS")
+    assert spark.read.parquet(
+        f"{target_dir}/nations_renamed.parquet"
+    ).count() == 25
+
+
+def test_copy_with_mask(spark, target_dir):
+    inc = Include(namespace="customer", masks=["c_name"], method="partial")
+    cfg = _cfg(target_dir, [inc], key="c_custkey", drop=True)
+    run_migration(spark, cfg)
+    out = spark.read.parquet(f"{target_dir}/customer.parquet")
+    row = out.orderBy("c_custkey").first()
+    assert row.c_name.startswith("X")
+    # partial keeps last 4 chars
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").orderBy(
+        "c_custkey"
+    ).first()
+    assert row.c_name[-4:] == src.c_name[-4:]
+
+
+def test_wildcard_expansion_copies_all(spark, target_dir):
+    cfg = _cfg(target_dir, [Include(namespace="region"),
+                            Include(namespace="nation")],
+               key="__none__", drop=True)
+    report = run_migration(spark, cfg)
+    assert {r.namespace for r in report.results} == {"region", "nation"}
+    assert spark.read.parquet(f"{target_dir}/region.parquet").count() == 5
+
+
+def test_empty_includes_copies_everything(spark, target_dir):
+    # minimum.json: no includes => all qualified namespaces
+    cfg = _cfg(target_dir, [], key="__none__", drop=True, command="all")
+    report = run_migration(spark, cfg)
+    names = {r.namespace for r in report.results}
+    assert {"region", "nation", "customer", "lineitem"} <= names
+
+
+def test_idempotent_recopy(spark, target_dir):
+    """task_test.go:13-51: copying into a target that already holds a
+    subset adds only the missing rows; totals converge."""
+    src = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    # pre-seed target with a strict subset of the 10 suppliers
+    os.makedirs(target_dir, exist_ok=True)
+    seeded = src.filter(F.col("s_suppkey") <= 4)
+    n_seeded = seeded.count()
+    seeded.write.mode("overwrite").parquet(f"{target_dir}/supplier.parquet")
+    inc = Include(namespace="supplier")
+    cfg = _cfg(target_dir, [inc], key="s_suppkey", drop=False)
+    res = copy_table(spark, cfg, inc)
+    assert res.rows_copied == 10 - n_seeded  # only the missing rows
+    out = spark.read.parquet(f"{target_dir}/supplier.parquet")
+    assert out.count() == 10
+    assert out.select("s_suppkey").distinct().count() == 10
+    # second run is a no-op
+    res2 = copy_table(spark, cfg, inc)
+    assert res2.rows_copied == 0
+    assert spark.read.parquet(f"{target_dir}/supplier.parquet").count() == 10
+
+
+def test_resume_skips_completed(spark, target_dir):
+    # resume.go:13-82 / splitter.go:33-35: completed namespaces skipped
+    inc = Include(namespace="region")
+    cfg = _cfg(target_dir, [inc], key="r_regionkey", drop=True)
+    run_migration(spark, cfg)
+    report = run_migration(spark, cfg, resume=True)
+    assert report.results[0].skipped
+
+
+def test_compare_converged_and_diverged(spark, target_dir):
+    inc = Include(namespace="orders")
+    cfg = _cfg(target_dir, [inc], key="o_orderkey", drop=True)
+    run_migration(spark, cfg)
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    tgt = spark.read.parquet(f"{target_dir}/orders.parquet")
+    res = compare_tables(src, tgt, "orders")
+    assert res.equal and res.source_count == 1500
+
+    broken = tgt.filter(F.col("o_orderkey") % 100 != 0)
+    res2 = compare_tables(src, broken, "orders")
+    assert not res2.equal
+    assert res2.missing_in_target == src.count() - broken.count()
+    assert res2.extra_in_target == 0
+
+
+def test_sampled_hash_compare(spark, target_dir):
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    assert sampled_hash_compare(src, src, "c_custkey").count() == 0
+    tampered = src.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, 9.99).otherwise(F.col("c_acctbal")),
+    )
+    diff = sampled_hash_compare(src, tampered, "c_custkey", fraction=1.0)
+    assert [r.c_custkey for r in diff.collect()] == [1]
+
+
+def test_block_boundaries_semantics(spark):
+    """splitter.go:76-102: boundary every Nth row, inclusive [lo,hi]."""
+    df = spark.range(25).withColumnRenamed("id", "_id")
+    blocks = block_boundaries(df, "_id", block=10).collect()
+    assert [(b.block_id, b.lo, b.hi, b.rows) for b in blocks] == [
+        (0, 0, 9, 10), (1, 10, 19, 10), (2, 20, 24, 5),
+    ]
+
+
+def test_config_validation():
+    with pytest.raises(ConfigError):
+        MigrationConfig(command="bogus", source="a", target="b")
+    with pytest.raises(ConfigError):
+        MigrationConfig(command="all", source="", target="b")
+    with pytest.raises(ConfigError):
+        Include(namespace="db.*", masks=["ssn"])  # includes.go:71-75
+    with pytest.raises(ConfigError):
+        Include(namespace="db.c", masks=["ssn"], method="bogus")
+    # defaults & caps (migrator.go:283-305)
+    cfg = MigrationConfig(command="all", source="a", target="b",
+                          workers=99, block=999_999)
+    assert cfg.workers == 16 and cfg.block == 10_000
+    inc = Include(namespace="db.c", masks=["ssn"])
+    assert inc.method == "default"
+
+
+def test_quickstart_config_parses():
+    doc = {
+        "command": "all",
+        "drop": True,
+        "source": "/src", "target": "/dst",
+        "includes": [
+            {"namespace": "Documents.*"},
+            {"namespace": "keyhole.numbers", "to": "testdb.counts"},
+            {"namespace": "keyhole.vehicles",
+             "filter": {"color": {"$in": ["Black", "White"]}},
+             "limit": 1024},
+        ],
+    }
+    cfg = MigrationConfig.from_dict(doc)
+    assert cfg.is_config and cfg.is_data
+    assert cfg.includes[1].target_namespace == "testdb.counts"
+    assert cfg.includes[2].limit == 1024
