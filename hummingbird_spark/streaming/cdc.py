@@ -1,0 +1,315 @@
+"""CDC decode + merge-apply (SURVEY §2.9 ST1-ST9) — the heart of the
+reference, re-expressed for Structured Streaming.
+
+Reference pipeline: tailable oplog cursor -> spool -> ordered BulkWrite
+replay (oplog_streamer.go:112-323, oplog_utils.go:88-281). Spark pipeline:
+`readStream(oplog frame) -> decode to write models -> per-key ordered fold
+-> foreachBatch merge into target` with the checkpoint dir carrying
+offset state (replaces workspace.go:276-309's per-shard resume
+timestamps).
+
+Write-model semantics (GetWriteModels, oplog_utils.go:208-281):
+  op 'i'            -> insert document (o)
+  op 'd'            -> delete-one by key (o)
+  op 'n'            -> no-op
+  op 'c'/applyOps   -> unnest members, recurse
+  op 'u', o.diff.u/.i (v2) -> $set those fields
+  op 'u', o.diff.d  (v2)   -> $unset those fields
+  op 'u', o.$set/$unset (v4) -> same
+  op 'u' otherwise  -> full-document replace
+
+Ordering discipline (ST6): the reference preserves per-document mutation
+order with ordered bulks. Here each micro-batch is folded per key in
+(ts, seq) order — an `applyInPandas` grouped fold, the one genuinely
+stateful custom operator in the engine (everything around it is Column
+expressions). Batches are serialized by the streaming engine, so
+intra-batch fold + inter-batch serialization reproduces converged state.
+A patch whose key is absent from the target is a no-op (Mongo UpdateOne
+without upsert), and re-applying any prefix of the log is idempotent —
+replays after checkpoint recovery are safe (ST7).
+
+Scale note: the fold shuffles only the micro-batch (bounded, e.g. 1k-100k
+events), never the target; the merge joins models against the target on
+its key. On plain parquet the merged table is rewritten per batch (tests);
+on a production lakehouse the identical models frame feeds Delta/Iceberg
+MERGE INTO, which prunes to matching files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from hummingbird_spark.streaming.oplog import (
+    namespace_match_column,
+    skip_oplog,
+    unnest_apply_ops,
+)
+
+# The oplog frame (Oplog struct, oplog_streamer.go:48-57). ts carries the
+# BSON-Timestamp ordering role; seq is the increment/tiebreak.
+OPLOG_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("ns", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("o", T.StringType()),    # JSON: doc / update spec / key
+    T.StructField("o2", T.StringType()),   # JSON: update match key
+])
+
+_MODEL_SCHEMA = T.StructType([
+    T.StructField("ns", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("kind", T.StringType()),       # replace|patch|delete
+    T.StructField("doc", T.StringType()),        # JSON for replace
+    T.StructField("set_json", T.StringType()),   # JSON for patch sets
+    T.StructField("unset_json", T.StringType()),  # JSON for patch unsets
+])
+
+_REDUCED_SCHEMA = T.StructType([
+    T.StructField("ns", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("action", T.StringType()),      # replace|patch|delete
+    T.StructField("doc", T.StringType()),
+    T.StructField("set_json", T.StringType()),
+    T.StructField("unset_json", T.StringType()),
+])
+
+
+def decode_write_models(
+    oplogs: DataFrame, includes: list[str] | None = None
+) -> DataFrame:
+    """Oplog frame -> write-model frame. Pure Column expressions
+    (filters, JSON path extraction) — streaming-safe, no state."""
+    df = unnest_apply_ops(skip_oplog(oplogs, includes))
+    # transaction members resolved their own ns during unnesting —
+    # re-apply include routing to them (outer $cmd ns already passed)
+    df = df.filter(
+        namespace_match_column(F.col("resolved_ns"), includes)
+    ).filter(F.col("op").isin("i", "u", "d"))
+
+    key = F.coalesce(
+        F.get_json_object("o2", "$._id"), F.get_json_object("o", "$._id")
+    )
+    diff_set = F.coalesce(
+        F.get_json_object("o", "$.diff.u"), F.get_json_object("o", "$.diff.i")
+    )
+    diff_unset = F.get_json_object("o", "$.diff.d")
+    v4_set = F.get_json_object("o", "$['$set']")
+    v4_unset = F.get_json_object("o", "$['$unset']")
+    has_diff = F.get_json_object("o", "$.diff").isNotNull()
+    has_v4 = v4_set.isNotNull() | v4_unset.isNotNull()
+
+    # v2 diff applies only the FIRST of u/i, else d (oplog_utils.go:250-263)
+    patch_set = F.when(has_diff, diff_set).otherwise(v4_set)
+    patch_unset = F.when(
+        has_diff, F.when(diff_set.isNull(), diff_unset)
+    ).otherwise(v4_unset)
+
+    kind = (
+        F.when(F.col("op") == "d", F.lit("delete"))
+        .when(F.col("op") == "i", F.lit("replace"))
+        .when(has_diff | has_v4, F.lit("patch"))
+        .otherwise(F.lit("replace"))  # full-document replace (u)
+    )
+    return df.select(
+        F.col("resolved_ns").alias("ns"),
+        key.alias("key"),
+        F.col("ts"),
+        F.col("seq"),
+        kind.alias("kind"),
+        F.when(kind == "replace", F.col("o")).alias("doc"),
+        F.when(kind == "patch", patch_set).alias("set_json"),
+        F.when(kind == "patch", patch_unset).alias("unset_json"),
+    ).filter(F.col("key").isNotNull())
+
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Ordered fold of one (ns, key)'s events -> one effective action.
+    Runs inside applyInPandas: the micro-batch is grouped by key, each
+    group folded independently (distributed by the shuffle on key)."""
+    pdf = pdf.sort_values(["ts", "seq"])
+    ns, key = pdf.iloc[0]["ns"], pdf.iloc[0]["key"]
+    mode: str | None = None   # None = patch-on-existing accumulation
+    doc: dict = {}
+    sets: dict = {}
+    unsets: list[str] = []
+    for r in pdf.itertuples():
+        if r.kind == "delete":
+            mode, doc, sets, unsets = "delete", {}, {}, []
+        elif r.kind == "replace":
+            mode, doc, sets, unsets = "replace", json.loads(r.doc), {}, []
+        else:  # patch
+            s = json.loads(r.set_json) if r.set_json else {}
+            u = list(json.loads(r.unset_json)) if r.unset_json else []
+            if mode == "delete":
+                continue  # UpdateOne matches nothing -> no-op
+            if mode == "replace":
+                doc.update(s)
+                for k in u:
+                    doc.pop(k, None)
+            else:
+                sets.update(s)
+                unsets = [k for k in unsets if k not in s] + [
+                    k for k in u if k not in unsets
+                ]
+                for k in u:
+                    sets.pop(k, None)
+    if mode == "delete":
+        out = (ns, key, "delete", None, None, None)
+    elif mode == "replace":
+        out = (ns, key, "replace", json.dumps(doc), None, None)
+    else:
+        out = (ns, key, "patch", None,
+               json.dumps(sets) if sets else None,
+               json.dumps(dict.fromkeys(unsets, 1)) if unsets else None)
+    return pd.DataFrame(
+        [out], columns=["ns", "key", "action", "doc", "set_json", "unset_json"]
+    )
+
+
+def reduce_write_models(models: DataFrame) -> DataFrame:
+    """Per-key ordered fold (ST6): many events per key -> one effective
+    write model. Arrow-batched grouped-map; the shuffle key is (ns, key)
+    so skewed namespaces still spread across executors by key."""
+    return models.groupBy("ns", "key").applyInPandas(
+        _fold_group, schema=_REDUCED_SCHEMA
+    )
+
+
+def _empty_target(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    reduced: DataFrame,
+    target_path: str,
+    key: str,
+    schema: T.StructType,
+) -> None:
+    """Merge one micro-batch's reduced write models into a parquet
+    target — the plain-parquet equivalent of
+    `MERGE INTO target USING models ON target.key = models.key
+       WHEN MATCHED AND action='delete' THEN DELETE
+       WHEN MATCHED AND action='replace' THEN UPDATE SET *
+       WHEN MATCHED AND action='patch'  THEN UPDATE SET <set/unset fields>
+       WHEN NOT MATCHED AND action IN ('replace','patch-as-noop') THEN INSERT`
+    (BulkWriteOplogs semantics, oplog_utils.go:110-197).
+    """
+    if os.path.exists(os.path.join(target_path, "_SUCCESS")):
+        target = spark.read.parquet(target_path)
+    else:
+        target = _empty_target(spark, schema)
+
+    m = reduced.withColumnRenamed("key", "__key").cache()
+    tkey = F.col(key).cast("string")
+
+    parsed_doc = F.from_json(F.col("doc"), schema)
+    parsed_set = F.from_json(F.col("set_json"), schema)
+
+    joined = target.join(
+        m, tkey == F.col("__key"), "full_outer"
+    )
+
+    # survivor rows: everything except deletes; patches on missing keys
+    # are no-ops (dropped); replaces win over existing rows.
+    replace_row = parsed_doc
+    patched_cols = []
+    for f in schema.fields:
+        c = f.name
+        set_has = F.get_json_object(F.col("set_json"), f"$['{c}']").isNotNull()
+        unset_has = F.get_json_object(
+            F.col("unset_json"), f"$['{c}']"
+        ).isNotNull()
+        patched = (
+            F.when(unset_has, F.lit(None).cast(f.dataType))
+            .when(set_has, parsed_set[c])
+            .otherwise(F.col(c))
+        )
+        value = (
+            F.when(F.col("action") == "replace", replace_row[c])
+            .when(F.col("action") == "patch", patched)
+            .otherwise(F.col(c))
+        )
+        patched_cols.append(value.alias(c))
+
+    result = (
+        joined.filter(
+            # keep: untouched target rows, replaced rows, patched existing
+            (F.col("action").isNull())
+            | (F.col("action") == "replace")
+            | ((F.col("action") == "patch") & tkey.isNotNull())
+        )
+        .select(*patched_cols)
+    )
+
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+    m.unpersist()
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    oplog_dir: str,
+    target_root: str,
+    schemas: dict[str, T.StructType],
+    includes: list[str] | None = None,
+    key: str = "_id",
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The three-phase CDC pipeline (ST2) collapsed to one streaming
+    query: a file-source over JSON oplog frames (the test stand-in for a
+    change-stream connector), decode, fold, merge per namespace.
+    Checkpoint offsets replace the reference's saved per-shard resume
+    timestamps (ST1); `startingOffsets` semantics come free from the file
+    source reading only unprocessed files.
+    """
+    stream = (
+        spark.readStream.schema(OPLOG_SCHEMA)
+        .option("maxFilesPerTrigger", 10)
+        .json(oplog_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        models = decode_write_models(batch_df, includes)
+        reduced = reduce_write_models(models).cache()
+        try:
+            for ns in [r.ns for r in reduced.select("ns").distinct().collect()]:
+                if ns not in schemas:
+                    continue  # DDL-only / unconfigured namespace (ST9: log, don't replay)
+                coll = ns.split(".", 1)[-1]
+                apply_cdc_batch(
+                    spark,
+                    reduced.filter(F.col("ns") == ns),
+                    os.path.join(target_root, f"{coll}.parquet"),
+                    key,
+                    schemas[ns],
+                )
+        finally:
+            reduced.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(target_root, "_checkpoint"),
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    return q

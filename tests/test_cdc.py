@@ -1,0 +1,282 @@
+"""CDC decode/fold/merge tests — the Spark analogue of
+oplog_utils_test.go (update variants v4/v5, bulk-apply counts) and
+oplog_streamer_test.go (stream convergence)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hummingbird_spark.streaming.cdc import (
+    OPLOG_SCHEMA,
+    apply_cdc_batch,
+    decode_write_models,
+    reduce_write_models,
+    start_cdc_stream,
+)
+from hummingbird_spark.streaming.oplog import skip_oplog, unnest_apply_ops
+
+TARGET_SCHEMA = T.StructType([
+    T.StructField("_id", T.LongType()),
+    T.StructField("x", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(seq, op, o, o2=None, ns="db.c", ts=None):
+    return (
+        ts or (T0 + dt.timedelta(seconds=seq)),
+        seq,
+        ns,
+        op,
+        json.dumps(o) if isinstance(o, dict) else o,
+        json.dumps(o2) if isinstance(o2, dict) else o2,
+    )
+
+
+def _oplog_df(spark, rows):
+    return spark.createDataFrame(rows, OPLOG_SCHEMA)
+
+
+def _decode(spark, rows, includes=None):
+    return decode_write_models(_oplog_df(spark, rows), includes).collect()
+
+
+# --- decode semantics (GetWriteModels, oplog_utils.go:208-281) ---
+
+def test_decode_insert_delete_noop(spark):
+    out = _decode(spark, [
+        _ev(1, "i", {"_id": 1, "x": "a"}),
+        _ev(2, "d", {"_id": 1}),
+        _ev(3, "n", {"msg": "periodic noop"}),
+    ])
+    assert [(r.kind, r.key) for r in out] == [("replace", "1"), ("delete", "1")]
+
+
+def test_decode_v2_diff_update(spark):
+    # oplog_utils_test.go v5 format: {$v:2, diff:{u:{...}}}
+    out = _decode(spark, [
+        _ev(1, "u", {"$v": 2, "diff": {"u": {"x": "b"}}}, {"_id": 7}),
+        _ev(2, "u", {"$v": 2, "diff": {"i": {"n": 9}}}, {"_id": 7}),
+        _ev(3, "u", {"$v": 2, "diff": {"d": {"x": True}}}, {"_id": 7}),
+    ])
+    assert [r.kind for r in out] == ["patch"] * 3
+    assert json.loads(out[0].set_json) == {"x": "b"}
+    assert json.loads(out[1].set_json) == {"n": 9}
+    assert out[2].set_json is None
+    assert json.loads(out[2].unset_json) == {"x": True}
+
+
+def test_decode_v4_set_and_replace(spark):
+    out = _decode(spark, [
+        _ev(1, "u", {"$set": {"x": "c"}}, {"_id": 3}),
+        _ev(2, "u", {"$unset": {"n": 1}}, {"_id": 3}),
+        _ev(3, "u", {"_id": 3, "x": "whole", "n": 1}, {"_id": 3}),
+    ])
+    assert [r.kind for r in out] == ["patch", "patch", "replace"]
+    assert json.loads(out[0].set_json) == {"x": "c"}
+    assert json.loads(out[1].unset_json) == {"n": 1}
+    assert json.loads(out[2].doc)["x"] == "whole"
+
+
+def test_decode_applyops_unnest(spark):
+    # multi-statement transaction (sim.go:361-394 / oplog_utils.go:212-236)
+    tx = {"applyOps": [
+        {"op": "i", "ns": "db.c", "o": {"_id": 10, "x": "t1"}},
+        {"op": "u", "ns": "db.c", "o": {"$set": {"x": "t2"}}, "o2": {"_id": 10}},
+        {"op": "d", "ns": "db.other", "o": {"_id": 5}},
+    ]}
+    out = _decode(spark, [_ev(1, "c", tx, ns="db.$cmd")])
+    kinds = sorted((r.ns, r.kind) for r in out)
+    assert kinds == [("db.c", "patch"), ("db.c", "replace"),
+                     ("db.other", "delete")]
+
+
+def test_skip_oplog_filters_system_and_resolves_cmd(spark):
+    df = _oplog_df(spark, [
+        _ev(1, "i", {"_id": 1}, ns="local.oplog.rs"),
+        _ev(2, "i", {"_id": 2}, ns="config.chunks"),
+        _ev(3, "i", {"_id": 3}, ns="db.keep"),
+        _ev(4, "c", {"drop": "gone"}, ns="db.$cmd"),
+        _ev(5, "c", {"create": "made"}, ns="db.$cmd"),
+    ])
+    out = skip_oplog(df).select("resolved_ns").collect()
+    assert sorted(r.resolved_ns for r in out) == ["db.gone", "db.keep", "db.made"]
+    # include routing (F5 + F3): only db.keep matches
+    out2 = skip_oplog(df, ["db.keep"]).collect()
+    assert [r.resolved_ns for r in out2] == ["db.keep"]
+
+
+# --- per-key fold (ST6 ordering discipline) ---
+
+def _reduce(spark, rows):
+    models = decode_write_models(_oplog_df(spark, rows))
+    return {r.key: r for r in reduce_write_models(models).collect()}
+
+
+def test_fold_insert_then_update_same_batch(spark):
+    # SURVEY §7 hard-part: update-after-insert-in-same-batch
+    red = _reduce(spark, [
+        _ev(1, "i", {"_id": 1, "x": "a", "n": 1}),
+        _ev(2, "u", {"$set": {"x": "b"}}, {"_id": 1}),
+    ])
+    assert red["1"].action == "replace"
+    assert json.loads(red["1"].doc) == {"_id": 1, "x": "b", "n": 1}
+
+
+def test_fold_insert_update_delete(spark):
+    red = _reduce(spark, [
+        _ev(1, "i", {"_id": 2, "x": "a"}),
+        _ev(2, "u", {"$set": {"x": "b"}}, {"_id": 2}),
+        _ev(3, "d", {"_id": 2}),
+    ])
+    assert red["2"].action == "delete"
+
+
+def test_fold_patch_only_accumulates(spark):
+    red = _reduce(spark, [
+        _ev(1, "u", {"$set": {"x": "p"}}, {"_id": 3}),
+        _ev(2, "u", {"$set": {"n": 5}}, {"_id": 3}),
+        _ev(3, "u", {"$unset": {"x": 1}}, {"_id": 3}),
+    ])
+    r = red["3"]
+    assert r.action == "patch"
+    assert json.loads(r.set_json) == {"n": 5}
+    assert json.loads(r.unset_json) == {"x": 1}
+
+
+def test_fold_delete_then_reinsert(spark):
+    red = _reduce(spark, [
+        _ev(1, "d", {"_id": 4}),
+        _ev(2, "i", {"_id": 4, "x": "back", "n": 2}),
+    ])
+    assert red["4"].action == "replace"
+    assert json.loads(red["4"].doc)["x"] == "back"
+
+
+def test_fold_patch_after_delete_is_noop(spark):
+    red = _reduce(spark, [
+        _ev(1, "d", {"_id": 5}),
+        _ev(2, "u", {"$set": {"x": "ghost"}}, {"_id": 5}),
+    ])
+    assert red["5"].action == "delete"
+
+
+# --- merge-apply into parquet target (BulkWriteOplogs semantics) ---
+
+@pytest.fixture()
+def target(tmp_path, spark):
+    path = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(1, "one", 10), (2, "two", 20), (3, "three", 30)], TARGET_SCHEMA
+    ).write.parquet(path)
+    return path
+
+
+def _apply(spark, target_path, rows):
+    models = decode_write_models(_oplog_df(spark, rows))
+    apply_cdc_batch(
+        spark, reduce_write_models(models), target_path, "_id", TARGET_SCHEMA
+    )
+    return {
+        r._id: r for r in spark.read.parquet(target_path).collect()
+    }
+
+
+def test_apply_insert_update_delete(spark, target):
+    state = _apply(spark, target, [
+        _ev(1, "i", {"_id": 4, "x": "four", "n": 40}),
+        _ev(2, "u", {"$set": {"x": "TWO"}}, {"_id": 2}),
+        _ev(3, "d", {"_id": 3}),
+        _ev(4, "u", {"$unset": {"n": 1}}, {"_id": 1}),
+    ])
+    assert set(state) == {1, 2, 4}
+    assert state[2].x == "TWO" and state[2].n == 20
+    assert state[4].x == "four"
+    assert state[1].n is None  # $unset -> null (declared deviation)
+
+
+def test_apply_patch_on_missing_key_is_noop(spark, target):
+    state = _apply(spark, target, [
+        _ev(1, "u", {"$set": {"x": "nope"}}, {"_id": 99}),
+    ])
+    assert set(state) == {1, 2, 3}
+
+
+def test_apply_replace_existing(spark, target):
+    state = _apply(spark, target, [
+        _ev(1, "u", {"_id": 1, "x": "replaced", "n": 111}, {"_id": 1}),
+    ])
+    assert state[1].x == "replaced" and state[1].n == 111
+
+
+def test_apply_is_idempotent(spark, target):
+    rows = [
+        _ev(1, "i", {"_id": 7, "x": "seven", "n": 70}),
+        _ev(2, "u", {"$set": {"x": "SEVEN"}}, {"_id": 7}),
+        _ev(3, "d", {"_id": 2}),
+    ]
+    s1 = _apply(spark, target, rows)
+    s2 = _apply(spark, target, rows)  # replay the same batch (ST7)
+    assert {k: (v.x, v.n) for k, v in s1.items()} == {
+        k: (v.x, v.n) for k, v in s2.items()
+    }
+
+
+# --- end-to-end streaming convergence (oplog_streamer_test.go analogue) ---
+
+def test_stream_convergence_with_checkpoint_restart(spark, tmp_path):
+    oplog_dir = str(tmp_path / "oplogs")
+    target_root = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(oplog_dir)
+    os.makedirs(target_root)
+
+    def write_file(name, rows):
+        with open(os.path.join(oplog_dir, name), "w") as f:
+            for ts, seq, ns, op, o, o2 in rows:
+                f.write(json.dumps({
+                    "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                    "seq": seq, "ns": ns, "op": op, "o": o, "o2": o2,
+                }) + "\n")
+
+    schemas = {"db.c": TARGET_SCHEMA}
+
+    # phase 1: backfill-time capture (spool) — inserts + a transaction
+    write_file("00.json", [
+        _ev(1, "i", {"_id": 1, "x": "a", "n": 1}),
+        _ev(2, "i", {"_id": 2, "x": "b", "n": 2}),
+        _ev(3, "c", {"applyOps": [
+            {"op": "i", "ns": "db.c", "o": {"_id": 3, "x": "tx", "n": 3}},
+            {"op": "u", "ns": "db.c", "o": {"$set": {"x": "tx2"}},
+             "o2": {"_id": 3}},
+        ]}, ns="db.$cmd"),
+    ])
+    q = start_cdc_stream(spark, oplog_dir, target_root, schemas,
+                         includes=["db.c"], checkpoint=ckpt)
+    q.awaitTermination(120)
+    state = {r._id: r for r in
+             spark.read.parquet(f"{target_root}/c.parquet").collect()}
+    assert set(state) == {1, 2, 3}
+    assert state[3].x == "tx2"
+
+    # phase 2: restart from checkpoint — only the new file is applied
+    write_file("01.json", [
+        _ev(10, "u", {"$v": 2, "diff": {"u": {"x": "A"}}}, {"_id": 1}),
+        _ev(11, "d", {"_id": 2}),
+        _ev(12, "i", {"_id": 4, "x": "d", "n": 4}),
+    ])
+    q2 = start_cdc_stream(spark, oplog_dir, target_root, schemas,
+                          includes=["db.c"], checkpoint=ckpt)
+    q2.awaitTermination(120)
+    state = {r._id: r for r in
+             spark.read.parquet(f"{target_root}/c.parquet").collect()}
+    assert set(state) == {1, 3, 4}
+    assert state[1].x == "A" and state[1].n == 1
