@@ -1,0 +1,209 @@
+"""Text-analysis function surface for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): tokenization,
+token counting, quality scoring, language-ID heuristic, fingerprinting,
+shingling, MinHash seeds, SimHash. No Python UDFs — at 100 TB these run
+inside whole-stage codegen over the parquet scan.
+
+Hash choice: md5 (not Spark's murmur3 `hash()`) so every hash-derived
+result is reproducible in any engine (DuckDB oracle parity) and stable
+across Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords for the language-ID heuristic. The fixture corpus is
+# synthetic English-ish tokens with a `lang` label column; real corpora
+# would use per-language stopword/char-ngram tables — same expression
+# shape, bigger CASE.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles as an array (deduplicated set).
+    Built with sequence+transform — no explode needed at call site."""
+    ws = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            sep, *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(grams))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-gram shingles (deduplicated)."""
+    s = F.trim(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(s, i.cast("int"), n))
+    return F.when(F.length(s) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(grams))
+
+
+def stopword_ratio(col: Column) -> Column:
+    ws = tokens(col)
+    n_stop = F.size(
+        F.filter(ws, lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(ws).cast("double")
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are alphanumeric or space — the
+    'looks like prose' signal."""
+    total = F.length(col)
+    clean = F.length(F.regexp_replace(col, r"[^A-Za-z0-9 ]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        clean.cast("double") / total.cast("double")
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    ws = tokens(col)
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size(ws).cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: prose-likeness, stopword
+    presence, sane word length, non-trivial length. Weights are the
+    usual hand-tuned pipeline constants; the value is deterministic
+    and oracle-reproducible."""
+    n_tok = token_count(col).cast("double")
+    len_component = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wl = mean_word_length(col)
+    wl_component = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * alpha_ratio(col)
+        + F.lit(0.2) * F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+        + F.lit(0.2) * wl_component
+        + F.lit(0.2) * len_component,
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-token language scorer: count marker hits per language,
+    pick the argmax (ties -> lexicographically first language),
+    'und' when nothing matches."""
+    ws = F.transform(tokens(col), lambda w: F.lower(w))
+    scores = F.array(*[
+        F.struct(
+            F.size(F.filter(ws, lambda w: w.isin(*marks))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ])
+    best = F.array_max(F.filter(scores, lambda s: s["score"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dup key that survives formatting noise."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def minhash_value(shingles: Column, seed: int) -> Column:
+    """One MinHash coordinate: lexicographic min of md5(seed|shingle).
+    A string-min is portable across engines (no integer-hash mismatch)."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+        )
+    )
+
+
+def simhash_bits(col: Column, n: int = 3) -> Column:
+    """64-bit SimHash over word n-grams, as a 64-char '0'/'1' string:
+    per-bit majority vote of each shingle's md5-derived bits. Pure
+    expressions; the bit-string form is engine-portable (a bigint would
+    hit signedness/shift differences) and chunks into LSH bands with
+    plain substring.
+
+    Bit i (1-based position in the string) is hex digit ceil(i/4)'s bit —
+    derived by mapping each of the first 16 md5 hex chars to 4 bits via
+    a lookup, avoiding integer shifts entirely."""
+    shingles = word_ngrams(col, n)
+
+    # hex digit -> 4-bit string, e.g. 'a' -> '1010'
+    hex_bits = {d: format(int(d, 16), "04b") for d in "0123456789abcdef"}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in hex_bits.items() for x in kv]
+    )
+
+    def bits_str(s: Column) -> Column:
+        """64-char '0'/'1' string from the first 16 md5 hex chars."""
+        hexs = F.substring(F.md5(s), 1, 16)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(16)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc, mapping[F.substring(hexs, i.cast("int"), 1)]
+            ),
+        )
+
+    votes = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.substring(bits_str(s), i.cast("int"), 1)
+                .cast("long"),
+            ),
+            lambda a, b: a + (b * 2 - 1),  # '1'->+1, '0'->-1
+        ),
+    )
+    return F.aggregate(
+        votes,
+        F.lit(""),
+        lambda acc, v: F.concat(
+            acc, F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+
+
+def hamming_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit strings: count of
+    differing positions, computed as a fold over the index range."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.length(a)),
+            lambda i: F.substring(a, i.cast("int"), 1)
+            != F.substring(b, i.cast("int"), 1),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each a declarative Spark plan over the `documents`
+fixture (doc_id, text, lang, source, n_chars):
+
+  exact            — hash-groupBy on a normalized fingerprint
+  minhash_lsh      — shingle -> k MinHashes -> band buckets -> bucket
+                     self-join -> Jaccard verify (the scale path: only
+                     bucket collisions are joined, never all pairs)
+  simhash          — 64-bit SimHash, banded by 16-bit chunks (pigeonhole:
+                     hamming<=3 pairs share at least one of 4 chunks)
+  ngram_jaccard    — exact Jaccard over shingle sets for candidate pairs
+  embedding cosine — see operators/similarity.py (near_duplicate_pairs)
+
+Scale notes: every self-join here is bucketed (band key / chunk key),
+so the shuffle is ~O(n·k) rows and collisions, not O(n²). Skewed buckets
+(e.g. boilerplate docs) are the classic hazard: `max_bucket_size` drops
+pathological buckets the way production dedup pipelines do, and AQE skew
+handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.functions.text import (
+    fingerprint,
+    hamming_bits,
+    minhash_value,
+    simhash_bits,
+    word_ngrams,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group.
+    One shuffle (the groupBy); fingerprint is computed in the scan
+    projection, so only (fingerprint, id) shuffles — not the text."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member: (fingerprint, n_docs, keep_id)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature_df(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 16,
+                         ngram: int = 3) -> DataFrame:
+    """(id, shingles, sig: array<string>[num_hashes]). Signature values
+    are md5-string minima — engine-portable, no murmur dependence."""
+    shingles = word_ngrams(F.col(text_col), ngram).alias("__shingles")
+    sig = F.array(*[
+        minhash_value(F.col("__shingles"), seed)
+        for seed in range(num_hashes)
+    ]).alias("__sig")
+    return df.select(F.col(id_col), shingles).select(
+        F.col(id_col), F.col("__shingles"), sig
+    ).filter(F.size("__shingles") > 0)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any full band are
+    candidates. Returns distinct (a, b) with a < b."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("__sig", b * rows_per_band + r + 1)
+                          for r in range(rows_per_band)],
+                    ).alias("bkey"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+
+    # drop pathological buckets (boilerplate explosion guard)
+    sized = banded.withColumn(
+        "__bn", F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bkey")
+        )
+    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+
+    a = sized.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = sized.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (a, b) pairs:
+    |A ∩ B| / |A ∪ B| via two broadcast-friendly joins on the pair ids."""
+    sets = df.select(
+        F.col(id_col),
+        word_ngrams(F.col(text_col), ngram).alias("sh"),
+    )
+    pa = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    pb = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(pa, "a").join(pb, "b")
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double"),
+        )
+        .withColumn(
+            "union_", F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        )
+        .select(
+            "a", "b",
+            F.round(F.col("intersection") / F.col("union_"), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", threshold: float = 0.7,
+                            num_hashes: int = 16, bands: int = 4,
+                            ngram: int = 3) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: candidates from band
+    collisions, verified with exact Jaccard. Returns (a, b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_df(df, text_col, id_col, num_hashes, ngram)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    verified = jaccard_pairs(df, cands, text_col, id_col, ngram)
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3,
+                            ngram: int = 3) -> DataFrame:
+    """SimHash near-dup: band the 64-bit hash (as a 64-char bit string)
+    into 4 x 16-bit chunks; pairs within hamming<=3 must collide on >=1
+    chunk (pigeonhole), so the self-join is per-chunk-bucket, then exact
+    hamming verifies."""
+    hashed = df.select(
+        F.col(id_col), simhash_bits(F.col(text_col), ngram).alias("sh")
+    ).filter(F.length("sh") == 64)
+    chunked = hashed.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.substring("sh", c * 16 + 1, 16).alias("ckey"),
+            )
+            for c in range(4)
+        ])).alias("cc"),
+    ).select(id_col, "sh", "cc.chunk", "cc.ckey")
+
+    a = chunked.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
+                       "chunk", "ckey")
+    b = chunked.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"),
+                       "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming_bits(F.col("sh_a"), F.col("sh_b"))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths over the `embeddings` fixture (vec_id, embedding[64], label):
+
+  cosine_topk        — exact brute force: JVM-side zip_with/aggregate dot
+                       product, orderBy desc, limit k. The correctness
+                       baseline; O(n) per query, fine for one query or a
+                       broadcast batch of queries.
+  lsh_topk           — random-hyperplane LSH: 16 sign-bits bucket the
+                       vectors; the query probes its bucket plus
+                       hamming<=1 neighbors, exact-rescoring only those.
+                       The 100 TB path: the scan prunes to matching
+                       buckets (partition the table by bucket at write
+                       time to make it a partition-pruned read).
+  near_duplicate_pairs — all-pairs cosine>=threshold via the same LSH
+                       bucketing (embedding near-dup dedup).
+
+All math is double-precision with a fixed fold order (sequential
+aggregate over the array), so scores reproduce bit-for-bit across runs.
+Hyperplanes are seeded, generated driver-side, and inlined as literals —
+no nondeterminism, no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine: (id, score) ordered desc, id tiebreak."""
+    q = _vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16,
+                       seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (driver-side, inlined as literals)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(v, plane_j) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bit = F.when(
+            _dot(vec_col, _vec_lit(plane)) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseXOR(bit)
+    return bucket
+
+
+def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for j, plane in enumerate(planes):
+        d = sum(float(x) * float(p) for x, p in zip(query_vec, plane))
+        if d >= 0:
+            b |= 1 << j
+    return b
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 16, probe_hamming: int = 1,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    `probe_hamming` bits of the query's bucket. With a bucket-partitioned
+    table this becomes a partition-pruned scan + tiny exact rescore."""
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    qb = _query_bucket(query_vec, planes)
+    probe = [qb]
+    if probe_hamming >= 1:
+        probe += [qb ^ (1 << j) for j in range(n_planes)]
+
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("__bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), 6)
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", n_planes: int = 12,
+                         seed: int = 42,
+                         dim: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join (same sign signature),
+    exact cosine verify. Near-identical vectors share all sign bits with
+    high probability; n_planes trades recall vs join size."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first.d if first else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = bucketed.select(F.col(id_col).alias("a"),
+                        F.col(vec_col).alias("va"), "__bucket")
+    b = bucketed.select(F.col(id_col).alias("b"),
+                        F.col(vec_col).alias("vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("a", "b")
+    )

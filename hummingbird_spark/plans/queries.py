@@ -483,6 +483,13 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+# training-data pipeline queries (text analysis / dedup / similarity)
+from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
+
+for _name, (_fn, _oracle, _doc) in TEXT_QUERIES.items():
+    QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in QUERIES.items()}
 

@@ -1,0 +1,301 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity
+search over the documents/embeddings fixtures — each with a DuckDB
+oracle where the computation is SQL-expressible (hash functions are md5,
+chosen for engine portability). LSH-approximate variants whose candidate
+pruning is probabilistic get rows-only checks; their exact counterparts
+carry the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from hummingbird_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from hummingbird_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    near_duplicate_pairs,
+)
+from hummingbird_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+ORACLE_DOC_STATS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+ORACLE_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, text, ws,
+         CAST(len(ws) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ws, w -> lower(w) IN
+                   ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) END AS stop_ratio,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) END AS wl
+  FROM t
+)
+SELECT doc_id,
+       round(0.4 * alpha_ratio
+             + 0.2 * least(stop_ratio * 5.0, 1.0)
+             + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * least(n_tok / 50.0, 1.0), 6) AS quality
+FROM c
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+# tie-break = lexicographically largest language (Spark array_max on
+# (score, lang) structs), hence the descending-lex CASE chain.
+ORACLE_DOC_LANG = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                  w -> lower(w)) END AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(ws, w -> w IN ('the','a','of','and','to')))    AS s_en,
+    len(list_filter(ws, w -> w IN ('el','la','de','que','y')))     AS s_es,
+    len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(ws, w -> w IN ('le','la','les','et','est')))   AS s_fr,
+    len(list_filter(ws, w -> w IN ('的','是','了','在','我')))        AS s_zh
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN s_zh > 0 AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+    WHEN s_de > 0 THEN 'de'
+    ELSE 'und'
+  END AS pred_lang
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d).select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_EXACT = r"""
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+), keep AS (
+  SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f
+)
+SELECT fp.doc_id, fp.lang, fp.source
+FROM fp JOIN keep ON fp.doc_id = keep.doc_id AND fp.f = keep.f
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_groups(d)
+
+
+ORACLE_DUP_GROUPS = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY fingerprint HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=4, ngram=3
+    )
+
+
+# replicates the Spark plan exactly: 3-gram shingles, 16 md5-min hashes,
+# 4 bands x 4 rows, band-collision candidates, exact-jaccard verify.
+ORACLE_MINHASH = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM words WHERE len(ws) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingles
+), sig AS (
+  SELECT doc_id, seeds.seed, min(md5(seeds.seed || '|' || s)) AS m
+  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+  GROUP BY doc_id, seeds.seed
+), sigl AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM sig GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, bands.band,
+         sig[bands.band*4+1] || '|' || sig[bands.band*4+2] || '|' ||
+         sig[bands.band*4+3] || '|' || sig[bands.band*4+4] AS bkey
+  FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN shingles sa ON sa.doc_id = cand.a
+JOIN shingles sb ON sb.doc_id = cand.b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            CAST(len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.7
+ORDER BY a, b
+"""
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3, ngram=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row.embedding]
+
+
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+ORACLE_KNN = """
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+           i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))))), 6) AS score
+  FROM embeddings e, q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, _query_vec(spark, sf_dir), k=10, n_planes=8,
+                    probe_hamming=2)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs variant (n_planes=0 -> single bucket) so the
+    brute-force oracle is a true equivalent; the LSH-pruned variant is
+    the same operator with n_planes>0 (approximate, rows-only check)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_duplicate_pairs(e, threshold=0.8, n_planes=0)
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    round(
+      list_sum(list_transform(range(1, len(x.embedding) + 1),
+        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+           i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 6)
+      AS cosine
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= 0.8 ORDER BY a, b
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "doc_stats": (q_doc_stats, ORACLE_DOC_STATS,
+                  "token count + fingerprint (text analysis)"),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY,
+                    "quality scoring heuristic"),
+    "doc_lang_id": (q_doc_lang_id, ORACLE_DOC_LANG,
+                    "marker-based language ID"),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT,
+                    "exact dedup via normalized fingerprint"),
+    "exact_dup_groups": (q_exact_dup_groups, ORACLE_DUP_GROUPS,
+                         "duplicate group inventory"),
+    "minhash_dups": (q_minhash_dups, ORACLE_MINHASH,
+                     "MinHash+LSH near-dup with jaccard verify"),
+    "simhash_dups": (q_simhash_dups, None,
+                     "SimHash near-dup (banded hamming; rows-only)"),
+    "knn_exact": (q_knn_exact, ORACLE_KNN,
+                  "brute-force cosine top-k"),
+    "knn_lsh": (q_knn_lsh, None,
+                "LSH-pruned cosine top-k (approximate; rows-only)"),
+    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP,
+                           "all-pairs embedding cosine near-dup"),
+}

@@ -1,0 +1,175 @@
+"""Semantic tests for text analysis, dedup, and similarity operators —
+synthetic corpora with known duplicates/neighbors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_ngrams,
+)
+from hummingbird_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from hummingbird_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    near_duplicate_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some food for the night")
+NEAR = BASE.replace("lazy", "sleepy")  # one-word change: high jaccard
+FAR = ("completely different text about spark engines and distributed "
+       "query processing with columnar storage formats and fast shuffles")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),                  # exact dup of 1
+        Row(doc_id=3, text="  " + BASE + "  "),    # whitespace-noise dup
+        Row(doc_id=4, text=NEAR),                  # near dup
+        Row(doc_id=5, text=FAR),
+        Row(doc_id=6, text=BASE.upper()),          # case-noise dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_count_and_ngrams(spark):
+    df = spark.createDataFrame([Row(t="a b  c"), Row(t=""), Row(t="  x ")])
+    got = df.select(token_count(F.col("t")).alias("n")).collect()
+    assert [r.n for r in got] == [3, 0, 1]
+    grams = df.select(word_ngrams(F.col("t"), 2).alias("g")).collect()
+    assert grams[0].g == ["a b", "b c"]
+    assert grams[1].g == []
+    assert grams[2].g == []  # fewer words than n
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [Row(a=BASE, b="  " + BASE.upper() + " ", c=FAR)]
+    )
+    r = df.select(
+        fingerprint(F.col("a")).alias("fa"),
+        fingerprint(F.col("b")).alias("fb"),
+        fingerprint(F.col("c")).alias("fc"),
+    ).first()
+    assert r.fa == r.fb != r.fc
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame([
+        Row(t=BASE),                       # prose: high
+        Row(t="@@ ## $$ %% ^^ && **"),     # symbols: low
+        Row(t=""),                         # empty: low
+    ])
+    scores = [r.q for r in df.select(quality_score(F.col("t")).alias("q")).collect()]
+    assert scores[0] > scores[1] >= scores[2]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame([
+        Row(t="the cat and the dog of a house"),
+        Row(t="el gato y la casa de que"),
+        Row(t="der hund und die katze ist"),
+        Row(t="xyzzy qwerty plugh"),
+    ])
+    got = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_dedup_exact(spark, corpus):
+    kept = dedup_exact(corpus)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 1,2,3 collapse (basename); 6 collapses too (case-normalized); 4,5 distinct
+    assert ids == [1, 4, 5]
+    groups = exact_duplicate_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 4 and groups[0].keep_id == 1
+
+
+def test_minhash_near_duplicates(spark, corpus):
+    pairs = minhash_near_duplicates(corpus, threshold=0.5).collect()
+    got = {(r.a, r.b) for r in pairs}
+    # all exact-dup pairs jaccard=1.0; near-dup (x,4) high jaccard
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    # FAR never pairs with anything
+    assert not any(5 in p for p in got)
+    j = {(r.a, r.b): r.jaccard for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 <= j[(1, 4)] < 1.0
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    pairs = simhash_near_duplicates(corpus, max_hamming=3).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got  # identical text -> hamming 0
+    assert not any(5 in p for p in got)
+    h = {(r.a, r.b): r.hamming for r in pairs}
+    assert h[(1, 2)] == 0
+
+
+def _unit(i: int, dim: int = 8) -> list[float]:
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    return v
+
+
+def test_cosine_topk_exact(spark):
+    rows = [Row(vec_id=i, embedding=_unit(i)) for i in range(8)]
+    # vec 8: close to vec 0 but not identical
+    rows.append(Row(vec_id=8, embedding=[0.9, 0.1] + [0.0] * 6))
+    df = spark.createDataFrame(rows)
+    got = cosine_topk(df, _unit(0), k=3).collect()
+    assert [r.vec_id for r in got] == [0, 8, 1]
+    assert got[0].score == 1.0
+    assert got[1].score == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_lsh_topk_recalls_neighbors(spark):
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = df.filter(F.col("vec_id") == 0).first().embedding
+    exact = cosine_topk(df, list(q), k=5).collect()
+    approx = lsh_topk(df, list(q), k=5, n_planes=8, probe_hamming=2).collect()
+    # the query vector itself must always be found (its own bucket)
+    assert approx[0].vec_id == 0 == exact[0].vec_id
+    # every approx score must equal the exact cosine for that id
+    # (LSH prunes candidates, never alters scores)
+    exact_all = {r.vec_id: r.score
+                 for r in cosine_topk(df, list(q), k=500).collect()}
+    for r in approx:
+        assert r.score == exact_all[r.vec_id]
+    # approx scores are descending
+    scores = [r.score for r in approx]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_near_duplicate_pairs(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[2.0, 0.0, 0.0, 0.0]),      # scaled dup of 1
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = near_duplicate_pairs(df, threshold=0.99, n_planes=6).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 4) in got  # cosine ignores scale
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
