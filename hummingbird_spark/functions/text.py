@@ -146,57 +146,6 @@ def minhash_value(shingles: Column, seed: int) -> Column:
     )
 
 
-def simhash_bits(col: Column, n: int = 3) -> Column:
-    """64-bit SimHash over word n-grams, as a 64-char '0'/'1' string:
-    per-bit majority vote of each shingle's md5-derived bits. Pure
-    expressions; the bit-string form is engine-portable (a bigint would
-    hit signedness/shift differences) and chunks into LSH bands with
-    plain substring.
-
-    Bit i (1-based position in the string) is hex digit ceil(i/4)'s bit —
-    derived by mapping each of the first 16 md5 hex chars to 4 bits via
-    a lookup, avoiding integer shifts entirely."""
-    shingles = word_ngrams(col, n)
-
-    # hex digit -> 4-bit string, e.g. 'a' -> '1010'
-    hex_bits = {d: format(int(d, 16), "04b") for d in "0123456789abcdef"}
-    mapping = F.create_map(
-        *[F.lit(x) for kv in hex_bits.items() for x in kv]
-    )
-
-    def bits_str(s: Column) -> Column:
-        """64-char '0'/'1' string from the first 16 md5 hex chars."""
-        hexs = F.substring(F.md5(s), 1, 16)
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(16)),
-            F.lit(""),
-            lambda acc, i: F.concat(
-                acc, mapping[F.substring(hexs, i.cast("int"), 1)]
-            ),
-        )
-
-    votes = F.aggregate(
-        shingles,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: F.substring(bits_str(s), i.cast("int"), 1)
-                .cast("long"),
-            ),
-            lambda a, b: a + (b * 2 - 1),  # '1'->+1, '0'->-1
-        ),
-    )
-    return F.aggregate(
-        votes,
-        F.lit(""),
-        lambda acc, v: F.concat(
-            acc, F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
-        ),
-    )
-
-
 def hamming_bits(a: Column, b: Column) -> Column:
     """Hamming distance between two equal-length bit strings: count of
     differing positions, computed as a fold over the index range."""

@@ -28,8 +28,6 @@ from pyspark.sql.window import Window
 from hummingbird_spark.functions.text import (
     fingerprint,
     hamming_bits,
-    minhash_value,
-    simhash_bits,
     word_ngrams,
 )
 
@@ -64,16 +62,27 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 16,
                          ngram: int = 3) -> DataFrame:
-    """(id, shingles, sig: array<string>[num_hashes]). Signature values
-    are md5-string minima — engine-portable, no murmur dependence."""
-    shingles = word_ngrams(F.col(text_col), ngram).alias("__shingles")
-    sig = F.array(*[
-        minhash_value(F.col("__shingles"), seed)
+    """(id, sig: array<string>[num_hashes]). Signature values are
+    md5-string minima — engine-portable, no murmur dependence.
+
+    Shape matters at scale: shingles are exploded once and the k minima
+    computed as k codegen'd MIN aggregates with map-side partial
+    aggregation — not as nested array lambdas (interpreted, ~10x
+    slower). The shuffle carries only (id, k x 32-char strings)."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("__s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("__s"))))
+        .alias(f"__m{seed}")
         for seed in range(num_hashes)
-    ]).alias("__sig")
-    return df.select(F.col(id_col), shingles).select(
-        F.col(id_col), F.col("__shingles"), sig
-    ).filter(F.size("__shingles") > 0)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("__sig"),
+    )
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -155,6 +164,41 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return verified.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
 
 
+def simhash_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
+    """(id, sh: 64-char bit string) — SimHash per document.
+
+    Codegen-friendly shape: explode shingles, derive each shingle's
+    64-bit md5 prefix as a bit string (16 nibble lookups), then 64 SUM
+    aggregates vote per bit with map-side combine. The naive pure-HOF
+    fold (aggregate over shingles x zip_with over 64 bits) is
+    interpreted per-element and ~100x slower at corpus scale."""
+    hex_bits = {d: format(int(d, 16), "04b") for d in "0123456789abcdef"}
+    mapping = F.create_map(*[F.lit(x) for kv in hex_bits.items() for x in kv])
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("__s"),
+    )
+    hexs = F.substring(F.md5("__s"), 1, 16)
+    bits = F.concat(*[
+        mapping[F.substring(hexs, i + 1, 1)] for i in range(16)
+    ])
+    bexp = ex.select(F.col(id_col), bits.alias("__bits"))
+
+    votes = bexp.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.substring("__bits", i + 1, 1) == "1", 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(64)
+    ])
+    sh = F.concat(*[
+        F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(64)
+    ])
+    return votes.select(F.col(id_col), sh.alias("sh"))
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3,
@@ -163,9 +207,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     into 4 x 16-bit chunks; pairs within hamming<=3 must collide on >=1
     chunk (pigeonhole), so the self-join is per-chunk-bucket, then exact
     hamming verifies."""
-    hashed = df.select(
-        F.col(id_col), simhash_bits(F.col(text_col), ngram).alias("sh")
-    ).filter(F.length("sh") == 64)
+    hashed = simhash_df(df, text_col, id_col, ngram).filter(
+        F.length("sh") == 64
+    )
     chunked = hashed.select(
         id_col, "sh",
         F.explode(F.array(*[
