@@ -1,0 +1,93 @@
+"""Edge-case tests for the as-of join, range join, and window operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.joins import (
+    asof_join,
+    range_join,
+    shard_alignment,
+)
+from hummingbird_spark.operators.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame([
+        Row(k="u1", lt=T(10), which="ten"),
+        Row(k="u1", lt=T(30), which="thirty"),
+        Row(k="u1", lt=T(5), which="five"),     # before any right row
+        Row(k="u2", lt=T(10), which="other"),   # key with no right rows
+    ])
+    right = spark.createDataFrame([
+        Row(k="u1", rt=T(8), tag="r8"),
+        Row(k="u1", rt=T(10), tag="r10"),       # exact tie with lt=10
+        Row(k="u1", rt=T(20), tag="r20"),
+    ])
+    out = {r.which: r for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["tag"],
+    ).collect()}
+    assert out["ten"].tag == "r10"       # <= includes exact match
+    assert out["thirty"].tag == "r20"    # most recent prior
+    assert out["five"].tag is None       # nothing before -> null
+    assert out["other"].tag is None      # no right rows for key
+    assert out["thirty"].rt_right == T(20)
+
+
+def test_asof_does_not_leak_across_keys(spark):
+    left = spark.createDataFrame([Row(k="a", lt=T(10)), Row(k="b", lt=T(10))])
+    right = spark.createDataFrame([Row(k="a", rt=T(5), tag="A")])
+    out = {r.k: r.tag for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["tag"],
+    ).collect()}
+    assert out == {"a": "A", "b": None}
+
+
+def test_range_join_band(spark):
+    left = spark.createDataFrame([Row(ka=1, lo=T(10), hi=T(20))])
+    right = spark.createDataFrame([
+        Row(kb=1, t=T(9)), Row(kb=1, t=T(10)), Row(kb=1, t=T(20)),
+        Row(kb=1, t=T(21)), Row(kb=2, t=T(15)),
+    ])
+    out = range_join(
+        left, right, "ka", "kb",
+        time_col=F.col("t"), low=F.col("lo"), high=F.col("hi"),
+    ).collect()
+    assert sorted(r.t for r in out) == [T(10), T(20)]  # inclusive band
+
+
+def test_tumbling_and_session_windows(spark):
+    df = spark.createDataFrame([
+        Row(ts=T(1), u=1), Row(ts=T(10), u=1),   # session A (gap 15m)
+        Row(ts=T(40), u=1),                      # session B
+        Row(ts=T(2), u=2),
+    ])
+    tumb = tumbling_window_agg(df, "ts", "30 minutes")
+    got = {(r.win_start, r.n_events) for r in tumb.collect()}
+    assert got == {(T(0), 3), (T(30), 1)}
+
+    sess = session_window_agg(df, "ts", "15 minutes", "u")
+    got = {(r.u, r.session_start, r.session_end, r.n_events)
+           for r in sess.collect()}
+    assert (1, T(1), T(25), 2) in got     # ends last_ts + gap
+    assert (1, T(40), T(55), 1) in got
+    assert (2, T(2), T(17), 1) in got
+
+
+def test_shard_alignment_wraps():
+    # config_copier.go:89-102
+    assert shard_alignment(["s1", "s2", "s3"], ["t1", "t2"]) == {
+        "s1": "t1", "s2": "t2", "s3": "t1",
+    }
+    assert shard_alignment([], ["t1"]) == {}
+    assert shard_alignment(["s1"], []) == {}
