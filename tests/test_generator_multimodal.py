@@ -1,0 +1,143 @@
+"""Tests for the deterministic generator (G1-G3) and multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.generator import (
+    RAINBOW,
+    datagen_multi,
+    docgen,
+    simulate_workload_stream,
+)
+from hummingbird_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    media_stats,
+    synth_media,
+    write_partitioned_by_kind,
+)
+
+
+def test_docgen_parity_with_reference(spark):
+    """sim.go:305-333 arithmetic: n=seq+1001, num=n*n+3629."""
+    df = docgen(spark, 10)
+    rows = {r.seq: r for r in df.collect()}
+    assert len(rows) == 10
+    r3 = rows[3]
+    n, num = 3 + 1001, (3 + 1001) ** 2 + 3629
+    assert r3.int64 == num and r3.float64 == float(num)
+    assert r3.color == RAINBOW[3 % 7]
+    assert r3.string == f"{4:06d}-{num}-{n}-{num}"
+    assert r3.array == [k * k - k for k in range(101, 110)]
+    assert r3.subdoc.level1.seq == 3 and r3.subdoc.level1.color == r3.color
+    assert r3.filler.startswith(str(n))
+    assert len(r3.filler) >= 2500
+    assert len(r3.uuid) == 16 and r3.uuid == r3.binary == r3.bin1
+
+
+def test_docgen_deterministic_and_ordered_ids(spark):
+    a = docgen(spark, 5).collect()
+    b = docgen(spark, 5).collect()
+    assert a == b  # fully deterministic (declared deviation from random)
+    ids = [r._id for r in sorted(a, key=lambda r: r.seq)]
+    assert ids == sorted(ids)          # ObjectId-like monotonic ordering
+    assert all(len(i) == 24 for i in ids)
+    uuids = {r.uuid for r in a}
+    assert len(uuids) == 5             # unique per row (bson_reader_test.go:43-57)
+
+
+def test_datagen_multi_round_robin(spark, tmp_path):
+    paths = datagen_multi(spark, str(tmp_path), 9, n_tables=3)
+    counts = [spark.read.parquet(p).count() for p in paths]
+    assert counts == [3, 3, 3]
+    t0 = spark.read.parquet(paths[0]).select("seq").collect()
+    assert sorted(r.seq for r in t0) == [0, 3, 6]
+
+
+def test_simulator_stream_feeds_cdc(spark, tmp_path):
+    """G3: run the rate-source workload briefly, decode through the CDC
+    path, check op mix and key routing."""
+    from hummingbird_spark.streaming.cdc import decode_write_models
+
+    stream = simulate_workload_stream(spark, ops_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("simworkload")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM simworkload").first()[0] >= 20:
+                break
+            time.sleep(1)
+        batch = spark.sql("SELECT * FROM simworkload")
+        n = batch.count()
+        assert n >= 20
+        ops = {r.op for r in batch.select("op").distinct().collect()}
+        assert "i" in ops
+        models = decode_write_models(batch)
+        kinds = {r.kind for r in models.select("kind").distinct().collect()}
+        assert "replace" in kinds
+    finally:
+        q.stop()
+
+
+def test_synth_media_and_decode(spark):
+    media = synth_media(spark, 30)
+    assert media.schema["data"].dataType.typeName() == "binary"
+    feats = decode_media(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    # decode parses the real header: width/height match metadata
+    meta = {r.media_id: r.meta for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r.width == meta[mid].width
+        assert r.height == meta[mid].height
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    # deterministic features
+    again = {r.media_id: r.feature for r in decode_media(media).collect()}
+    assert again == {k: v.feature for k, v in by_id.items()}
+
+
+def test_media_stats_prunes_and_counts(spark):
+    media = synth_media(spark, 30)
+    stats = {r.kind: r for r in media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert stats["image"].n == 10
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 9)   # 3 videos (ids 2,5,8), n_frames=30
+    frames = frame_sample_plan(media, every_nth=10).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 10, 20] for v in by_vid.values())
+    assert len(by_vid) == 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    media = synth_media(spark, 30)
+    path = str(tmp_path / "media")
+    write_partitioned_by_kind(media, path)
+    back = spark.read.parquet(path).filter(F.col("kind") == "image")
+    assert back.count() == 10
+    # partition pruning: only the image partition is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "kind=image" in plan or "PartitionFilters" in plan
+
+
+def test_decode_raises_on_unknown_payload(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"NOTMAGIC-payload", None)],
+        "media_id long, kind string, data binary, meta struct<format:string,width:int,height:int,channels:int,sample_rate:int,duration_ms:int,n_frames:int>",
+    )
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        decode_media(df).collect()
