@@ -1,0 +1,120 @@
+"""Plan-quality assertions: at 100 TB these properties are the
+difference between a working engine and a melted cluster. Each test
+inspects the optimized/executed plan, not the results.
+
+  - predicate pushdown reaches the parquet scan (PushedFilters)
+  - column pruning reaches the scan (ReadSchema)
+  - small dims broadcast (no sort-merge for nation/region)
+  - masking/filters stay out of Python (no BatchEvalPython)
+  - metadata-only media queries never read the binary column
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hummingbird_spark.filters import mongo_filter_to_column
+from hummingbird_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["range_scan"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "PushedFilters:" in plan
+    # the range predicate must be pushed, not just evaluated post-scan
+    assert "GreaterThanOrEqual(l_orderkey,1000" in plan.replace(" ", "")
+
+
+def test_in_filter_pushdown(spark):
+    df = QUERIES["filter_in"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "In(p_brand" in plan.replace(" ", "")
+
+
+def test_column_pruning(spark):
+    df = QUERIES["filter_in"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # ReadSchema carries only the 3 selected columns, not all of part
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read_schema and "p_brand" in read_schema
+    assert "p_retailprice" not in read_schema
+    assert "p_name" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = QUERIES["revenue_by_nation"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # nation/region must not arrive via shuffle-heavy sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_masks_stay_jvm_side(spark):
+    for q in ("mask_default", "mask_partial", "mask_hex"):
+        plan = _executed_plan(QUERIES[q].spark(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_mongo_filter_translator_is_pushdownable(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        mongo_filter_to_column(
+            {"o_orderstatus": "O",
+             "o_orderdate": {"$gt": {"$date": "1997-01-01T00:00:00Z"}}}
+        )
+    )
+    plan = _executed_plan(df)
+    assert "EqualTo(o_orderstatus,O)" in plan.replace(" ", "")
+    # plan strings truncate long filter lists — match the stable prefix
+    assert "GreaterThan(o_orderd" in plan.replace(" ", "")
+
+
+def test_metadata_media_query_prunes_binary_column(spark, tmp_path):
+    from hummingbird_spark.operators.multimodal import (
+        media_stats,
+        synth_media,
+        write_partitioned_by_kind,
+    )
+
+    path = str(tmp_path / "media")
+    write_partitioned_by_kind(synth_media(spark, 12), path)
+    back = spark.read.parquet(path)
+    # count by kind without touching payload: data must not be read
+    stats = back.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("meta.width").alias("w")
+    )
+    plan = _executed_plan(stats)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "data" not in read_schema
+    # media_stats intentionally sums payload length -> data IS read there
+    plan2 = _executed_plan(media_stats(back))
+    read_schema2 = plan2.split("ReadSchema:")[1].splitlines()[0]
+    assert "data" in read_schema2
+
+
+def test_aggregates_are_partial_final(spark):
+    plan = _executed_plan(QUERIES["pricing_summary"].spark(spark, SF_SMOKE))
+    # partial aggregation (map-side combine) before the shuffle
+    assert "partial" in plan.lower()
+
+
+def test_copy_pipeline_pushes_include_filter(spark, tmp_path):
+    from hummingbird_spark.config import Include
+    from hummingbird_spark.operators.copy import transform_for_include
+
+    df = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    out = transform_for_include(
+        df, Include(namespace="part",
+                    filter={"p_brand": {"$in": ["Brand#1"]}}, limit=10)
+    )
+    plan = _executed_plan(out)
+    assert "PushedFilters:" in plan and "p_brand" in plan
