@@ -452,6 +452,79 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Small SURVEY §2 line items: S3 projection+sort, A2 predicate count,
+# A7 parent rollup, props JSON extraction (§2.8 json surface)
+# ---------------------------------------------------------------------------
+
+def q_proj_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S3 (splitter.go:55-62): keys-only projection, sorted
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+ORACLE_PROJ_SORT = """
+SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000
+"""
+
+
+def q_count_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 (task.go:96): CountDocuments with a key-set predicate
+    pred = mongo_filter_to_column({"l_quantity": {"$gte": 30}})
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(pred)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_COUNT_PRED = """
+SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity >= 30
+"""
+
+
+def q_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 (workspace.go:177-187): child->parent counter rollup
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("parent_id"))
+        .agg(F.count(F.lit(1)).alias("n_children"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("inserted"))
+        .orderBy("parent_id")
+    )
+
+
+ORACLE_PARENT_ROLLUP = """
+SELECT o_custkey AS parent_id, COUNT(*) AS n_children,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS inserted
+FROM orders GROUP BY o_custkey ORDER BY parent_id
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 extended-JSON surface: extract typed values from the props
+    # JSON column (get_json_object = the $-path reader used by the CDC
+    # decoder)
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -480,6 +553,14 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_agg": QuerySpec(q_rollup, ORACLE_ROLLUP, "§2.4 rollup extension"),
     "cdc_last_state": QuerySpec(q_cdc_last_state, ORACLE_CDC_LAST_STATE,
                                 "ST5 last-writer-wins reduction"),
+    "proj_sort": QuerySpec(q_proj_sort, ORACLE_PROJ_SORT,
+                           "S3 keys-only projection + sort"),
+    "count_pred": QuerySpec(q_count_pred, ORACLE_COUNT_PRED,
+                            "A2 predicate count"),
+    "parent_rollup": QuerySpec(q_parent_rollup, ORACLE_PARENT_ROLLUP,
+                               "A7 child->parent rollup"),
+    "json_props": QuerySpec(q_json_props, ORACLE_JSON_PROPS,
+                            "§2.8 JSON path extraction"),
 }
 
 
