@@ -41,10 +41,15 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-def word_ngrams(col: Column, n: int = 3, sep: str = " ") -> Column:
-    """Word n-gram shingles as an array (deduplicated set).
-    Built with sequence+transform — no explode needed at call site."""
-    ws = tokens(col)
+def ngrams_from_tokens(ws: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column (deduplicated set).
+
+    Performance contract: pass a bound column reference (select the
+    token array first), not a `tokens(text)` expression — Catalyst
+    inlines expression subtrees into HOF lambdas, so an inline split
+    would re-tokenize the text once per shingle (O(words²) per doc;
+    measured 10x slowdown on the dedup pipeline)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
     grams = F.transform(
         idx,
@@ -54,6 +59,13 @@ def word_ngrams(col: Column, n: int = 3, sep: str = " ") -> Column:
     )
     return F.when(F.size(ws) < n, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(grams))
+
+
+def word_ngrams(col: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles from a text column. Convenience form for
+    one-shot use; hot paths should materialize `tokens()` into a column
+    and call `ngrams_from_tokens` (see its performance contract)."""
+    return ngrams_from_tokens(tokens(col), n, sep)
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
@@ -134,16 +146,6 @@ def fingerprint(col: Column) -> Column:
     text — the exact-dup key that survives formatting noise."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
-
-
-def minhash_value(shingles: Column, seed: int) -> Column:
-    """One MinHash coordinate: lexicographic min of md5(seed|shingle).
-    A string-min is portable across engines (no integer-hash mismatch)."""
-    return F.array_min(
-        F.transform(
-            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-        )
-    )
 
 
 def hamming_bits(a: Column, b: Column) -> Column:

@@ -28,8 +28,23 @@ from pyspark.sql.window import Window
 from hummingbird_spark.functions.text import (
     fingerprint,
     hamming_bits,
+    ngrams_from_tokens,
+    tokens,
     word_ngrams,
 )
+
+
+def _shingle_rows(df, text_col, id_col, ngram):
+    """(id, __s) exploded shingles with tokens materialized FIRST —
+    see ngrams_from_tokens' performance contract (inline tokenization
+    inside the ngram lambda re-splits the text per shingle)."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(ngrams_from_tokens(F.col("__ws"), ngram)).alias("__s"),
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
@@ -59,26 +74,42 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+# Universal-hash family for MinHash: h_i(x) = (a_i * x + b_i) mod p over
+# a 60-bit md5 prefix. ONE md5 per shingle (k md5s would dominate the
+# scan); the k transforms are integer codegen. Constants are fixed and
+# inlined into the DuckDB oracle too (queries_text.ORACLE_MINHASH).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+            for _ in range(num_hashes)]
+
+
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 16,
                          ngram: int = 3) -> DataFrame:
-    """(id, sig: array<string>[num_hashes]). Signature values are
-    md5-string minima — engine-portable, no murmur dependence.
+    """(id, sig: array<bigint>[num_hashes]) MinHash signature.
 
-    Shape matters at scale: shingles are exploded once and the k minima
-    computed as k codegen'd MIN aggregates with map-side partial
-    aggregation — not as nested array lambdas (interpreted, ~10x
-    slower). The shuffle carries only (id, k x 32-char strings)."""
-    ex = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), ngram)).alias("__s"),
+    Shape matters at scale: shingles are exploded once, hashed with ONE
+    md5, and the k minima computed as k codegen'd MIN aggregates over
+    linear transforms, with map-side partial aggregation — not as nested
+    array lambdas (interpreted, ~10x slower). The shuffle carries only
+    (id, k longs)."""
+    ex = _shingle_rows(df, text_col, id_col, ngram)
+    v = (
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
     )
+    hashed = ex.select(F.col(id_col), v.alias("__v"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("__s"))))
-        .alias(f"__m{seed}")
-        for seed in range(num_hashes)
+        F.min((F.col("__v") * F.lit(a) + F.lit(b)) % MINHASH_P)
+        .alias(f"__m{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    sigs = ex.groupBy(id_col).agg(*aggs)
+    sigs = hashed.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("__sig"),
@@ -129,8 +160,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     """Exact shingle-set Jaccard for candidate (a, b) pairs:
     |A ∩ B| / |A ∪ B| via two broadcast-friendly joins on the pair ids."""
     sets = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws")
+    ).select(
         F.col(id_col),
-        word_ngrams(F.col(text_col), ngram).alias("sh"),
+        ngrams_from_tokens(F.col("__ws"), ngram).alias("sh"),
     )
     pa = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     pb = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -176,10 +209,7 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     hex_bits = {d: format(int(d, 16), "04b") for d in "0123456789abcdef"}
     mapping = F.create_map(*[F.lit(x) for kv in hex_bits.items() for x in kv])
 
-    ex = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), ngram)).alias("__s"),
-    )
+    ex = _shingle_rows(df, text_col, id_col, ngram)
     hexs = F.substring(F.md5("__s"), 1, 16)
     bits = F.concat(*[
         mapping[F.substring(hexs, i + 1, 1)] for i in range(16)

@@ -24,6 +24,7 @@ from hummingbird_spark.operators.dedup import (
 )
 from hummingbird_spark.operators.similarity import (
     cosine_topk,
+    exact_near_duplicate_pairs,
     lsh_topk,
     near_duplicate_pairs,
 )
@@ -166,9 +167,23 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# replicates the Spark plan exactly: 3-gram shingles, 16 md5-min hashes,
-# 4 bands x 4 rows, band-collision candidates, exact-jaccard verify.
-ORACLE_MINHASH = r"""
+# replicates the Spark plan exactly: 3-gram shingles, one 60-bit md5
+# prefix per shingle, 16 seeded linear-transform minima (same constants
+# as operators.dedup.minhash_coefficients), 4 bands x 4 rows,
+# band-collision candidates, exact-jaccard verify.
+from hummingbird_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_coefficients,
+)
+
+_COEFFS = minhash_coefficients(16)
+_HASH_MINS = ",\n         ".join(
+    f"min((({a} * v) + {b}) % {MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_COEFFS)
+)
+_SIG_LIST = ", ".join(f"m{i}" for i in range(16))
+
+ORACLE_MINHASH = rf"""
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
   FROM documents WHERE length(trim(text)) > 0
@@ -178,17 +193,21 @@ WITH words AS (
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
   FROM words WHERE len(ws) >= 3
 ), ex AS (
-  SELECT doc_id, unnest(sh) AS s FROM shingles
-), sig AS (
-  SELECT doc_id, seeds.seed, min(md5(seeds.seed || '|' || s)) AS m
-  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-  GROUP BY doc_id, seeds.seed
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % {MINHASH_P} AS v
+  FROM shingles
+), sigv AS (
+  SELECT doc_id,
+         {_HASH_MINS}
+  FROM ex GROUP BY doc_id
 ), sigl AS (
-  SELECT doc_id, list(m ORDER BY seed) AS sig FROM sig GROUP BY doc_id
+  SELECT doc_id, [{_SIG_LIST}] AS sig FROM sigv
 ), banded AS (
   SELECT doc_id, bands.band,
-         sig[bands.band*4+1] || '|' || sig[bands.band*4+2] || '|' ||
-         sig[bands.band*4+3] || '|' || sig[bands.band*4+4] AS bkey
+         CAST(sig[bands.band*4+1] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+2] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+3] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+4] AS VARCHAR) AS bkey
   FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS band) bands
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -253,11 +272,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs variant (n_planes=0 -> single bucket) so the
-    brute-force oracle is a true equivalent; the LSH-pruned variant is
-    the same operator with n_planes>0 (approximate, rows-only check)."""
+    """Exact all-pairs (blocked broadcast matmul) so the brute-force
+    oracle is a true equivalent; the LSH-pruned variant is
+    near_duplicate_pairs with n_planes>0 (approximate, rows-only)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return near_duplicate_pairs(e, threshold=0.8, n_planes=0)
+    return exact_near_duplicate_pairs(e, threshold=0.8)
 
 
 ORACLE_EMB_NEAR_DUP = """
