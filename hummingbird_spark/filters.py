@@ -31,7 +31,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _COMPARISON = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
-               "$exists", "$regex", "$options", "$mod", "$size", "$not"}
+               "$exists", "$regex", "$options", "$mod", "$size", "$not",
+               "$all", "$elemMatch"}
 
 
 class FilterError(ValueError):
@@ -90,6 +91,8 @@ def _compare(path: str, op: str, value: Any) -> Column:
     col = _field(path)
     if op == "$not":
         return ~_field_predicate(path, value)
+    if op == "$elemMatch":
+        return F.exists(col, lambda e: _elem_predicate(e, value))
     val = _tz_naive(_literal(value))
     if op == "$eq":
         return col == F.lit(val)
@@ -122,7 +125,64 @@ def _compare(path: str, op: str, value: Any) -> Column:
         return col % F.lit(int(divisor)) == F.lit(int(remainder))
     if op == "$size":
         return F.size(col) == F.lit(int(val))
+    if op == "$all":
+        if not isinstance(val, list):
+            raise FilterError("$all requires an array")
+        return reduce(
+            lambda a, b: a & b,
+            [F.array_contains(col, F.lit(v)) for v in val],
+        )
     raise FilterError(f"unsupported operator {op!r}")
+
+
+def _elem_predicate(elem: Column, spec: Any) -> Column:
+    """Element-level predicate for $elemMatch: `spec` is either an
+    operator doc applied to the element itself ({"$gt": 5}) or a filter
+    doc on the element's fields ({"f": 1, "g": {"$lt": 2}})."""
+    if isinstance(spec, dict) and spec and all(
+        k in _COMPARISON for k in spec
+    ):
+        conds = []
+        for op, v in spec.items():
+            if op == "$options":
+                continue
+            lit = F.lit(_tz_naive(_literal(v))) if op not in (
+                "$in", "$nin", "$elemMatch", "$not", "$exists",
+            ) else None
+            if op == "$eq":
+                conds.append(elem == lit)
+            elif op == "$ne":
+                conds.append(elem != lit)
+            elif op == "$gt":
+                conds.append(elem > lit)
+            elif op == "$gte":
+                conds.append(elem >= lit)
+            elif op == "$lt":
+                conds.append(elem < lit)
+            elif op == "$lte":
+                conds.append(elem <= lit)
+            elif op == "$in":
+                conds.append(elem.isin(*_tz_naive(_literal(v))))
+            elif op == "$nin":
+                conds.append(~elem.isin(*_tz_naive(_literal(v))))
+            elif op == "$regex":
+                conds.append(elem.rlike(str(v)))
+            elif op == "$not":
+                conds.append(~_elem_predicate(elem, v))
+            else:
+                raise FilterError(f"unsupported $elemMatch operator {op!r}")
+        return reduce(lambda a, b: a & b, conds)
+    if isinstance(spec, dict):
+        # filter doc over the element's fields (array-of-structs form)
+        conds = []
+        for fld, sub in spec.items():
+            if fld.startswith("$"):
+                raise FilterError(
+                    f"unsupported $elemMatch operator {fld!r}"
+                )
+            conds.append(_elem_predicate(elem[fld], sub))
+        return reduce(lambda a, b: a & b, conds)
+    return elem == F.lit(_tz_naive(_literal(spec)))
 
 
 def _field_predicate(path: str, spec: Any) -> Column:

@@ -51,6 +51,33 @@ def compare_tables(
     )
 
 
+def compare_migration(spark, cfg) -> list[CompareResult]:
+    """The `-compare` command (compare.go:13-31): per included namespace
+    — with its filter, mask, limit, and rename applied to the source —
+    verify the migrated target matches. Returns one CompareResult per
+    namespace."""
+    from hummingbird_spark.operators.copy import (
+        _table_path,
+        list_source_namespaces,
+        transform_for_include,
+    )
+    from hummingbird_spark.config import Include
+
+    includes = cfg.includes or [
+        Include(namespace=ns) for ns in list_source_namespaces(cfg.source)
+    ]
+    out = []
+    for inc in includes:
+        src = transform_for_include(
+            spark.read.parquet(_table_path(cfg.source, inc.namespace)), inc
+        )
+        tgt = spark.read.parquet(
+            _table_path(cfg.target, inc.target_namespace)
+        )
+        out.append(compare_tables(src, tgt, inc.namespace))
+    return out
+
+
 def row_hash(df: DataFrame) -> DataFrame:
     """Stable per-row fingerprint: sha2 over the canonical JSON of the
     full row (column-name order fixed). The sampled-compare primitive."""

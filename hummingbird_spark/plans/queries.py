@@ -504,6 +504,42 @@ FROM orders GROUP BY o_custkey ORDER BY parent_id
 """
 
 
+def q_mask_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 nested traversal in the oracle gate: build a nested struct +
+    array-of-structs from customer, mask dotted paths, emit the leaves.
+    The sibling field must survive untouched (mask_test.go:35)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.struct(F.col("c_name").alias("ssn")).alias("contact"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("info"),
+        F.array(
+            F.struct(F.col("c_name").alias("ssn")),
+            F.struct(F.upper("c_name").alias("ssn")),
+        ).alias("recs"),
+    )
+    masked = mask_dataframe(
+        c, ["info.contact.ssn", "recs.ssn"], MASK_DEFAULT
+    )
+    return masked.select(
+        "c_custkey",
+        F.col("info.contact.ssn").alias("masked_ssn"),
+        F.col("info.segment").alias("segment"),
+        F.element_at("recs", 2)["ssn"].alias("masked_ssn_upper"),
+    )
+
+
+ORACLE_MASK_NESTED = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g') AS masked_ssn,
+       c_mktsegment AS segment,
+       regexp_replace(upper(c_name), '[a-zA-Z0-9]', 'X', 'g')
+         AS masked_ssn_upper
+FROM customer
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.8 extended-JSON surface: extract typed values from the props
     # JSON column (get_json_object = the $-path reader used by the CDC
@@ -561,6 +597,8 @@ QUERIES: dict[str, QuerySpec] = {
                                "A7 child->parent rollup"),
     "json_props": QuerySpec(q_json_props, ORACLE_JSON_PROPS,
                             "§2.8 JSON path extraction"),
+    "mask_nested": QuerySpec(q_mask_nested, ORACLE_MASK_NESTED,
+                             "F8 nested-struct + array-of-struct masking"),
 }
 
 

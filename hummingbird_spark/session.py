@@ -56,6 +56,10 @@ def get_spark(
         # convert exactly (integer division) in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # bucketed-table storage for shuffle-free co-located joins
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR",
+                               "/tmp/hummingbird_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -111,6 +111,35 @@ def test_and_range_conjunction(spark):
     assert sorted(r._id for r in df.filter(pred).collect()) == [2, 3]
 
 
+def test_all_operator(spark):
+    df = spark.createDataFrame([
+        Row(_id=1, tags=["a", "b", "c"]),
+        Row(_id=2, tags=["a", "c"]),
+        Row(_id=3, tags=["b"]),
+    ])
+    got = sorted(r._id for r in df.filter(
+        mongo_filter_to_column({"tags": {"$all": ["a", "b"]}})
+    ).collect())
+    assert got == [1]
+
+
+def test_elemmatch_scalar_and_struct(spark):
+    df = spark.createDataFrame([
+        Row(_id=1, xs=[1, 5, 9], recs=[Row(f=1, g=10)]),
+        Row(_id=2, xs=[1, 2], recs=[Row(f=2, g=20)]),
+    ])
+    got = sorted(r._id for r in df.filter(
+        mongo_filter_to_column({"xs": {"$elemMatch": {"$gt": 4, "$lt": 6}}})
+    ).collect())
+    assert got == [1]
+    got2 = sorted(r._id for r in df.filter(
+        mongo_filter_to_column(
+            {"recs": {"$elemMatch": {"f": 2, "g": {"$gte": 15}}}}
+        )
+    ).collect())
+    assert got2 == [2]
+
+
 def test_unsupported_operator_raises():
     with pytest.raises(FilterError):
         mongo_filter_to_column({"a": {"$where": "bad"}})

@@ -154,6 +154,35 @@ def test_sampled_hash_compare(spark, target_dir):
     assert [r.c_custkey for r in diff.collect()] == [1]
 
 
+def test_compare_migration_with_includes(spark, target_dir):
+    """-compare semantics: filter+mask+rename-aware per-namespace check
+    (compare.go:13-31)."""
+    from hummingbird_spark.operators.compare import compare_migration
+
+    includes = [
+        Include(namespace="part",
+                filter={"p_size": {"$gte": 20}}),
+        Include(namespace="customer", to="cust_masked",
+                masks=["c_name"], method="default"),
+    ]
+    cfg = _cfg(target_dir, includes, key="p_partkey", drop=True)
+    run_migration(spark, cfg)
+    results = compare_migration(spark, cfg)
+    assert all(r.equal for r in results), results
+    # divergence detection: tamper the masked target
+    import pyspark.sql.functions as SF
+    tgt = spark.read.parquet(f"{target_dir}/cust_masked.parquet")
+    tgt.withColumn(
+        "c_acctbal", SF.col("c_acctbal") + 1
+    ).write.mode("overwrite").parquet(f"{target_dir}/cust_masked2.parquet")
+    cfg2 = _cfg(target_dir, [Include(namespace="customer",
+                                     to="cust_masked2",
+                                     masks=["c_name"])],
+                key="c_custkey")
+    bad = compare_migration(spark, cfg2)
+    assert not bad[0].equal
+
+
 def test_block_boundaries_semantics(spark):
     """splitter.go:76-102: boundary every Nth row, inclusive [lo,hi]."""
     df = spark.range(25).withColumnRenamed("id", "_id")
