@@ -77,6 +77,20 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
         .otherwise(F.array_distinct(grams))
 
 
+# GPT-2-ish pre-tokenizer shape, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): letter runs, single
+# digits, punctuation runs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: counts letter runs + single digits +
+    punctuation runs (a whitespace split undercounts text with
+    punctuation; real BPE needs a vocab — this is the standard cheap
+    pipeline estimate)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def stopword_ratio(col: Column) -> Column:
     ws = tokens(col)
     n_stop = F.size(

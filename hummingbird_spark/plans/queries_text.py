@@ -54,6 +54,51 @@ FROM documents
 """
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+ORACLE_DOC_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+         AS n_bpe_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END
+         AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approx variant is
+    percentile_approx — rows-only by nature; this exact one has an
+    oracle: both engines use linear interpolation on sorted values)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
@@ -301,6 +346,10 @@ TEXT_QUERIES: dict[str, tuple] = {
                   "token count + fingerprint (text analysis)"),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY,
                     "quality scoring heuristic"),
+    "doc_bpe_tokens": (q_doc_bpe_tokens, ORACLE_DOC_BPE,
+                       "BPE-ish sub-word token counting"),
+    "percentiles": (q_percentiles, ORACLE_PERCENTILES,
+                    "exact interpolated percentiles per group"),
     "doc_lang_id": (q_doc_lang_id, ORACLE_DOC_LANG,
                     "marker-based language ID"),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT,
