@@ -229,7 +229,61 @@ def q_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user-bucket event-type value matrix. Spark pivot()
+    with explicit value list (at scale always pass the list — inferring
+    it costs an extra distinct scan)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("int")
+    )
+    return (
+        e.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.sum(_dec("value")).cast("double"))
+        .orderBy("user_bucket")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT CAST(user_id % 5 AS INT) AS user_bucket,
+  CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+  CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+  CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+  CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+FROM events GROUP BY user_bucket ORDER BY user_bucket
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (explode + count + top-k with total
+    ordering) — the vocabulary-building primitive."""
+    from hummingbird_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_FREQ = r"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0)
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20
+"""
+
+
 WINDOW_QUERIES: dict[str, tuple] = {
+    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT,
+                           "pivot with explicit value list"),
+    "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQ,
+                          "explode+count vocabulary top-k"),
     "win_tumbling": (q_win_tumbling, ORACLE_WIN_TUMBLING,
                      "ST10 tumbling window agg"),
     "win_sliding": (q_win_sliding, ORACLE_WIN_SLIDING,
