@@ -78,34 +78,46 @@ def skip_oplog(df: DataFrame, includes: list[str] | None = None) -> DataFrame:
     )
 
 
-def unnest_apply_ops(df: DataFrame) -> DataFrame:
+def unnest_apply_ops(df: DataFrame, max_depth: int = 2) -> DataFrame:
     """Expand `c`/applyOps transaction events into their member oplogs
     (oplog_utils.go:212-236) and pass every other op through unchanged.
 
     The nested ops live in o as JSON: {"applyOps": [{op,ns,o,o2}, ...]}.
-    Uses explode over from_json — streaming-safe, no state.
+    Uses explode over from_json — streaming-safe, no state. The
+    reference recurses for applyOps-inside-applyOps (GetWriteModels
+    calls itself, oplog_utils.go:232); a plan cannot recurse unboundedly,
+    so unnesting is applied `max_depth` times (nested transactions
+    deeper than that are not a thing MongoDB emits).
     """
     nested_schema = (
         "array<struct<op:string,ns:string,o:string,o2:string>>"
     )
-    plain = df.filter(F.col("op") != "c")
-    cmds = (
-        df.filter(F.col("op") == "c")
-        .withColumn(
-            "__ops",
-            F.from_json(
-                F.get_json_object(F.col("o"), "$.applyOps"), nested_schema
-            ),
+
+    def one_level(frame: DataFrame) -> DataFrame:
+        plain = frame.filter(F.col("op") != "c")
+        cmds = (
+            frame.filter(F.col("op") == "c")
+            .withColumn(
+                "__ops",
+                F.from_json(
+                    F.get_json_object(F.col("o"), "$.applyOps"),
+                    nested_schema,
+                ),
+            )
+            .filter(F.col("__ops").isNotNull())
+            .withColumn("__e", F.explode(F.col("__ops")))
+            .withColumn("op", F.col("__e.op"))
+            .withColumn("ns", F.col("__e.ns"))
+            .withColumn("o", F.col("__e.o"))
+            .withColumn("o2", F.col("__e.o2"))
+            .drop("__ops", "__e")
         )
-        .filter(F.col("__ops").isNotNull())
-        .withColumn("__e", F.explode(F.col("__ops")))
-        .withColumn("op", F.col("__e.op"))
-        .withColumn("ns", F.col("__e.ns"))
-        .withColumn("o", F.col("__e.o"))
-        .withColumn("o2", F.col("__e.o2"))
-        .drop("__ops", "__e")
-    )
-    if "resolved_ns" in df.columns:
-        # transaction members carry their own namespace (oplog_utils.go:223-232)
-        cmds = cmds.withColumn("resolved_ns", F.col("ns"))
-    return plain.unionByName(cmds)
+        if "resolved_ns" in frame.columns:
+            # members carry their own namespace (oplog_utils.go:223-232)
+            cmds = cmds.withColumn("resolved_ns", F.col("ns"))
+        return plain.unionByName(cmds)
+
+    out = df
+    for _ in range(max_depth):
+        out = one_level(out)
+    return out

@@ -99,6 +99,55 @@ def test_decode_applyops_unnest(spark):
                      ("db.other", "delete")]
 
 
+def test_decode_nested_applyops(spark):
+    # applyOps inside applyOps: the reference recurses
+    # (oplog_utils.go:232); we unnest to depth 2
+    inner = {"applyOps": [
+        {"op": "i", "ns": "db.c", "o": {"_id": 20, "x": "deep"}},
+    ]}
+    outer = {"applyOps": [
+        {"op": "i", "ns": "db.c", "o": {"_id": 21, "x": "shallow"}},
+        {"op": "c", "ns": "db.$cmd", "o": inner},
+    ]}
+    out = _decode(spark, [_ev(1, "c", outer, ns="db.$cmd")])
+    keys = sorted(r.key for r in out)
+    assert keys == ["20", "21"]
+
+
+def test_multi_namespace_stream_routing(spark, tmp_path):
+    """One stream applying to two target tables simultaneously —
+    per-namespace routing inside foreachBatch."""
+    import shutil
+    oplog_dir = str(tmp_path / "oplogs")
+    target_root = str(tmp_path / "target")
+    os.makedirs(oplog_dir)
+    os.makedirs(target_root)
+    with open(os.path.join(oplog_dir, "0.json"), "w") as f:
+        for seq, ns, o in [
+            (1, "db.users", {"_id": 1, "x": "u1", "n": 1}),
+            (2, "db.items", {"_id": 5, "x": "i5", "n": 5}),
+            (3, "db.users", {"_id": 2, "x": "u2", "n": 2}),
+            (4, "db.ignored", {"_id": 9, "x": "no", "n": 9}),
+        ]:
+            f.write(json.dumps({
+                "ts": (T0 + dt.timedelta(seconds=seq)).strftime(
+                    "%Y-%m-%dT%H:%M:%S.000Z"),
+                "seq": seq, "ns": ns, "op": "i",
+                "o": json.dumps(o), "o2": None,
+            }) + "\n")
+    schemas = {"db.users": TARGET_SCHEMA, "db.items": TARGET_SCHEMA}
+    q = start_cdc_stream(spark, oplog_dir, target_root, schemas,
+                         includes=["db.users", "db.items"], key="_id",
+                         checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    users = spark.read.parquet(f"{target_root}/users.parquet")
+    items = spark.read.parquet(f"{target_root}/items.parquet")
+    assert sorted(r._id for r in users.collect()) == [1, 2]
+    assert [r._id for r in items.collect()] == [5]
+    assert not os.path.exists(f"{target_root}/ignored.parquet")
+    shutil.rmtree(target_root)
+
+
 def test_skip_oplog_filters_system_and_resolves_cmd(spark):
     df = _oplog_df(spark, [
         _ev(1, "i", {"_id": 1}, ns="local.oplog.rs"),
