@@ -1,0 +1,114 @@
+"""CLI entry points mirroring the reference's command surface
+(neutrino.go:45-88: -start | -resume | -worker | -compare | -sim).
+
+    python -m hummingbird_spark start   config.json
+    python -m hummingbird_spark resume  config.json
+    python -m hummingbird_spark compare config.json
+    python -m hummingbird_spark sim     --ops 300 --seconds 10 --out DIR
+
+`worker` is intentionally absent: elastic scale-out is Spark's job
+(spark-submit --num-executors / dynamic allocation — SURVEY §3.2).
+Config files use the reference's JSON shape (testdata/quickstart.json)
+with source/target as parquet directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from hummingbird_spark.config import MigrationConfig
+from hummingbird_spark.operators.compare import compare_migration
+from hummingbird_spark.operators.copy import run_migration
+from hummingbird_spark.session import get_spark
+
+
+def _cmd_start(args: argparse.Namespace, resume: bool = False) -> int:
+    spark = get_spark(app_name="hummingbird_migrate")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = MigrationConfig.from_file(args.config)
+    t0 = time.time()
+    report = run_migration(spark, cfg, resume=resume)
+    out = {
+        "command": "resume" if resume else "start",
+        "tables": [
+            {"ns": r.namespace, "to": r.target_namespace,
+             "rows": r.rows_copied, "skipped": r.skipped}
+            for r in report.results
+        ],
+        "total_rows": report.total_rows,
+        "seconds": round(time.time() - t0, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_compare(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="hummingbird_compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = MigrationConfig.from_file(args.config)
+    results = compare_migration(spark, cfg)
+    out = {
+        "command": "compare",
+        "namespaces": [
+            {"ns": r.namespace, "source": r.source_count,
+             "target": r.target_count,
+             "missing_in_target": r.missing_in_target,
+             "extra_in_target": r.extra_in_target, "equal": r.equal}
+            for r in results
+        ],
+        "all_equal": all(r.equal for r in results),
+    }
+    print(json.dumps(out))
+    return 0 if out["all_equal"] else 1
+
+
+def _cmd_sim(args: argparse.Namespace) -> int:
+    """G3: run the rate-source workload for a bounded time, spooling
+    oplog-frame events to parquet (the simulator's observable output)."""
+    from hummingbird_spark.operators.generator import simulate_workload_stream
+
+    spark = get_spark(app_name="hummingbird_sim")
+    spark.sparkContext.setLogLevel("ERROR")
+    stream = simulate_workload_stream(spark, ops_per_second=args.ops)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", f"{args.out}/_checkpoint")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.awaitTermination(args.seconds)
+    q.stop()
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"command": "sim", "events": n,
+                      "seconds": args.seconds, "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hummingbird_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name in ("start", "resume", "compare"):
+        sp = sub.add_parser(name)
+        sp.add_argument("config", help="migration config JSON")
+    sim = sub.add_parser("sim")
+    sim.add_argument("--ops", type=int, default=300)
+    sim.add_argument("--seconds", type=int, default=10)
+    sim.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    if args.command == "start":
+        return _cmd_start(args)
+    if args.command == "resume":
+        return _cmd_start(args, resume=True)
+    if args.command == "compare":
+        return _cmd_compare(args)
+    if args.command == "sim":
+        return _cmd_sim(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""CLI surface tests (python -m hummingbird_spark ...) — the analogue
+of the reference's entry-point tests (start_test.go, resume_test.go,
+compare_test.go) run in-process against the main() function."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hummingbird_spark.__main__ import main
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def cfg_file(tmp_path):
+    cfg = {
+        "command": "data-only",
+        "drop": True,
+        "source": SF_SMOKE,
+        "target": str(tmp_path / "target"),
+        "includes": [
+            {"namespace": "part",
+             "filter": {"p_brand": {"$in": ["Brand#2"]}}, "limit": 30},
+            {"namespace": "nation", "to": "nations"},
+        ],
+        "key": "p_partkey",
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+def test_cli_start_resume_compare(spark, cfg_file, capsys):
+    assert main(["start", cfg_file]) == 0
+    started = json.loads(capsys.readouterr().out.strip())
+    assert started["command"] == "start"
+    by_ns = {t["ns"]: t for t in started["tables"]}
+    assert by_ns["nation"]["rows"] == 25
+    assert by_ns["nation"]["to"] == "nations"
+    assert 0 < by_ns["part"]["rows"] <= 30
+
+    assert main(["resume", cfg_file]) == 0
+    resumed = json.loads(capsys.readouterr().out.strip())
+    assert all(t["skipped"] for t in resumed["tables"])
+
+    assert main(["compare", cfg_file]) == 0
+    compared = json.loads(capsys.readouterr().out.strip())
+    assert compared["all_equal"]
+
+
+def test_cli_compare_detects_divergence(spark, cfg_file, tmp_path, capsys):
+    from pyspark.sql import functions as F
+    import shutil
+
+    assert main(["start", cfg_file]) == 0
+    capsys.readouterr()
+    tgt = str(tmp_path / "target" / "nations.parquet")
+    broken = spark.read.parquet(tgt).filter(F.col("n_nationkey") != 3)
+    broken.write.mode("overwrite").parquet(tgt + ".tmp")
+    shutil.rmtree(tgt)
+    shutil.move(tgt + ".tmp", tgt)
+
+    assert main(["compare", cfg_file]) == 1  # nonzero on divergence
+    out = json.loads(capsys.readouterr().out.strip())
+    bad = [n for n in out["namespaces"] if not n["equal"]]
+    assert len(bad) == 1 and bad[0]["missing_in_target"] == 1
