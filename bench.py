@@ -46,6 +46,70 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 
+    # The reference's primary capabilities, timed as throughput jobs:
+    # bulk copy (range-partitioned parquet-to-parquet, task.go:54-105)
+    # and CDC apply (decode+fold+merge of a synthetic batch,
+    # oplog_utils.go:88-281).
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="hb_bench_")
+    try:
+        from hummingbird_spark.config import Include, MigrationConfig
+        from hummingbird_spark.operators.copy import run_migration
+
+        cfg = MigrationConfig(
+            command="data-only", source=SF_DIR, target=f"{work}/copy",
+            includes=[Include(namespace="lineitem")],
+            key="l_orderkey", drop=True,
+        )
+        t0 = time.perf_counter()
+        report = run_migration(spark, cfg)
+        timings["migration_copy_lineitem"] = round(
+            time.perf_counter() - t0, 4
+        )
+        assert report.total_rows > 0
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        from hummingbird_spark.streaming.cdc import (
+            apply_cdc_batch, decode_write_models, reduce_write_models,
+        )
+
+        schema = T.StructType([
+            T.StructField("_id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ])
+        n_ops = 20_000
+        oplogs = spark.range(n_ops).select(
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.col("id").alias("seq"),
+            F.lit("db.t").alias("ns"),
+            F.when(F.col("id") % 5 == 4, F.lit("u"))
+            .when(F.col("id") % 11 == 10, F.lit("d"))
+            .otherwise(F.lit("i")).alias("op"),
+            F.when(
+                F.col("id") % 5 == 4,
+                F.concat(F.lit('{"$set": {"v": '),
+                         F.col("id").cast("string"), F.lit("}}")),
+            ).otherwise(
+                F.concat(F.lit('{"_id": '), (F.col("id") % 5000).cast("string"),
+                         F.lit(', "v": '), F.col("id").cast("string"),
+                         F.lit("}"))
+            ).alias("o"),
+            F.when(
+                F.col("id") % 5 == 4,
+                F.concat(F.lit('{"_id": '), (F.col("id") % 5000).cast("string"),
+                         F.lit("}")),
+            ).alias("o2"),
+        )
+        t0 = time.perf_counter()
+        reduced = reduce_write_models(decode_write_models(oplogs))
+        apply_cdc_batch(spark, reduced, f"{work}/cdc.parquet", "_id", schema)
+        timings["cdc_apply_20k_events"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -206,19 +206,22 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     aggregates vote per bit with map-side combine. The naive pure-HOF
     fold (aggregate over shingles x zip_with over 64 bits) is
     interpreted per-element and ~100x slower at corpus scale."""
-    hex_bits = {d: format(int(d, 16), "04b") for d in "0123456789abcdef"}
-    mapping = F.create_map(*[F.lit(x) for kv in hex_bits.items() for x in kv])
-
     ex = _shingle_rows(df, text_col, id_col, ngram)
     hexs = F.substring(F.md5("__s"), 1, 16)
-    bits = F.concat(*[
-        mapping[F.substring(hexs, i + 1, 1)] for i in range(16)
-    ])
-    bexp = ex.select(F.col(id_col), bits.alias("__bits"))
+    # 4 x 16-bit integer chunks (conv parses 4 hex chars, MSB first) —
+    # bit votes become integer shift/mask SUM aggregates, ~2x cheaper
+    # than per-bit substring comparisons on a bit string
+    chunks = [
+        F.conv(F.substring(hexs, j * 4 + 1, 4), 16, 10).cast("int")
+        .alias(f"__c{j}")
+        for j in range(4)
+    ]
+    bexp = ex.select(F.col(id_col), *chunks)
 
     votes = bexp.groupBy(id_col).agg(*[
         F.sum(
-            F.when(F.substring("__bits", i + 1, 1) == "1", 1).otherwise(-1)
+            F.shiftright(F.col(f"__c{i // 16}"), 15 - i % 16)
+            .bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"__v{i}")
         for i in range(64)
     ])
