@@ -273,6 +273,62 @@ ORDER BY a, b
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram Jaccard scores (no threshold) for LSH band
+    candidates — the raw similarity surface the near-dup cut applies to."""
+    from hummingbird_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature_df,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature_df(d, num_hashes=16, ngram=3)
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return jaccard_pairs(d, cands, ngram=3).orderBy("a", "b")
+
+
+ORACLE_NGRAM_JACCARD = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM words WHERE len(ws) >= 3
+), ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % {MINHASH_P} AS v
+  FROM shingles
+), sigv AS (
+  SELECT doc_id,
+         {_HASH_MINS}
+  FROM ex GROUP BY doc_id
+), sigl AS (
+  SELECT doc_id, [{_SIG_LIST}] AS sig FROM sigv
+), banded AS (
+  SELECT doc_id, bands.band,
+         CAST(sig[bands.band*4+1] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+2] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+3] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+4] AS VARCHAR) AS bkey
+  FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN shingles sa ON sa.doc_id = cand.a
+JOIN shingles sb ON sb.doc_id = cand.b
+ORDER BY a, b
+"""
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=3, ngram=3)
@@ -358,6 +414,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                          "duplicate group inventory"),
     "minhash_dups": (q_minhash_dups, ORACLE_MINHASH,
                      "MinHash+LSH near-dup with jaccard verify"),
+    "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
+                      "n-gram Jaccard scores for band candidates"),
     "simhash_dups": (q_simhash_dups, None,
                      "SimHash near-dup (banded hamming; rows-only)"),
     "knn_exact": (q_knn_exact, ORACLE_KNN,
