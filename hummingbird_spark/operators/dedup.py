@@ -197,6 +197,89 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return verified.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
 
 
+def winnow_fingerprint_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 7,
+                          window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every k-char-gram of the normalized text,
+    slide a window of `window` hashes, keep each window's minimum. The
+    selected minima are a ~2/(window+1)-density sample of the k-gram
+    hashes that any sufficiently long shared substring must hit, which
+    is what makes them a plagiarism/copy detector.
+
+    Returns exploded (id, fp) distinct fingerprints. Docs whose
+    normalized text is shorter than one full window (k + window - 1
+    chars) produce no fingerprints.
+
+    Shape notes (see spark-codegen-traps): the normalized string and the
+    k-gram hash array are materialized in separate selects so Catalyst
+    can't inline their defining expressions into the downstream HOF
+    lambdas; window minima are a single-level transform over
+    array_min/slice (no nested lambdas). The shuffleless part — all of
+    this — runs in the scan projection; only (id, fp) rows leave it."""
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    norm = df.select(F.col(id_col), s.alias("__s")) \
+        .filter(F.length("__s") >= k + window - 1)
+    kgram_hash = norm.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length("__s") - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring("__s", i.cast("int"), k)),
+                            1, 15), 16, 10
+            ).cast("long") % MINHASH_P,
+        ).alias("__h"),
+    )
+    return kgram_hash.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("__h") - (window - 1)),
+            lambda j: F.array_min(F.slice("__h", j.cast("int"), window)),
+        ))).alias("fp"),
+    )
+
+
+def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 7,
+                        window: int = 8, min_shared: int = 2,
+                        max_bucket_size: int = 200) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints, scored by
+    containment = shared / min(|fps_a|, |fps_b|) — near 1.0 when one doc
+    substantially contains the other.
+
+    Scale shape: the self-join is bucketed per fingerprint (never all
+    pairs); fingerprints shared by > max_bucket_size docs (boilerplate)
+    are dropped before the join, the same guard as LSH banding."""
+    fps = winnow_fingerprint_df(df, text_col, id_col, k, window)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    ok = fps.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+
+    a = ok.select(F.col(id_col).alias("a"), "fp")
+    b = ok.select(F.col(id_col).alias("b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(na, "a").join(nb, "b")
+        .select(
+            "a", "b", "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("__na", "__nb").cast("double"), 6
+            ).alias("containment"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def simhash_df(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
     """(id, sh: 64-char bit string) — SimHash per document.

@@ -329,6 +329,58 @@ JOIN shingles sb ON sb.doc_id = cand.b
 ORDER BY a, b
 """
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) copy-detection: doc pairs sharing >= 2 selected
+    rolling-hash fingerprints, with containment score."""
+    from hummingbird_spark.operators.dedup import winnow_shared_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_shared_pairs(d, k=7, window=8, min_shared=2)
+
+
+# replicates the Spark plan: normalize to [a-z0-9], hash every 7-char
+# gram (60-bit md5 prefix mod MINHASH_P), keep each 8-hash window's
+# minimum, dedupe, drop fingerprints in > 200 docs, pair-count.
+ORACLE_WINNOW = rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+), ok AS (
+  SELECT doc_id, s FROM norm WHERE length(s) >= 14
+), kg AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s) - 6 + 1),
+           i -> ('0x' || substr(md5(substr(s, i, 7)), 1, 15))::BIGINT
+                % {MINHASH_P}) AS h
+  FROM ok
+), fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 7 + 1),
+           j -> list_min(h[j:j+7]))) AS fp
+  FROM kg
+), ex AS (
+  SELECT doc_id, unnest(fp) AS fp FROM fps
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), keep AS (
+  SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 200
+), ex2 AS (
+  SELECT ex.doc_id, ex.fp FROM ex JOIN keep USING (fp)
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM ex2 x JOIN ex2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT a, b, shared,
+       round(CAST(shared AS DOUBLE) /
+             CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN sizes na ON na.doc_id = pairs.a
+JOIN sizes nb ON nb.doc_id = pairs.b
+ORDER BY a, b
+"""
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=3, ngram=3)
@@ -416,6 +468,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                      "MinHash+LSH near-dup with jaccard verify"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                       "n-gram Jaccard scores for band candidates"),
+    "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,
+                     "winnowing rolling-hash copy detection (MOSS)"),
     "simhash_dups": (q_simhash_dups, None,
                      "SimHash near-dup (banded hamming; rows-only)"),
     "knn_exact": (q_knn_exact, ORACLE_KNN,

@@ -173,3 +173,31 @@ def test_embedding_near_duplicate_pairs(spark):
     assert (1, 4) in got  # cosine ignores scale
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_winnowing_copy_detection(spark):
+    """A doc fully containing another's text must share nearly all of
+    the smaller doc's winnowing fingerprints (containment ~1); an
+    unrelated doc must not pair with either."""
+    from hummingbird_spark.operators.dedup import (
+        winnow_fingerprint_df,
+        winnow_shared_pairs,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text="PREFIX HEADER. " + BASE + " TRAILING FOOTER."),
+        Row(doc_id=3, text=FAR),
+        Row(doc_id=4, text="xy"),  # shorter than one window: no fps
+    ])
+    pairs = {(r.a, r.b): r for r in winnow_shared_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment > 0.9
+    assert all({3, 4}.isdisjoint(p) for p in pairs)
+
+    fps = winnow_fingerprint_df(df)
+    per_doc = {r.doc_id: r.n for r in
+               fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 4 not in per_doc
+    # winnowing density ~2/(w+1) of the ~110 kgrams — sanity bounds
+    assert 5 <= per_doc[1] <= 60
