@@ -25,7 +25,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from hummingbird_spark.config import Include, MigrationConfig
@@ -56,6 +56,19 @@ def _table_path(root: str, namespace: str) -> str:
     # namespace "db.coll" -> {root}/{coll}.parquet ; bare "coll" likewise.
     db, coll = split_namespace(namespace)
     return os.path.join(root, f"{coll or db}.parquet")
+
+
+def _parquet_row_count(path: str) -> int | None:
+    """Row count from parquet footers (driver-side metadata read, no
+    Spark job) — the analogue of the reference's collstats-based task
+    sizing. Valid only for an unfiltered, unlimited copy."""
+    try:
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(os.path.join(path, "*.parquet")) or [path]
+        return sum(pq.read_metadata(p).num_rows for p in parts)
+    except Exception:
+        return None
 
 
 def list_source_namespaces(source: str) -> list[str]:
@@ -111,7 +124,12 @@ def copy_table(
 
     key_in_schema = cfg.key in df.columns
     if key_in_schema:
-        df = partition_for_copy(df, cfg.key, block=cfg.block)
+        # unfiltered copy: size partitions from parquet footers instead
+        # of a count scan
+        rows = None
+        if not include.filter and not include.limit and mode == "overwrite":
+            rows = _parquet_row_count(src_path)
+        df = partition_for_copy(df, cfg.key, rows=rows, block=cfg.block)
 
     if mode == "append":
         # Appending to the path we may also be reading (self-read) is
@@ -123,8 +141,13 @@ def copy_table(
                 "append"
             ).parquet(dst_path)
     else:
-        df.write.mode("overwrite").parquet(dst_path)
-        n = spark.read.parquet(dst_path).count()
+        # count during the write (observed metric, A6-style) — not with a
+        # read-back scan of the target
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(dst_path)
+        n = obs.get["rows"]
     return CopyResult(include.namespace, include.target_namespace, n)
 
 

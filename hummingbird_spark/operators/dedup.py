@@ -290,29 +290,26 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     fold (aggregate over shingles x zip_with over 64 bits) is
     interpreted per-element and ~100x slower at corpus scale."""
     ex = _shingle_rows(df, text_col, id_col, ngram)
-    hexs = F.substring(F.md5("__s"), 1, 16)
     # 4 x 16-bit integer chunks (conv parses 4 hex chars, MSB first) —
     # bit votes become integer shift/mask SUM aggregates, ~2x cheaper
-    # than per-bit substring comparisons on a bit string
-    chunks = [
-        F.conv(F.substring(hexs, j * 4 + 1, 4), 16, 10).cast("int")
-        .alias(f"__c{j}")
-        for j in range(4)
-    ]
-    bexp = ex.select(F.col(id_col), *chunks)
-
-    votes = bexp.groupBy(id_col).agg(*[
-        F.sum(
-            F.shiftright(F.col(f"__c{i // 16}"), 15 - i % 16)
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"__v{i}")
-        for i in range(64)
-    ])
-    sh = F.concat(*[
-        F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(64)
-    ])
-    return votes.select(F.col(id_col), sh.alias("sh"))
+    # than per-bit substring comparisons on a bit string.
+    # Expressions are built as selectExpr STRINGS: the identical plan
+    # built with F.* Columns costs ~2 s of py4j round-trips per call
+    # (64 aggs x ~8 Column ops each) before Spark even sees it.
+    bexp = ex.selectExpr(
+        id_col,
+        *[f"CAST(conv(substring(md5(__s), {j * 4 + 1}, 4), 16, 10) AS INT)"
+          f" AS __c{j}" for j in range(4)],
+    )
+    votes = bexp.groupBy(id_col).agg(
+        F.expr(f"sum((shiftright(__c{0 // 16}, 15) & 1) * 2 - 1)").alias("__v0"),
+        *[F.expr(f"sum((shiftright(__c{i // 16}, {15 - i % 16}) & 1) * 2 - 1)")
+          .alias(f"__v{i}") for i in range(1, 64)],
+    )
+    sh = ", ".join(
+        f"CASE WHEN __v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return votes.selectExpr(id_col, f"concat({sh}) AS sh")
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
