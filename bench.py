@@ -53,6 +53,10 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # the throughput jobs below measure pipelines, not leftover state
+    # from 50+ queries — drop cached data before timing them
+    spark.catalog.clearCache()
+
     work = tempfile.mkdtemp(prefix="hb_bench_")
     try:
         from hummingbird_spark.config import Include, MigrationConfig

@@ -259,30 +259,40 @@ def apply_cdc_batch(
     m = reduced.withColumnRenamed("key", "__key").cache()
     tkey = F.col(key).cast("string")
 
-    parsed_doc = F.from_json(F.col("doc"), schema)
-    parsed_set = F.from_json(F.col("set_json"), schema)
-
+    # Parse each model's JSON exactly once per row: the key arrays and
+    # the typed structs are materialized in their own select (a separate
+    # Project referenced by every field expression below — CollapseProject
+    # keeps multi-referenced aliases, so nothing re-parses per field; the
+    # naive per-field get_json_object form costs ~4 parses x n_fields
+    # per row, which dominates merge CPU on wide schemas).
     joined = target.join(
         m, tkey == F.col("__key"), "full_outer"
+    ).select(
+        "*",
+        F.json_object_keys("set_json").alias("__set_keys"),
+        F.json_object_keys("unset_json").alias("__unset_keys"),
+        F.from_json(F.col("doc"), schema).alias("__doc"),
+        F.from_json(F.col("set_json"), schema).alias("__set"),
     )
 
     # survivor rows: everything except deletes; patches on missing keys
     # are no-ops (dropped); replaces win over existing rows.
-    replace_row = parsed_doc
     patched_cols = []
     for f in schema.fields:
         c = f.name
-        set_has = F.get_json_object(F.col("set_json"), f"$['{c}']").isNotNull()
-        unset_has = F.get_json_object(
-            F.col("unset_json"), f"$['{c}']"
-        ).isNotNull()
+        set_has = F.coalesce(
+            F.array_contains("__set_keys", c), F.lit(False)
+        )
+        unset_has = F.coalesce(
+            F.array_contains("__unset_keys", c), F.lit(False)
+        )
         patched = (
             F.when(unset_has, F.lit(None).cast(f.dataType))
-            .when(set_has, parsed_set[c])
+            .when(set_has, F.col("__set")[c])
             .otherwise(F.col(c))
         )
         value = (
-            F.when(F.col("action") == "replace", replace_row[c])
+            F.when(F.col("action") == "replace", F.col("__doc")[c])
             .when(F.col("action") == "patch", patched)
             .otherwise(F.col(c))
         )

@@ -259,6 +259,15 @@ def test_apply_patch_on_missing_key_is_noop(spark, target):
     assert set(state) == {1, 2, 3}
 
 
+
+def test_apply_set_null_value(spark, target):
+    """$set {"field": null} stores null (key presence, not value,
+    decides — matches MongoDB; the previous value-null check skipped it)."""
+    state = _apply(spark, target, [
+        _ev(1, "u", {"$set": {"x": None}}, {"_id": 1}),
+    ])
+    assert state[1].x is None and state[1].n == 10
+
 def test_apply_replace_existing(spark, target):
     state = _apply(spark, target, [
         _ev(1, "u", {"_id": 1, "x": "replaced", "n": 111}, {"_id": 1}),
