@@ -257,14 +257,30 @@ def apply_cdc_batch(
         target = _empty_target(spark, schema)
 
     m = reduced.withColumnRenamed("key", "__key").cache()
-    tkey = F.col(key).cast("string")
+    result = _merge_survivors(target, m, key, schema)
 
-    # Parse each model's JSON exactly once per row: the key arrays and
-    # the typed structs are materialized in their own select (a separate
-    # Project referenced by every field expression below — CollapseProject
-    # keeps multi-referenced aliases, so nothing re-parses per field; the
-    # naive per-field get_json_object form costs ~4 parses x n_fields
-    # per row, which dominates merge CPU on wide schemas).
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+    m.unpersist()
+
+
+def _merge_survivors(
+    target: DataFrame, m: DataFrame, key: str, schema: T.StructType,
+) -> DataFrame:
+    """The MERGE body shared by flat and bucketed apply: full-outer join
+    target rows with models (`m`: __key/action/doc/set_json/unset_json),
+    emit surviving rows with patch/replace semantics applied.
+
+    Parse each model's JSON exactly once per row: the key arrays and
+    the typed structs are materialized in their own select (a separate
+    Project referenced by every field expression below — CollapseProject
+    keeps multi-referenced aliases, so nothing re-parses per field; the
+    naive per-field get_json_object form costs ~4 parses x n_fields
+    per row, which dominates merge CPU on wide schemas)."""
+    tkey = F.col(key).cast("string")
     joined = target.join(
         m, tkey == F.col("__key"), "full_outer"
     ).select(
@@ -298,7 +314,7 @@ def apply_cdc_batch(
         )
         patched_cols.append(value.alias(c))
 
-    result = (
+    return (
         joined.filter(
             # keep: untouched target rows, replaced rows, patched existing
             (F.col("action").isNull())
@@ -308,12 +324,95 @@ def apply_cdc_batch(
         .select(*patched_cols)
     )
 
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    result.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
-    m.unpersist()
+
+def _bucket_col(key_col: F.Column, num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(key_col.cast("string")), F.lit(num_buckets))
+
+
+def apply_cdc_batch_bucketed(
+    spark: SparkSession,
+    reduced: DataFrame,
+    target_path: str,
+    key: str,
+    schema: T.StructType,
+    num_buckets: int = 64,
+) -> None:
+    """Partition-pruned MERGE on plain parquet — the scale path the flat
+    `apply_cdc_batch` docstring promises from a lakehouse, built with
+    nothing but hash-bucket partitioning:
+
+      - the target is laid out as `__bucket=<pmod(xxhash64(key), N)>/`
+        directories (hive-style partitioning),
+      - each batch computes the buckets its keys hash into, reads ONLY
+        those partitions (Catalyst partition pruning on the scan),
+      - and rewrites ONLY those directories (dynamic partition
+        overwrite) — untouched buckets' files are never read or written.
+
+    A batch touching k keys costs O(k/N of the table) instead of O(table)
+    per batch — the same file-pruning shape Delta/Iceberg MERGE INTO
+    achieves with min/max stats (oplog_utils.go:110-197 is the semantics
+    source; this is its 100-TB-viable parquet form)."""
+    m = (
+        reduced.withColumnRenamed("key", "__key")
+        .withColumn("__bucket", _bucket_col(F.col("__key"), num_buckets))
+        .cache()
+    )
+    try:
+        if not os.path.exists(os.path.join(target_path, "_SUCCESS")):
+            # first batch: initialize the bucketed layout from scratch.
+            # __bucket is derived from the MERGED rows' key (computing it
+            # from the pre-merge join columns reads the null target side
+            # for inserts -> every insert lands in one bucket).
+            result = _merge_survivors(
+                _empty_target(spark, schema), m, key, schema
+            ).withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
+            result.write.mode("overwrite") \
+                .partitionBy("__bucket").parquet(target_path)
+            return
+
+        touched = [r[0] for r in m.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        target = (
+            spark.read.parquet(target_path)
+            .filter(F.col("__bucket").isin(touched))  # partition pruning
+            .drop("__bucket")
+        )
+        result = _merge_survivors(target, m, key, schema) \
+            .withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
+        # materialize to a temp dir (the plan READS the dirs we're about
+        # to replace), then swap exactly the touched partitions — incl.
+        # ones merging to empty, which partitionOverwriteMode=dynamic
+        # would leave stale (it only overwrites partitions present in
+        # the written data).
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        for b in touched:
+            dst = os.path.join(target_path, f"__bucket={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            src = os.path.join(tmp, f"__bucket={b}")
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        m.unpersist()
+
+
+def read_cdc_target(
+    spark: SparkSession, target_path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a CDC target written by either apply variant, hiding the
+    bucketing layout column. `schema` covers the fully-emptied bucketed
+    table (every partition dir removed -> nothing to infer from)."""
+    try:
+        df = spark.read.parquet(target_path)
+    except Exception:
+        if schema is not None and os.path.isdir(target_path):
+            return _empty_target(spark, schema)
+        raise
+    return df.drop("__bucket") if "__bucket" in df.columns else df
 
 
 def start_cdc_stream(
@@ -325,6 +424,7 @@ def start_cdc_stream(
     key: str = "_id",
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    num_buckets: int | None = None,
 ) -> StreamingQuery:
     """The three-phase CDC pipeline (ST2) collapsed to one streaming
     query: a file-source over JSON oplog frames (the test stand-in for a
@@ -332,6 +432,10 @@ def start_cdc_stream(
     Checkpoint offsets replace the reference's saved per-shard resume
     timestamps (ST1); `startingOffsets` semantics come free from the file
     source reading only unprocessed files.
+
+    `num_buckets` switches the sink to the partition-pruned bucketed
+    merge (`apply_cdc_batch_bucketed`) — the layout to use when the
+    target is large relative to each micro-batch.
     """
     stream = (
         spark.readStream.schema(OPLOG_SCHEMA)
@@ -347,13 +451,15 @@ def start_cdc_stream(
                 if ns not in schemas:
                     continue  # DDL-only / unconfigured namespace (ST9: log, don't replay)
                 coll = ns.split(".", 1)[-1]
-                apply_cdc_batch(
-                    spark,
-                    reduced.filter(F.col("ns") == ns),
-                    os.path.join(target_root, f"{coll}.parquet"),
-                    key,
-                    schemas[ns],
-                )
+                path = os.path.join(target_root, f"{coll}.parquet")
+                ns_models = reduced.filter(F.col("ns") == ns)
+                if num_buckets:
+                    apply_cdc_batch_bucketed(
+                        spark, ns_models, path, key, schemas[ns],
+                        num_buckets=num_buckets,
+                    )
+                else:
+                    apply_cdc_batch(spark, ns_models, path, key, schemas[ns])
         finally:
             reduced.unpersist()
 

@@ -290,7 +290,9 @@ def test_apply_is_idempotent(spark, target):
 
 # --- end-to-end streaming convergence (oplog_streamer_test.go analogue) ---
 
-def test_stream_convergence_with_checkpoint_restart(spark, tmp_path):
+@pytest.mark.parametrize("num_buckets", [None, 8])
+def test_stream_convergence_with_checkpoint_restart(spark, tmp_path,
+                                                    num_buckets):
     oplog_dir = str(tmp_path / "oplogs")
     target_root = str(tmp_path / "target")
     ckpt = str(tmp_path / "ckpt")
@@ -318,10 +320,12 @@ def test_stream_convergence_with_checkpoint_restart(spark, tmp_path):
         ]}, ns="db.$cmd"),
     ])
     q = start_cdc_stream(spark, oplog_dir, target_root, schemas,
-                         includes=["db.c"], checkpoint=ckpt)
+                         includes=["db.c"], checkpoint=ckpt,
+                         num_buckets=num_buckets)
     q.awaitTermination(120)
+    from hummingbird_spark.streaming.cdc import read_cdc_target
     state = {r._id: r for r in
-             spark.read.parquet(f"{target_root}/c.parquet").collect()}
+             read_cdc_target(spark, f"{target_root}/c.parquet").collect()}
     assert set(state) == {1, 2, 3}
     assert state[3].x == "tx2"
 
@@ -332,9 +336,95 @@ def test_stream_convergence_with_checkpoint_restart(spark, tmp_path):
         _ev(12, "i", {"_id": 4, "x": "d", "n": 4}),
     ])
     q2 = start_cdc_stream(spark, oplog_dir, target_root, schemas,
-                          includes=["db.c"], checkpoint=ckpt)
+                          includes=["db.c"], checkpoint=ckpt,
+                          num_buckets=num_buckets)
     q2.awaitTermination(120)
     state = {r._id: r for r in
-             spark.read.parquet(f"{target_root}/c.parquet").collect()}
+             read_cdc_target(spark, f"{target_root}/c.parquet").collect()}
     assert set(state) == {1, 3, 4}
     assert state[1].x == "A" and state[1].n == 1
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (partition-pruned) merge
+# ---------------------------------------------------------------------------
+
+def _apply_bucketed(spark, target_path, rows, num_buckets=8):
+    from hummingbird_spark.streaming.cdc import (
+        apply_cdc_batch_bucketed, read_cdc_target,
+    )
+    models = decode_write_models(_oplog_df(spark, rows))
+    apply_cdc_batch_bucketed(
+        spark, reduce_write_models(models), target_path, "_id",
+        TARGET_SCHEMA, num_buckets=num_buckets,
+    )
+    return {r._id: r for r in
+            read_cdc_target(spark, target_path, TARGET_SCHEMA).collect()}
+
+
+def test_bucketed_apply_matches_flat(spark, tmp_path):
+    """The bucketed merge must converge to the same state as the flat
+    merge over a multi-batch history."""
+    batches = [
+        [_ev(i, "i", {"_id": i, "x": f"v{i}", "n": i * 10}) for i in range(20)],
+        [_ev(30, "u", {"$set": {"x": "patched"}}, {"_id": 3}),
+         _ev(31, "d", {"_id": 7}),
+         _ev(32, "u", {"$unset": {"n": 1}}, {"_id": 11})],
+        [_ev(40, "i", {"_id": 100, "x": "new", "n": 1}),
+         _ev(41, "u", {"_id": 5, "x": "replaced", "n": 555}, {"_id": 5})],
+    ]
+    flat, bucketed = str(tmp_path / "flat"), str(tmp_path / "bucketed")
+    for rows in batches:
+        models = decode_write_models(_oplog_df(spark, rows))
+        apply_cdc_batch(spark, reduce_write_models(models), flat, "_id",
+                        TARGET_SCHEMA)
+        _apply_bucketed(spark, bucketed, rows)
+    from hummingbird_spark.streaming.cdc import read_cdc_target
+    a = {tuple(r) for r in spark.read.parquet(flat).collect()}
+    b = {tuple(r) for r in read_cdc_target(spark, bucketed).collect()}
+    assert a == b and len(a) == 20
+
+
+def test_bucketed_apply_prunes_untouched_partitions(spark, tmp_path):
+    """A batch touching one key must not rewrite (or even re-read) the
+    other buckets: untouched partition files stay byte-identical."""
+    import glob as g
+    target = str(tmp_path / "t")
+    _apply_bucketed(spark, target, [
+        _ev(i, "i", {"_id": i, "x": f"v{i}", "n": i}) for i in range(50)
+    ])
+    before = {p: os.stat(p).st_mtime_ns
+              for p in g.glob(f"{target}/__bucket=*/*.parquet")}
+    assert len(g.glob(f"{target}/__bucket=*")) > 1
+
+    state = _apply_bucketed(spark, target, [
+        _ev(100, "u", {"$set": {"x": "hot"}}, {"_id": 17}),
+    ])
+    assert state[17].x == "hot" and len(state) == 50
+
+    from pyspark.sql import functions as FF
+    from hummingbird_spark.streaming.cdc import _bucket_col
+    hot_bucket = spark.range(1).select(
+        _bucket_col(FF.lit("17"), 8).alias("b")).collect()[0].b
+    after = {p: os.stat(p).st_mtime_ns
+             for p in g.glob(f"{target}/__bucket=*/*.parquet")}
+    untouched_before = {p: t for p, t in before.items()
+                        if f"__bucket={hot_bucket}/" not in p}
+    assert untouched_before  # there are other buckets
+    for p, t in untouched_before.items():
+        assert after[p] == t, f"untouched partition rewritten: {p}"
+
+
+def test_bucketed_apply_clears_emptied_bucket(spark, tmp_path):
+    """Deleting every key of a bucket must empty it — not leave stale
+    files behind (the dynamic-partition-overwrite trap)."""
+    target = str(tmp_path / "t")
+    state = _apply_bucketed(spark, target, [
+        _ev(1, "i", {"_id": 1, "x": "a", "n": 1}),
+        _ev(2, "i", {"_id": 2, "x": "b", "n": 2}),
+    ], num_buckets=2)
+    state = _apply_bucketed(spark, target, [
+        _ev(10, "d", {"_id": 1}),
+        _ev(11, "d", {"_id": 2}),
+    ], num_buckets=2)
+    assert state == {}
