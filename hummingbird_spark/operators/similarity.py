@@ -131,6 +131,106 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                        sample_size: int = 4096, iterations: int = 5,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """IVF coarse quantizer: k centroids Lloyd-refined on a deterministic
+    sample (rows ordered by md5(id) — a seedless uniform draw that is
+    stable across runs and engines). Training on a bounded sample is the
+    standard IVF recipe (FAISS trains on ~max(10k, 40k·k) points
+    regardless of corpus size); only ASSIGNMENT touches all rows.
+
+    Returns a (k x dim) numpy array, normalized to unit length so
+    nearest-centroid-by-dot == nearest-by-cosine."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    centroids = mat[:n_centroids].copy()
+    for _ in range(iterations):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, vec, __list) — each vector assigned to its nearest centroid
+    ("inverted list"). The kernel is a blocked numpy matmul over Arrow
+    batches (BLAS per block), the same dense-similarity shape as
+    exact_near_duplicate_pairs: k fold-expressions per row would be
+    interpreted per element and ~10x slower. At write time, partition
+    the table by __list to make probes partition-pruned scans."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    b_cent = spark.sparkContext.broadcast(np.asarray(centroids))
+
+    def block(it):
+        cent = b_cent.value
+        for pdf in it:
+            bm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(
+                np.sqrt((bm * bm).sum(axis=1, keepdims=True)), 1e-12
+            )
+            lists = ((bm / norms) @ cent.T).argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], vec_col: pdf[vec_col],
+                "__list": lists.astype(np.int64),
+            })
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        block, f"{id_col} long, {vec_col} {vec_type}, __list long"
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids=None) -> DataFrame:
+    """IVF approximate top-k: score only the `nprobe` inverted lists
+    whose centroids are nearest the query — with a __list-partitioned
+    table, a partition-pruned scan of ~nprobe/k of the data, then an
+    exact cosine rescore of just those rows (same scoring expression as
+    cosine_topk, so results are comparable bit-for-bit)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    probe = [int(c) for c in (np.asarray(centroids) @ q).argsort()[::-1][:nprobe]]
+
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    return (
+        assigned.filter(F.col("__list").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), _vec_lit(query_vec),
+                           len(query_vec)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id") -> DataFrame:

@@ -424,6 +424,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     probe_hamming=2)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k: score only the nprobe nearest inverted lists
+    (the partition-pruned ANN scale path; approximate, rows-only)."""
+    from hummingbird_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _query_vec(spark, sf_dir), k=10, n_centroids=16,
+                    nprobe=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs (blocked broadcast matmul) so the brute-force
     oracle is a true equivalent; the LSH-pruned variant is
@@ -476,6 +486,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                   "brute-force cosine top-k"),
     "knn_lsh": (q_knn_lsh, None,
                 "LSH-pruned cosine top-k (approximate; rows-only)"),
+    "knn_ivf": (q_knn_ivf, None,
+                "IVF inverted-list cosine top-k (approximate; rows-only)"),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP,
                            "all-pairs embedding cosine near-dup"),
 }

@@ -201,3 +201,26 @@ def test_winnowing_copy_detection(spark):
     assert 4 not in per_doc
     # winnowing density ~2/(w+1) of the ~110 kgrams — sanity bounds
     assert 5 <= per_doc[1] <= 60
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=4/16 lists must recover most of the exact top-10;
+    nprobe=16 (probe everything) must equal the exact result."""
+    from hummingbird_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from hummingbird_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    exact = [r.vec_id for r in cosine_topk(e, q, k=10).collect()]
+
+    cent = train_ivf_centroids(e, n_centroids=16)
+    approx = [r.vec_id for r in
+              ivf_topk(e, q, k=10, centroids=cent, nprobe=4).collect()]
+    assert len(set(exact) & set(approx)) >= 6
+
+    full = [r.vec_id for r in
+            ivf_topk(e, q, k=10, centroids=cent, nprobe=16).collect()]
+    assert full == exact
