@@ -651,6 +651,38 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
 """
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless payloads the Spark-4-native way (SURVEY §1.1): props
+    parsed ONCE to VariantType, typed access via variant_get, then a
+    normal relational agg on the extracted values. Variant keeps the
+    parse out of every downstream expression (the binary encoding is
+    field-addressable), which is the scale answer for ragged documents —
+    vs get_json_object's parse-per-call (json_props query)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.parse_json("props").alias("__v"), "value"
+    )
+    k = F.try_variant_get(F.col("__v"), "$.k", "int")
+    return (
+        e.select(F.floor(k / 10).cast("int").alias("k_decile"), "value")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_dec("value"))).cast("double").alias("sum_value"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0)
+            AS INT) AS k_decile,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY k_decile ORDER BY k_decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -691,6 +723,9 @@ QUERIES: dict[str, QuerySpec] = {
                             "A2 predicate count"),
     "parent_rollup": QuerySpec(q_parent_rollup, ORACLE_PARENT_ROLLUP,
                                "A7 child->parent rollup"),
+    "variant_props": QuerySpec(
+        q_variant_props, ORACLE_VARIANT_PROPS,
+        "VariantType schemaless access + relational agg"),
     "json_props": QuerySpec(q_json_props, ORACLE_JSON_PROPS,
                             "§2.8 JSON path extraction"),
     "mask_nested": QuerySpec(q_mask_nested, ORACLE_MASK_NESTED,

@@ -330,17 +330,25 @@ ORDER BY a, b
 """
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) copy-detection: doc pairs sharing >= 2 selected
+    """Winnowing (MOSS) copy-detection: doc pairs sharing >= 4 selected
     rolling-hash fingerprints, with containment score."""
     from hummingbird_spark.operators.dedup import winnow_shared_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return winnow_shared_pairs(d, k=7, window=8, min_shared=2)
+    return winnow_shared_pairs(d, k=7, window=8, min_shared=4)
 
 
-# replicates the Spark plan: normalize to [a-z0-9], hash every 7-char
-# gram (60-bit md5 prefix mod MINHASH_P), keep each 8-hash window's
-# minimum, dedupe, drop fingerprints in > 200 docs, pair-count.
+# replicates the Spark kernel: normalize to [a-z0-9], polynomial-hash
+# every 7-char gram (sum ord(c_j)*B^(6-j) mod MINHASH_P, B=257), keep
+# each 8-hash window's minimum, dedupe, drop fingerprints in > 200
+# docs, pair-count.
+from hummingbird_spark.operators.dedup import WINNOW_B  # noqa: E402
+
+_POLY7 = " + ".join(
+    f"ord(substr(s, i + {j}, 1)) * {WINNOW_B ** (7 - 1 - j)}"
+    for j in range(7)
+)
+
 ORACLE_WINNOW = rf"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
@@ -350,8 +358,7 @@ WITH norm AS (
 ), kg AS (
   SELECT doc_id,
          list_transform(range(1, length(s) - 6 + 1),
-           i -> ('0x' || substr(md5(substr(s, i, 7)), 1, 15))::BIGINT
-                % {MINHASH_P}) AS h
+           i -> ({_POLY7}) % {MINHASH_P}) AS h
   FROM ok
 ), fps AS (
   SELECT doc_id,
@@ -369,7 +376,7 @@ WITH norm AS (
 ), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
   FROM ex2 x JOIN ex2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= 4
 )
 SELECT a, b, shared,
        round(CAST(shared AS DOUBLE) /
