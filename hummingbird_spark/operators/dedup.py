@@ -28,10 +28,8 @@ from pyspark.sql.window import Window
 
 from hummingbird_spark.functions.text import (
     fingerprint,
-    hamming_bits,
     ngrams_from_tokens,
     tokens,
-    word_ngrams,
 )
 
 
@@ -315,53 +313,83 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_df(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
-    """(id, sh: 64-char bit string) — SimHash per document.
+    """(id, sh: bit-packed int64) — SimHash per document, computed
+    shuffle-FREE in a vectorized Arrow kernel.
 
-    Codegen-friendly shape: explode shingles, derive each shingle's
-    64-bit md5 prefix as a bit string (16 nibble lookups), then 64 SUM
-    aggregates vote per bit with map-side combine. The naive pure-HOF
-    fold (aggregate over shingles x zip_with over 64 bits) is
-    interpreted per-element and ~100x slower at corpus scale."""
-    ex = _shingle_rows(df, text_col, id_col, ngram)
-    # 4 x 16-bit integer chunks (conv parses 4 hex chars, MSB first) —
-    # bit votes become integer shift/mask SUM aggregates, ~2x cheaper
-    # than per-bit substring comparisons on a bit string.
-    # Expressions are built as selectExpr STRINGS: the identical plan
-    # built with F.* Columns costs ~2 s of py4j round-trips per call
-    # (64 aggs x ~8 Column ops each) before Spark even sees it.
-    bexp = ex.selectExpr(
-        id_col,
-        *[f"CAST(conv(substring(md5(__s), {j * 4 + 1}, 4), 16, 10) AS INT)"
-          f" AS __c{j}" for j in range(4)],
+    Each word-ngram shingle hashes to 64 bits (two crc32 streams —
+    deterministic across processes, unlike Python's salted hash());
+    np.unpackbits tallies the per-bit votes for a whole doc at once.
+    History: v1 did explode + 64 SUM aggregates (the codegen-friendly
+    expression shape, still used by MinHash where the md5 oracle pins
+    the hash function) — correct, but it shuffles ~220 rows/doc just to
+    vote; the kernel votes inside the scan and ships 1 row/doc. No
+    oracle constraint here (rows-only query), so the hash is free to be
+    crc32-based."""
+    import numpy as np
+    import zlib
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = str(text).split()
+                if len(ws) < ngram:
+                    continue
+                shingles = {
+                    " ".join(ws[i:i + ngram])
+                    for i in range(len(ws) - ngram + 1)
+                }
+                h = np.fromiter(
+                    ((zlib.crc32(s.encode()) << 32)
+                     | zlib.crc32(s.encode(), 0x9E3779B9)
+                     for s in shingles),
+                    dtype=np.uint64, count=len(shingles),
+                )
+                # crc32 is linear (no avalanche) — similar shingles give
+                # correlated bits and SimHash degenerates to all-pairs.
+                # splitmix64's finalizer mixes it (vectorized, free).
+                h ^= h >> 30
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> 27
+                h *= np.uint64(0x94D049BB133111EB)
+                h ^= h >> 31
+                bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
+                                     axis=1, bitorder="little")
+                # signed! uint8 sums promote to uint64 and *2-n underflows
+                votes = bits.sum(axis=0).astype(np.int64) * 2 \
+                    - len(shingles)
+                packed = np.packbits(
+                    (votes > 0).astype(np.uint8), bitorder="little"
+                ).view(np.int64)[0]  # int64 view keeps the bit pattern
+                ids.append(doc_id)
+                hashes.append(packed)
+            yield pd.DataFrame({
+                id_col: np.array(ids, dtype=np.int64),
+                "sh": np.array(hashes, dtype=np.int64),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, sh long"
     )
-    votes = bexp.groupBy(id_col).agg(
-        F.expr(f"sum((shiftright(__c{0 // 16}, 15) & 1) * 2 - 1)").alias("__v0"),
-        *[F.expr(f"sum((shiftright(__c{i // 16}, {15 - i % 16}) & 1) * 2 - 1)")
-          .alias(f"__v{i}") for i in range(1, 64)],
-    )
-    sh = ", ".join(
-        f"CASE WHEN __v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
-    )
-    return votes.selectExpr(id_col, f"concat({sh}) AS sh")
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3,
                             ngram: int = 3) -> DataFrame:
-    """SimHash near-dup: band the 64-bit hash (as a 64-char bit string)
-    into 4 x 16-bit chunks; pairs within hamming<=3 must collide on >=1
-    chunk (pigeonhole), so the self-join is per-chunk-bucket, then exact
-    hamming verifies."""
-    hashed = simhash_df(df, text_col, id_col, ngram).filter(
-        F.length("sh") == 64
-    )
+    """SimHash near-dup: band the 64-bit hash into 4 x 16-bit chunks;
+    pairs within hamming<=3 must collide on >=1 chunk (pigeonhole), so
+    the self-join is per-chunk-bucket; exact hamming then verifies as
+    bit_count(sh_a XOR sh_b) — one codegen'd instruction, vs the
+    interpreted 64-substring compare the bit-string encoding needed."""
+    hashed = simhash_df(df, text_col, id_col, ngram)
     chunked = hashed.select(
         id_col, "sh",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.substring("sh", c * 16 + 1, 16).alias("ckey"),
+                F.shiftrightunsigned("sh", c * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
             )
             for c in range(4)
         ])).alias("cc"),
@@ -374,7 +402,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", hamming_bits(F.col("sh_a"), F.col("sh_b"))
+        .select("a", "b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
                 .alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

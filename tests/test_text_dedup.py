@@ -224,3 +224,20 @@ def test_ivf_topk_recall(spark):
     full = [r.vec_id for r in
             ivf_topk(e, q, k=10, centroids=cent, nprobe=16).collect()]
     assert full == exact
+
+
+def test_simhash_unrelated_corpus_no_pairs(spark):
+    """40 docs of disjoint vocabulary must produce NO hamming<=3 pairs —
+    the canary for a degenerate hash (a biased/linear hash collapses
+    every simhash toward the same value and pairs everything; caught a
+    uint64-underflow bug that made every vote positive)."""
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        Row(doc_id=i, text=" ".join(
+            f"w{i}_{rng.randrange(1000)}" for _ in range(30)))
+        for i in range(40)
+    ]
+    pairs = simhash_near_duplicates(spark.createDataFrame(docs)).collect()
+    assert pairs == []
