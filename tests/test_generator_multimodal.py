@@ -141,3 +141,23 @@ def test_decode_raises_on_unknown_payload(spark):
     )
     with pytest.raises(Exception, match="codec|NotImplemented"):
         decode_media(df).collect()
+
+
+def test_resize_media_roundtrip(spark):
+    """resize -> decode roundtrip: new dimensions land in both payload
+    header and metadata; payload size tracks the target resolution."""
+    from hummingbird_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    small = resize_media(media, 32, 24)
+    feats = {r.media_id: r for r in decode_media(small).collect()}
+    assert len(feats) == 12
+    assert all(r.width == 32 and r.height == 24 for r in feats.values())
+    meta = small.select("meta.width", "meta.height").distinct().collect()
+    assert [(m[0], m[1]) for m in meta] == [(32, 24)]
+    big = decode_media(resize_media(media, 640, 480)).first()
+    assert big.byte_len > feats[0].byte_len
