@@ -651,6 +651,228 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
 """
 
 
+def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join + CONDITIONAL aggregation
+    (CASE inside SUM — one pass, no second join/filter round). Grouping
+    key comes from lineitem, condition from orders."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PRIORITY_LINESTATUS = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + global ratio aggregate
+    (promo revenue share for one ship-month). Part broadcasts; the
+    ratio is two decimal sums in ONE aggregation."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(revenue).cast("double")).alias("promo_revenue_pct"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with the predicate on the
+    preserved side's partner (semantically part of the join condition,
+    so it's pushed into the orders scan, NOT applied post-join), a
+    per-customer count that counts only matched rows, then a second
+    aggregation over the counts (the distribution). Two shuffles:
+    join/agg on custkey, then a tiny agg on c_count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated as a WINDOW over the brand-filtered join
+    result — one shuffle on partkey and ONE lineitem scan, vs the
+    aggregate-then-self-join plan's two scans + two shuffles. The part
+    dim broadcasts after the brand filter. Average is decimal-sum /
+    count in double (order-independent → oracle-identical threshold)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    w = Window.partitionBy("p_partkey")
+    qty_limit = (
+        F.lit(0.2)
+        * F.sum(_dec("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("qty_limit", qty_limit)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH t AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(0.2 AS DOUBLE)
+           * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  OVER (PARTITION BY p_partkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_partkey) AS qty_limit
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4')
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM t WHERE l_quantity < qty_limit
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving the join. The
+    per-order qty rollup is computed FIRST (map-side partial agg shrinks
+    lineitem before its shuffle) and the >300 survivors are tiny, so
+    they broadcast into orders — no orders-side shuffle at all."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+ORACLE_BIG_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > 300) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def q_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar aggregate (global avg
+    balance) broadcast-cross-joined into a filter, then a LEFT ANTI join
+    against the filtered orders side (customers with no urgent orders).
+    The scalar is a 1-row broadcast, the anti join's build side carries
+    only o_custkey (column-pruned scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_IDLE_BALANCE = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless payloads the Spark-4-native way (SURVEY §1.1): props
     parsed ONCE to VariantType, typed access via variant_get, then a
@@ -723,6 +945,24 @@ QUERIES: dict[str, QuerySpec] = {
                             "A2 predicate count"),
     "parent_rollup": QuerySpec(q_parent_rollup, ORACLE_PARENT_ROLLUP,
                                "A7 child->parent rollup"),
+    "priority_linestatus": QuerySpec(
+        q_priority_linestatus, ORACLE_PRIORITY_LINESTATUS,
+        "Q12 shape: join + conditional aggregation"),
+    "promo_revenue": QuerySpec(
+        q_promo_revenue, ORACLE_PROMO_REVENUE,
+        "Q14 shape: broadcast dim join + ratio aggregate"),
+    "custdist": QuerySpec(
+        q_custdist, ORACLE_CUSTDIST,
+        "Q13 shape: outer join + count distribution (two-level agg)"),
+    "small_qty_revenue": QuerySpec(
+        q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE,
+        "Q17 shape: correlated scalar subquery via window decorrelation"),
+    "big_orders": QuerySpec(
+        q_big_orders, ORACLE_BIG_ORDERS,
+        "Q18 shape: HAVING-filtered agg broadcast into join"),
+    "idle_balance": QuerySpec(
+        q_idle_balance, ORACLE_IDLE_BALANCE,
+        "Q22 shape: scalar subquery filter + anti join"),
     "variant_props": QuerySpec(
         q_variant_props, ORACLE_VARIANT_PROPS,
         "VariantType schemaless access + relational agg"),
