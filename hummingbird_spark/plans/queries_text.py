@@ -273,6 +273,42 @@ ORDER BY a, b
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from MinHash pairs: the last step of a real
+    dedup pipeline (pairs alone don't dedup — transitive groups do).
+    Connected components by min-label propagation; one row per cluster
+    with its canonical doc (min id) and size."""
+    from hummingbird_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=4, ngram=3
+    )
+    labels = connected_components(pairs, "a", "b")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+# Same pair SQL as ORACLE_MINHASH, then components via a recursive
+# reachability CTE: min reachable id == Spark's converged min label.
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS cluster_size
+FROM comp GROUP BY cluster_id
+ORDER BY cluster_size DESC, cluster_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone n-gram Jaccard scores (no threshold) for LSH band
     candidates — the raw similarity surface the near-dup cut applies to."""
@@ -483,6 +519,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                          "duplicate group inventory"),
     "minhash_dups": (q_minhash_dups, ORACLE_MINHASH,
                      "MinHash+LSH near-dup with jaccard verify"),
+    "dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS,
+                     "near-dup connected components (clusters)"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                       "n-gram Jaccard scores for band candidates"),
     "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,

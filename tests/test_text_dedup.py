@@ -22,6 +22,7 @@ from hummingbird_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
+from tests.conftest import SF_SMOKE
 from hummingbird_spark.operators.similarity import (
     cosine_topk,
     lsh_topk,
@@ -241,3 +242,38 @@ def test_simhash_unrelated_corpus_no_pairs(spark):
     ]
     pairs = simhash_near_duplicates(spark.createDataFrame(docs)).collect()
     assert pairs == []
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    triangle 10-11-12, isolated pair (20,21): labels must converge to
+    the component minimum for every node."""
+    from hummingbird_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "a: long, b: long",
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dup_cluster_drop_count(spark):
+    """Dedup bookkeeping: docs to drop == member count - cluster count
+    (one canonical survivor per cluster)."""
+    from hummingbird_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+    from hummingbird_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.7)
+    labels = connected_components(pairs, "a", "b")
+    members = labels.count()
+    clusters = labels.select("label").distinct().count()
+    assert members > clusters > 0
+    drops = labels.filter(F.col("node") != F.col("label")).count()
+    assert drops == members - clusters
