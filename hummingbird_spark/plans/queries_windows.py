@@ -204,6 +204,39 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-(status,priority), per-status, and per-priority slices in ONE
+    pass — Catalyst expands to a single Expand + hash aggregate, one
+    shuffle, instead of three separate groupBys + union. grouping_id
+    disambiguates the NULL-as-total rows from genuine NULL keys."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch — algorithm-specific estimates, rows-only check
     (the exact countDistinct equivalent is in event_type_counts)."""
@@ -295,6 +328,8 @@ WINDOW_QUERIES: dict[str, tuple] = {
     "range_join_week": (q_range_join_week, ORACLE_RANGE_JOIN,
                         "equi+interval range join"),
     "cube_agg": (q_cube_agg, ORACLE_CUBE, "cube grouping sets"),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS,
+                      "explicit GROUPING SETS, single-pass Expand"),
     "approx_distinct": (q_approx_distinct, None,
                         "HLL++ approx distinct (rows-only)"),
     "sample_group": (q_sample_group, None, "A5 sample+group (rows-only)"),

@@ -118,3 +118,31 @@ def test_copy_pipeline_pushes_include_filter(spark, tmp_path):
     )
     plan = _executed_plan(out)
     assert "PushedFilters:" in plan and "p_brand" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS must compile to ONE Expand + one hash-agg pass
+    (one shuffle), not three groupBys unioned together."""
+    plan = _executed_plan(QUERIES["grouping_sets"].spark(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" not in plan
+
+
+def test_scalar_subquery_is_one_row_broadcast(spark):
+    """idle_balance's global-average scalar must arrive as a broadcast
+    nested-loop over a 1-row aggregate, never a shuffled join."""
+    plan = _executed_plan(QUERIES["idle_balance"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_decorrelates_to_single_lineitem_scan(spark):
+    """small_qty_revenue: the per-part average must come from a WINDOW
+    over the joined frame — exactly one lineitem scan, not the
+    aggregate-then-self-join plan's two."""
+    plan = _executed_plan(QUERIES["small_qty_revenue"].spark(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") <= plan.count("FileScan")
+    assert sum("lineitem" in ln and "FileScan" in ln
+               for ln in plan.splitlines()) == 1
+    assert "Window" in plan
