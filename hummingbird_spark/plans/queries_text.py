@@ -366,12 +366,17 @@ ORDER BY a, b
 """
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) copy-detection: doc pairs sharing >= 4 selected
-    rolling-hash fingerprints, with containment score."""
+    """Winnowing (MOSS) copy-detection: doc pairs sharing >= 8 selected
+    rolling-hash fingerprints, with containment score. The cut sits on
+    the corpus's measured cliff: pairs sharing 2-7 fingerprints have
+    containment ~0.05 (template noise, ~650k pairs at sf0.1); >= 8 have
+    ~0.4-0.5 (real copies, ~234 pairs) — below it the detector output is
+    dominated by false positives AND the pair-group shuffle carries 2700x
+    more rows."""
     from hummingbird_spark.operators.dedup import winnow_shared_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return winnow_shared_pairs(d, k=7, window=8, min_shared=4)
+    return winnow_shared_pairs(d, k=7, window=8, min_shared=8)
 
 
 # replicates the Spark kernel: normalize to [a-z0-9], polynomial-hash
@@ -412,7 +417,7 @@ WITH norm AS (
 ), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
   FROM ex2 x JOIN ex2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= 4
+  GROUP BY 1, 2 HAVING count(*) >= 8
 )
 SELECT a, b, shared,
        round(CAST(shared AS DOUBLE) /
