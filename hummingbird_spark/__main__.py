@@ -5,9 +5,15 @@
     python -m hummingbird_spark resume  config.json
     python -m hummingbird_spark compare config.json
     python -m hummingbird_spark sim     --ops 300 --seconds 10 --out DIR
+    python -m hummingbird_spark worker  config.json
+    python -m hummingbird_spark version
 
-`worker` is intentionally absent: elastic scale-out is Spark's job
-(spark-submit --num-executors / dynamic allocation — SURVEY §3.2).
+`worker` validates the config and exits: the reference's worker joins a
+migration by polling the shared task queue (neutrino.go:70-77); in
+Spark, executors ARE the workers — scale-out is spark-submit
+--num-executors / dynamic allocation (SURVEY §3.2), so there is no
+long-lived worker process to start. Kept as a command so reference
+scripts don't hard-fail, with the explanation in its output.
 Config files use the reference's JSON shape (testdata/quickstart.json)
 with source/target as parquet directories.
 """
@@ -91,9 +97,10 @@ def _cmd_sim(args: argparse.Namespace) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hummingbird_spark")
     sub = p.add_subparsers(dest="command", required=True)
-    for name in ("start", "resume", "compare"):
+    for name in ("start", "resume", "compare", "worker"):
         sp = sub.add_parser(name)
         sp.add_argument("config", help="migration config JSON")
+    sub.add_parser("version")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -107,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_compare(args)
     if args.command == "sim":
         return _cmd_sim(args)
+    if args.command == "version":
+        from hummingbird_spark import __version__
+        print(__version__)
+        return 0
+    if args.command == "worker":
+        cfg = MigrationConfig.from_file(args.config)
+        print(json.dumps({
+            "command": "worker",
+            "config_valid": True,
+            "namespaces": len(cfg.includes),
+            "note": "Spark executors replace neutrino worker processes; "
+                    "scale out with spark-submit --num-executors or "
+                    "dynamic allocation, then run 'start'/'resume'.",
+        }))
+        return 0
     return 2
 
 

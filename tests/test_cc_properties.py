@@ -1,0 +1,52 @@
+"""Property-based test for connected_components
+(operators/dedup.py): for ANY edge list, the converged min-label
+assignment must equal the component minimum computed by an independent
+union-find over the same edges.
+
+Spark session startup is expensive, so the strategy generates a BATCH
+of random graphs and runs them through one parametrized check; the
+union-find reference is written independently of the min-propagation
+loop (path-compressed DSU), so agreement is evidence, not circularity.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hummingbird_spark.operators.dedup import connected_components
+
+edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+edge_lists = st.lists(edge, min_size=1, max_size=40)
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # component label = min node id; find() roots at the min because
+    # union always parents the larger root under the smaller
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edge_lists)
+def test_cc_matches_union_find(spark, edges):
+    expect = _union_find_labels(edges)
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == expect

@@ -65,3 +65,14 @@ def test_cli_compare_detects_divergence(spark, cfg_file, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     bad = [n for n in out["namespaces"] if not n["equal"]]
     assert len(bad) == 1 and bad[0]["missing_in_target"] == 1
+
+
+def test_cli_worker_and_version(cfg_file, capsys):
+    assert main(["version"]) == 0
+    ver = capsys.readouterr().out.strip()
+    assert ver and "." in ver
+
+    assert main(["worker", cfg_file]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["config_valid"] is True
+    assert out["namespaces"] == 2
