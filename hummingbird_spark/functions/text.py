@@ -172,3 +172,37 @@ def hamming_bits(a: Column, b: Column) -> Column:
             != F.substring(b, i.cast("int"), 1),
         )
     )
+
+
+# PII patterns for redaction (training-data hygiene). Deliberately
+# conservative/simple — the point is the Spark shape (pure regexp
+# projection, codegen'd, zero shuffle), swap patterns per deployment.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / SSN-shaped ids / phone numbers / URLs with typed
+    placeholders. Chained regexp_replace — stays JVM-side whole-stage
+    codegen, so redaction rides the scan projection for free."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def token_diversity(col: Column) -> Column:
+    """distinct-token / total-token ratio — the repetition quality
+    signal (Gopher-style): boilerplate and degenerate generations score
+    low. 0.0 for empty docs."""
+    ws = tokens(col)
+    return F.when(
+        F.size(ws) == 0, F.lit(0.0)
+    ).otherwise(
+        F.size(F.array_distinct(ws)).cast("double")
+        / F.size(ws).cast("double")
+    )

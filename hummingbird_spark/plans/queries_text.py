@@ -309,6 +309,62 @@ ORDER BY cluster_size DESC, cluster_id
 """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): distinct/total token
+    ratio per doc. Pure projection — rides the scan, zero shuffle."""
+    from hummingbird_spark.functions.text import token_diversity
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(token_diversity(F.col("text")), 6).alias("diversity"),
+    )
+
+
+ORACLE_TOKEN_DIVERSITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+)
+SELECT doc_id, len(ws) AS n_tokens,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE round(CAST(len(list_distinct(ws)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE), 6) END AS diversity
+FROM t
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: keep docs whose md5(doc_id) lands in
+    the first 10 of 100 hash slots, then per-lang stats. THE reproducible
+    sampling shape for training pipelines — unlike rand()-based
+    sample(), re-runs/backfills/engines agree on membership, and the
+    filter rides the scan (no shuffle before the rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 100
+    )
+    return (
+        d.filter(slot < 10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("n_chars")).alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone n-gram Jaccard scores (no threshold) for LSH band
     candidates — the raw similarity surface the near-dup cut applies to."""
@@ -526,6 +582,10 @@ TEXT_QUERIES: dict[str, tuple] = {
                      "MinHash+LSH near-dup with jaccard verify"),
     "dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS,
                      "near-dup connected components (clusters)"),
+    "token_diversity": (q_token_diversity, ORACLE_TOKEN_DIVERSITY,
+                        "distinct/total token repetition signal"),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE,
+                    "deterministic hash-mod sampling + rollup"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                       "n-gram Jaccard scores for band candidates"),
     "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,

@@ -277,3 +277,19 @@ def test_dup_cluster_drop_count(spark):
     assert members > clusters > 0
     drops = labels.filter(F.col("node") != F.col("label")).count()
     assert drops == members - clusters
+
+
+def test_redact_pii_patterns(spark):
+    from hummingbird_spark.functions.text import redact_pii
+
+    rows = [
+        Row(i=0, t="mail me at jo.doe+x@corp.example.co or call "
+                   "+1 (555) 123-4567 ok"),
+        Row(i=1, t="ssn 123-45-6789 and site https://a.example.com/p?q=1 end"),
+        Row(i=2, t="nothing sensitive here 12345"),
+    ]
+    got = {r.i: r.c for r in spark.createDataFrame(rows)
+           .select("i", redact_pii(F.col("t")).alias("c")).collect()}
+    assert got[0] == "mail me at <EMAIL> or call <PHONE> ok"
+    assert got[1] == "ssn <SSN> and site <URL> end"
+    assert got[2] == "nothing sensitive here 12345"
