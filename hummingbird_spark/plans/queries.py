@@ -873,6 +873,33 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_events_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-week event slice + per-type rollup, with the time range
+    applied in the RAW nanos domain (load_table ts_between) so it lands
+    in PushedFilters / row-group pruning — the pattern every
+    time-partitioned 100 TB events query needs; a naive ts >= filter
+    wraps the column in timestamp_micros() and scans everything."""
+    e = load_table(spark, sf_dir, "events",
+                   ts_between=("2024-01-08", "2024-01-15"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_TIME_SLICE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless payloads the Spark-4-native way (SURVEY §1.1): props
     parsed ONCE to VariantType, typed access via variant_get, then a
@@ -963,6 +990,9 @@ QUERIES: dict[str, QuerySpec] = {
     "idle_balance": QuerySpec(
         q_idle_balance, ORACLE_IDLE_BALANCE,
         "Q22 shape: scalar subquery filter + anti join"),
+    "events_time_slice": QuerySpec(
+        q_events_time_slice, ORACLE_EVENTS_TIME_SLICE,
+        "raw-domain time-range pushdown on nanos events"),
     "variant_props": QuerySpec(
         q_variant_props, ORACLE_VARIANT_PROPS,
         "VariantType schemaless access + relational agg"),

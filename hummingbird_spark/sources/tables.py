@@ -29,20 +29,47 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               ts_between: tuple[str, str] | None = None) -> DataFrame:
     """Scan one fixture table. Plain parquet scan — filters/projections
     applied by callers reach the scan via Catalyst pushdown.
 
     The events fixture carries TIMESTAMP(NANOS) which Spark reads as a
     long (see session.py nanosAsLong); convert ns -> µs with integer
     division (exact — values are µs*1000) and rebuild the timestamp.
+
+    ts_between=("2024-01-01", "2024-01-08") (half-open, UTC) applies a
+    time-range predicate for events ON THE RAW NANOS LONG, *before* the
+    ns->µs conversion. A caller-side `ts >= lit(...)` filter wraps ts in
+    timestamp_micros(div) and cannot be pushed into the parquet scan
+    (only isnotnull reaches PushedFilters) — a full scan at 100 TB. The
+    raw-domain predicate is a plain long comparison: row-group min/max
+    pruning applies. Plan-asserted in test_plan_quality.py.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if ts_between is not None:
+            lo, hi = (_utc_ns(b) for b in ts_between)
+            df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_between is not None:
+        lo, hi = ts_between
+        df = df.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
     return df
+
+
+def _utc_ns(bound: str) -> int:
+    """'YYYY-MM-DD[ HH:MM:SS]' (UTC) -> epoch nanoseconds."""
+    import datetime as _dt
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in bound else "%Y-%m-%d"
+    d = _dt.datetime.strptime(bound, fmt).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -146,3 +146,14 @@ def test_q17_decorrelates_to_single_lineitem_scan(spark):
     assert sum("lineitem" in ln and "FileScan" in ln
                for ln in plan.splitlines()) == 1
     assert "Window" in plan
+
+
+def test_events_time_range_pushes_to_scan(spark):
+    """The events fixture stores TIMESTAMP(NANOS) read as long; a naive
+    ts >= filter wraps the column in timestamp_micros() and cannot be
+    pushed. load_table(ts_between=...) must put a plain long range into
+    PushedFilters (row-group pruning at scale)."""
+    plan = _executed_plan(QUERIES["events_time_slice"].spark(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts" in pushed.replace(" ", "")
+    assert "LessThan(ts" in pushed.replace(" ", "")
