@@ -542,6 +542,38 @@ WHERE rn = 1
 """
 
 
+def q_cdc_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the CDC log: per-key state AS OF a cutoff
+    (resume-timestamp semantics, workspace.go:276-309 — restart replay
+    reconstructs state at the saved ts). The cutoff filter is applied in
+    the raw nanos domain (ts_between) so it prunes row groups BEFORE the
+    per-key window — at scale you replay a slice, never the whole log."""
+    e = load_table(spark, sf_dir, "events",
+                   ts_between=("2024-01-01", "2024-01-15"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                F.col("ts").alias("last_ts"))
+    )
+
+
+ORACLE_CDC_STATE_AT = """
+SELECT user_id, event_type AS last_event_type, value AS last_value,
+       ts AS last_ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15') t
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Small SURVEY §2 line items: S3 projection+sort, A2 predicate count,
 # A7 parent rollup, props JSON extraction (§2.8 json surface)
@@ -964,6 +996,9 @@ QUERIES: dict[str, QuerySpec] = {
                                 "TPC-H Q10 shape: date-window loss report"),
     "window_rank": QuerySpec(q_window_rank, ORACLE_WINDOW_RANK, "§2.5 window"),
     "rollup_agg": QuerySpec(q_rollup, ORACLE_ROLLUP, "§2.4 rollup extension"),
+    "cdc_state_at": QuerySpec(
+        q_cdc_state_at, ORACLE_CDC_STATE_AT,
+        "time travel: per-key state as of a cutoff, raw-domain pruned"),
     "cdc_last_state": QuerySpec(q_cdc_last_state, ORACLE_CDC_LAST_STATE,
                                 "ST5 last-writer-wins reduction"),
     "proj_sort": QuerySpec(q_proj_sort, ORACLE_PROJ_SORT,

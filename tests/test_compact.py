@@ -1,0 +1,69 @@
+"""Compaction maintenance pass (operators/compact.py): the small-file
+hygiene step for the bucketed CDC sink and any append-heavy target."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.compact import (
+    compact_table,
+    parquet_file_count,
+)
+from hummingbird_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_compact_flat_table(spark, tmp_path):
+    target = str(tmp_path / "t")
+    # simulate many tiny appends: 24 single-file writes
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(240)
+    rows = li.count()
+    for i in range(24):
+        (li.filter(F.pmod("l_orderkey", F.lit(24)) == i)
+         .coalesce(1).write.mode("append").parquet(target))
+    assert parquet_file_count(spark, target) >= 20
+
+    report = compact_table(spark, target)
+    assert report["files_after"] == 1  # tiny table -> one file
+    assert report["rows"] == rows
+    assert spark.read.parquet(target).count() == rows
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    target = str(tmp_path / "p")
+    d = (load_table(spark, SF_SMOKE, "orders")
+         .withColumn("__bucket", F.pmod(F.xxhash64("o_orderkey"), F.lit(4))))
+    # 3 appends x 4 buckets -> >= 12 files
+    for _ in range(3):
+        (d.repartition(2).write.mode("append")
+         .partitionBy("__bucket").parquet(target))
+    rows = spark.read.parquet(target).count()
+    before = parquet_file_count(spark, target)
+    assert before >= 12
+
+    report = compact_table(spark, target, partition_cols=["__bucket"])
+    assert report["files_after"] == 4  # one file per bucket dir
+    assert report["rows"] == rows
+    back = spark.read.parquet(target)
+    assert back.count() == rows
+    assert sorted(r.__getitem__("__bucket") for r in
+                  back.select("__bucket").distinct().collect()) == [0, 1, 2, 3]
+
+
+def test_compact_failure_leaves_live_table(spark, tmp_path, monkeypatch):
+    """A rewrite whose verification fails must raise, delete its temp
+    dir, and leave the live table byte-for-byte readable."""
+    import hummingbird_spark.operators.compact as mod
+
+    target = str(tmp_path / "f")
+    load_table(spark, SF_SMOKE, "nation").write.parquet(target)
+    rows = spark.read.parquet(target).count()
+
+    monkeypatch.setattr(mod, "_read_count", lambda s, p: -1)
+    with pytest.raises(RuntimeError, match="row-count mismatch"):
+        compact_table(spark, target)
+
+    assert spark.read.parquet(target).count() == rows
+    import os
+    assert not os.path.exists(target + "__compact_tmp")
