@@ -7,6 +7,8 @@
     python -m hummingbird_spark sim     --ops 300 --seconds 10 --out DIR
     python -m hummingbird_spark worker  config.json
     python -m hummingbird_spark version
+    python -m hummingbird_spark compact PATH [--target-mb 128]
+                                             [--partition-col __bucket]
 
 `worker` validates the config and exits: the reference's worker joins a
 migration by polling the shared task queue (neutrino.go:70-77); in
@@ -101,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("config", help="migration config JSON")
     sub.add_parser("version")
+    comp = sub.add_parser("compact")
+    comp.add_argument("path")
+    comp.add_argument("--target-mb", type=int, default=128)
+    comp.add_argument("--partition-col", action="append", default=None)
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -117,6 +123,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "version":
         from hummingbird_spark import __version__
         print(__version__)
+        return 0
+    if args.command == "compact":
+        from hummingbird_spark.operators.compact import compact_table
+        spark = get_spark(app_name="hummingbird_compact")
+        spark.sparkContext.setLogLevel("ERROR")
+        report = compact_table(
+            spark, args.path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            partition_cols=args.partition_col,
+        )
+        print(json.dumps({"command": "compact", **report}))
         return 0
     if args.command == "worker":
         cfg = MigrationConfig.from_file(args.config)

@@ -76,3 +76,17 @@ def test_cli_worker_and_version(cfg_file, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["config_valid"] is True
     assert out["namespaces"] == 2
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from hummingbird_spark.sources.tables import load_table
+
+    target = str(tmp_path / "c")
+    for _ in range(3):
+        (load_table(spark, SF_SMOKE, "region")
+         .repartition(4).write.mode("append").parquet(target))
+    assert main(["compact", target, "--target-mb", "64"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["command"] == "compact"
+    assert out["files_after"] == 1
+    assert out["rows"] == 5 * 3

@@ -67,3 +67,47 @@ def test_compact_failure_leaves_live_table(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(target).count() == rows
     import os
     assert not os.path.exists(target + "__compact_tmp")
+
+
+def test_bucketed_cdc_then_compact_lifecycle(spark, tmp_path):
+    """Full maintenance lifecycle: bucketed CDC merge accumulates files
+    per bucket across micro-batches; compaction collapses each bucket
+    dir to one file WITHOUT changing the converged state, and the
+    bucketed merge keeps working against the compacted layout."""
+    from hummingbird_spark.streaming.cdc import start_cdc_stream
+    from tests.test_migration_lifecycle import SCHEMA, _write_oplog
+
+    tgt = str(tmp_path / "tgt")
+    oplog = str(tmp_path / "oplog")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_oplog(oplog, "b1.json",
+                 [(i, "i", {"_id": i, "color": "Red", "qty": i}, None)
+                  for i in range(40)])
+    _write_oplog(oplog, "b2.json",
+                 [(100 + i, "u", {"$set": {"qty": 7}}, {"_id": i})
+                  for i in range(10)])
+    q = start_cdc_stream(spark, oplog, tgt, {"shop.items": SCHEMA},
+                         includes=["shop.*"], key="_id", checkpoint=ckpt,
+                         num_buckets=4)
+    q.awaitTermination(120)
+
+    table = f"{tgt}/items.parquet"
+    before = parquet_file_count(spark, table)
+    state = sorted(tuple(r) for r in spark.read.parquet(table)
+                   .select("_id", "color", "qty").collect())
+    assert len(state) == 40
+
+    report = compact_table(spark, table, partition_cols=["__bucket"])
+    assert report["files_after"] == 4 <= before
+    after = sorted(tuple(r) for r in spark.read.parquet(table)
+                   .select("_id", "color", "qty").collect())
+    assert after == state
+
+    # stream continues against the compacted layout
+    _write_oplog(oplog, "b3.json", [(200, "d", {"_id": 0}, None)])
+    q2 = start_cdc_stream(spark, oplog, tgt, {"shop.items": SCHEMA},
+                          includes=["shop.*"], key="_id", checkpoint=ckpt,
+                          num_buckets=4)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 39
