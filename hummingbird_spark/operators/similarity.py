@@ -233,7 +233,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
                                vec_col: str = "embedding",
-                               id_col: str = "vec_id") -> DataFrame:
+                               id_col: str = "vec_id",
+                               top_k: int | None = None) -> DataFrame:
     """Exact all-pairs cosine >= threshold, blocked-matmul shape:
     broadcast one side as a dense matrix, stream the other side through
     Arrow batches, numpy matmul per block, emit only qualifying pairs
@@ -250,6 +251,13 @@ def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
     Float note: numpy's pairwise-summed dot differs from a sequential
     fold by ~1 ulp; scores are rounded to 6 decimals, which absorbs it
     (straddle probability ~1e-10 per pair).
+
+    top_k: return the k most-similar pairs overall instead of a
+    threshold cut (total order: cosine desc, then (a, b)). Correctness
+    at scale: each (a, b) pair is scored in exactly one Arrow block, so
+    the global top-k is a subset of the union of per-block top-k's —
+    each block emits at most k rows and the final orderBy/limit is a
+    TakeOrdered over ~k * n_blocks rows, never the full pair set.
     """
     import numpy as np
     import pandas as pd
@@ -272,19 +280,26 @@ def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
             bnorms = np.sqrt((bm * bm).sum(axis=1))
             scores = (bm @ all_mat.T) / np.outer(bnorms, all_norms)
             scores = np.round(scores, 6)
-            bi, aj = np.nonzero(scores >= threshold)
-            out_a, out_b, out_s = [], [], []
-            for i, j in zip(bi, aj):
-                a, b = bids[i], all_ids[j]
-                if a < b:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(scores[i, j])
-            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_s})
+            valid = bids[:, None] < all_ids[None, :]  # a < b, once per pair
+            if top_k is None:
+                bi, aj = np.nonzero(valid & (scores >= threshold))
+            else:
+                flat = np.where(valid, scores, -np.inf).ravel()
+                k = min(top_k, flat.size)
+                idx = np.argpartition(flat, -k)[-k:]
+                idx = idx[np.isfinite(flat[idx])]
+                bi, aj = np.unravel_index(idx, scores.shape)
+            yield pd.DataFrame({
+                "a": bids[bi], "b": all_ids[aj],
+                "cosine": scores[bi, aj],
+            })
 
-    return df.select(id_col, vec_col).mapInPandas(
+    out = df.select(id_col, vec_col).mapInPandas(
         block, "a long, b long, cosine double"
-    ).orderBy("a", "b")
+    )
+    if top_k is not None:
+        return out.orderBy(F.desc("cosine"), "a", "b").limit(top_k)
+    return out.orderBy("a", "b")
 
 
 def near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,

@@ -538,12 +538,19 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nprobe=4)
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs (blocked broadcast matmul) so the brute-force
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs, exact (blocked broadcast
+    matmul, per-block top-k, global TakeOrdered) — so the brute-force
     oracle is a true equivalent; the LSH-pruned variant is
-    near_duplicate_pairs with n_planes>0 (approximate, rows-only)."""
+    near_duplicate_pairs with n_planes>0 (approximate, rows-only).
+
+    Top-k instead of a threshold cut because the synthetic embeddings
+    have NO pairs above cosine 0.61 at any SF — a thresholded query
+    would pass its oracle vacuously (0 rows). The thresholded operator
+    (exact_near_duplicate_pairs(threshold=...)) stays unit-tested on a
+    corpus with planted near-duplicates."""
     e = load_table(spark, sf_dir, "embeddings")
-    return exact_near_duplicate_pairs(e, threshold=0.8)
+    return exact_near_duplicate_pairs(e, top_k=20)
 
 
 ORACLE_EMB_NEAR_DUP = """
@@ -559,7 +566,7 @@ WITH pairs AS (
       AS cosine
   FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 )
-SELECT a, b, cosine FROM pairs WHERE cosine >= 0.8 ORDER BY a, b
+SELECT a, b, cosine FROM pairs ORDER BY cosine DESC, a, b LIMIT 20
 """
 
 
@@ -598,6 +605,6 @@ TEXT_QUERIES: dict[str, tuple] = {
                 "LSH-pruned cosine top-k (approximate; rows-only)"),
     "knn_ivf": (q_knn_ivf, None,
                 "IVF inverted-list cosine top-k (approximate; rows-only)"),
-    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP,
-                           "all-pairs embedding cosine near-dup"),
+    "embedding_top_pairs": (q_embedding_top_pairs, ORACLE_EMB_NEAR_DUP,
+                            "exact top-k most-similar embedding pairs"),
 }

@@ -293,3 +293,28 @@ def test_redact_pii_patterns(spark):
     assert got[0] == "mail me at <EMAIL> or call <PHONE> ok"
     assert got[1] == "ssn <SSN> and site <URL> end"
     assert got[2] == "nothing sensitive here 12345"
+
+
+def test_exact_near_dup_threshold_and_topk(spark):
+    """Planted near-dups: the thresholded exact path must find exactly
+    the planted pairs, and top_k must return the global best pairs in
+    (cosine desc, a, b) order regardless of Arrow blocking."""
+    from hummingbird_spark.operators.similarity import (
+        exact_near_duplicate_pairs,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[2.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.98, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows).repartition(3)  # force blocking
+    hits = {(r.a, r.b) for r in
+            exact_near_duplicate_pairs(df, threshold=0.99).collect()}
+    assert hits == {(1, 2), (1, 4), (2, 4)}
+
+    top = exact_near_duplicate_pairs(df, top_k=3).collect()
+    assert [(r.a, r.b) for r in top] == [(1, 4), (1, 2), (2, 4)]
+    assert top[0].cosine == 1.0
