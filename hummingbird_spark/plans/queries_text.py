@@ -205,6 +205,30 @@ GROUP BY fingerprint HAVING COUNT(*) > 1
 """
 
 
+def q_dup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-group size histogram: how many exact-duplicate groups
+    of each size exist. Non-vacuous at every SF (the size-1 bucket is
+    the unique docs), where exact_dup_groups (HAVING > 1) is legitimately
+    empty below sf0.1 — this keeps the fingerprint/grouping machinery
+    under a non-trivial oracle at the sf0.01 driver gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("f"))
+        .groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
+        .groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("n_docs")
+    )
+
+
+ORACLE_DUP_HISTOGRAM = r"""
+SELECT n_docs, COUNT(*) AS n_groups
+FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY f) g
+GROUP BY n_docs ORDER BY n_docs
+"""
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
@@ -585,6 +609,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                     "exact dedup via normalized fingerprint"),
     "exact_dup_groups": (q_exact_dup_groups, ORACLE_DUP_GROUPS,
                          "duplicate group inventory"),
+    "dup_group_histogram": (q_dup_group_histogram, ORACLE_DUP_HISTOGRAM,
+                            "fingerprint group-size histogram"),
     "minhash_dups": (q_minhash_dups, ORACLE_MINHASH,
                      "MinHash+LSH near-dup with jaccard verify"),
     "dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS,
