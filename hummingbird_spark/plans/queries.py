@@ -964,6 +964,136 @@ GROUP BY k_decile ORDER BY k_decile
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side query — three conjunctive
+    predicates (date range, discount band, quantity cap) ALL land in
+    PushedFilters, the projection is two columns, and the only exchange
+    is the 1-row final aggregate. At 100 TB this is the min-possible
+    plan: row-group pruning + partial agg, nothing else."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double").alias("revenue")
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+    (Fixture has no l_commitdate, so "late lineitem" becomes
+    l_returnflag = 'R'.) The semi join materializes NO lineitem
+    columns — the probe side carries only l_orderkey after pushdown,
+    and each order is emitted at most once regardless of how many
+    lineitems match (a plain inner join + distinct would shuffle the
+    full match multiset first)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) grouped agg across a broadcast
+    dim join (fixture has no partsupp; lineitem plays its role). Spark
+    plans distinct-aggs as a two-phase expand: partial dedup on
+    (brand, size, suppkey) BEFORE the shuffle, so the exchange carries
+    distinct triples, not raw lineitem — the difference between
+    shuffling ~n_groups*n_supp rows and 6B rows at 100 TB."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+ORACLE_SUPPLIER_VARIETY = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 20
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The per-side conjuncts that appear in EVERY disjunct can't be
+    hand-separated here (brands/sizes differ per arm), but Catalyst
+    derives the common constraint (p_size range, l_quantity range) and
+    pushes the derivable parts to each scan; the residual OR evaluates
+    post-join inside codegen. Part broadcasts after its own pushdown."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = (arm("Brand#2", 5, 1, 11) | arm("Brand#13", 10, 10, 20)
+            | arm("Brand#24", 15, 20, 30))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & cond)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1025,6 +1155,18 @@ QUERIES: dict[str, QuerySpec] = {
     "idle_balance": QuerySpec(
         q_idle_balance, ORACLE_IDLE_BALANCE,
         "Q22 shape: scalar subquery filter + anti join"),
+    "forecast_revenue": QuerySpec(
+        q_forecast_revenue, ORACLE_FORECAST_REVENUE,
+        "Q6 shape: all-pushdown scan + 1-row aggregate"),
+    "order_priority_check": QuerySpec(
+        q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
+        "Q4 shape: EXISTS decorrelated to left-semi join"),
+    "supplier_variety": QuerySpec(
+        q_supplier_variety, ORACLE_SUPPLIER_VARIETY,
+        "Q16 shape: grouped COUNT(DISTINCT) two-phase expand"),
+    "disjunctive_revenue": QuerySpec(
+        q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE,
+        "Q19 shape: OR-of-ANDs join predicate, derived pushdown"),
     "events_time_slice": QuerySpec(
         q_events_time_slice, ORACLE_EVENTS_TIME_SLICE,
         "raw-domain time-range pushdown on nanos events"),

@@ -157,3 +157,74 @@ def test_events_time_range_pushes_to_scan(spark):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts" in pushed.replace(" ", "")
     assert "LessThan(ts" in pushed.replace(" ", "")
+
+def _formatted_plan(df) -> str:
+    """df.explain('formatted') captured as a string — unlike
+    executedPlan().toString() it does not truncate long filter lists."""
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_all_predicates_pushed(spark):
+    """forecast_revenue is the min-possible plan: every predicate in
+    PushedFilters, a 4-column ReadSchema, and the only exchange is the
+    1-row final aggregate."""
+    df = QUERIES["forecast_revenue"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    fmt = _formatted_plan(df)
+    pushed = fmt.split("PushedFilters:")[1].splitlines()[0].replace(" ", "")
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in pushed, f"missing {frag} in {pushed}"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert plan.count("Exchange") == 1  # SinglePartition only
+
+
+def test_q4_exists_is_semi_join(spark):
+    """order_priority_check: EXISTS must become a LeftSemi join (each
+    order emitted once, no lineitem columns materialized) with the
+    returnflag filter pushed to the probe-side scan."""
+    plan = _executed_plan(
+        QUERIES["order_priority_check"].spark(spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in plan
+    li_scan = [ln for ln in plan.splitlines()
+               if "FileScan" in ln and "lineitem" in ln][0]
+    assert "l_orderkey" in li_scan and "l_returnflag" in li_scan
+    assert "l_extendedprice" not in li_scan
+
+
+def test_q16_distinct_dedups_before_shuffle(spark):
+    """supplier_variety: COUNT(DISTINCT) must plan as partial dedup on
+    (brand, size, suppkey) BEFORE its exchange — the shuffle carries
+    distinct triples, not raw lineitem rows."""
+    plan = _executed_plan(QUERIES["supplier_variety"].spark(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    exch = next(i for i, ln in enumerate(lines)
+                if "Exchange hashpartitioning" in ln and "l_suppkey" in ln)
+    # a keys-only dedup agg must sit BELOW (after, in tree print order)
+    # the triple exchange — i.e. map-side, before rows hit the wire
+    assert any("HashAggregate" in ln and "functions=[]" in ln.replace(" ", "")
+               for ln in lines[exch:]), plan
+
+
+def test_q19_or_of_ands_derives_per_side_pushdown(spark):
+    """disjunctive_revenue: Catalyst must derive the per-side parts of
+    the OR-of-ANDs join predicate and push them to BOTH scans (quantity
+    ranges to lineitem, brand/size to part) — without this the join
+    input is the full table at 100 TB."""
+    plan = _executed_plan(
+        QUERIES["disjunctive_revenue"].spark(spark, SF_SMOKE)
+    )
+    li_scan = [ln for ln in plan.splitlines()
+               if "FileScan" in ln and "lineitem" in ln][0]
+    p_scan = [ln for ln in plan.splitlines()
+              if "FileScan" in ln and "part.parquet" in ln][0]
+    assert "l_quantity" in li_scan.split("DataFilters:")[1]
+    assert "Brand#2" in p_scan.split("DataFilters:")[1]
