@@ -292,14 +292,18 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
     are dropped before the join, the same guard as LSH banding.
     The fingerprint frame feeds three consumers (sizes, the cap window,
     both self-join sides) — it is materialized once (localCheckpoint)
-    instead of re-running the kgram hashing per consumer; on a cluster
-    job this would be a persist() or a staged table."""
+    instead of re-running the kgram hashing per consumer; the capped
+    frame is materialized too, since BOTH self-join sides consume it
+    and Spark does not reuse the window's exchange across the join's
+    aliased branches (measured: 2 Window nodes, 5 exchanges without
+    it). On a cluster job these would be persist() or staged tables."""
     fps = winnow_fingerprint_df(df, text_col, id_col, k, window) \
         .localCheckpoint(eager=False)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     ok = fps.withColumn(
         "__bn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn") \
+        .localCheckpoint(eager=False)
 
     a = ok.select(F.col(id_col).alias("a"), "fp")
     b = ok.select(F.col(id_col).alias("b"), "fp")
