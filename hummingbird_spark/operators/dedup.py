@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, each a declarative Spark plan over the `documents`
+Six strategies, each a declarative Spark plan over the `documents`
 fixture (doc_id, text, lang, source, n_chars):
 
   exact            — hash-groupBy on a normalized fingerprint
@@ -10,6 +10,7 @@ fixture (doc_id, text, lang, source, n_chars):
   simhash          — 64-bit SimHash, banded by 16-bit chunks (pigeonhole:
                      hamming<=3 pairs share at least one of 4 chunks)
   ngram_jaccard    — exact Jaccard over shingle sets for candidate pairs
+  tfidf_cosine     — bag-of-words TF-IDF sparse cosine (order-insensitive)
   embedding cosine — see operators/similarity.py (near_duplicate_pairs)
 
 Scale notes: every self-join here is bucketed (band key / chunk key),
@@ -485,3 +486,75 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
             break
         prev_sig = sig
     return labels
+
+
+def tfidf_cosine_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.6,
+                       max_doc_freq: int = 1000) -> DataFrame:
+    """Doc pairs with TF-IDF cosine similarity >= threshold — the
+    bag-of-words near-dup detector (catches reworded/reordered copies
+    that shingle-based methods miss, since word ORDER doesn't matter).
+
+    Pipeline (all relational, no UDFs): tokenize -> per-(doc, term)
+    TF -> per-term DF -> vocabulary cut (df <= max_doc_freq, the
+    stopword/boilerplate guard that also bounds the self-join bucket
+    size) -> w = tf * idf -> sparse dot product via a term-bucketed
+    self-join -> normalize by per-doc norms.
+
+    Shuffle budget: tf agg (one), df agg + vocab semi (tiny), the
+    term self-join (bucketed: each term contributes df² <=
+    max_doc_freq² pairs, never O(n²)), pair agg (one). Identical
+    shape to an inverted-index sparse matmul.
+
+    Oracle determinism: idf is quantized to an integer,
+    floor(ln(N/df)·1e6 + 0.5), NOT round(double, 6) — Spark rounds the
+    shortest decimal repr (BigDecimal.valueOf) while DuckDB rounds the
+    binary value, so round() diverges systematically on half-boundary
+    doubles (observed at sf0.01). floor on identical doubles is exact.
+    Weights (tf · idf_scaled) and the dot product are then EXACT
+    integer-valued decimals — order-independent, hash-identical across
+    engines; the 1e6 scale cancels in the cosine ratio. The final
+    divide-by-norms uses the same floor-based quantization."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")) \
+        .filter(F.col("df_t") <= max_doc_freq)
+    idf_scaled = F.floor(
+        F.log(F.col("__n") / F.col("df_t")) * 1e6 + F.lit(0.5)
+    ).cast("decimal(18,0)")
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term",
+            (F.col("tf").cast("decimal(18,0)") * idf_scaled).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # feeds norms + both join sides
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a = w.select(F.col(id_col).alias("a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("norm").alias("nb"))
+    raw = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    quantized = F.floor(raw * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .select("a", "b", quantized.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("a", "b")
+    )

@@ -1055,6 +1055,106 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join where the interesting property is
+    join ORDER — region/nation prune supplier first (broadcast chain),
+    the date filter prunes orders before its join, and the
+    same-nation constraint (c_nationkey = s_nationkey) is an extra
+    equi-condition on the customer join, not a post-filter. Fact
+    tables join on keys; every dim arrives broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-scalar-max-then-join-back. The
+    per-supplier revenue rollup is computed ONCE (checkpoint-free: the
+    scalar max and the equality filter both consume the same shuffled
+    agg, and AQE reuses the exchange), the max arrives as a 1-row
+    broadcast, and the supplier dim broadcasts into the tiny winner
+    set. Ties all returned (deterministic, oracle-stable)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("total_rev_dec")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
     The per-side conjuncts that appear in EVERY disjunct can't be
@@ -1164,6 +1264,12 @@ QUERIES: dict[str, QuerySpec] = {
     "supplier_variety": QuerySpec(
         q_supplier_variety, ORACLE_SUPPLIER_VARIETY,
         "Q16 shape: grouped COUNT(DISTINCT) two-phase expand"),
+    "local_supplier_volume": QuerySpec(
+        q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "Q5 shape: 5-way join, broadcast dim chain + extra equi-cond"),
+    "top_supplier": QuerySpec(
+        q_top_supplier, ORACLE_TOP_SUPPLIER,
+        "Q15 shape: agg -> scalar max -> join back (ties kept)"),
     "disjunctive_revenue": QuerySpec(
         q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE,
         "Q19 shape: OR-of-ANDs join predicate, derived pushdown"),

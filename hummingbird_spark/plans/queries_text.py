@@ -445,6 +445,54 @@ JOIN shingles sb ON sb.doc_id = cand.b
 ORDER BY a, b
 """
 
+def q_tfidf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs: the bag-of-words detector —
+    word order ignored, so reordered/reshuffled copies land at
+    cosine ~1 where shingle methods (minhash/winnowing) score low."""
+    from hummingbird_spark.operators.dedup import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.9, max_doc_freq=1000)
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+  HAVING COUNT(*) <= 1000
+), w AS (
+  SELECT doc_id, tf.term,
+         CAST(tf AS DECIMAL(18,0))
+           * CAST(floor(ln(n_docs / df_t) * 1e6 + 0.5) AS DECIMAL(18,0))
+           AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+  FROM w GROUP BY doc_id
+), dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS dot
+  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       floor(CAST(dot AS DOUBLE) / (na.norm * nb.norm) * 1e6 + 0.5) / 1e6
+         AS cosine
+FROM dots
+JOIN norms na ON dots.a = na.doc_id
+JOIN norms nb ON dots.b = nb.doc_id
+WHERE floor(CAST(dot AS DOUBLE) / (na.norm * nb.norm) * 1e6 + 0.5) / 1e6
+      >= 0.9
+ORDER BY a, b
+"""
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) copy-detection: doc pairs sharing >= 8 selected
     rolling-hash fingerprints, with containment score. The cut sits on
@@ -621,6 +669,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                     "deterministic hash-mod sampling + rollup"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                       "n-gram Jaccard scores for band candidates"),
+    "tfidf_dup_pairs": (q_tfidf_dup_pairs, ORACLE_TFIDF,
+                        "TF-IDF cosine near-dup (bag-of-words)"),
     "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,
                      "winnowing rolling-hash copy detection (MOSS)"),
     "simhash_dups": (q_simhash_dups, None,

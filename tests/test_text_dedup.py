@@ -318,3 +318,28 @@ def test_exact_near_dup_threshold_and_topk(spark):
     top = exact_near_duplicate_pairs(df, top_k=3).collect()
     assert [(r.a, r.b) for r in top] == [(1, 4), (1, 2), (2, 4)]
     assert top[0].cosine == 1.0
+
+
+def test_tfidf_cosine_order_insensitive(spark):
+    """The property that distinguishes TF-IDF cosine from shingle
+    detectors: a word-REORDERED copy scores cosine 1.0 (same bag of
+    words), and unrelated docs score far below threshold. Also pins
+    the vocabulary cut: terms above max_doc_freq don't contribute."""
+    from hummingbird_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="zeta epsilon delta gamma beta alpha"),
+        Row(doc_id=3, text="totally different words entirely here now"),
+        Row(doc_id=4, text="alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {(r.a, r.b): r.cosine
+           for r in tfidf_cosine_pairs(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert all(c == 1.0 for c in got.values())
+
+    # every term in docs 1/2/4 exceeds max_doc_freq=2 -> empty vocab for
+    # them; no pairs survive (doc 3's terms are unique, no partners)
+    assert tfidf_cosine_pairs(df, threshold=0.1,
+                              max_doc_freq=2).count() == 0
