@@ -445,6 +445,63 @@ JOIN shingles sb ON sb.doc_id = cand.b
 ORDER BY a, b
 """
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data run actually
+    executes: quality cut -> language cut -> exact dedup (keep min
+    doc_id per fingerprint) -> per-source survivor stats. The scored
+    frame (all projections, no shuffle) is staged once — it feeds both
+    the dedup agg and the survivor probe, and re-scanning 100 TB of
+    text to recompute quality scores is the classic accidental 2x.
+    Then: dedup agg shuffle, broadcast the tiny keep set back, rollup
+    shuffle — 2 shuffles total regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    ).filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
+    ).localCheckpoint(eager=False)
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # explicit hint: the checkpointed frame carries no stats, so AQE
+    # can't discover the broadcast on its own (measured: it falls back
+    # to a shuffled join, 2 extra exchanges)
+    survivors = scored.join(F.broadcast(keep), ["fp", "doc_id"])
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION = rf"""
+WITH q AS ({ORACLE_DOC_QUALITY}),
+l AS ({ORACLE_DOC_LANG}),
+base AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT base.* FROM base
+  JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+),
+keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM scored JOIN keep USING (fp, doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_tfidf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs: the bag-of-words detector —
     word order ignored, so reordered/reshuffled copies land at
@@ -669,6 +726,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                     "deterministic hash-mod sampling + rollup"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                       "n-gram Jaccard scores for band candidates"),
+    "corpus_curation": (q_corpus_curation, ORACLE_CURATION,
+                        "composed curation: quality+lang+dedup+rollup"),
     "tfidf_dup_pairs": (q_tfidf_dup_pairs, ORACLE_TFIDF,
                         "TF-IDF cosine near-dup (bag-of-words)"),
     "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,
