@@ -1105,6 +1105,77 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: directed trade flow among a nation set. The
+    per-side IN predicates prune BOTH nation dims at their scans
+    (PushedFilters), shrinking supplier/customer through the broadcast
+    chain before the fact joins; the cross-side inequality
+    (supp != cust) evaluates post-join. Year extraction rides the
+    projection. (TPC-H's 2-nation OR-of-ANDs reduces to the same plan
+    via Catalyst's per-side derivation; the 3-nation set keeps the
+    result non-vacuous at the smoke SF.)"""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    trio = ["NATION_1", "NATION_2", "NATION_3"]
+    pair = (
+        F.col("supp_nation").isin(trio)
+        & F.col("cust_nation").isin(trio)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_TRADE_FLOW = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate-then-scalar-max-then-join-back. The
     per-supplier revenue rollup is computed ONCE (checkpoint-free: the
@@ -1267,6 +1338,9 @@ QUERIES: dict[str, QuerySpec] = {
     "local_supplier_volume": QuerySpec(
         q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME,
         "Q5 shape: 5-way join, broadcast dim chain + extra equi-cond"),
+    "nation_trade_flow": QuerySpec(
+        q_nation_trade_flow, ORACLE_NATION_TRADE_FLOW,
+        "Q7 shape: bidirectional pair filter, per-side IN derivation"),
     "top_supplier": QuerySpec(
         q_top_supplier, ORACLE_TOP_SUPPLIER,
         "Q15 shape: agg -> scalar max -> join back (ties kept)"),
