@@ -35,8 +35,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure
-    # the query, not session startup
+    # the query, not session startup; also spin up the Arrow/Python
+    # worker pool once so the first Pandas-kernel query isn't charged
+    # ~2s of daemon fork + Arrow init
     QUERIES["status_counts"].spark(spark, SF_DIR).collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
@@ -54,8 +59,12 @@ def main() -> None:
     import tempfile
 
     # the throughput jobs below measure pipelines, not leftover state
-    # from 50+ queries — drop cached data before timing them
+    # from 70+ queries — drop cached data and let the ContextCleaner
+    # reap dead broadcasts/checkpointed RDDs before timing them
     spark.catalog.clearCache()
+    import gc
+    gc.collect()
+    time.sleep(2)
 
     work = tempfile.mkdtemp(prefix="hb_bench_")
     try:
