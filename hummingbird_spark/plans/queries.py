@@ -1265,6 +1265,39 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (§2.10 at 100 TB): the order-status rollup
+    via two-phase salting — phase 1 groups by (key, salt-16) so no
+    reducer receives more than ~1/16 of a hot key, phase 2 merges the
+    partials. Semantically IDENTICAL to the plain groupBy — the oracle
+    is the unsalted SQL, which is the whole point: salting is a
+    physical rewrite, invisible in the result."""
+    from hummingbird_spark.operators.skew import salted_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        salted_agg(
+            o, "o_orderstatus",
+            [F.count(F.lit(1)).alias("n"),
+             F.sum(_dec("o_totalprice")).alias("total_dec")],
+            salt=16,
+            final_aggs=[
+                F.sum("n").alias("n"),
+                F.sum("total_dec").cast("double").alias("total_price"),
+            ],
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SALTED_STATUS_COUNTS = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1350,6 +1383,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_time_slice": QuerySpec(
         q_events_time_slice, ORACLE_EVENTS_TIME_SLICE,
         "raw-domain time-range pushdown on nanos events"),
+    "salted_status_counts": QuerySpec(
+        q_salted_status_counts, ORACLE_SALTED_STATUS_COUNTS,
+        "skew-safe two-phase salted agg (result == plain groupBy)"),
     "variant_props": QuerySpec(
         q_variant_props, ORACLE_VARIANT_PROPS,
         "VariantType schemaless access + relational agg"),
