@@ -1398,11 +1398,12 @@ QUERIES: dict[str, QuerySpec] = {
 
 # training-data pipeline queries (text analysis / dedup / similarity)
 from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
-    **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES
+    **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 

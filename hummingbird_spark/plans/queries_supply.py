@@ -1,0 +1,420 @@
+"""Supply-chain analytics shapes: TPC-H Q2/Q8/Q9/Q11/Q20/Q21 adapted
+to the fixture schema (north-star join/subquery family — the reference
+itself needs only J1-J3, compare.go:13-31 / task.go:88-101).
+
+The fixtures carry no `partsupp` table and no commit/receipt dates, so:
+  - the supply relation is DERIVED from lineitem: one row per
+    (l_partkey, l_suppkey) with min unit price standing in for
+    ps_supplycost and summed quantity/value standing in for
+    ps_availqty — the subquery SHAPES (correlated min, fraction-of-
+    total HAVING, nested IN chains) are preserved exactly;
+  - Q21's "kept orders waiting" uses l_shipdate > o_orderdate + 90
+    days as the lateness predicate.
+
+Scale notes (100 TB): every query here does at most ONE wide shuffle
+of lineitem (the (partkey,suppkey) rollup or the orderkey group);
+dimension chains (supplier->nation->region, filtered part) broadcast;
+correlated subqueries are decorrelated to window functions or
+broadcast scalar joins so no per-row re-execution exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.sources.tables import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str,
+                      region: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region chain, filtered to one region — a
+    tiny dim (100 rows at sf0.01) that callers broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part MIN-cost supplier. The correlated
+    `cost = (SELECT MIN(...) WHERE partkey = outer.partkey)` subquery
+    is decorrelated to a window MIN over the already-joined frame —
+    one (partkey,suppkey) rollup shuffle + one window shuffle on
+    partkey, vs the naive agg-then-self-join's third scan. Supplier
+    chain and size-filtered part both broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("ps_cost"))
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 15))
+        .select("p_partkey", "p_type")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.l_partkey == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                "ps_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_cost
+FROM ps
+JOIN eu ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 15
+  AND ps_cost = (SELECT MIN(ps2.ps_cost)
+                 FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+                 WHERE ps2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation within a
+    customer region, per year. Conditional aggregation (CASE inside
+    SUM) computes numerator and denominator in ONE pass over the
+    joined frame — no second scan, no self-join. All five dims
+    broadcast; lineitem and orders carry the only shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n2 = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    am_nations = (
+        n2.join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_3", vol
+    ).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(am_nations), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation_vol).cast("double")
+             / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    name-matched part family. Profit = revenue - (retailprice × qty)
+    stand-in cost (no ps_supplycost in the fixtures). The per-row
+    decimal arithmetic keeps the sum order-independent (oracle-exact);
+    part/supplier/nation broadcast, lineitem⋈orders is the one big
+    shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    amount = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        - _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one region's suppliers,
+    kept only where it exceeds a fraction of the total (scalar
+    subquery in HAVING). The rollup is aggregated once; the global
+    total is a 1-row broadcast cross join over the SAME aggregate
+    (AQE reuses the shuffle exchange), so lineitem is scanned once
+    per consumer with no correlated re-execution."""
+    l = load_table(spark, sf_dir, "lineitem")
+    eu = _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
+    pv = (
+        l.join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"),
+               "left_semi")
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select(
+            "part_key", F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.desc("value"), "part_key")
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+WITH pv AS (
+  SELECT l_partkey AS part_key,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+  GROUP BY l_partkey)
+SELECT part_key, CAST(value_dec AS DOUBLE) AS value
+FROM pv
+WHERE CAST(value_dec AS DOUBLE)
+      > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM pv)
+ORDER BY value DESC, part_key
+"""
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain (part family -> heavy
+    shippers -> regional suppliers) decorrelated to broadcast
+    semi-joins. The inner HAVING aggregate shuffles only the
+    part-family slice of lineitem (filter applied before the
+    shuffle); the surviving supplier keys are a tiny broadcast into
+    the dimension chain."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    return (
+        eu.join(F.broadcast(heavy), eu.s_suppkey == heavy.l_suppkey,
+                "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_EXCESS_SUPPLIERS = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)
+ORDER BY s_name
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order. The EXISTS / NOT EXISTS pair over
+    other lineitems of the same order is decorrelated to ONE
+    per-order aggregate (distinct suppliers, distinct late
+    suppliers) — no triple self-join of lineitem: a late l1 row on an
+    order with n_supp >= 2 and n_late_supp == 1 satisfies both
+    quantifiers by construction. Lateness = shipped > 90 days after
+    order date (fixtures carry no commit/receipt dates)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = stats.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    eu = _region_suppliers(spark, sf_dir, "EUROPE").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(qual, "l_orderkey")
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE r_name = 'EUROPE' AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+
+SUPPLY_QUERIES = {
+    "min_cost_supplier": (
+        q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
+        "Q2 shape: correlated MIN decorrelated to window over join"),
+    "market_share": (
+        q_market_share, ORACLE_MARKET_SHARE,
+        "Q8 shape: conditional-agg market-share ratio per year"),
+    "product_profit": (
+        q_product_profit, ORACLE_PRODUCT_PROFIT,
+        "Q9 shape: multi-dim profit rollup by nation x year"),
+    "important_stock": (
+        q_important_stock, ORACLE_IMPORTANT_STOCK,
+        "Q11 shape: fraction-of-total HAVING via broadcast scalar"),
+    "excess_suppliers": (
+        q_excess_suppliers, ORACLE_EXCESS_SUPPLIERS,
+        "Q20 shape: nested IN chain as broadcast semi-joins"),
+    "waiting_suppliers": (
+        q_waiting_suppliers, ORACLE_WAITING_SUPPLIERS,
+        "Q21 shape: EXISTS/NOT EXISTS via one per-order aggregate"),
+}

@@ -277,3 +277,44 @@ def test_salted_agg_two_phase(spark):
     assert "__salt" in plan           # phase-1 grouping key exists
     assert "__salt" not in df.columns  # and never escapes
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q2_min_cost_window_decorrelation(spark):
+    """min_cost_supplier: the correlated MIN must be a window over the
+    joined frame (no third lineitem scan for an agg-then-self-join),
+    with supplier chain and part arriving broadcast."""
+    df = QUERIES["min_cost_supplier"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    fmt = _formatted_plan(df)
+    lineitem_scans = fmt.count("lineitem.parquet")
+    assert lineitem_scans == 1, f"expected 1 lineitem scan, saw {lineitem_scans}"
+
+
+def test_q20_part_filter_before_heavy_shuffle(spark):
+    """excess_suppliers: the shipdate range must be pushed to the
+    lineitem scan so the HAVING rollup shuffles only the slice."""
+    fmt = _formatted_plan(QUERIES["excess_suppliers"].spark(spark, SF_SMOKE))
+    li = [s for s in fmt.split("Scan parquet") if "lineitem.parquet" in s]
+    assert len(li) == 1
+    pushed = [ln for ln in li[0].splitlines() if "PushedFilters" in ln][0]
+    flat = pushed.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in flat
+    assert "LessThan(l_shipdate" in flat
+
+
+def test_q21_single_order_aggregate_two_scans(spark):
+    """waiting_suppliers: the EXISTS/NOT EXISTS pair collapses to one
+    per-order aggregate — lineitem appears at most twice (late rows +
+    stats), never the naive triple self-join."""
+    fmt = _formatted_plan(QUERIES["waiting_suppliers"].spark(spark, SF_SMOKE))
+    li = [s for s in fmt.split("Scan parquet") if "lineitem.parquet" in s]
+    assert len(li) <= 2, f"expected <=2 lineitem scans, saw {len(li)}"
+
+
+def test_q11_scalar_total_is_broadcast(spark):
+    """important_stock: the fraction-of-total comparison arrives as a
+    1-row broadcast (nested-loop over a single row), not a shuffle."""
+    plan = _executed_plan(QUERIES["important_stock"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
