@@ -16,6 +16,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver parses our stdout as JSON. The JVM (Java 17) writes noise
+# like "WARNING: Using incubator modules: jdk.incubator.vector" to fd 1
+# before log4j takes over, which would corrupt the parse. Take ownership
+# of fd 1 before the JVM starts: keep a private dup for the final JSON
+# line and point fd 1 at stderr for everything else (Python and JVM).
+_json_fd = os.dup(1)
+os.dup2(2, 1)
+
 from hummingbird_spark.plans.queries import QUERIES  # noqa: E402
 from hummingbird_spark.session import get_spark  # noqa: E402
 
@@ -124,13 +132,15 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    })
+    os.write(_json_fd, (line + "\n").encode())
+    os.close(_json_fd)
 
 
 if __name__ == "__main__":

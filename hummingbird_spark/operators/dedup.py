@@ -51,8 +51,13 @@ def ensure_kernel_parallelism(df: DataFrame) -> DataFrame:
 def _shingle_rows(df, text_col, id_col, ngram):
     """(id, __s) exploded shingles with tokens materialized FIRST —
     see ngrams_from_tokens' performance contract (inline tokenization
-    inside the ngram lambda re-splits the text per shingle)."""
-    toks = df.select(
+    inside the ngram lambda re-splits the text per shingle).
+
+    The tokenize+explode+hash work runs in the SCAN stage, so a small
+    corpus arriving as one parquet file would serialize it on one core
+    (measured: every downstream stage waited on a single (0+1)/1 task)
+    — spread it across the session's cores first; no-op at scale."""
+    toks = ensure_kernel_parallelism(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__ws")
     )
     return toks.select(
@@ -515,7 +520,7 @@ def tfidf_cosine_pairs(df: DataFrame, text_col: str = "text",
     integer-valued decimals — order-independent, hash-identical across
     engines; the 1e6 scale cancels in the cosine ratio. The final
     divide-by-norms uses the same floor-based quantization."""
-    toks = df.select(
+    toks = ensure_kernel_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )

@@ -249,13 +249,18 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
     )
-    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    # TPC-H Q11 scales its HAVING fraction by 1/SF because the part
+    # count grows with SF; a fixed fraction returns 0 rows at every
+    # scale. Twice-the-mean is the scale-invariant equivalent: the
+    # scalar subquery stays a 1-row broadcast over the SAME aggregate
+    # (AQE reuses pv's shuffle exchange).
+    total = pv.agg(
+        (F.sum("value_dec").cast("double")
+         / F.count(F.lit(1)) * 2.0).alias("threshold")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("value_dec").cast("double")
-            > F.col("total_dec").cast("double") * 0.001
-        )
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
         .select(
             "part_key", F.col("value_dec").cast("double").alias("value")
         )
@@ -276,7 +281,7 @@ WITH pv AS (
 SELECT part_key, CAST(value_dec AS DOUBLE) AS value
 FROM pv
 WHERE CAST(value_dec AS DOUBLE)
-      > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM pv)
+      > (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) * 2.0 FROM pv)
 ORDER BY value DESC, part_key
 """
 

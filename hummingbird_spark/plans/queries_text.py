@@ -382,7 +382,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HASH_SAMPLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
 GROUP BY lang ORDER BY lang
@@ -454,7 +454,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     text to recompute quality scores is the classic accidental 2x.
     Then: dedup agg shuffle, broadcast the tiny keep set back, rollup
     shuffle — 2 shuffles total regardless of corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    d = ensure_kernel_parallelism(load_table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id", "source",
         token_count(F.col("text")).alias("n_tokens"),
@@ -496,7 +498,8 @@ scored AS (
   WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
 ),
 keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp)
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM scored JOIN keep USING (fp, doc_id)
 GROUP BY source ORDER BY source
 """

@@ -119,8 +119,13 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="purchase_ts", right_time="click_ts",
         right_cols=["click_id"],
     )
+    # -1 sentinel for "no prior click": a nullable int column turns
+    # float64 in pandas (1599 -> 1599.0), which hash-diverges from any
+    # engine that keeps ints — the same class of drift as an uncast
+    # DuckDB SUM. Both sides coalesce identically.
     return out.select("user_id", "purchase_id", "purchase_ts",
-                      "purchase_value", "click_id",
+                      "purchase_value",
+                      F.coalesce("click_id", F.lit(-1)).alias("click_id"),
                       F.col("click_ts_right").alias("click_ts"))
 
 
@@ -134,7 +139,7 @@ WITH purchases AS (
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 )
 SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
-       c.click_id, c.click_ts
+       COALESCE(c.click_id, -1) AS click_id, c.click_ts
 FROM purchases p
 ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts

@@ -76,6 +76,25 @@ def test_query_matches_oracle(spark, duck, name):
         f"{mismatches[0]}"
     )
 
+    # The driver hashes values through pandas, where DuckDB HUGEINT
+    # (e.g. an uncast SUM over integers) materializes as float64 —
+    # "1791.0" vs Spark's "1791" hash-differently even though fetchall
+    # compares equal above (this exact drift failed priority_linestatus
+    # in round 1). Flag any integral Spark column whose oracle side
+    # would go through pandas as floating.
+    int_spark = {
+        f.name for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("int", "bigint", "smallint",
+                                         "tinyint")
+    }
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    for col in int_spark:
+        assert not str(duck_pdf[col].dtype).startswith("float"), (
+            f"{name}: oracle column {col!r} becomes {duck_pdf[col].dtype}"
+            f" in pandas but Spark returns an integer type — add an"
+            f" explicit CAST(... AS BIGINT) in the oracle SQL"
+        )
+
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must execute and return a schema."""
