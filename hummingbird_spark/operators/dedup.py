@@ -178,7 +178,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (a, b) pairs:
     |A ∩ B| / |A ∪ B| via two broadcast-friendly joins on the pair ids."""
-    sets = df.select(
+    sets = ensure_kernel_parallelism(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__ws")
     ).select(
         F.col(id_col),

@@ -256,7 +256,9 @@ def apply_cdc_batch(
     else:
         target = _empty_target(spark, schema)
 
-    m = reduced.withColumnRenamed("key", "__key").cache()
+    # no cache: the flat merge reads the models exactly once (the
+    # bucketed variant caches because it reuses them for bucket listing)
+    m = reduced.withColumnRenamed("key", "__key")
     result = _merge_survivors(target, m, key, schema)
 
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -264,7 +266,6 @@ def apply_cdc_batch(
     if os.path.exists(target_path):
         shutil.rmtree(target_path)
     os.rename(tmp, target_path)
-    m.unpersist()
 
 
 def _merge_survivors(
