@@ -74,3 +74,20 @@ def test_bucketed_join_has_no_shuffle(spark):
     plain = orders.hint("merge").join(lineitem, "o_orderkey")
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plain_plan
+
+
+def test_bucketed_groupby_has_no_shuffle(spark):
+    """Aggregation on the bucket key also skips the exchange: partial
+    and final aggregation collapse into one stage per bucket — the
+    second big win of paying the bucketed write once."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    write_bucketed(orders, "b_orders_agg", "o_orderkey", buckets=8)
+    agg = (
+        spark.table("b_orders_agg")
+        .groupBy("o_orderkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert agg.count() == orders.select("o_orderkey").distinct().count()
+    spark.sql("DROP TABLE IF EXISTS b_orders_agg")
