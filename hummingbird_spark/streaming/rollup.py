@@ -1,0 +1,172 @@
+"""Continuous aggregate: an incrementally-maintained windowed rollup
+table (the "hypertable rollup" custom-operator class — TimescaleDB
+continuous aggregates / Druid rollup expressed Spark-first).
+
+The reference maintains running counters as it streams (apply tallies,
+oplog_utils.go:79-85; progress rollups, workspace.go:177-187). The
+analytics generalization: a persistent table of per-(window, key)
+aggregates that each micro-batch UPDATES in place, so dashboard-style
+queries read the tiny rollup, never the raw stream history.
+
+Design for 100 TB of events:
+  - each micro-batch pre-aggregates to partial sums FIRST (map-side
+    combine inside the batch: the merge joins |windows x keys| rows,
+    never |events| rows),
+  - the rollup table is keyed (window_start, key); merging is an
+    upsert that ADDS partials to stored sums — commutative and
+    associative, so batch boundaries don't matter,
+  - idempotent replay: a batch-id ledger makes re-delivered batches
+    (checkpoint recovery re-runs the last uncommitted batch) no-ops —
+    the plain-parquet stand-in for a transactional sink's exactly-once,
+  - only SUM/COUNT-decomposable aggregates belong here (avg = sum ÷
+    count at read time); MIN/MAX merge too, quantiles need sketches.
+
+The same merge body targets Delta/Iceberg `MERGE INTO` in production;
+on plain parquet the table is small (it is a rollup), so the rewrite
+per batch is the rollup's size, not the stream's.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def window_rollup_partials(
+    batch: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """One micro-batch -> partial aggregates per (window_start, key).
+    Runs map-side combine + one small shuffle over the BATCH only."""
+    return (
+        batch.groupBy(
+            F.window(F.col(ts_col), window).alias("__w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+            F.min(F.col(value_col).cast("double")).alias("min_value"),
+            F.max(F.col(value_col).cast("double")).alias("max_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "key", "n_events", "sum_value", "min_value", "max_value",
+        )
+    )
+
+
+def merge_rollup_batch(
+    spark: SparkSession,
+    partials: DataFrame,
+    rollup_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Upsert partial aggregates into the persistent rollup table:
+
+      MERGE INTO rollup USING partials
+        ON rollup.window_start = partials.window_start
+       AND rollup.key = partials.key
+      WHEN MATCHED THEN UPDATE SET n += n, sum += sum,
+                                   min = least(...), max = greatest(...)
+      WHEN NOT MATCHED THEN INSERT *
+
+    `batch_id` (from foreachBatch) is recorded in a ledger file; an
+    already-applied id is skipped, making checkpoint-recovery replays
+    idempotent even though += is not."""
+    ledger = os.path.join(rollup_path + ".ledger")
+    if batch_id is not None and os.path.exists(ledger):
+        with open(ledger) as fh:
+            if str(batch_id) in fh.read().split():
+                return
+
+    p = partials.withColumnRenamed("window_start", "__ws") \
+        .withColumnRenamed("key", "__k")
+    if os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+        cur = spark.read.parquet(rollup_path)
+        merged = cur.join(
+            p,
+            (cur.window_start == p.__ws) & (cur.key == p.__k),
+            "full_outer",
+        ).select(
+            F.coalesce(cur.window_start, p.__ws).alias("window_start"),
+            F.coalesce(cur.key, p.__k).alias("key"),
+            (F.coalesce(cur.n_events, F.lit(0))
+             + F.coalesce(p.n_events, F.lit(0))).alias("n_events"),
+            (F.coalesce(cur.sum_value, F.lit(0.0))
+             + F.coalesce(p.sum_value, F.lit(0.0))).alias("sum_value"),
+            # Spark's least/greatest skip nulls already; the coalesce
+            # covers the all-null side of the full outer join explicitly
+            F.coalesce(
+                F.least(cur.min_value, p.min_value),
+                cur.min_value, p.min_value,
+            ).alias("min_value"),
+            F.coalesce(
+                F.greatest(cur.max_value, p.max_value),
+                cur.max_value, p.max_value,
+            ).alias("max_value"),
+        )
+    else:
+        merged = p.select(
+            F.col("__ws").alias("window_start"),
+            F.col("__k").alias("key"),
+            "n_events", "sum_value", "min_value", "max_value",
+        )
+
+    tmp = f"{rollup_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(rollup_path):
+        shutil.rmtree(rollup_path)
+    os.rename(tmp, rollup_path)
+    if batch_id is not None:
+        with open(ledger, "a") as fh:
+            fh.write(f"{batch_id} ")
+
+
+def start_continuous_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_path: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    value_col: str = "value",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source stream -> per-batch partials -> rollup merge. The
+    rollup is queryable (spark.read.parquet) while the stream runs."""
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        partials = window_rollup_partials(
+            batch_df, ts_col=ts_col, key_col=key_col,
+            window=window, value_col=value_col,
+        )
+        merge_rollup_batch(spark, partials, rollup_path, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or rollup_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The query surface: avg reconstructed from decomposable parts."""
+    r = spark.read.parquet(rollup_path)
+    return r.select(
+        "window_start", "key", "n_events", "sum_value",
+        "min_value", "max_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )

@@ -1,0 +1,118 @@
+"""Continuous aggregate (streaming/rollup.py): the incrementally
+maintained windowed rollup must equal a from-scratch batch aggregation
+of everything ingested so far, and replaying a batch (checkpoint
+recovery) must change nothing."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hummingbird_spark.streaming.rollup import (
+    merge_rollup_batch,
+    read_rollup,
+    start_continuous_rollup,
+    window_rollup_partials,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(path, rows):
+    with open(path, "w") as fh:
+        for ts, et, v in rows:
+            fh.write(json.dumps({"ts": ts, "event_type": et, "value": v})
+                     + "\n")
+
+
+def _batch1():
+    return [
+        ("2024-01-01T00:05:00", "click", 1.0),
+        ("2024-01-01T00:20:00", "click", 3.0),
+        ("2024-01-01T00:40:00", "view", 10.0),
+        ("2024-01-01T01:10:00", "click", 5.0),
+    ]
+
+
+def _batch2():
+    return [
+        ("2024-01-01T00:50:00", "click", 7.0),   # same window as batch1
+        ("2024-01-01T01:30:00", "view", 2.0),
+        ("2024-01-01T02:15:00", "click", 4.0),   # new window
+    ]
+
+
+def _expected(spark, rows):
+    df = spark.createDataFrame(
+        [(r[0].replace("T", " "), r[1], r[2]) for r in rows],
+        "ts string, event_type string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    return {
+        (r.window_start, r.key): (r.n_events, r.sum_value, r.min_value,
+                                  r.max_value)
+        for r in window_rollup_partials(df).collect()
+    }
+
+
+def _actual(spark, path):
+    return {
+        (r.window_start, r.key): (r.n_events, r.sum_value, r.min_value,
+                                  r.max_value)
+        for r in read_rollup(spark, path).collect()
+    }
+
+
+def test_incremental_equals_batch_recompute(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup.parquet")
+
+    _write_events(src / "b1.json", _batch1())
+    q = start_continuous_rollup(spark, str(src), rollup, EVENT_SCHEMA)
+    q.awaitTermination(120)
+    assert _actual(spark, rollup) == _expected(spark, _batch1())
+
+    _write_events(src / "b2.json", _batch2())
+    q = start_continuous_rollup(spark, str(src), rollup, EVENT_SCHEMA)
+    q.awaitTermination(120)
+    assert _actual(spark, rollup) == _expected(
+        spark, _batch1() + _batch2()
+    )
+    # avg is reconstructed from decomposable parts
+    avgs = {
+        (r.window_start, r.key): r.avg_value
+        for r in read_rollup(spark, rollup).collect()
+    }
+    for k, (n, s, _mn, _mx) in _actual(spark, rollup).items():
+        assert abs(avgs[k] - s / n) < 1e-12
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    rollup = str(tmp_path / "rollup.parquet")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click", 1.0),
+         ("2024-01-01 00:20:00", "click", 3.0)],
+        "ts string, event_type string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    partials = window_rollup_partials(df)
+
+    merge_rollup_batch(spark, partials, rollup, batch_id=0)
+    once = _actual(spark, rollup)
+    # checkpoint-recovery replay of the same batch id: must be a no-op
+    merge_rollup_batch(spark, partials, rollup, batch_id=0)
+    assert _actual(spark, rollup) == once
+    # a NEW batch id with the same content does apply (+= semantics)
+    merge_rollup_batch(spark, partials, rollup, batch_id=1)
+    twice = _actual(spark, rollup)
+    key = ("2024-01-01 00:00:00", "click")
+    assert {k[1] for k in twice} == {"click"}
+    (n, s, mn, mx) = list(twice.values())[0]
+    assert n == 2 * list(once.values())[0][0]
+    assert s == 2 * list(once.values())[0][1]
+    assert (mn, mx) == (1.0, 3.0)

@@ -1,0 +1,116 @@
+"""Z-order clustering (operators/zorder.py): measure the data-skipping
+claim directly from parquet footer stats — no hoping, no mocks.
+
+Layout A: lineitem linear-sorted by l_partkey.
+Layout B: lineitem z-ordered on (l_partkey, l_suppkey).
+
+For a box predicate on BOTH dimensions, the fraction of files whose
+footer min/max overlaps the box must be materially smaller under
+z-order; under linear sort a predicate on the SECOND dimension alone
+prunes (almost) nothing."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.zorder import cluster_by_zorder, zvalue_column
+from tests.conftest import SF_SMOKE
+
+N_FILES = 16
+
+
+def _overlap_fraction(path: str, box: dict[str, tuple[float, float]]) -> float:
+    """Fraction of parquet files whose per-file min/max stats overlap
+    the query box on EVERY dimension (a file is read iff it overlaps)."""
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert files
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in box and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        overlaps = all(
+            mins[c] <= hi and maxs[c] >= lo
+            for c, (lo, hi) in box.items()
+        )
+        hit += overlaps
+    return hit / len(files)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    linear = str(base / "linear")
+    zord = str(base / "zorder")
+    (li.repartitionByRange(N_FILES, "l_partkey")
+       .sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(linear))
+    (cluster_by_zorder(li, ["l_partkey", "l_suppkey"], num_files=N_FILES)
+       .write.mode("overwrite").parquet(zord))
+    return li, linear, zord
+
+
+def test_zorder_prunes_second_dimension(spark, layouts):
+    li, linear, zord = layouts
+    # a small box in both dimensions (~10% of each key range)
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    box = {
+        "l_partkey": (1, max(2, pk_hi // 10)),
+        "l_suppkey": (1, max(2, sk_hi // 10)),
+    }
+    lin_frac = _overlap_fraction(linear, {"l_suppkey": box["l_suppkey"]})
+    z_frac = _overlap_fraction(zord, box)
+    # linear layout cannot prune on the non-sort dimension
+    assert lin_frac > 0.9, f"unexpected pruning on linear layout: {lin_frac}"
+    # z-order prunes the 2-D box to a minority of files
+    assert z_frac < 0.5, f"z-order pruned too little: {z_frac}"
+
+
+def test_zorder_preserves_rows(spark, layouts):
+    li, _linear, zord = layouts
+    before = li.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    z = spark.read.parquet(zord)
+    after = z.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+
+
+def test_zvalue_orders_locally(spark):
+    """Morton property: points close in BOTH dims get close z-values —
+    verify the interleave on a known 4x4 grid: z(0,0)=0, z(1,0)=1,
+    z(0,1)=2, z(1,1)=3 (bit i of dim d at position i*ndims+d)."""
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    # bits=2, identity domain [0,3] -> grid == raw values
+    rows = df.withColumn(
+        "z",
+        # use the internal interleave directly via zvalue_column on a
+        # frame whose min/max are 0/3 so cells == values
+        zvalue_column(df, ["x", "y"], bits=2),
+    ).collect()
+    got = {(r.x, r.y): r.z for r in rows}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(3, 3)] == 15
