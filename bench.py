@@ -181,6 +181,46 @@ def main() -> None:
         reduced = reduce_write_models(decode_write_models(oplogs))
         apply_cdc_batch(spark, reduced, f"{work}/cdc.parquet", "_id", schema)
         timings["cdc_apply_20k_events"] = round(time.perf_counter() - t0, 4)
+
+        # z-order clustering write: lineitem on (partkey, suppkey) —
+        # the lakehouse maintenance job (OPTIMIZE ZORDER equivalent)
+        from hummingbird_spark.operators.zorder import cluster_by_zorder
+        from hummingbird_spark.sources.tables import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice",
+        )
+        t0 = time.perf_counter()
+        cluster_by_zorder(li, ["l_partkey", "l_suppkey"], num_files=32) \
+            .write.mode("overwrite").parquet(f"{work}/zorder")
+        timings["zorder_cluster_lineitem"] = round(
+            time.perf_counter() - t0, 4
+        )
+
+        # continuous rollup: maintain the hourly per-type aggregate over
+        # the events table applied as two half-corpus micro-batches
+        from hummingbird_spark.streaming.rollup import (
+            merge_rollup_batch, window_rollup_partials,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "ts", "event_type", "value", "event_id"
+        )
+        half1 = ev.filter(F.col("event_id") % 2 == 0).drop("event_id")
+        half2 = ev.filter(F.col("event_id") % 2 == 1).drop("event_id")
+        t0 = time.perf_counter()
+        merge_rollup_batch(
+            spark, window_rollup_partials(half1),
+            f"{work}/rollup.parquet", batch_id=0,
+        )
+        merge_rollup_batch(
+            spark, window_rollup_partials(half2),
+            f"{work}/rollup.parquet", batch_id=1,
+        )
+        timings["continuous_rollup_events"] = round(
+            time.perf_counter() - t0, 4
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -1,0 +1,175 @@
+"""Mongo aggregation-pipeline -> DataFrame translator (SURVEY §2.4).
+
+The reference issues aggregation pipelines in two places:
+
+    [{"$sort": {"status": 1}},
+     {"$group": {"_id": "$status", "count": {"$sum": 1}}}]
+        — task-status rollup, workspace.go:214-256 (A1)
+
+    [{"$sample": {"size": 3629}},
+     {"$group": {"_id": "$color", "total": {"$sum": 1}}}]
+        — simulator read load, sim.go:244-247 (A5)
+
+This module translates that pipeline dialect into DataFrame plans, the
+same way filters.py translates find() filters — so a user of the
+reference can run their pipelines unchanged. Every stage maps to a
+declarative operation (Catalyst optimizes the composition; e.g. a
+$match after $project still pushes to the scan when it references
+scanned columns).
+
+Supported stages:
+  $match    -> df.filter(mongo_filter_to_column(...))
+  $project  -> select (1/0 includes, "$field" renames)
+  $addFields/$set -> withColumn ("$field" refs)
+  $group    -> groupBy(_id).agg(...); accumulators: $sum $avg $min
+               $max $first $last $push $addToSet $count
+               ($sum: 1 is COUNT, $sum: "$f" is SUM — the reference
+               uses the former)
+  $sort     -> orderBy (1 asc, -1 desc)
+  $skip     -> offset
+  $limit    -> limit
+  $count    -> count aggregate with the given alias
+  $unwind   -> explode ("$field" or {path, preserveNullAndEmptyArrays})
+  $sample   -> deterministic-seed shuffle-sample (size semantics;
+               NONDETERMINISTIC in Mongo — seeded here for testability)
+
+Group `_id` forms: None (global), "$field", {alias: "$field", ...}
+(compound key). The output column is named `_id` exactly as Mongo
+returns it; compound keys become a struct column.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hummingbird_spark.filters import mongo_filter_to_column
+
+_SEED = 3629  # the reference's web port — fixed seed for $sample
+
+
+def _ref(expr: Any) -> Column:
+    """'$field' -> column reference; scalar -> literal."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return F.col(expr[1:])
+    return F.lit(expr)
+
+
+def _accumulator(spec: dict) -> Column:
+    if not (isinstance(spec, dict) and len(spec) == 1):
+        raise ValueError(f"unsupported accumulator: {spec!r}")
+    op, arg = next(iter(spec.items()))
+    if op == "$sum":
+        # {$sum: 1} counts; {$sum: "$f"} sums (workspace.go:224 uses 1)
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            if arg == 1:
+                return F.count(F.lit(1))
+            return F.sum(F.lit(arg))
+        return F.sum(_ref(arg))
+    if op == "$avg":
+        return F.avg(_ref(arg))
+    if op == "$min":
+        return F.min(_ref(arg))
+    if op == "$max":
+        return F.max(_ref(arg))
+    if op == "$first":
+        return F.first(_ref(arg))
+    if op == "$last":
+        return F.last(_ref(arg))
+    if op == "$push":
+        return F.collect_list(_ref(arg))
+    if op == "$addToSet":
+        return F.collect_set(_ref(arg))
+    if op == "$count":
+        return F.count(F.lit(1))
+    raise ValueError(f"unsupported accumulator: {op}")
+
+
+def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
+    gid = spec["_id"]
+    if gid is None:
+        keyed = df.withColumn("_id", F.lit(None).cast("string"))
+    elif isinstance(gid, str):
+        keyed = df.withColumn("_id", _ref(gid))
+    elif isinstance(gid, dict):
+        keyed = df.withColumn(
+            "_id",
+            F.struct(*[_ref(v).alias(k) for k, v in gid.items()]),
+        )
+    else:
+        raise ValueError(f"unsupported $group _id: {gid!r}")
+    aggs = [
+        _accumulator(acc).alias(name)
+        for name, acc in spec.items()
+        if name != "_id"
+    ]
+    return keyed.groupBy("_id").agg(*aggs)
+
+
+def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
+    includes: list[Column] = []
+    excludes: list[str] = []
+    has_include = False
+    for name, v in spec.items():
+        if v in (0, False):
+            excludes.append(name)
+        elif v in (1, True):
+            has_include = True
+            includes.append(F.col(name))
+        else:  # rename / computed: {"alias": "$field"}
+            has_include = True
+            includes.append(_ref(v).alias(name))
+    if has_include:
+        if "_id" in df.columns and "_id" not in spec:
+            includes.insert(0, F.col("_id"))  # _id is implicit in Mongo
+        return df.select(*includes)
+    return df.drop(*excludes)
+
+
+def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
+    if isinstance(spec, str):
+        path, preserve = spec[1:], False
+    else:
+        path = spec["path"][1:]
+        preserve = bool(spec.get("preserveNullAndEmptyArrays"))
+    fn = F.explode_outer if preserve else F.explode
+    return df.withColumn(path, fn(F.col(path)))
+
+
+def mongo_pipeline_to_df(df: DataFrame, stages: list[dict]) -> DataFrame:
+    """Apply an aggregation pipeline to a DataFrame, stage by stage."""
+    out = df
+    for stage in stages:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise ValueError(f"each stage must have exactly one key: {stage!r}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.filter(mongo_filter_to_column(spec))
+        elif op == "$group":
+            out = _apply_group(out, spec)
+        elif op == "$project":
+            out = _apply_project(out, spec)
+        elif op in ("$addFields", "$set"):
+            for name, v in spec.items():
+                out = out.withColumn(name, _ref(v))
+        elif op == "$sort":
+            out = out.orderBy(*[
+                F.col(c).asc() if d >= 0 else F.col(c).desc()
+                for c, d in spec.items()
+            ])
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$unwind":
+            out = _apply_unwind(out, spec)
+        elif op == "$sample":
+            n = int(spec["size"])
+            out = out.orderBy(F.xxhash64(F.rand(_SEED))).limit(n)
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op}")
+    return out

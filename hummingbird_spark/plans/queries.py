@@ -241,6 +241,27 @@ FROM orders GROUP BY o_orderstatus ORDER BY status
 """
 
 
+def q_pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 verbatim THROUGH the aggregation-pipeline translator: the
+    reference's exact pipeline document (workspace.go:221-227) run
+    unchanged against the orders fixture. Same plan as the native
+    groupBy — the translator emits declarative ops, so Catalyst sees no
+    difference."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    return mongo_pipeline_to_df(load_table(spark, sf_dir, "orders"), [
+        {"$sort": {"o_orderstatus": 1}},
+        {"$group": {"_id": "$o_orderstatus", "count": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+ORACLE_PIPELINE_STATUS = """
+SELECT o_orderstatus AS _id, COUNT(*) AS count
+FROM orders GROUP BY o_orderstatus ORDER BY _id
+"""
+
+
 def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
@@ -1313,6 +1334,9 @@ QUERIES: dict[str, QuerySpec] = {
     "mask_default": QuerySpec(q_mask_default, ORACLE_MASK_DEFAULT, "F9"),
     "mask_partial": QuerySpec(q_mask_partial, ORACLE_MASK_PARTIAL, "F10"),
     "mask_hex": QuerySpec(q_mask_hex, ORACLE_MASK_HEX, "F11 (salted-hash deviation)"),
+    "pipeline_status_rollup": QuerySpec(
+        q_pipeline_status_rollup, ORACLE_PIPELINE_STATUS,
+        "A1 via the Mongo aggregation-pipeline translator"),
     "status_counts": QuerySpec(q_status_counts, ORACLE_STATUS_COUNTS, "A1"),
     "event_type_counts": QuerySpec(q_event_type_counts, ORACLE_EVENT_TYPE_COUNTS,
                                    "A1+distinct agg"),
@@ -1414,6 +1438,8 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
+    # added in round 2
+    "pipeline_status_rollup",
     # r1 hash mismatch (oracle SUM(int)->HUGEINT->float64; now cast)
     "priority_linestatus",
     # r1 rows 51-83: never reached by the correctness harness

@@ -1,0 +1,146 @@
+"""Mongo aggregation-pipeline translator (pipeline.py): the reference's
+own pipelines (workspace.go:214-256, sim.go:244-247) plus the stage
+surface, checked against hand-written DataFrame results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hummingbird_spark.pipeline import mongo_pipeline_to_df
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def test_status_count_pipeline(spark, orders):
+    """The A1 rollup verbatim: [{$sort: {status: 1}},
+    {$group: {_id: "$status", count: {$sum: 1}}}]."""
+    out = mongo_pipeline_to_df(orders, [
+        {"$sort": {"o_orderstatus": 1}},
+        {"$group": {"_id": "$o_orderstatus", "count": {"$sum": 1}}},
+    ])
+    got = {r._id: r["count"] for r in out.collect()}
+    want = {r.o_orderstatus: r["count"] for r in
+            orders.groupBy("o_orderstatus").count().collect()}
+    assert got == want
+
+
+def test_match_group_sum_avg(spark, orders):
+    out = mongo_pipeline_to_df(orders, [
+        {"$match": {"o_orderstatus": "F",
+                    "o_totalprice": {"$gt": 1000}}},
+        {"$group": {"_id": "$o_orderpriority",
+                    "total": {"$sum": "$o_totalprice"},
+                    "mean": {"$avg": "$o_totalprice"},
+                    "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+    want = (
+        orders.filter((F.col("o_orderstatus") == "F")
+                      & (F.col("o_totalprice") > 1000))
+        .groupBy(F.col("o_orderpriority").alias("_id"))
+        .agg(F.sum("o_totalprice").alias("total"),
+             F.avg("o_totalprice").alias("mean"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("_id")
+    )
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_project_skip_limit(spark, orders):
+    out = mongo_pipeline_to_df(orders, [
+        {"$sort": {"o_orderkey": 1}},
+        {"$project": {"o_orderkey": 1, "price": "$o_totalprice"}},
+        {"$skip": 5},
+        {"$limit": 3},
+    ])
+    rows = out.collect()
+    assert out.columns == ["o_orderkey", "price"]
+    want = [r.o_orderkey for r in
+            orders.orderBy("o_orderkey").limit(8).collect()][5:]
+    assert [r.o_orderkey for r in rows] == want
+
+
+def test_exclusion_project(spark, orders):
+    out = mongo_pipeline_to_df(orders, [
+        {"$project": {"o_comment": 0}},
+    ])
+    assert "o_comment" not in out.columns
+    assert "o_orderkey" in out.columns
+
+
+def test_count_stage(spark, orders):
+    out = mongo_pipeline_to_df(orders, [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$count": "n_open"},
+    ])
+    assert out.columns == ["n_open"]
+    assert out.collect()[0].n_open == \
+        orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_unwind_and_compound_group(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 2]), ("b", [3]), ("c", [])],
+        "k string, xs array<int>",
+    )
+    out = mongo_pipeline_to_df(df, [
+        {"$unwind": "$xs"},
+        {"$group": {"_id": {"key": "$k", "x": "$xs"},
+                    "n": {"$sum": 1}}},
+    ])
+    got = {(r._id.key, r._id.x): r.n for r in out.collect()}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 3): 1}
+    # preserveNullAndEmptyArrays keeps 'c'
+    kept = mongo_pipeline_to_df(df, [
+        {"$unwind": {"path": "$xs", "preserveNullAndEmptyArrays": True}},
+    ])
+    assert kept.filter(F.col("k") == "c").count() == 1
+
+
+def test_global_group_and_addfields(spark, orders):
+    out = mongo_pipeline_to_df(orders, [
+        {"$addFields": {"double_price": "$o_totalprice"}},
+        {"$group": {"_id": None,
+                    "mx": {"$max": "$double_price"},
+                    "mn": {"$min": "$o_totalprice"}}},
+    ])
+    r = out.collect()[0]
+    agg = orders.agg(F.max("o_totalprice"), F.min("o_totalprice")).collect()[0]
+    assert (r.mx, r.mn) == (agg[0], agg[1])
+
+
+def test_sample_pipeline(spark, orders):
+    """A5 shape: sample then group — size respected, deterministic
+    under the fixed seed (declared deviation: Mongo's $sample is
+    nondeterministic)."""
+    out1 = mongo_pipeline_to_df(orders, [
+        {"$sample": {"size": 100}},
+        {"$group": {"_id": "$o_orderstatus", "total": {"$sum": 1}}},
+    ])
+    total = sum(r.total for r in out1.collect())
+    assert total == 100
+
+
+def test_push_and_addtoset(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "k string, v int"
+    )
+    out = mongo_pipeline_to_df(df, [
+        {"$group": {"_id": "$k",
+                    "vals": {"$push": "$v"},
+                    "uniq": {"$addToSet": "$v"}}},
+    ])
+    r = out.collect()[0]
+    assert sorted(r.vals) == [1, 1, 2]
+    assert sorted(r.uniq) == [1, 2]
+
+
+def test_unsupported_stage_raises(spark, orders):
+    with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        mongo_pipeline_to_df(orders, [{"$lookup": {}}])
