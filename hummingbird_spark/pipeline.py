@@ -32,6 +32,9 @@ Supported stages:
   $unwind   -> explode ("$field" or {path, preserveNullAndEmptyArrays})
   $sample   -> deterministic-seed shuffle-sample (size semantics;
                NONDETERMINISTIC in Mongo — seeded here for testability)
+  $lookup   -> pre-aggregated left join (array-of-docs semantics);
+               foreign frames passed via the `tables` argument
+  $sortByCount -> group + count + desc sort (Mongo's exact contract)
 
 Group `_id` forms: None (global), "$field", {alias: "$field", ...}
 (compound key). The output column is named `_id` exactly as Mongo
@@ -138,8 +141,45 @@ def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     return df.withColumn(path, fn(F.col(path)))
 
 
-def mongo_pipeline_to_df(df: DataFrame, stages: list[dict]) -> DataFrame:
-    """Apply an aggregation pipeline to a DataFrame, stage by stage."""
+def _apply_lookup(df: DataFrame, spec: dict,
+                  tables: dict[str, DataFrame] | None) -> DataFrame:
+    """$lookup (equality form): left outer join where each left row
+    gains an ARRAY of matching foreign docs under `as` — expressed as
+    pre-aggregate-then-join so the join carries one row per foreign
+    key (no fan-out, broadcastable when the rolled-up side is small):
+
+        foreign.groupBy(foreignField).agg(collect_list(struct(*)))
+        left join on localField == foreignField
+        coalesce(matches, []) AS as
+
+    Mongo semantics preserved: no match -> empty array, not NULL."""
+    if not tables or spec["from"] not in tables:
+        raise ValueError(
+            f"$lookup from {spec.get('from')!r}: pass the foreign frame "
+            f"via mongo_pipeline_to_df(..., tables={{name: df}})"
+        )
+    foreign = tables[spec["from"]]
+    local, fkey, alias = spec["localField"], spec["foreignField"], spec["as"]
+    rolled = (
+        foreign.groupBy(F.col(fkey).alias("__lk"))
+        .agg(F.collect_list(F.struct(*foreign.columns)).alias("__docs"))
+    )
+    joined = df.join(rolled, df[local] == rolled["__lk"], "left")
+    empty = F.array().cast(
+        dict(joined.dtypes)["__docs"]
+    )
+    return joined.withColumn(
+        alias, F.coalesce(F.col("__docs"), empty)
+    ).drop("__lk", "__docs")
+
+
+def mongo_pipeline_to_df(
+    df: DataFrame,
+    stages: list[dict],
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Apply an aggregation pipeline to a DataFrame, stage by stage.
+    `tables` names the foreign frames $lookup may reference."""
     out = df
     for stage in stages:
         if not (isinstance(stage, dict) and len(stage) == 1):
@@ -170,6 +210,14 @@ def mongo_pipeline_to_df(df: DataFrame, stages: list[dict]) -> DataFrame:
         elif op == "$sample":
             n = int(spec["size"])
             out = out.orderBy(F.xxhash64(F.rand(_SEED))).limit(n)
+        elif op == "$lookup":
+            out = _apply_lookup(out, spec, tables)
+        elif op == "$sortByCount":
+            out = (
+                out.withColumn("_id", _ref(spec))
+                .groupBy("_id").agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), F.col("_id"))
+            )
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out

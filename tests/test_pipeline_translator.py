@@ -143,4 +143,50 @@ def test_push_and_addtoset(spark):
 
 def test_unsupported_stage_raises(spark, orders):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        mongo_pipeline_to_df(orders, [{"$lookup": {}}])
+        mongo_pipeline_to_df(orders, [{"$facet": {}}])
+
+
+def test_lookup_array_semantics(spark):
+    """$lookup: each left row gains an ARRAY of matching docs; no match
+    yields an empty array (never NULL) — Mongo's exact contract."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, k string"
+    )
+    foreign = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "fk string, v int"
+    )
+    out = mongo_pipeline_to_df(left, [
+        {"$lookup": {"from": "other", "localField": "k",
+                     "foreignField": "fk", "as": "matches"}},
+        {"$sort": {"id": 1}},
+    ], tables={"other": foreign})
+    rows = out.collect()
+    assert [len(r.matches) for r in rows] == [2, 1, 0]
+    assert rows[2].matches == []           # empty array, not None
+    assert sorted(m.v for m in rows[0].matches) == [10, 11]
+    # unwind composes: $lookup + $unwind == a plain inner/outer join
+    flat = mongo_pipeline_to_df(left, [
+        {"$lookup": {"from": "other", "localField": "k",
+                     "foreignField": "fk", "as": "m"}},
+        {"$unwind": "$m"},
+    ], tables={"other": foreign})
+    assert flat.count() == 3
+
+
+def test_lookup_without_tables_raises(spark, orders):
+    with pytest.raises(ValueError, match="lookup"):
+        mongo_pipeline_to_df(orders, [
+            {"$lookup": {"from": "x", "localField": "a",
+                         "foreignField": "b", "as": "c"}},
+        ])
+
+
+def test_sortbycount(spark, orders):
+    out = mongo_pipeline_to_df(orders, [{"$sortByCount": "$o_orderstatus"}])
+    rows = out.collect()
+    want = sorted(
+        [(r.o_orderstatus, r["count"]) for r in
+         orders.groupBy("o_orderstatus").count().collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r._id, r["count"]) for r in rows] == want
