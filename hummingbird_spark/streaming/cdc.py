@@ -235,12 +235,76 @@ def _empty_target(spark: SparkSession, schema: T.StructType) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _py_to_spark_type(v) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()  # str / nested / mixed -> string passthrough
+
+
+def evolve_schema(
+    models: DataFrame, schema: T.StructType, sample: int = 200
+) -> T.StructType:
+    """Schema evolution for the schemaless source (SURVEY §1.2): the
+    reference copies BSON verbatim, so a document may carry fields the
+    target has never seen. Scan the batch's models for JSON keys
+    outside `schema` and append them as nullable columns (type
+    inferred from a bounded driver-side sample of values; conflicting
+    or nested types degrade to string — the documented escape hatch).
+
+    Cost shape: one distinct-keys aggregation over the micro-batch
+    (bounded), plus `sample` rows collected for typing; never touches
+    the target table. Existing columns NEVER change type — evolution
+    is strictly additive, like parquet mergeSchema / Delta autoMerge."""
+    known = {f.name for f in schema.fields}
+    keys = (
+        models.select(F.explode(F.coalesce(
+            F.json_object_keys("doc"),
+            F.json_object_keys("set_json"),
+        )).alias("k"))
+        .filter(~F.col("k").isin(*known))
+        .distinct()
+    )
+    new_keys = [r.k for r in keys.collect()]
+    if not new_keys:
+        return schema
+    docs = [
+        r[0]
+        for r in models.select(F.coalesce("doc", "set_json"))
+        .filter(F.coalesce("doc", "set_json").isNotNull())
+        .limit(sample).collect()
+    ]
+    inferred: dict[str, T.DataType] = {}
+    for d in docs:
+        try:
+            obj = json.loads(d)
+        except (ValueError, TypeError):
+            continue
+        for k in new_keys:
+            if k in obj and obj[k] is not None:
+                t = _py_to_spark_type(obj[k])
+                prev = inferred.get(k)
+                if prev is None:
+                    inferred[k] = t
+                elif prev != t:
+                    inferred[k] = T.StringType()  # conflict -> string
+    fields = list(schema.fields) + [
+        T.StructField(k, inferred.get(k, T.StringType()), True)
+        for k in new_keys
+    ]
+    return T.StructType(fields)
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     reduced: DataFrame,
     target_path: str,
     key: str,
     schema: T.StructType,
+    evolve: bool = False,
 ) -> None:
     """Merge one micro-batch's reduced write models into a parquet
     target — the plain-parquet equivalent of
@@ -250,9 +314,21 @@ def apply_cdc_batch(
        WHEN MATCHED AND action='patch'  THEN UPDATE SET <set/unset fields>
        WHEN NOT MATCHED AND action IN ('replace','patch-as-noop') THEN INSERT`
     (BulkWriteOplogs semantics, oplog_utils.go:110-197).
+
+    `evolve=True` widens the schema with fields first seen in this
+    batch (schemaless-source parity — see evolve_schema); pre-existing
+    target rows carry NULL for the new columns.
     """
+    if evolve:
+        schema = evolve_schema(reduced, schema)
+
     if os.path.exists(os.path.join(target_path, "_SUCCESS")):
         target = spark.read.parquet(target_path)
+        missing = [f for f in schema.fields if f.name not in target.columns]
+        for f in missing:
+            target = target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
     else:
         target = _empty_target(spark, schema)
 
@@ -337,6 +413,7 @@ def apply_cdc_batch_bucketed(
     key: str,
     schema: T.StructType,
     num_buckets: int = 64,
+    evolve: bool = False,
 ) -> None:
     """Partition-pruned MERGE on plain parquet — the scale path the flat
     `apply_cdc_batch` docstring promises from a lakehouse, built with
@@ -352,7 +429,16 @@ def apply_cdc_batch_bucketed(
     A batch touching k keys costs O(k/N of the table) instead of O(table)
     per batch — the same file-pruning shape Delta/Iceberg MERGE INTO
     achieves with min/max stats (oplog_utils.go:110-197 is the semantics
-    source; this is its 100-TB-viable parquet form)."""
+    source; this is its 100-TB-viable parquet form).
+
+    `evolve=True`: new fields widen the schema additively. Because only
+    TOUCHED buckets are rewritten, bucket directories legitimately hold
+    files of different (compatible) widths afterwards — reads go
+    through parquet mergeSchema, which unions them and nulls the gaps
+    (`read_cdc_target` does this; a production lakehouse would carry
+    the union schema in table metadata instead of re-reading footers)."""
+    if evolve:
+        schema = evolve_schema(reduced, schema)
     m = (
         reduced.withColumnRenamed("key", "__key")
         .withColumn("__bucket", _bucket_col(F.col("__key"), num_buckets))
@@ -375,10 +461,15 @@ def apply_cdc_batch_bucketed(
         if not touched:
             return
         target = (
-            spark.read.parquet(target_path)
+            spark.read.option("mergeSchema", "true").parquet(target_path)
             .filter(F.col("__bucket").isin(touched))  # partition pruning
             .drop("__bucket")
         )
+        for f in schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         result = _merge_survivors(target, m, key, schema) \
             .withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
         # materialize to a temp dir (the plan READS the dirs we're about
@@ -406,9 +497,11 @@ def read_cdc_target(
 ) -> DataFrame:
     """Read a CDC target written by either apply variant, hiding the
     bucketing layout column. `schema` covers the fully-emptied bucketed
-    table (every partition dir removed -> nothing to infer from)."""
+    table (every partition dir removed -> nothing to infer from).
+    mergeSchema unions file schemas across buckets rewritten before vs
+    after a schema evolution (nulls fill the gaps)."""
     try:
-        df = spark.read.parquet(target_path)
+        df = spark.read.option("mergeSchema", "true").parquet(target_path)
     except Exception:
         if schema is not None and os.path.isdir(target_path):
             return _empty_target(spark, schema)

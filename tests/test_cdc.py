@@ -428,3 +428,87 @@ def test_bucketed_apply_clears_emptied_bucket(spark, tmp_path):
         _ev(11, "d", {"_id": 2}),
     ], num_buckets=2)
     assert state == {}
+
+
+# --- schema evolution (schemaless-source parity, SURVEY §1.2) ---
+
+def test_apply_evolves_schema_with_new_fields(spark, tmp_path):
+    """A later batch introduces fields the target never saw: inserts
+    with `extra`, a patch $set-ing `score`. With evolve=True the
+    target gains the columns (inferred string/double), pre-existing
+    rows read NULL there, and untouched columns are unchanged."""
+    path = str(tmp_path / "t.parquet")
+    b1 = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(1, "i", {"_id": 1, "x": "a", "n": 10}),
+        _ev(2, "i", {"_id": 2, "x": "b", "n": 20}),
+    ])))
+    apply_cdc_batch(spark, b1, path, "_id", TARGET_SCHEMA, evolve=True)
+
+    b2 = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(3, "i", {"_id": 3, "x": "c", "n": 30, "extra": "hello"}),
+        _ev(4, "u", {"$set": {"score": 1.5}}, {"_id": 1}),
+    ])))
+    apply_cdc_batch(spark, b2, path, "_id", TARGET_SCHEMA, evolve=True)
+
+    got = {r._id: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3].extra == "hello"
+    assert got[1].extra is None and got[2].extra is None
+    assert got[1].score == 1.5
+    assert got[2].score is None
+    assert dict(spark.read.parquet(path).dtypes)["score"] == "double"
+    assert dict(spark.read.parquet(path).dtypes)["extra"] == "string"
+    # untouched values survived both merges
+    assert (got[1].x, got[1].n) == ("a", 10)
+
+
+def test_evolve_type_conflict_degrades_to_string(spark):
+    from hummingbird_spark.streaming.cdc import evolve_schema
+
+    models = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(1, "i", {"_id": 1, "mixed": 5}),
+        _ev(2, "i", {"_id": 2, "mixed": "five"}),
+    ])))
+    out = evolve_schema(models, TARGET_SCHEMA)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in out.fields)["mixed"] == "string"
+
+
+def test_evolve_no_new_fields_is_identity(spark):
+    from hummingbird_spark.streaming.cdc import evolve_schema
+
+    models = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(1, "i", {"_id": 1, "x": "a"}),
+    ])))
+    assert evolve_schema(models, TARGET_SCHEMA) == TARGET_SCHEMA
+
+
+def test_bucketed_apply_evolves_across_buckets(spark, tmp_path):
+    """Schema evolution on the bucketed sink: only touched buckets are
+    rewritten, so old- and new-width files coexist; mergeSchema reads
+    union them with NULL gaps. Keys are spread so batch 2 touches a
+    strict subset of buckets."""
+    from hummingbird_spark.streaming.cdc import (
+        apply_cdc_batch_bucketed, read_cdc_target,
+    )
+
+    path = str(tmp_path / "bt.parquet")
+    b1 = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(i, "i", {"_id": i, "x": f"x{i}", "n": i * 10})
+        for i in range(1, 9)
+    ])))
+    apply_cdc_batch_bucketed(spark, b1, path, "_id", TARGET_SCHEMA,
+                             num_buckets=4, evolve=True)
+
+    b2 = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(100, "u", {"$set": {"grade": "A"}}, {"_id": 1}),
+    ])))
+    apply_cdc_batch_bucketed(spark, b2, path, "_id", TARGET_SCHEMA,
+                             num_buckets=4, evolve=True)
+
+    got = {r._id: r for r in read_cdc_target(spark, path).collect()}
+    assert set(got) == set(range(1, 9))
+    assert got[1].grade == "A"
+    for i in range(2, 9):
+        assert got[i].grade is None, i
+    assert (got[1].x, got[1].n) == ("x1", 10)
