@@ -9,6 +9,8 @@
     python -m hummingbird_spark version
     python -m hummingbird_spark compact PATH [--target-mb 128]
                                              [--partition-col __bucket]
+    python -m hummingbird_spark pipeline stages.json --table orders
+                                         --data DIR [--limit 1000]
 
 `worker` validates the config and exits: the reference's worker joins a
 migration by polling the shared task queue (neutrino.go:70-77); in
@@ -96,6 +98,39 @@ def _cmd_sim(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_pipeline(args: argparse.Namespace) -> int:
+    """Run a Mongo aggregation pipeline (JSON file: a list of stages)
+    against a parquet table, printing result rows as JSON lines —
+    the mongosh `db.coll.aggregate(...)` workflow against the engine.
+    $lookup foreign tables resolve against the same --data directory."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    spark = get_spark(app_name="hummingbird_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(args.pipeline) as fh:
+        stages = json.load(fh)
+    if not isinstance(stages, list):
+        print("pipeline file must contain a JSON array of stages",
+              file=sys.stderr)
+        return 2
+    import glob
+    import os
+
+    tables = {
+        os.path.basename(f).removesuffix(".parquet"):
+            spark.read.parquet(f)
+        for f in glob.glob(os.path.join(args.data, "*.parquet"))
+    }
+    if args.table not in tables:
+        print(f"table {args.table!r} not found under {args.data}",
+              file=sys.stderr)
+        return 2
+    out = mongo_pipeline_to_df(tables[args.table], stages, tables=tables)
+    for row in out.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hummingbird_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -111,7 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
     sim.add_argument("--out", required=True)
+    pipe = sub.add_parser("pipeline")
+    pipe.add_argument("pipeline", help="JSON file: array of stages")
+    pipe.add_argument("--table", required=True)
+    pipe.add_argument("--data", required=True,
+                      help="directory of <table>.parquet files")
+    pipe.add_argument("--limit", type=int, default=1000)
     args = p.parse_args(argv)
+    if args.command == "pipeline":
+        return _cmd_pipeline(args)
     if args.command == "start":
         return _cmd_start(args)
     if args.command == "resume":

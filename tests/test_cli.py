@@ -90,3 +90,35 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert out["command"] == "compact"
     assert out["files_after"] == 1
     assert out["rows"] == 5 * 3
+
+
+def test_cli_pipeline(spark, tmp_path, capsys):
+    pl = tmp_path / "pl.json"
+    pl.write_text(json.dumps([
+        {"$match": {"o_orderstatus": "F"}},
+        {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ]))
+    assert main(["pipeline", str(pl), "--table", "orders",
+                 "--data", SF_SMOKE]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["_id"] == "1-URGENT"
+    assert all(set(l) == {"_id", "n"} for l in lines)
+
+
+def test_cli_pipeline_lookup_uses_sibling_tables(spark, tmp_path, capsys):
+    pl = tmp_path / "pl.json"
+    pl.write_text(json.dumps([
+        {"$match": {"n_nationkey": {"$lt": 3}}},
+        {"$lookup": {"from": "region", "localField": "n_regionkey",
+                     "foreignField": "r_regionkey", "as": "regions"}},
+        {"$sort": {"n_nationkey": 1}},
+    ]))
+    assert main(["pipeline", str(pl), "--table", "nation",
+                 "--data", SF_SMOKE]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert all(len(l["regions"]) == 1 for l in lines)
