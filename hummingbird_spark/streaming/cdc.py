@@ -519,6 +519,7 @@ def start_cdc_stream(
     checkpoint: str | None = None,
     trigger: dict | None = None,
     num_buckets: int | None = None,
+    evolve: bool = False,
 ) -> StreamingQuery:
     """The three-phase CDC pipeline (ST2) collapsed to one streaming
     query: a file-source over JSON oplog frames (the test stand-in for a
@@ -529,7 +530,9 @@ def start_cdc_stream(
 
     `num_buckets` switches the sink to the partition-pruned bucketed
     merge (`apply_cdc_batch_bucketed`) — the layout to use when the
-    target is large relative to each micro-batch.
+    target is large relative to each micro-batch. `evolve` lets
+    documents carrying never-seen fields widen the target additively
+    per batch (schemaless-source parity — see evolve_schema).
     """
     stream = (
         spark.readStream.schema(OPLOG_SCHEMA)
@@ -550,10 +553,11 @@ def start_cdc_stream(
                 if num_buckets:
                     apply_cdc_batch_bucketed(
                         spark, ns_models, path, key, schemas[ns],
-                        num_buckets=num_buckets,
+                        num_buckets=num_buckets, evolve=evolve,
                     )
                 else:
-                    apply_cdc_batch(spark, ns_models, path, key, schemas[ns])
+                    apply_cdc_batch(spark, ns_models, path, key,
+                                    schemas[ns], evolve=evolve)
         finally:
             reduced.unpersist()
 

@@ -512,3 +512,41 @@ def test_bucketed_apply_evolves_across_buckets(spark, tmp_path):
     for i in range(2, 9):
         assert got[i].grade is None, i
     assert (got[1].x, got[1].n) == ("x1", 10)
+
+
+def test_stream_with_evolve_picks_up_new_fields(spark, tmp_path):
+    """End-to-end: a checkpointed stream with evolve=True widens the
+    target when a later file introduces a new field."""
+    oplog_dir = tmp_path / "oplog"
+    oplog_dir.mkdir()
+    target_root = str(tmp_path / "tgt")
+
+    def write_file(name, events):
+        with open(oplog_dir / name, "w") as fh:
+            for ts, seq, ns, op, o, o2 in events:
+                fh.write(json.dumps({
+                    "ts": ts.isoformat(), "seq": seq, "ns": ns,
+                    "op": op, "o": o, "o2": o2,
+                }) + "\n")
+
+    write_file("b1.json", [_ev(1, "i", {"_id": 1, "x": "a", "n": 1})])
+    q = start_cdc_stream(
+        spark, str(oplog_dir), target_root, {"db.c": TARGET_SCHEMA},
+        evolve=True,
+    )
+    q.awaitTermination(120)
+
+    write_file("b2.json", [
+        _ev(2, "i", {"_id": 2, "x": "b", "n": 2, "tag": "new"}),
+    ])
+    q = start_cdc_stream(
+        spark, str(oplog_dir), target_root, {"db.c": TARGET_SCHEMA},
+        evolve=True,
+    )
+    q.awaitTermination(120)
+
+    from hummingbird_spark.streaming.cdc import read_cdc_target
+    got = {r._id: r for r in
+           read_cdc_target(spark, f"{target_root}/c.parquet").collect()}
+    assert got[2].tag == "new"
+    assert got[1].tag is None
