@@ -1421,13 +1421,15 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # training-data pipeline queries (text analysis / dedup / similarity)
+from hummingbird_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
-    **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES
+    **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
+    **ANALYTICS_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1440,6 +1442,11 @@ for _name, (_fn, _oracle, _doc) in {
 _VERIFY_FIRST = [
     # added in round 2
     "pipeline_status_rollup",
+    "funnel_steps", "cohort_retention", "session_stats",
+    "running_revenue", "moving_avg_revenue", "seg_first_last",
+    "percent_rank_balance", "region_nations_agg", "corr_price_qty",
+    "histogram_price", "top_orders_per_cust", "ntile_quartiles",
+    "event_transitions", "dow_activity",
     # r1 hash mismatch (oracle SUM(int)->HUGEINT->float64; now cast)
     "priority_linestatus",
     # r1 rows 51-83: never reached by the correctness harness

@@ -1,0 +1,649 @@
+"""Behavioral / event-analytics queries with DuckDB oracles.
+
+The reference's analytics surface stops at group-count rollups
+(workspace.go:214-256) and the simulator's sample+group read workload
+(sim.go:244-289). A user pointing this engine at an event stream needs
+the standard behavioral toolkit on top: funnels, cohort retention,
+sessionization stats, running/moving aggregates, per-group top-k,
+quantile bucketing, and transition matrices. Every query here is a
+declarative DataFrame plan (windows + hash aggs, no Python UDFs) and
+ships an ANSI-SQL oracle.
+
+Determinism discipline (hash-compared against DuckDB):
+  - money/value sums go through DECIMAL(18,2) (exact, order-free) and
+    cast to DOUBLE only at the end;
+  - running/moving sums accumulate the DECIMAL, not the DOUBLE;
+  - correlation/covariance use the algebraic decomposition over exact
+    decimal power sums, combined in DOUBLE with the same expression
+    tree on both sides (IEEE ops on identical operands are identical);
+  - durations sum as integer microseconds (unix_micros/epoch_us);
+  - every window order has a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.sources.tables import load_table
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup -> first view after signup -> first purchase after that
+# view, per user; one summary row of stage survivor counts.
+# ---------------------------------------------------------------------------
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+               F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase")
+               & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.col("t1")).alias("n_signup"),
+        F.count(F.col("t2")).alias("n_view_after"),
+        F.count(F.col("t3")).alias("n_purchase_after"),
+    )
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT user_id, ANY_VALUE(t1) AS t1, ANY_VALUE(t2) AS t2,
+         ANY_VALUE(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+-- window results are constant per user_id, so ANY_VALUE is deterministic
+SELECT COUNT(t1) AS n_signup, COUNT(t2) AS n_view_after,
+       COUNT(t3) AS n_purchase_after
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = month of first event; count distinct users
+# active at each month offset from their cohort.
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("cohort_month",
+                     F.date_trunc("month", F.min("ts").over(w)))
+    e = e.withColumn("activity_month", F.date_trunc("month", F.col("ts")))
+    offset = (
+        (F.year("activity_month") - F.year("cohort_month")) * 12
+        + (F.month("activity_month") - F.month("cohort_month"))
+    ).cast("bigint")
+    return (
+        e.withColumn("month_offset", offset)
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH c AS (
+  SELECT user_id, ts,
+         CAST(date_trunc('month', MIN(ts) OVER (PARTITION BY user_id))
+              AS TIMESTAMP) AS cohort_month,
+         CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
+  FROM events
+)
+SELECT cohort_month,
+       CAST((year(activity_month) - year(cohort_month)) * 12
+            + (month(activity_month) - month(cohort_month)) AS BIGINT)
+         AS month_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization summary: 30-minute-gap sessions, one row of corpus-level
+# stats. Durations sum as integer microseconds (exact).
+# ---------------------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no epoch; session tz is UTC so the ltz cast is an identity
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    e = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000000), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    e = e.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = e.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts").cast("timestamp"))
+         - F.unix_micros(F.min("ts").cast("timestamp"))).alias("dur_us"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        (F.sum("n_events").cast("double")
+         / F.count(F.lit(1))).alias("events_per_session"),
+        (F.sum("dur_us").cast("double")
+         / F.count(F.lit(1)) / F.lit(1000000.0)).alias("avg_duration_s"),
+    )
+
+
+ORACLE_SESSION_STATS = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+       CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_duration_s
+FROM sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) monthly revenue — the accumulation stays DECIMAL
+# so frame-evaluation order can't perturb the result.
+# ---------------------------------------------------------------------------
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.withColumn("cum_revenue",
+                           F.sum("rev_dec").over(w).cast("double"))
+        .select("month", F.col("rev_dec").cast("double").alias("revenue"),
+                "cum_revenue")
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY month
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7-row moving average of daily revenue (ROWS frame; decimal sum / count
+# in double).
+# ---------------------------------------------------------------------------
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.sum("rev_dec").over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("ma7"),
+    )
+
+
+ORACLE_MOVING_AVG_REVENUE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+FROM d
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# First/last order per market segment via rank-1 rows from both ends
+# (portable min_by/max_by with a unique tiebreak).
+# ---------------------------------------------------------------------------
+
+def q_seg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    asc = Window.partitionBy("c_mktsegment").orderBy("o_orderdate",
+                                                     "o_orderkey")
+    desc = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = j.select(
+        "c_mktsegment", "o_orderkey", "o_totalprice",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return (
+        ranked.filter((F.col("rn_first") == 1) | (F.col("rn_last") == 1))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max(F.when(F.col("rn_first") == 1, F.col("o_orderkey")))
+            .alias("first_orderkey"),
+            F.max(F.when(F.col("rn_first") == 1,
+                         _dec("o_totalprice"))).cast("double")
+            .alias("first_price"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("o_orderkey")))
+            .alias("last_orderkey"),
+            F.max(F.when(F.col("rn_last") == 1,
+                         _dec("o_totalprice"))).cast("double")
+            .alias("last_price"),
+        )
+    )
+
+
+ORACLE_SEG_FIRST_LAST = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_orderdate, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_orderdate, o_orderkey) AS rn_first,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rn_last
+  FROM j
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rn_first = 1 THEN o_orderkey END) AS first_orderkey,
+       CAST(MAX(CASE WHEN rn_first = 1
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS first_price,
+       MAX(CASE WHEN rn_last = 1 THEN o_orderkey END) AS last_orderkey,
+       CAST(MAX(CASE WHEN rn_last = 1
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS last_price
+FROM r
+WHERE rn_first = 1 OR rn_last = 1
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# percent_rank of account balance within nation; top-decile census.
+# (rank-1)/(n-1) is the same integer division in both engines.
+# ---------------------------------------------------------------------------
+
+def q_percent_rank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    ranked = c.select(
+        "c_nationkey",
+        _dec("c_acctbal").alias("bal"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.filter(F.col("pr") >= 0.9)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_decile"),
+            F.min("bal").cast("double").alias("min_top_balance"),
+        )
+        .withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+    )
+
+
+ORACLE_PERCENT_RANK_BALANCE = """
+WITH r AS (
+  SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         percent_rank() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal) AS pr
+  FROM customer
+)
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_top_decile,
+       CAST(MIN(bal) AS DOUBLE) AS min_top_balance
+FROM r WHERE pr >= 0.9 GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: region -> comma-joined sorted nation names.
+# ---------------------------------------------------------------------------
+
+def q_region_nations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+            .alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+ORACLE_REGION_NATIONS_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance / OLS slope of price vs quantity per return
+# flag — algebraic decomposition over exact decimal power sums so both
+# engines combine identical doubles. (Plain corr()/covar_samp() is a
+# float fold whose summation order differs across engines.)
+# ---------------------------------------------------------------------------
+
+def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,3)")
+    y = F.col("l_extendedprice").cast("decimal(18,3)")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        # the sqrt path can differ by 1 ulp across engines (FMA
+        # contraction in the variance product); 12 decimals is exact
+        # for every digit that survives the decomposition anyway
+        F.round(cov_n / F.sqrt(var_x * var_y), 12).alias("corr_qty_price"),
+        (cov_n / (F.col("n") * (F.col("n") - 1))).alias("covar_samp"),
+        (cov_n / var_x).alias("slope"),
+    )
+
+
+ORACLE_CORR_PRICE_QTY = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3))
+                       * CAST(l_extendedprice AS DECIMAL(18,3))
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3))
+                       * CAST(l_quantity AS DECIMAL(18,3))
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,3))
+                       * CAST(l_extendedprice AS DECIMAL(18,3))
+                       AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
+         AS corr_qty_price,
+       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram of order totals (bucket = floor(price / 50k)).
+# ---------------------------------------------------------------------------
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bucket_value"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM_PRICE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS bucket_value
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-2 orders per customer (row_number top-k with unique tiebreak) —
+# the per-group variant of O6's top-k.
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUST = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price, rn FROM r WHERE rn <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile quartiles of customer balance (global, unique tiebreak) with
+# per-quartile stats.
+# ---------------------------------------------------------------------------
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(_dec("c_acctbal").alias("bal"),
+                 F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("bal").cast("double").alias("min_bal"),
+            F.max("bal").cast("double").alias("max_bal"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+        )
+        .withColumn("quartile", F.col("quartile").cast("bigint"))
+    )
+
+
+ORACLE_NTILE_QUARTILES = """
+WITH q AS (
+  SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(bal) AS DOUBLE) AS min_bal,
+       CAST(MAX(bal) AS DOUBLE) AS max_bal,
+       CAST(SUM(bal) AS DOUBLE) AS sum_bal
+FROM q GROUP BY quartile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts) per user
+# stream, ordered by (ts, event_id).
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type",
+                 F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week activity profile. Spark dayofweek() is 1=Sunday..7;
+# DuckDB dayofweek() is 0=Sunday..6 — normalized to 0-based here.
+# ---------------------------------------------------------------------------
+
+def q_dow_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+ORACLE_DOW_ACTIVITY = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "funnel_steps": (
+        q_funnel_steps, ORACLE_FUNNEL_STEPS,
+        "ordered funnel survivor counts (chained window mins per user)"),
+    "cohort_retention": (
+        q_cohort_retention, ORACLE_COHORT_RETENTION,
+        "monthly cohort x offset distinct-user retention grid"),
+    "session_stats": (
+        q_session_stats, ORACLE_SESSION_STATS,
+        "gap-sessionization corpus stats (integer-us durations)"),
+    "running_revenue": (
+        q_running_revenue, ORACLE_RUNNING_REVENUE,
+        "cumulative monthly revenue, decimal-exact running sum"),
+    "moving_avg_revenue": (
+        q_moving_avg_revenue, ORACLE_MOVING_AVG_REVENUE,
+        "7-row moving average over daily revenue"),
+    "seg_first_last": (
+        q_seg_first_last, ORACLE_SEG_FIRST_LAST,
+        "first/last order per segment (portable arg_min/arg_max)"),
+    "percent_rank_balance": (
+        q_percent_rank_balance, ORACLE_PERCENT_RANK_BALANCE,
+        "top-decile-by-percent_rank census per nation"),
+    "region_nations_agg": (
+        q_region_nations_agg, ORACLE_REGION_NATIONS_AGG,
+        "ordered string_agg (array_sort+array_join vs string_agg)"),
+    "corr_price_qty": (
+        q_corr_price_qty, ORACLE_CORR_PRICE_QTY,
+        "corr/covar/slope via exact decimal power sums"),
+    "histogram_price": (
+        q_histogram_price, ORACLE_HISTOGRAM_PRICE,
+        "fixed-width histogram bucketing"),
+    "top_orders_per_cust": (
+        q_top_orders_per_cust, ORACLE_TOP_ORDERS_PER_CUST,
+        "per-group top-k (row_number <= 2, unique tiebreak)"),
+    "ntile_quartiles": (
+        q_ntile_quartiles, ORACLE_NTILE_QUARTILES,
+        "ntile(4) bucketing with per-quartile stats"),
+    "event_transitions": (
+        q_event_transitions, ORACLE_EVENT_TRANSITIONS,
+        "first-order Markov transition counts over user streams"),
+    "dow_activity": (
+        q_dow_activity, ORACLE_DOW_ACTIVITY,
+        "day-of-week activity profile (dow normalization)"),
+}
