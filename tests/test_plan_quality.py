@@ -318,3 +318,48 @@ def test_q11_scalar_total_is_broadcast(spark):
     1-row broadcast (nested-loop over a single row), not a shuffle."""
     plan = _executed_plan(QUERIES["important_stock"].spark(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# behavioral-analytics module (queries_analytics.py)
+# ---------------------------------------------------------------------------
+
+def test_funnel_chained_windows_one_shuffle(spark):
+    """funnel_steps: three chained per-user window mins share the
+    hash(user_id) partitioning — one exchange + one sort, then the
+    single-row final agg. A plan that re-shuffles per stage would be
+    3x the data motion at scale."""
+    plan = _executed_plan(QUERIES["funnel_steps"].spark(spark, SF_SMOKE))
+    # one partition shuffle for the windows + the 1-row final agg
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Sort ") == 1
+
+
+def test_session_stats_single_partition_pass(spark):
+    plan = _executed_plan(QUERIES["session_stats"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Sort ") == 1
+
+
+def test_seg_first_last_broadcasts_customer(spark):
+    """seg_first_last: customer is the small side — broadcast, never a
+    shuffled sort-merge join; the asc/desc rankings reuse one
+    hash(c_mktsegment) exchange (two sorts, one shuffle)."""
+    plan = _executed_plan(QUERIES["seg_first_last"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_top_orders_per_cust_single_shuffle(spark):
+    plan = _executed_plan(QUERIES["top_orders_per_cust"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1
+
+
+def test_corr_decomposition_is_partial_final(spark):
+    """corr_price_qty: the power sums are plain hash aggregates —
+    partial map-side combine before the shuffle, no window, no UDAF."""
+    plan = _executed_plan(QUERIES["corr_price_qty"].spark(spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
