@@ -11,6 +11,10 @@
                                              [--partition-col __bucket]
     python -m hummingbird_spark pipeline stages.json --table orders
                                          --data DIR [--limit 1000]
+    python -m hummingbird_spark query   NAME [--data DIR] [--limit N]
+    python -m hummingbird_spark query   --list
+    python -m hummingbird_spark explain NAME [--data DIR]
+                                        [--mode formatted]
 
 `worker` validates the config and exits: the reference's worker joins a
 migration by polling the shared task queue (neutrino.go:70-77); in
@@ -131,6 +135,36 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_query(args: argparse.Namespace, explain: bool = False) -> int:
+    """Run (or explain) a registered query from the engine's registry —
+    `query --list` enumerates names with their one-line docs. The
+    explain variant prints the formatted physical plan, the same view
+    the plan-quality tests assert on (pushed filters, read schema,
+    exchanges, codegen spans)."""
+    from hummingbird_spark.plans.queries import QUERIES
+
+    if getattr(args, "list", False):
+        for name, spec in sorted(QUERIES.items()):
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}\t{spec.doc}")
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see 'query --list'",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="hummingbird_query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name].spark(spark, args.data)
+    if explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString(args.mode)))
+        return 0
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hummingbird_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -152,7 +186,24 @@ def main(argv: list[str] | None = None) -> int:
     pipe.add_argument("--data", required=True,
                       help="directory of <table>.parquet files")
     pipe.add_argument("--limit", type=int, default=1000)
+    for name in ("query", "explain"):
+        qp = sub.add_parser(name)
+        qp.add_argument("name", nargs="?", default=None)
+        qp.add_argument("--data", default="/root/testdata/sf0.001")
+        if name == "query":
+            qp.add_argument("--limit", type=int, default=1000)
+            qp.add_argument("--list", action="store_true")
+        else:
+            qp.add_argument("--mode", default="formatted",
+                            choices=["simple", "extended", "formatted",
+                                     "codegen", "cost"])
     args = p.parse_args(argv)
+    if args.command in ("query", "explain"):
+        if args.command == "query" and not args.list and args.name is None:
+            p.error("query requires a name or --list")
+        if args.command == "explain" and args.name is None:
+            p.error("explain requires a query name")
+        return _cmd_query(args, explain=args.command == "explain")
     if args.command == "pipeline":
         return _cmd_pipeline(args)
     if args.command == "start":

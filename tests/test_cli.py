@@ -122,3 +122,26 @@ def test_cli_pipeline_lookup_uses_sibling_tables(spark, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3
     assert all(len(l["regions"]) == 1 for l in lines)
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    assert main(["query", "--list"]) == 0
+    listing = capsys.readouterr().out
+    assert "status_counts\toracle" in listing
+    assert "knn_lsh\trows-only" in listing
+
+    assert main(["query", "status_counts", "--data", SF_SMOKE]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["status"] for r in rows} == {"F", "O", "P"}
+
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_explain_shows_physical_plan(spark, capsys):
+    assert main(["explain", "histogram_price", "--data", SF_SMOKE]) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
+    assert "Scan parquet" in plan
+    # the formatted view carries the scan detail the plan tests audit
+    assert "ReadSchema" in plan
