@@ -1446,7 +1446,8 @@ _VERIFY_FIRST = [
     "running_revenue", "moving_avg_revenue", "seg_first_last",
     "percent_rank_balance", "region_nations_agg", "corr_price_qty",
     "histogram_price", "top_orders_per_cust", "ntile_quartiles",
-    "event_transitions", "dow_activity",
+    "event_transitions", "dow_activity", "stratified_sample",
+    "dataset_split",
     # r1 hash mismatch (oracle SUM(int)->HUGEINT->float64; now cast)
     "priority_linestatus",
     # r1 rows 51-83: never reached by the correctness harness
@@ -1456,8 +1457,10 @@ _VERIFY_FIRST = [
     "knn_lsh", "knn_ivf", "embedding_top_pairs", "pivot_event_values",
     "token_frequencies", "win_tumbling", "win_sliding", "win_session",
     "asof_attribution", "range_join_week", "cube_agg", "grouping_sets",
+    # media_pipeline (rows-only) deferred to r3: the list must stay at
+    # <=50 entries or the tail falls off the driver's recording window
     "approx_distinct", "sample_group", "docgen_all_types",
-    "media_pipeline", "min_cost_supplier", "market_share",
+    "min_cost_supplier", "market_share",
     "product_profit", "important_stock", "excess_suppliers",
     "waiting_suppliers",
 ]

@@ -603,6 +603,82 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified exact sampling: k docs per source, membership decided by
+# md5 order (engine-independent, re-run-stable) — the balanced
+# subsample shape for mixing training sources. rand()-based sampleBy
+# can't give exact-k or reproducible membership; hash-rank does both.
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT source, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM r WHERE rk <= 50 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split on the first md5 hex digit
+# (0-b: 75% train, c-d: 12.5% val, e-f: 12.5% test) — assignment is a
+# pure function of the key, so backfills and engines agree and the
+# predicate needs no shuffle.
+# ---------------------------------------------------------------------------
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit < "c", "train")
+        .when(digit < "e", "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy("source", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+SELECT source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+            THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "funnel_steps": (
         q_funnel_steps, ORACLE_FUNNEL_STEPS,
@@ -646,4 +722,10 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "dow_activity": (
         q_dow_activity, ORACLE_DOW_ACTIVITY,
         "day-of-week activity profile (dow normalization)"),
+    "stratified_sample": (
+        q_stratified_sample, ORACLE_STRATIFIED_SAMPLE,
+        "exact-k per-source sample by md5 rank (reproducible)"),
+    "dataset_split": (
+        q_dataset_split, ORACLE_DATASET_SPLIT,
+        "hash-digit train/val/test split census"),
 }
