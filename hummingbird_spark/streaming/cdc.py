@@ -87,11 +87,23 @@ _REDUCED_SCHEMA = T.StructType([
 
 
 def decode_write_models(
-    oplogs: DataFrame, includes: list[str] | None = None
+    oplogs: DataFrame, includes: list[str] | None = None,
+    ejson: bool = False,
 ) -> DataFrame:
     """Oplog frame -> write-model frame. Pure Column expressions
-    (filters, JSON path extraction) — streaming-safe, no state."""
+    (filters, JSON path extraction) — streaming-safe, no state.
+
+    `ejson=True` normalizes MongoDB extended-JSON type wrappers
+    ({"$numberLong": ...}, {"$date": ...}, {"$oid": ...}) in o/o2
+    before extraction — the transport shape a JSON-encoded oplog or
+    change stream produces (the reference consumes native BSON and
+    never sees wrappers; see functions/ejson.py)."""
     df = unnest_apply_ops(skip_oplog(oplogs, includes))
+    if ejson:
+        from hummingbird_spark.functions.ejson import normalize_extended_json
+
+        df = df.withColumn("o", normalize_extended_json("o")) \
+               .withColumn("o2", normalize_extended_json("o2"))
     # transaction members resolved their own ns during unnesting —
     # re-apply include routing to them (outer $cmd ns already passed)
     df = df.filter(
@@ -520,6 +532,7 @@ def start_cdc_stream(
     trigger: dict | None = None,
     num_buckets: int | None = None,
     evolve: bool = False,
+    ejson: bool = False,
 ) -> StreamingQuery:
     """The three-phase CDC pipeline (ST2) collapsed to one streaming
     query: a file-source over JSON oplog frames (the test stand-in for a
@@ -532,7 +545,9 @@ def start_cdc_stream(
     merge (`apply_cdc_batch_bucketed`) — the layout to use when the
     target is large relative to each micro-batch. `evolve` lets
     documents carrying never-seen fields widen the target additively
-    per batch (schemaless-source parity — see evolve_schema).
+    per batch (schemaless-source parity — see evolve_schema). `ejson`
+    strips extended-JSON type wrappers during decode (JSON-encoded
+    change streams; see functions/ejson.py).
     """
     stream = (
         spark.readStream.schema(OPLOG_SCHEMA)
@@ -541,7 +556,7 @@ def start_cdc_stream(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        models = decode_write_models(batch_df, includes)
+        models = decode_write_models(batch_df, includes, ejson=ejson)
         reduced = reduce_write_models(models).cache()
         try:
             for ns in [r.ns for r in reduced.select("ns").distinct().collect()]:
