@@ -46,7 +46,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     raw-domain predicate is a plain long comparison: row-group min/max
     pruning applies. Plan-asserted in test_plan_quality.py.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_source(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         if ts_between is not None:
             lo, hi = (_utc_ns(b) for b in ts_between)
@@ -61,6 +61,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             & (F.col("ts") < F.lit(hi).cast("timestamp"))
         )
     return df
+
+
+def read_source(spark: SparkSession, path: str,
+                fmt: str | None = None, **options) -> DataFrame:
+    """Format-dispatched scan: parquet (columnar, splittable — the
+    default at scale), JSON-lines, or CSV-with-header, chosen by
+    explicit `fmt` or file extension. The reference's S7 gzip-BSON
+    spool reader generalizes here: row formats are ingest/interchange
+    surfaces; pipelines land them to parquet (`run_migration`) so later
+    scans get pushdown, pruning, and row-group stats. JSON/CSV scans
+    still stream and split (gzip members aside), but carry no column
+    statistics — schema inference alone costs a full read, so prefer
+    an explicit schema= option on big row-format inputs."""
+    if fmt is None:
+        base = path[:-3] if path.endswith(".gz") else path
+        ext = os.path.splitext(base)[1].lstrip(".").lower()
+        fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(ext, ext)
+    schema = options.pop("schema", None)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    if fmt == "csv":
+        opts = {"header": "true", **options}
+        if schema is None:
+            opts.setdefault("inferSchema", "true")
+        if path.endswith((".tsv", ".tsv.gz")):
+            opts.setdefault("sep", "\t")
+        return reader.options(**opts).csv(path)
+    raise ValueError(f"unsupported source format {fmt!r} for {path}")
 
 
 def _utc_ns(bound: str) -> int:
