@@ -679,6 +679,113 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk): documents in deterministic
+# md5 order, running token total, chunk = floor(cumsum/budget) — the
+# standard LLM-pretraining packing where the corpus is one token
+# stream split every `budget` tokens (documents may straddle chunk
+# boundaries). Per-chunk stats expose fill/fragmentation. One window
+# cumsum + one hash agg; no Python.
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.functions.text import bpe_ish_token_count
+
+    budget = 512
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        bpe_ish_token_count(F.col("text")).alias("n_tok"),
+    )
+    w = Window.orderBy("ord_key", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    chunk = F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                    / F.lit(budget))
+    return (
+        toks.withColumn("chunk_id", chunk)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+           AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (ORDER BY ord_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 512) AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT chunk_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: downsample each source toward an equal share of
+# the corpus — keep fraction min(1, target/actual) decided by md5 slot,
+# so membership is reproducible and the filter is a pure function of
+# (doc_id, per-source count). The per-source counts arrive by broadcast
+# (tiny), never a row-level shuffle.
+# ---------------------------------------------------------------------------
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 10000
+    )
+    n_sources = 20  # fixture sources; target share = total / n_sources
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "keep_bps",
+            F.least(
+                F.lit(10000),
+                # explicit floor: double->long casts truncate in Spark
+                # but round in DuckDB
+                F.floor(F.lit(10000) * F.col("n_total")
+                        / F.lit(n_sources) / F.col("n_src")).cast("long"),
+            ),
+        )
+        .filter(slot < F.col("keep_bps"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_MIXTURE_REBALANCE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+), total AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN counts USING (source) CROSS JOIN total
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000
+        < LEAST(10000, CAST(FLOOR(10000 * n_total / 20 / n_src) AS BIGINT))
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY source
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "funnel_steps": (
         q_funnel_steps, ORACLE_FUNNEL_STEPS,
@@ -728,4 +835,10 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "dataset_split": (
         q_dataset_split, ORACLE_DATASET_SPLIT,
         "hash-digit train/val/test split census"),
+    "pack_sequences": (
+        q_pack_sequences, ORACLE_PACK_SEQUENCES,
+        "concat-then-chunk token packing (window cumsum)"),
+    "mixture_rebalance": (
+        q_mixture_rebalance, ORACLE_MIXTURE_REBALANCE,
+        "hash-deterministic downsample to an equal source mixture"),
 }
