@@ -15,6 +15,8 @@
     python -m hummingbird_spark query   --list
     python -m hummingbird_spark explain NAME [--data DIR]
                                         [--mode formatted]
+    python -m hummingbird_spark sql "SELECT ..." [--data DIR]
+                                    [--limit N] [--explain]
 
 `worker` validates the config and exits: the reference's worker joins a
 migration by polling the shared task queue (neutrino.go:70-77); in
@@ -165,6 +167,26 @@ def _cmd_query(args: argparse.Namespace, explain: bool = False) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the fixture tables (registered as temp
+    views) — the `duckdb`-style one-shot query workflow. `--explain`
+    prints the formatted plan instead of rows."""
+    from hummingbird_spark.sources.tables import register_views
+
+    spark = get_spark(app_name="hummingbird_sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.data)
+    df = spark.sql(args.query)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")))
+        return 0
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hummingbird_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -197,7 +219,14 @@ def main(argv: list[str] | None = None) -> int:
             qp.add_argument("--mode", default="formatted",
                             choices=["simple", "extended", "formatted",
                                      "codegen", "cost"])
+    sqlp = sub.add_parser("sql")
+    sqlp.add_argument("query")
+    sqlp.add_argument("--data", default="/root/testdata/sf0.001")
+    sqlp.add_argument("--limit", type=int, default=1000)
+    sqlp.add_argument("--explain", action="store_true")
     args = p.parse_args(argv)
+    if args.command == "sql":
+        return _cmd_sql(args)
     if args.command in ("query", "explain"):
         if args.command == "query" and not args.list and args.name is None:
             p.error("query requires a name or --list")

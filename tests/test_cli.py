@@ -145,3 +145,18 @@ def test_cli_explain_shows_physical_plan(spark, capsys):
     assert "Scan parquet" in plan
     # the formatted view carries the scan detail the plan tests audit
     assert "ReadSchema" in plan
+
+
+def test_cli_sql(spark, capsys):
+    assert main(["sql",
+                 "SELECT r_name, COUNT(*) AS n FROM region "
+                 "JOIN nation ON n_regionkey = r_regionkey "
+                 "GROUP BY r_name ORDER BY r_name",
+                 "--data", SF_SMOKE]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5 and sum(r["n"] for r in rows) == 25
+
+    assert main(["sql", "SELECT 1 AS one", "--data", SF_SMOKE,
+                 "--explain"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
