@@ -143,6 +143,8 @@ def main() -> int:
             f"| {in_big / s_big / 1e6:.2f} |")
         print(rows_md[-1], file=sys.stderr)
 
+    cdc_md = cdc_probe(spark)
+
     hdr = (
         "# SCALE — 10x probe (sf0.1 -> ~sf1 replica, local[32])\n\n"
         "Generated by `python scripts/scale_probe.py`. Inputs: "
@@ -156,9 +158,121 @@ def main() -> int:
         "|---|---|---|---|---|\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
-        fh.write(hdr + "\n".join(rows_md) + "\n")
+        fh.write(hdr + "\n".join(rows_md) + "\n" + cdc_md)
     print("wrote SCALE.md", file=sys.stderr)
     return 0
+
+
+def _toy_oplogs(spark, n_ops: int, n_keys: int):
+    from pyspark.sql import functions as F2
+
+    return spark.range(n_ops).select(
+        F2.timestamp_seconds(F2.col("id")).alias("ts"),
+        F2.col("id").alias("seq"),
+        F2.lit("db.t").alias("ns"),
+        F2.when(F2.col("id") % 5 == 4, F2.lit("u"))
+        .otherwise(F2.lit("i")).alias("op"),
+        F2.when(
+            F2.col("id") % 5 == 4,
+            F2.concat(F2.lit('{"$set": {"v": '),
+                      F2.col("id").cast("string"), F2.lit("}}")),
+        ).otherwise(
+            F2.concat(F2.lit('{"_id": '),
+                      (F2.col("id") % n_keys).cast("string"),
+                      F2.lit(', "v": '), F2.col("id").cast("string"),
+                      F2.lit("}"))
+        ).alias("o"),
+        F2.when(
+            F2.col("id") % 5 == 4,
+            F2.concat(F2.lit('{"_id": '),
+                      (F2.col("id") % n_keys).cast("string"),
+                      F2.lit("}")),
+        ).alias("o2"),
+    )
+
+
+def cdc_probe(spark) -> str:
+    """Flat vs bucketed CDC merge against a 2M-row target. The flat
+    merge rewrites the whole target per batch (O(target)). The bucketed
+    sink prunes by pmod(xxhash64(key), N) — so the win scales with how
+    few DISTINCT keys a batch carries after the per-key fold: a 20k-
+    event batch hammering 50 hot keys folds to 50 rows touching <=50 of
+    256 buckets (hot-key update traffic, the steady-state op-log
+    shape); a 20k-distinct-key uniform batch touches every bucket (the
+    worst case, equivalent to the flat merge's work). Both measured."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from hummingbird_spark.streaming.cdc import (
+        apply_cdc_batch, apply_cdc_batch_bucketed, decode_write_models,
+        reduce_write_models,
+    )
+
+    schema = T2.StructType([
+        T2.StructField("_id", T2.LongType()),
+        T2.StructField("v", T2.LongType()),
+    ])
+    target_rows, buckets = 2_000_000, 256
+    rows = []
+    for layout in ("flat", "bucketed"):
+        base = f"{OUT}/cdc_{layout}"
+        shutil.rmtree(base, ignore_errors=True)
+        seed = reduce_write_models(decode_write_models(
+            _toy_oplogs(spark, target_rows, target_rows)))
+        if layout == "flat":
+            apply_cdc_batch(spark, seed, base, "_id", schema)
+        else:
+            apply_cdc_batch_bucketed(spark, seed, base, "_id", schema,
+                                     num_buckets=buckets)
+        for batch_kind, n_keys in (("uniform-20k-keys", target_rows),
+                                   ("hot-50-keys", 50)):
+            batch = reduce_write_models(decode_write_models(
+                _toy_oplogs(spark, 20_000, n_keys)))
+            # merge I/O volume — the term that governs at scale: rows of
+            # the target the merge must read+rewrite for this batch
+            full_rows = spark.read.parquet(base).count()
+            if layout == "flat":
+                merged_rows = full_rows
+            else:
+                from hummingbird_spark.streaming.cdc import _bucket_col
+                touched = [r[0] for r in batch
+                           .select(_bucket_col(F2.col("key"), buckets)
+                                   .alias("b")).distinct().collect()]
+                merged_rows = (
+                    spark.read.parquet(base)
+                    .filter(F2.col("__bucket").isin(touched)).count())
+            t0 = time.perf_counter()
+            if layout == "flat":
+                apply_cdc_batch(spark, batch, base, "_id", schema)
+            else:
+                apply_cdc_batch_bucketed(spark, batch, base, "_id", schema,
+                                         num_buckets=buckets)
+            dt = time.perf_counter() - t0
+            rows.append(f"| {layout} | {batch_kind} | {dt:.2f} "
+                        f"| {merged_rows:,} | {100 * merged_rows // full_rows}% |")
+            print(rows[-1], file=sys.stderr)
+    return (
+        "\n## CDC merge: flat vs bucketed sink, 2M-row target, "
+        "20k-event batch\n\n"
+        "The bucketed sink prunes the merge to touched hash buckets "
+        f"(pmod(xxhash64(key), {buckets})), so a hot-key batch (20k "
+        "events folding to 50 distinct keys) reads and rewrites only "
+        "~20% of the target; the flat merge always rewrites 100%. "
+        "'target rows merged' is the scale-governing term: it is the "
+        "I/O volume per batch, and at 100 TB it is the difference "
+        "between an unusable O(table) rewrite and an O(touched-"
+        "buckets) one. Wall seconds at THIS toy scale favor the flat "
+        "merge — a 2M-row target is ~30 MB, so per-bucket task/file "
+        "overhead dominates; the crossover comes where bucket size "
+        "(table/N) dwarfs task overhead, which is precisely the 100 TB "
+        "regime (e.g. 4096 buckets x ~25 GB).\n\n"
+        "| sink layout | batch keys | apply s | target rows merged "
+        "| % of target |\n|---|---|---|---|---|\n"
+        + "\n".join(rows) + "\n"
+    )
 
 
 if __name__ == "__main__":
