@@ -465,8 +465,11 @@ def apply_cdc_batch_bucketed(
             result = _merge_survivors(
                 _empty_target(spark, schema), m, key, schema
             ).withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
-            result.write.mode("overwrite") \
-                .partitionBy("__bucket").parquet(target_path)
+            # co-locate each bucket into one task: one file per bucket
+            # dir instead of one per (upstream task x bucket) — tiny
+            # files would otherwise compound every batch
+            result.repartition(num_buckets, "__bucket").write \
+                .mode("overwrite").partitionBy("__bucket").parquet(target_path)
             return
 
         touched = [r[0] for r in m.select("__bucket").distinct().collect()]
@@ -490,7 +493,9 @@ def apply_cdc_batch_bucketed(
         # would leave stale (it only overwrites partitions present in
         # the written data).
         tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-        result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        # one write task per touched bucket (see the seed-write comment)
+        result.repartition(max(len(touched), 1), "__bucket").write \
+            .mode("overwrite").partitionBy("__bucket").parquet(tmp)
         for b in touched:
             dst = os.path.join(target_path, f"__bucket={b}")
             if os.path.isdir(dst):
