@@ -550,3 +550,26 @@ def test_stream_with_evolve_picks_up_new_fields(spark, tmp_path):
            read_cdc_target(spark, f"{target_root}/c.parquet").collect()}
     assert got[2].tag == "new"
     assert got[1].tag is None
+
+
+def test_bucketed_apply_one_file_per_bucket(spark, tmp_path):
+    """Each bucket directory holds exactly ONE data file after seed and
+    after incremental merges — without the pre-write repartition, every
+    upstream task writes its own fragment per bucket and small files
+    compound with every batch (the 100 TB killer for a streaming sink)."""
+    import glob as g
+    target = str(tmp_path / "t")
+    _apply_bucketed(spark, target, [
+        _ev(i, "i", {"_id": i, "x": f"v{i}", "n": i}) for i in range(200)
+    ])
+    for d in g.glob(f"{target}/__bucket=*"):
+        files = g.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: {len(files)} files after seed"
+
+    _apply_bucketed(spark, target, [
+        _ev(300 + i, "u", {"$set": {"x": "hot"}}, {"_id": i})
+        for i in range(0, 200, 3)
+    ])
+    for d in g.glob(f"{target}/__bucket=*"):
+        files = g.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: {len(files)} files after merge"
