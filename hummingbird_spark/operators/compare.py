@@ -57,11 +57,13 @@ def compare_migration(spark, cfg) -> list[CompareResult]:
     verify the migrated target matches. Returns one CompareResult per
     namespace."""
     from hummingbird_spark.operators.copy import (
+        _SOURCE_EXTS,
         _table_path,
         list_source_namespaces,
         transform_for_include,
     )
     from hummingbird_spark.config import Include
+    from hummingbird_spark.sources.tables import read_source
 
     includes = cfg.includes or [
         Include(namespace=ns) for ns in list_source_namespaces(cfg.source)
@@ -69,7 +71,9 @@ def compare_migration(spark, cfg) -> list[CompareResult]:
     out = []
     for inc in includes:
         src = transform_for_include(
-            spark.read.parquet(_table_path(cfg.source, inc.namespace)), inc
+            read_source(
+                spark, _table_path(cfg.source, inc.namespace, _SOURCE_EXTS)
+            ), inc
         )
         tgt = spark.read.parquet(
             _table_path(cfg.target, inc.target_namespace)

@@ -33,6 +33,7 @@ from hummingbird_spark.filters import mongo_filter_to_column
 from hummingbird_spark.functions.masks import mask_dataframe
 from hummingbird_spark.operators.split import partition_for_copy
 from hummingbird_spark.sources.catalog import expand_namespaces, split_namespace
+from hummingbird_spark.sources.tables import read_source
 
 
 @dataclass
@@ -52,16 +53,33 @@ class MigrationReport:
         return sum(r.rows_copied for r in self.results)
 
 
-def _table_path(root: str, namespace: str) -> str:
-    # namespace "db.coll" -> {root}/{coll}.parquet ; bare "coll" likewise.
+# row-format ingest surfaces read_source dispatches on; targets are
+# always parquet (land interchange files to columnar once, then every
+# later scan gets pushdown + stats)
+_SOURCE_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".ndjson", ".json",
+                ".csv", ".csv.gz", ".tsv", ".tsv.gz")
+
+
+def _table_path(root: str, namespace: str,
+                exts: tuple[str, ...] = (".parquet",)) -> str:
+    # namespace "db.coll" -> {root}/{coll}.<ext> ; bare "coll" likewise.
+    # First existing extension wins; parquet when nothing exists yet.
     db, coll = split_namespace(namespace)
-    return os.path.join(root, f"{coll or db}.parquet")
+    base = os.path.join(root, coll or db)
+    for ext in exts:
+        if os.path.exists(base + ext):
+            return base + ext
+    return base + ".parquet"
 
 
 def _parquet_row_count(path: str) -> int | None:
     """Row count from parquet footers (driver-side metadata read, no
     Spark job) — the analogue of the reference's collstats-based task
-    sizing. Valid only for an unfiltered, unlimited copy."""
+    sizing. Valid only for an unfiltered, unlimited copy. Row-format
+    sources carry no footer stats -> None (caller falls back to a
+    count-free partitioning)."""
+    if not path.endswith(".parquet"):
+        return None
     try:
         import pyarrow.parquet as pq
 
@@ -73,11 +91,12 @@ def _parquet_row_count(path: str) -> int | None:
 
 def list_source_namespaces(source: str) -> list[str]:
     """Enumerate copyable namespaces in a source directory — the catalog
-    scan (S5) for file-based sources."""
-    return sorted(
-        os.path.basename(p)[: -len(".parquet")]
-        for p in glob.glob(os.path.join(source, "*.parquet"))
-    )
+    scan (S5) for file-based sources, any supported format."""
+    names = set()
+    for ext in _SOURCE_EXTS:
+        for p in glob.glob(os.path.join(source, f"*{ext}")):
+            names.add(os.path.basename(p)[: -len(ext)])
+    return sorted(names)
 
 
 def transform_for_include(df: DataFrame, include: Include) -> DataFrame:
@@ -103,9 +122,9 @@ def copy_table(
       - target exists, no drop: idempotent top-up — append only rows whose
         key is missing (dup-key reconciliation J1, task.go:88-101)
     """
-    src_path = _table_path(cfg.source, include.namespace)
+    src_path = _table_path(cfg.source, include.namespace, _SOURCE_EXTS)
     dst_path = _table_path(cfg.target, include.target_namespace)
-    df = transform_for_include(spark.read.parquet(src_path), include)
+    df = transform_for_include(read_source(spark, src_path), include)
 
     target_exists = os.path.exists(os.path.join(dst_path, "_SUCCESS"))
     if resume and target_exists:
