@@ -158,13 +158,15 @@ def _cmd_query(args: argparse.Namespace, explain: bool = False) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     df = QUERIES[args.name].spark(spark, args.data)
     if explain:
-        print(df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution
-            .ExplainMode.fromString(args.mode)))
+        df.explain(mode=args.mode)
         return 0
-    for row in df.limit(args.limit).toJSON().collect():
-        print(row)
+    _print_rows(df, args.limit)
     return 0
+
+
+def _print_rows(df, limit: int) -> None:
+    for row in df.limit(limit).toJSON().collect():
+        print(row)
 
 
 def _cmd_sql(args: argparse.Namespace) -> int:
@@ -178,12 +180,9 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     register_views(spark, args.data)
     df = spark.sql(args.query)
     if args.explain:
-        print(df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution
-            .ExplainMode.fromString("formatted")))
+        df.explain(mode="formatted")
         return 0
-    for row in df.limit(args.limit).toJSON().collect():
-        print(row)
+    _print_rows(df, args.limit)
     return 0
 
 

@@ -1457,8 +1457,10 @@ _VERIFY_FIRST = [
     "knn_lsh", "knn_ivf", "embedding_top_pairs", "pivot_event_values",
     "token_frequencies", "win_tumbling", "win_sliding", "win_session",
     "asof_attribution", "range_join_week", "cube_agg", "grouping_sets",
-    # media_pipeline (rows-only) deferred to r3: the list must stay at
-    # <=50 entries or the tail falls off the driver's recording window
+    # Deferred to r3 (the list must stay at <=50 entries or the tail
+    # falls off the driver's recording window): media_pipeline
+    # (rows-only), pack_sequences, mixture_rebalance — all three are
+    # still oracle/parity-checked locally by tests/test_oracle_parity.py
     "approx_distinct", "sample_group", "docgen_all_types",
     "min_cost_supplier", "market_share",
     "product_profit", "important_stock", "excess_suppliers",

@@ -310,6 +310,23 @@ def evolve_schema(
     return T.StructType(fields)
 
 
+def _retain_target_columns(
+    schema: T.StructType, target: DataFrame
+) -> T.StructType:
+    """Union the declared schema with columns already present in the
+    target. A rewrite-style merge projects exactly `schema.fields`, so
+    without this a batch that doesn't mention a previously-evolved
+    field would silently drop that column from every row it rewrites —
+    data loss, not evolution. Retention is unconditional (not gated on
+    evolve=True): once a target has a column, no CDC batch may narrow
+    it away; deliberate column removal is a DDL operation, not a merge
+    side effect."""
+    known = {f.name for f in schema.fields}
+    extra = [f for f in target.schema.fields
+             if f.name not in known and f.name != "__bucket"]
+    return T.StructType(list(schema.fields) + extra) if extra else schema
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     reduced: DataFrame,
@@ -329,13 +346,18 @@ def apply_cdc_batch(
 
     `evolve=True` widens the schema with fields first seen in this
     batch (schemaless-source parity — see evolve_schema); pre-existing
-    target rows carry NULL for the new columns.
+    target rows carry NULL for the new columns. Columns the target
+    already carries are always retained, whatever this batch mentions
+    (see _retain_target_columns).
     """
+    target = None
+    if os.path.exists(os.path.join(target_path, "_SUCCESS")):
+        target = spark.read.parquet(target_path)
+        schema = _retain_target_columns(schema, target)
     if evolve:
         schema = evolve_schema(reduced, schema)
 
-    if os.path.exists(os.path.join(target_path, "_SUCCESS")):
-        target = spark.read.parquet(target_path)
+    if target is not None:
         missing = [f for f in schema.fields if f.name not in target.columns]
         for f in missing:
             target = target.withColumn(
@@ -448,9 +470,11 @@ def apply_cdc_batch_bucketed(
     files of different (compatible) widths afterwards — reads go
     through parquet mergeSchema, which unions them and nulls the gaps
     (`read_cdc_target` does this; a production lakehouse would carry
-    the union schema in table metadata instead of re-reading footers)."""
-    if evolve:
-        schema = evolve_schema(reduced, schema)
+    the union schema in table metadata instead of re-reading footers).
+    Columns already present in the touched buckets are retained whether
+    or not this batch mentions them (see _retain_target_columns); the
+    evolve widening runs AFTER retention so a field's established
+    target type wins over this batch's re-inference."""
     m = (
         reduced.withColumnRenamed("key", "__key")
         .withColumn("__bucket", _bucket_col(F.col("__key"), num_buckets))
@@ -462,6 +486,8 @@ def apply_cdc_batch_bucketed(
             # __bucket is derived from the MERGED rows' key (computing it
             # from the pre-merge join columns reads the null target side
             # for inserts -> every insert lands in one bucket).
+            if evolve:
+                schema = evolve_schema(reduced, schema)
             result = _merge_survivors(
                 _empty_target(spark, schema), m, key, schema
             ).withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
@@ -480,6 +506,9 @@ def apply_cdc_batch_bucketed(
             .filter(F.col("__bucket").isin(touched))  # partition pruning
             .drop("__bucket")
         )
+        schema = _retain_target_columns(schema, target)
+        if evolve:
+            schema = evolve_schema(reduced, schema)
         for f in schema.fields:
             if f.name not in target.columns:
                 target = target.withColumn(

@@ -25,9 +25,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hummingbird_spark.plans.queries import QUERIES  # noqa: E402
 from hummingbird_spark.session import get_spark  # noqa: E402
-from hummingbird_spark.sources.tables import load_table  # noqa: E402
+from hummingbird_spark.sources.tables import (  # noqa: E402
+    DEFAULT_SF_DIR,
+    load_table,
+)
 
-SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SRC = DEFAULT_SF_DIR
 OUT = "/tmp/hummingbird_scale"
 
 PROBES = [
@@ -62,7 +65,12 @@ def build(spark, copies: int) -> None:
             f"{OUT}/{t}.parquet")
 
     li = load_table(spark, SRC, "lineitem")
-    okey_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    # span must cover BOTH tables' keys or lineitem-less orders would
+    # collide across copies (duplicate o_orderkey)
+    okey_span = max(
+        li.agg(F.max("l_orderkey")).first()[0],
+        load_table(spark, SRC, "orders").agg(F.max("o_orderkey")).first()[0],
+    ) + 1
     parts = []
     for i in range(copies):
         parts.append(li.withColumn(
@@ -131,8 +139,11 @@ def main() -> int:
 
     rows_md = []
     for name, tables in PROBES:
-        # warm the plan shape once at the small SF, then measure both
+        # warm BOTH sides (plan shape + page cache) so the growth
+        # column compares like with like — a warm small run against a
+        # cold 10x run reads as superlinear even for a linear plan
         time_query(spark, name, SRC)
+        time_query(spark, name, OUT)
         s_small, _ = time_query(spark, name, SRC)
         s_big, _ = time_query(spark, name, OUT)
         in_small = sum(counts[t][0] for t in tables)

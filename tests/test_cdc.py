@@ -349,14 +349,14 @@ def test_stream_convergence_with_checkpoint_restart(spark, tmp_path,
 # Bucketed (partition-pruned) merge
 # ---------------------------------------------------------------------------
 
-def _apply_bucketed(spark, target_path, rows, num_buckets=8):
+def _apply_bucketed(spark, target_path, rows, num_buckets=8, evolve=False):
     from hummingbird_spark.streaming.cdc import (
         apply_cdc_batch_bucketed, read_cdc_target,
     )
     models = decode_write_models(_oplog_df(spark, rows))
     apply_cdc_batch_bucketed(
         spark, reduce_write_models(models), target_path, "_id",
-        TARGET_SCHEMA, num_buckets=num_buckets,
+        TARGET_SCHEMA, num_buckets=num_buckets, evolve=evolve,
     )
     return {r._id: r for r in
             read_cdc_target(spark, target_path, TARGET_SCHEMA).collect()}
@@ -573,3 +573,49 @@ def test_bucketed_apply_one_file_per_bucket(spark, tmp_path):
     for d in g.glob(f"{target}/__bucket=*"):
         files = g.glob(f"{d}/*.parquet")
         assert len(files) == 1, f"{d}: {len(files)} files after merge"
+
+
+def test_evolved_column_survives_later_batches(spark, tmp_path):
+    """A batch that doesn't mention a previously-evolved field must not
+    narrow the target: the column and its values survive later merges,
+    with evolve on OR off (retention is unconditional)."""
+    path = str(tmp_path / "t.parquet")
+
+    def batch(rows, evolve):
+        models = reduce_write_models(
+            decode_write_models(_oplog_df(spark, rows)))
+        apply_cdc_batch(spark, models, path, "_id", TARGET_SCHEMA,
+                        evolve=evolve)
+
+    batch([_ev(1, "i", {"_id": 1, "x": "a", "n": 1})], evolve=True)
+    batch([_ev(2, "i", {"_id": 2, "x": "b", "n": 2, "tag": "new"})],
+          evolve=True)
+    # the regression: a tag-less batch used to rewrite the target
+    # down to base width, dropping doc 2's tag entirely
+    batch([_ev(3, "i", {"_id": 3, "x": "c", "n": 3})], evolve=True)
+    got = {r._id: r for r in spark.read.parquet(path).collect()}
+    assert got[2].tag == "new" and got[1].tag is None and got[3].tag is None
+
+    # evolve=False on an already-evolved target: still retained
+    batch([_ev(4, "i", {"_id": 4, "x": "d", "n": 4})], evolve=False)
+    got = {r._id: r for r in spark.read.parquet(path).collect()}
+    assert got[2].tag == "new" and got[4].tag is None
+
+
+def test_bucketed_evolved_column_survives_bucket_rewrite(spark, tmp_path):
+    """Rewriting an evolved doc's bucket with a batch that doesn't
+    carry the evolved field must keep the field's values."""
+    path = str(tmp_path / "t.parquet")
+    _apply_bucketed(spark, path, [
+        _ev(i, "i", {"_id": i, "x": f"v{i}", "n": i}) for i in range(10)
+    ])
+    state = _apply_bucketed(spark, path, [
+        _ev(20, "i", {"_id": 2, "x": "v2", "n": 2, "grade": "A"}),
+    ], evolve=True)
+    assert state[2].grade == "A"
+    # patch doc 2 itself (same bucket) WITHOUT mentioning grade
+    state = _apply_bucketed(spark, path, [
+        _ev(30, "u", {"$set": {"x": "patched"}}, {"_id": 2}),
+    ], evolve=True)
+    assert state[2].x == "patched"
+    assert state[2].grade == "A", "evolved column lost in bucket rewrite"
