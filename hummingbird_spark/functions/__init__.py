@@ -1,3 +1,4 @@
+from hummingbird_spark.functions.ejson import normalize_extended_json
 from hummingbird_spark.functions.masks import (
     MASK_DEFAULT,
     MASK_HEX,
@@ -24,4 +25,5 @@ __all__ = [
     "to_int32",
     "to_int64",
     "extended_json",
+    "normalize_extended_json",
 ]
