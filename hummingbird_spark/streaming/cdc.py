@@ -42,8 +42,10 @@ import os
 import shutil
 import uuid
 
+from dataclasses import dataclass
+
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -334,7 +336,7 @@ def apply_cdc_batch(
     key: str,
     schema: T.StructType,
     evolve: bool = False,
-) -> None:
+) -> ApplyStats:
     """Merge one micro-batch's reduced write models into a parquet
     target — the plain-parquet equivalent of
     `MERGE INTO target USING models ON target.key = models.key
@@ -369,17 +371,92 @@ def apply_cdc_batch(
     # no cache: the flat merge reads the models exactly once (the
     # bucketed variant caches because it reuses them for bucket listing)
     m = reduced.withColumnRenamed("key", "__key")
-    result = _merge_survivors(target, m, key, schema)
+    obs = Observation()
+    result = _merge_survivors(target, m, key, schema, observation=obs)
 
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(tmp)
+    stats = _stats_or_recompute(obs, m, target, key)  # pre-swap
     if os.path.exists(target_path):
         shutil.rmtree(target_path)
     os.rename(tmp, target_path)
+    return stats
+
+
+@dataclass(frozen=True)
+class ApplyStats:
+    """Per-batch apply counters — BulkWriteOplogsResult parity
+    (oplog_utils.go:79-85): how the batch's write models landed against
+    the target. `noops` are patches addressed at absent keys (UpdateOne
+    matching nothing, counted-but-skipped in the reference)."""
+    inserted: int
+    updated: int
+    deleted: int
+    noops: int
+
+    @property
+    def total(self) -> int:
+        return self.inserted + self.updated + self.deleted + self.noops
+
+
+def _observe_merge(joined: DataFrame, obs, tkey) -> DataFrame:
+    """Attach apply counters to the merge join — a CollectMetrics node
+    on rows already flowing through the plan, not an extra pass."""
+    is_hit = tkey.isNotNull()
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+    return joined.observe(
+        obs,
+        cnt((F.col("action") == "replace") & ~is_hit).alias("inserted"),
+        cnt(F.col("action").isin("replace", "patch")
+            & is_hit).alias("updated"),
+        cnt((F.col("action") == "delete") & is_hit).alias("deleted"),
+        cnt(F.col("action").isin("patch", "delete")
+            & ~is_hit).alias("noops"),
+    )
+
+
+def _stats_or_recompute(
+    obs: Observation, m: DataFrame, target: DataFrame, key: str
+) -> ApplyStats:
+    """Read the observed counters; if the merge result was runtime-empty
+    AQE's empty-relation propagation drops the CollectMetrics node and
+    the observation never fires — recompute exactly from the models vs
+    the PRE-swap target (callers invoke this before replacing files).
+    The recompute is a key-column-only join, and the empty-result case
+    it serves is rare (a batch deleting everything it touches)."""
+    try:
+        return ApplyStats(**obs.get)
+    except Exception:
+        hit = F.col("__tk").isNotNull()
+        row = (
+            m.select("__key", "action")
+            .join(
+                target.select(F.col(key).cast("string").alias("__tk")),
+                F.col("__key") == F.col("__tk"), "left",
+            )
+            .agg(
+                F.coalesce(F.sum(F.when(
+                    (F.col("action") == "replace") & ~hit, 1
+                ).otherwise(0)), F.lit(0)).alias("inserted"),
+                F.coalesce(F.sum(F.when(
+                    F.col("action").isin("replace", "patch") & hit, 1
+                ).otherwise(0)), F.lit(0)).alias("updated"),
+                F.coalesce(F.sum(F.when(
+                    (F.col("action") == "delete") & hit, 1
+                ).otherwise(0)), F.lit(0)).alias("deleted"),
+                F.coalesce(F.sum(F.when(
+                    F.col("action").isin("patch", "delete") & ~hit, 1
+                ).otherwise(0)), F.lit(0)).alias("noops"),
+            )
+            .first()
+        )
+        return ApplyStats(row.inserted, row.updated, row.deleted, row.noops)
 
 
 def _merge_survivors(
     target: DataFrame, m: DataFrame, key: str, schema: T.StructType,
+    observation=None,
 ) -> DataFrame:
     """The MERGE body shared by flat and bucketed apply: full-outer join
     target rows with models (`m`: __key/action/doc/set_json/unset_json),
@@ -401,6 +478,8 @@ def _merge_survivors(
         F.from_json(F.col("doc"), schema).alias("__doc"),
         F.from_json(F.col("set_json"), schema).alias("__set"),
     )
+    if observation is not None:
+        joined = _observe_merge(joined, observation, tkey)
 
     # survivor rows: everything except deletes; patches on missing keys
     # are no-ops (dropped); replaces win over existing rows.
@@ -448,7 +527,7 @@ def apply_cdc_batch_bucketed(
     schema: T.StructType,
     num_buckets: int = 64,
     evolve: bool = False,
-) -> None:
+) -> ApplyStats:
     """Partition-pruned MERGE on plain parquet — the scale path the flat
     `apply_cdc_batch` docstring promises from a lakehouse, built with
     nothing but hash-bucket partitioning:
@@ -488,19 +567,22 @@ def apply_cdc_batch_bucketed(
             # for inserts -> every insert lands in one bucket).
             if evolve:
                 schema = evolve_schema(reduced, schema)
+            obs = Observation()
             result = _merge_survivors(
-                _empty_target(spark, schema), m, key, schema
+                _empty_target(spark, schema), m, key, schema,
+                observation=obs,
             ).withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
             # co-locate each bucket into one task: one file per bucket
             # dir instead of one per (upstream task x bucket) — tiny
             # files would otherwise compound every batch
             result.repartition(num_buckets, "__bucket").write \
                 .mode("overwrite").partitionBy("__bucket").parquet(target_path)
-            return
+            return _stats_or_recompute(
+                obs, m, _empty_target(spark, schema), key)
 
         touched = [r[0] for r in m.select("__bucket").distinct().collect()]
         if not touched:
-            return
+            return ApplyStats(0, 0, 0, 0)
         target = (
             spark.read.option("mergeSchema", "true").parquet(target_path)
             .filter(F.col("__bucket").isin(touched))  # partition pruning
@@ -514,7 +596,9 @@ def apply_cdc_batch_bucketed(
                 target = target.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
                 )
-        result = _merge_survivors(target, m, key, schema) \
+        obs = Observation()
+        result = _merge_survivors(target, m, key, schema,
+                                  observation=obs) \
             .withColumn("__bucket", _bucket_col(F.col(key), num_buckets))
         # materialize to a temp dir (the plan READS the dirs we're about
         # to replace), then swap exactly the touched partitions — incl.
@@ -525,6 +609,7 @@ def apply_cdc_batch_bucketed(
         # one write task per touched bucket (see the seed-write comment)
         result.repartition(max(len(touched), 1), "__bucket").write \
             .mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        stats = _stats_or_recompute(obs, m, target, key)  # pre-swap
         for b in touched:
             dst = os.path.join(target_path, f"__bucket={b}")
             if os.path.isdir(dst):
@@ -533,6 +618,7 @@ def apply_cdc_batch_bucketed(
             if os.path.isdir(src):
                 os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+        return stats
     finally:
         m.unpersist()
 

@@ -619,3 +619,63 @@ def test_bucketed_evolved_column_survives_bucket_rewrite(spark, tmp_path):
     ], evolve=True)
     assert state[2].x == "patched"
     assert state[2].grade == "A", "evolved column lost in bucket rewrite"
+
+
+def test_apply_stats_counters(spark, tmp_path):
+    """A6/BulkWriteOplogsResult parity: per-batch inserted/updated/
+    deleted/noop counts, observed on the merge plan (no extra pass)."""
+    path = str(tmp_path / "t.parquet")
+
+    def run(rows):
+        models = reduce_write_models(
+            decode_write_models(_oplog_df(spark, rows)))
+        return apply_cdc_batch(spark, models, path, "_id", TARGET_SCHEMA)
+
+    s1 = run([_ev(i, "i", {"_id": i, "x": f"v{i}", "n": i})
+              for i in range(5)])
+    assert (s1.inserted, s1.updated, s1.deleted, s1.noops) == (5, 0, 0, 0)
+
+    s2 = run([
+        _ev(10, "u", {"$set": {"x": "p"}}, {"_id": 1}),    # update hit
+        _ev(11, "d", {"_id": 2}),                           # delete hit
+        _ev(12, "u", {"$set": {"x": "q"}}, {"_id": 99}),    # patch miss
+        _ev(13, "i", {"_id": 50, "x": "new", "n": 0}),      # insert
+        _ev(14, "d", {"_id": 98}),                          # delete miss
+    ])
+    assert (s2.inserted, s2.updated, s2.deleted, s2.noops) == (1, 1, 1, 2)
+    assert s2.total == 5
+
+    # bucketed variant reports the same shape
+    from hummingbird_spark.streaming.cdc import apply_cdc_batch_bucketed
+    bpath = str(tmp_path / "b.parquet")
+    models = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(i, "i", {"_id": i, "x": f"v{i}", "n": i}) for i in range(7)
+    ])))
+    sb = apply_cdc_batch_bucketed(spark, models, bpath, "_id",
+                                  TARGET_SCHEMA, num_buckets=4)
+    assert (sb.inserted, sb.updated, sb.deleted, sb.noops) == (7, 0, 0, 0)
+    models2 = reduce_write_models(decode_write_models(_oplog_df(spark, [
+        _ev(20, "d", {"_id": 3}),
+        _ev(21, "u", {"$set": {"n": 99}}, {"_id": 4}),
+    ])))
+    sb2 = apply_cdc_batch_bucketed(spark, models2, bpath, "_id",
+                                   TARGET_SCHEMA, num_buckets=4)
+    assert (sb2.inserted, sb2.updated, sb2.deleted, sb2.noops) == (0, 1, 1, 0)
+
+
+def test_apply_stats_survive_empty_result(spark, tmp_path):
+    """Delete-everything batch: the merge result is runtime-empty, AQE
+    drops the CollectMetrics node, and the counters come from the exact
+    pre-swap recompute instead of silently failing."""
+    path = str(tmp_path / "t.parquet")
+
+    def run(rows):
+        models = reduce_write_models(
+            decode_write_models(_oplog_df(spark, rows)))
+        return apply_cdc_batch(spark, models, path, "_id", TARGET_SCHEMA)
+
+    run([_ev(1, "i", {"_id": 1, "x": "a", "n": 1}),
+         _ev(2, "i", {"_id": 2, "x": "b", "n": 2})])
+    s = run([_ev(10, "d", {"_id": 1}), _ev(11, "d", {"_id": 2})])
+    assert (s.inserted, s.updated, s.deleted, s.noops) == (0, 0, 2, 0)
+    assert spark.read.parquet(path).count() == 0
