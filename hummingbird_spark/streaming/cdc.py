@@ -653,6 +653,7 @@ def start_cdc_stream(
     num_buckets: int | None = None,
     evolve: bool = False,
     ejson: bool = False,
+    on_stats=None,
 ) -> StreamingQuery:
     """The three-phase CDC pipeline (ST2) collapsed to one streaming
     query: a file-source over JSON oplog frames (the test stand-in for a
@@ -667,7 +668,9 @@ def start_cdc_stream(
     documents carrying never-seen fields widen the target additively
     per batch (schemaless-source parity — see evolve_schema). `ejson`
     strips extended-JSON type wrappers during decode (JSON-encoded
-    change streams; see functions/ejson.py).
+    change streams; see functions/ejson.py). `on_stats(ns, batch_id,
+    stats)` receives each namespace's ApplyStats per micro-batch — the
+    reference's per-bulk-write counter log line (A6/ST8).
     """
     stream = (
         spark.readStream.schema(OPLOG_SCHEMA)
@@ -686,13 +689,15 @@ def start_cdc_stream(
                 path = os.path.join(target_root, f"{coll}.parquet")
                 ns_models = reduced.filter(F.col("ns") == ns)
                 if num_buckets:
-                    apply_cdc_batch_bucketed(
+                    stats = apply_cdc_batch_bucketed(
                         spark, ns_models, path, key, schemas[ns],
                         num_buckets=num_buckets, evolve=evolve,
                     )
                 else:
-                    apply_cdc_batch(spark, ns_models, path, key,
-                                    schemas[ns], evolve=evolve)
+                    stats = apply_cdc_batch(spark, ns_models, path, key,
+                                            schemas[ns], evolve=evolve)
+                if on_stats is not None:
+                    on_stats(ns, batch_id, stats)
         finally:
             reduced.unpersist()
 

@@ -679,3 +679,35 @@ def test_apply_stats_survive_empty_result(spark, tmp_path):
     s = run([_ev(10, "d", {"_id": 1}), _ev(11, "d", {"_id": 2})])
     assert (s.inserted, s.updated, s.deleted, s.noops) == (0, 0, 2, 0)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_stream_reports_apply_stats(spark, tmp_path):
+    """The streaming entrypoint surfaces per-(namespace, batch)
+    ApplyStats through on_stats — the reference's bulk-write counter
+    log line."""
+    oplog_dir = tmp_path / "oplog"
+    oplog_dir.mkdir()
+    with open(oplog_dir / "b1.json", "w") as fh:
+        for ts, seq, ns, op, o, o2 in [
+            _ev(1, "i", {"_id": 1, "x": "a", "n": 1}),
+            _ev(2, "i", {"_id": 2, "x": "b", "n": 2}),
+            _ev(3, "u", {"$set": {"x": "p"}}, {"_id": 1}),
+            _ev(4, "d", {"_id": 9}),
+        ]:
+            fh.write(json.dumps({
+                "ts": ts.isoformat(), "seq": seq, "ns": ns,
+                "op": op, "o": o, "o2": o2,
+            }) + "\n")
+
+    seen = []
+    q = start_cdc_stream(
+        spark, str(oplog_dir), str(tmp_path / "tgt"),
+        {"db.c": TARGET_SCHEMA},
+        on_stats=lambda ns, bid, s: seen.append((ns, s)),
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 1
+    ns, s = seen[0]
+    assert ns == "db.c"
+    # the fold collapses i+u on _id 1 to one replace-with-patch model
+    assert (s.inserted, s.deleted, s.noops) == (2, 0, 1)
