@@ -108,8 +108,9 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
     """Run a Mongo aggregation pipeline (JSON file: a list of stages)
     against a parquet table, printing result rows as JSON lines —
     the mongosh `db.coll.aggregate(...)` workflow against the engine.
-    $lookup foreign tables resolve against the same --data directory."""
-    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+    $lookup foreign tables resolve against the same --data directory;
+    terminal $out/$merge stages write back into it."""
+    from hummingbird_spark.pipeline import run_pipeline
 
     spark = get_spark(app_name="hummingbird_pipeline")
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,9 +132,9 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
         print(f"table {args.table!r} not found under {args.data}",
               file=sys.stderr)
         return 2
-    out = mongo_pipeline_to_df(tables[args.table], stages, tables=tables)
-    for row in out.limit(args.limit).toJSON().collect():
-        print(row)
+    out = run_pipeline(spark, tables[args.table], stages, tables=tables,
+                       data_dir=args.data)
+    _print_rows(out, args.limit)
     return 0
 
 

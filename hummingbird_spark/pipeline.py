@@ -221,3 +221,94 @@ def mongo_pipeline_to_df(
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out
+
+
+def run_pipeline(
+    spark,
+    df: DataFrame,
+    stages: list[dict],
+    tables: dict[str, DataFrame] | None = None,
+    data_dir: str | None = None,
+) -> DataFrame:
+    """Run a pipeline that may end in a terminal write stage — `$out`
+    (replace a collection with the results) or `$merge` (upsert into
+    one). Non-terminal stages translate via mongo_pipeline_to_df; the
+    write lands `{data_dir}/{coll}.parquet` with a temp-dir + rename
+    swap so a pipeline may safely read the table it replaces. Returns
+    the written (or final) frame.
+
+    `$merge` options follow Mongo's: `on` key (default `_id`),
+    `whenMatched` in replace|keepExisting|merge (merge == replace here:
+    pipelines emit whole documents, so field-wise merge and replace
+    coincide on uniform schemas), `whenNotMatched` in insert|discard.
+    """
+    import os
+    import shutil
+    import uuid
+
+    body, terminal = stages, None
+    if stages and next(iter(stages[-1])) in ("$out", "$merge"):
+        body, terminal = stages[:-1], stages[-1]
+    out = mongo_pipeline_to_df(df, body, tables)
+    if terminal is None:
+        return out
+    if data_dir is None:
+        raise ValueError("terminal $out/$merge needs data_dir")
+    op, spec = next(iter(terminal.items()))
+
+    def _coll(s):
+        if isinstance(s, str):
+            return s
+        return s.get("coll") or s.get("into")
+
+    if op == "$out":
+        coll = _coll(spec)
+        result = out
+    else:
+        into = spec["into"] if isinstance(spec, dict) else spec
+        coll = _coll(into)
+        key = (spec.get("on", "_id")
+               if isinstance(spec, dict) else "_id")
+        when_matched = (spec.get("whenMatched", "merge")
+                        if isinstance(spec, dict) else "merge")
+        when_not = (spec.get("whenNotMatched", "insert")
+                    if isinstance(spec, dict) else "insert")
+        if when_matched not in ("replace", "merge", "keepExisting"):
+            raise ValueError(f"unsupported whenMatched: {when_matched!r}")
+        if when_not not in ("insert", "discard"):
+            raise ValueError(f"unsupported whenNotMatched: {when_not!r}")
+        path = os.path.join(data_dir, f"{coll}.parquet")
+        if os.path.exists(path):
+            target = spark.read.parquet(path)
+            # align the pipeline result to the target's schema by name
+            result_aligned = out.select(*[
+                (F.col(f.name).cast(f.dataType) if f.name in out.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in target.schema.fields
+            ])
+            tkeys = target.select(F.col(key).alias("__k"))
+            rkeys = result_aligned.select(F.col(key).alias("__k"))
+            if when_matched == "keepExisting":
+                kept_target = target
+                incoming = result_aligned.join(
+                    tkeys, F.col(key) == F.col("__k"), "left_anti")
+                if when_not == "discard":
+                    incoming = incoming.limit(0)
+            else:  # replace / merge: the pipeline's rows win
+                kept_target = target.join(
+                    rkeys, F.col(key) == F.col("__k"), "left_anti")
+                incoming = result_aligned
+                if when_not == "discard":
+                    incoming = incoming.join(
+                        tkeys, F.col(key) == F.col("__k"), "left_semi")
+            result = kept_target.unionByName(incoming)
+        else:
+            result = out if when_not == "insert" else out.limit(0)
+
+    path = os.path.join(data_dir, f"{coll}.parquet")
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)

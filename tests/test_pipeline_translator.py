@@ -190,3 +190,71 @@ def test_sortbycount(spark, orders):
         key=lambda t: (-t[1], t[0]),
     )
     assert [(r._id, r["count"]) for r in rows] == want
+
+
+def test_out_stage_writes_collection(spark, tmp_path):
+    from hummingbird_spark.pipeline import run_pipeline
+
+    src = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9), (3, "a", 2)], "k long, g string, v long")
+    got = run_pipeline(spark, src, [
+        {"$match": {"v": {"$gte": 3}}},
+        {"$out": "hot"},
+    ], data_dir=str(tmp_path))
+    assert {r.k for r in got.collect()} == {1, 2}
+    again = spark.read.parquet(str(tmp_path / "hot.parquet"))
+    assert again.count() == 2
+
+
+def test_out_stage_can_replace_its_own_input(spark, tmp_path):
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame([(i, i * 2) for i in range(10)],
+                          "k long, v long") \
+        .write.parquet(str(tmp_path / "t.parquet"))
+    src = spark.read.parquet(str(tmp_path / "t.parquet"))
+    got = run_pipeline(spark, src, [
+        {"$match": {"k": {"$lt": 4}}},
+        {"$out": "t"},
+    ], data_dir=str(tmp_path))
+    assert got.count() == 4
+    assert spark.read.parquet(str(tmp_path / "t.parquet")).count() == 4
+
+
+def test_merge_stage_upserts(spark, tmp_path):
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, "old", 1), (2, "old", 2)], "_id long, tag string, v long"
+    ).write.parquet(str(tmp_path / "tgt.parquet"))
+    src = spark.createDataFrame(
+        [(2, "new", 20), (3, "new", 30)], "_id long, tag string, v long")
+
+    got = {r._id: r for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "tgt", "on": "_id",
+                    "whenMatched": "replace",
+                    "whenNotMatched": "insert"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got[1].tag == "old"          # untouched
+    assert got[2].tag == "new" and got[2].v == 20   # replaced
+    assert got[3].tag == "new"          # inserted
+
+
+def test_merge_keep_existing_and_discard(spark, tmp_path):
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "_id long, v long"
+    ).write.parquet(str(tmp_path / "t2.parquet"))
+    src = spark.createDataFrame([(2, 99), (5, 50)], "_id long, v long")
+
+    got = {r._id: r.v for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "t2", "whenMatched": "keepExisting"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 2, 5: 50}   # 2 kept, 5 inserted
+
+    got = {r._id: r.v for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "t2", "whenMatched": "replace",
+                    "whenNotMatched": "discard"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 99, 5: 50}  # 5 already present from above
