@@ -218,6 +218,34 @@ def mongo_pipeline_to_df(
                 .groupBy("_id").agg(F.count(F.lit(1)).alias("count"))
                 .orderBy(F.desc("count"), F.col("_id"))
             )
+        elif op == "$unionWith":
+            name = spec if isinstance(spec, str) else spec["coll"]
+            if not tables or name not in tables:
+                raise ValueError(
+                    f"$unionWith {name!r}: pass the frame via tables=")
+            other = tables[name]
+            if isinstance(spec, dict) and spec.get("pipeline"):
+                other = mongo_pipeline_to_df(other, spec["pipeline"], tables)
+            out = out.unionByName(other, allowMissingColumns=True)
+        elif op == "$replaceRoot" or op == "$replaceWith":
+            ref = spec["newRoot"] if isinstance(spec, dict) else spec
+            path = ref[1:] if isinstance(ref, str) else None
+            if path is None:
+                raise ValueError(f"$replaceRoot needs a field path: {spec!r}")
+            out = out.select(f"{path}.*")
+        elif op == "$bucket":
+            bounds = spec["boundaries"]
+            gb = _ref(spec["groupBy"])
+            bucket = F.lit(spec.get("default"))
+            # rightmost matching lower bound wins: fold from the left
+            for lo, hi in zip(bounds, bounds[1:]):
+                bucket = F.when(
+                    (gb >= F.lit(lo)) & (gb < F.lit(hi)), F.lit(lo)
+                ).otherwise(bucket)
+            keyed = out.withColumn("_id", bucket)
+            outputs = spec.get("output", {"count": {"$sum": 1}})
+            aggs = [_accumulator(a).alias(n) for n, a in outputs.items()]
+            out = keyed.groupBy("_id").agg(*aggs).orderBy("_id")
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out

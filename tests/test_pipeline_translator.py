@@ -258,3 +258,44 @@ def test_merge_keep_existing_and_discard(spark, tmp_path):
                     "whenNotMatched": "discard"}},
     ], data_dir=str(tmp_path)).collect()}
     assert got == {1: 1, 2: 99, 5: 50}  # 5 already present from above
+
+
+def test_union_with_stage(spark):
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(2, "y", 9)], "k long, s string, extra long")
+    out = mongo_pipeline_to_df(a, [
+        {"$unionWith": {"coll": "b",
+                        "pipeline": [{"$match": {"k": {"$gte": 0}}}]}},
+    ], tables={"b": b})
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].extra is None and rows[2].extra == 9
+
+
+def test_replace_root_stage(spark):
+    from pyspark.sql import functions as F
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame([(1, ("a", 2))], "k long, sub struct<s:string,n:long>")
+    out = mongo_pipeline_to_df(df, [{"$replaceRoot": {"newRoot": "$sub"}}])
+    assert out.columns == ["s", "n"]
+    assert out.first().s == "a"
+
+
+def test_bucket_stage(spark):
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 5, 12, 25, 99, 150]], "v long")
+    out = mongo_pipeline_to_df(df, [{
+        "$bucket": {
+            "groupBy": "$v",
+            "boundaries": [0, 10, 100],
+            "default": -1,
+            "output": {"count": {"$sum": 1}, "total": {"$sum": "$v"}},
+        }
+    }])
+    rows = {r._id: (r["count"], r.total) for r in out.collect()}
+    assert rows == {0: (2, 6), 10: (3, 136), -1: (1, 150)}
