@@ -43,6 +43,9 @@ returns it; compound keys become a struct column.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -228,19 +231,31 @@ def mongo_pipeline_to_df(
                 other = mongo_pipeline_to_df(other, spec["pipeline"], tables)
             out = out.unionByName(other, allowMissingColumns=True)
         elif op == "$replaceRoot" or op == "$replaceWith":
-            ref = spec["newRoot"] if isinstance(spec, dict) else spec
-            path = ref[1:] if isinstance(ref, str) else None
-            if path is None:
-                raise ValueError(f"$replaceRoot needs a field path: {spec!r}")
-            out = out.select(f"{path}.*")
+            ref = (spec.get("newRoot") if isinstance(spec, dict)
+                   else spec)
+            if not (isinstance(ref, str) and ref.startswith("$")):
+                raise ValueError(
+                    f"{op} supports a '$field' path newRoot, got: {spec!r}")
+            out = out.select(f"{ref[1:]}.*")
         elif op == "$bucket":
             bounds = spec["boundaries"]
+            if len(bounds) < 2 or bounds != sorted(bounds):
+                raise ValueError(
+                    f"$bucket boundaries must be >=2 ascending values: "
+                    f"{bounds!r}")
             gb = _ref(spec["groupBy"])
-            bucket = F.lit(spec.get("default"))
-            # rightmost matching lower bound wins: fold from the left
+            default = spec.get("default")
+            # one Spark column can't mix Mongo's heterogeneous _id
+            # types: a string default coerces the bound _ids to string
+            # (documented deviation — sort order becomes lexicographic)
+            as_str = isinstance(default, str)
+            lit = (lambda v: F.lit(str(v)) if as_str else F.lit(v))
+            # absent default: out-of-range rows land in _id=NULL here
+            # (Mongo errors the aggregation instead — deviation)
+            bucket = F.lit(default)
             for lo, hi in zip(bounds, bounds[1:]):
                 bucket = F.when(
-                    (gb >= F.lit(lo)) & (gb < F.lit(hi)), F.lit(lo)
+                    (gb >= F.lit(lo)) & (gb < F.lit(hi)), lit(lo)
                 ).otherwise(bucket)
             keyed = out.withColumn("_id", bucket)
             outputs = spec.get("output", {"count": {"$sum": 1}})
@@ -265,15 +280,18 @@ def run_pipeline(
     swap so a pipeline may safely read the table it replaces. Returns
     the written (or final) frame.
 
-    `$merge` options follow Mongo's: `on` key (default `_id`),
-    `whenMatched` in replace|keepExisting|merge (merge == replace here:
-    pipelines emit whole documents, so field-wise merge and replace
-    coincide on uniform schemas), `whenNotMatched` in insert|discard.
+    `$merge` options follow Mongo's: `on` key or key list (default
+    `_id`), `whenMatched` in replace|merge|keepExisting, and
+    `whenNotMatched` in insert|discard. `merge` (the default) is
+    field-wise: matched rows take the pipeline's value for columns the
+    pipeline produced and KEEP the target's value for columns it
+    didn't; `replace` overwrites the whole row (pipeline-absent columns
+    become NULL). Columns the pipeline emits that the target lacks are
+    appended additively (target rows read NULL there) — same evolution
+    contract as the CDC sink. Duplicate on-keys in the pipeline result
+    collapse to one arbitrary-but-deterministic row first (Mongo
+    serializes per-document writes, so a key can't end up duplicated).
     """
-    import os
-    import shutil
-    import uuid
-
     body, terminal = stages, None
     if stages and next(iter(stages[-1])) in ("$out", "$merge"):
         body, terminal = stages[:-1], stages[-1]
@@ -295,8 +313,8 @@ def run_pipeline(
     else:
         into = spec["into"] if isinstance(spec, dict) else spec
         coll = _coll(into)
-        key = (spec.get("on", "_id")
-               if isinstance(spec, dict) else "_id")
+        on = spec.get("on", "_id") if isinstance(spec, dict) else "_id"
+        keys = [on] if isinstance(on, str) else list(on)
         when_matched = (spec.get("whenMatched", "merge")
                         if isinstance(spec, dict) else "merge")
         when_not = (spec.get("whenNotMatched", "insert")
@@ -305,33 +323,10 @@ def run_pipeline(
             raise ValueError(f"unsupported whenMatched: {when_matched!r}")
         if when_not not in ("insert", "discard"):
             raise ValueError(f"unsupported whenNotMatched: {when_not!r}")
-        path = os.path.join(data_dir, f"{coll}.parquet")
-        if os.path.exists(path):
-            target = spark.read.parquet(path)
-            # align the pipeline result to the target's schema by name
-            result_aligned = out.select(*[
-                (F.col(f.name).cast(f.dataType) if f.name in out.columns
-                 else F.lit(None).cast(f.dataType)).alias(f.name)
-                for f in target.schema.fields
-            ])
-            tkeys = target.select(F.col(key).alias("__k"))
-            rkeys = result_aligned.select(F.col(key).alias("__k"))
-            if when_matched == "keepExisting":
-                kept_target = target
-                incoming = result_aligned.join(
-                    tkeys, F.col(key) == F.col("__k"), "left_anti")
-                if when_not == "discard":
-                    incoming = incoming.limit(0)
-            else:  # replace / merge: the pipeline's rows win
-                kept_target = target.join(
-                    rkeys, F.col(key) == F.col("__k"), "left_anti")
-                incoming = result_aligned
-                if when_not == "discard":
-                    incoming = incoming.join(
-                        tkeys, F.col(key) == F.col("__k"), "left_semi")
-            result = kept_target.unionByName(incoming)
-        else:
-            result = out if when_not == "insert" else out.limit(0)
+        out = out.dropDuplicates(keys)
+        result = _merge_into(spark, out,
+                             os.path.join(data_dir, f"{coll}.parquet"),
+                             keys, when_matched, when_not)
 
     path = os.path.join(data_dir, f"{coll}.parquet")
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -340,3 +335,62 @@ def run_pipeline(
         shutil.rmtree(path)
     os.rename(tmp, path)
     return spark.read.parquet(path)
+
+
+def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
+                when_matched: str, when_not: str) -> DataFrame:
+    """Build the merged frame for a terminal $merge (see run_pipeline
+    docstring for the option semantics)."""
+    if not os.path.exists(path):
+        return out if when_not == "insert" else out.limit(0)
+    target = spark.read.parquet(path)
+    # union schema: target fields (their established types win for
+    # shared names) + pipeline-only fields appended
+    tnames = {f.name for f in target.schema.fields}
+    union_fields = list(target.schema.fields) + [
+        f for f in out.schema.fields if f.name not in tnames
+    ]
+
+    def _align(frame: DataFrame) -> DataFrame:
+        return frame.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in frame.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in union_fields
+        ])
+
+    target_a, out_a = _align(target), _align(out)
+    cond = None
+    for k in keys:
+        c = target_a[k].eqNullSafe(out_a[k])
+        cond = c if cond is None else (cond & c)
+
+    if when_matched == "keepExisting":
+        kept = target_a
+        incoming = (out_a.join(target_a, cond, "left_anti")
+                    if when_not == "insert" else out_a.limit(0))
+        return kept.unionByName(incoming)
+    if when_matched == "merge":
+        # field-wise ($mergeObjects): for columns the pipeline
+        # produced, its value wins on matched rows (nulls included);
+        # target values survive for everything else
+        produced = set(out.columns)
+        matched = F.col("r.__m").isNotNull()  # marker, null-key safe
+        mcond = None
+        for k in keys:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"r.{k}"))
+            mcond = c if mcond is None else (mcond & c)
+        joined = target_a.alias("t").join(
+            out_a.withColumn("__m", F.lit(True)).alias("r"), mcond, "left")
+        kept = joined.select(*[
+            (F.when(matched, F.col(f"r.{f.name}"))
+             .otherwise(F.col(f"t.{f.name}"))
+             if f.name in produced else F.col(f"t.{f.name}")).alias(f.name)
+            for f in union_fields
+        ])
+    else:  # replace
+        kept = target_a.join(out_a, cond, "left_anti")
+        kept = kept.unionByName(out_a.join(target_a, cond, "left_semi"))
+    unmatched = out_a.join(target_a, cond, "left_anti")
+    if when_not == "insert":
+        return kept.unionByName(unmatched)
+    return kept

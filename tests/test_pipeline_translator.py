@@ -299,3 +299,64 @@ def test_bucket_stage(spark):
     }])
     rows = {r._id: (r["count"], r.total) for r in out.collect()}
     assert rows == {0: (2, 6), 10: (3, 136), -1: (1, 150)}
+
+
+def test_merge_fieldwise_keeps_unprojected_columns(spark, tmp_path):
+    """Default whenMatched='merge' is $mergeObjects: target fields the
+    pipeline didn't produce keep their values (the review-found
+    data-loss case), and pipeline-only fields evolve the target."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, "keepme", 1), (2, "keepme", 2)],
+        "_id long, tag string, v long",
+    ).write.parquet(str(tmp_path / "t3.parquet"))
+    src = spark.createDataFrame(
+        [(1, 100, "extra1"), (9, 900, "extra9")],
+        "_id long, v long, score string")
+
+    got = {r._id: r for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "t3"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got[1].tag == "keepme" and got[1].v == 100   # merged
+    assert got[1].score == "extra1"                      # evolved column
+    assert got[2].tag == "keepme" and got[2].score is None  # untouched
+    assert got[9].v == 900 and got[9].tag is None        # inserted
+
+
+def test_merge_dedupes_duplicate_keys(spark, tmp_path):
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame([(1, 0)], "_id long, v long") \
+        .write.parquet(str(tmp_path / "t4.parquet"))
+    src = spark.createDataFrame(
+        [(7, 70), (7, 71), (7, 72)], "_id long, v long")
+    got = run_pipeline(spark, src, [
+        {"$merge": {"into": "t4", "whenMatched": "replace"}},
+    ], data_dir=str(tmp_path))
+    assert got.filter("_id = 7").count() == 1
+
+
+def test_bucket_validation_and_string_default(spark):
+    import pytest
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame([(5,), (50,)], "v long")
+    with pytest.raises(ValueError, match="ascending"):
+        mongo_pipeline_to_df(df, [{"$bucket": {
+            "groupBy": "$v", "boundaries": [10, 0]}}])
+    out = mongo_pipeline_to_df(df, [{"$bucket": {
+        "groupBy": "$v", "boundaries": [0, 10], "default": "Other"}}])
+    rows = {r._id: r["count"] for r in out.collect()}
+    assert rows == {"0": 1, "Other": 1}
+
+
+def test_replace_root_rejects_bad_newroot(spark):
+    import pytest
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="path newRoot"):
+        mongo_pipeline_to_df(df, [{"$replaceRoot": {"newRoot": "sub"}}])
+    with pytest.raises(ValueError, match="path newRoot"):
+        mongo_pipeline_to_df(df, [{"$replaceWith": {"$mergeObjects": []}}])
