@@ -262,6 +262,48 @@ FROM orders GROUP BY o_orderstatus ORDER BY _id
 """
 
 
+def q_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket through the translator: order totals bucketed on fixed
+    boundaries with a default bucket, per-bucket count + exact-decimal
+    sum. Same CASE-WHEN + hash-agg plan a hand-written bucketing would
+    produce."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec",
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    )
+    out = mongo_pipeline_to_df(df, [
+        {"$bucket": {
+            "groupBy": "$o_totalprice",
+            "boundaries": [0, 50000, 150000, 300000],
+            "default": -1,
+            "output": {
+                "n_orders": {"$sum": 1},
+                "bucket_total": {"$sum": "$o_totalprice_dec"},
+            },
+        }},
+    ])
+    return out.select(
+        F.col("_id").cast("bigint").alias("_id"),
+        "n_orders",
+        F.col("bucket_total").cast("double").alias("bucket_total"),
+    )
+
+
+ORACLE_PIPELINE_BUCKET = """
+SELECT CAST(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+            WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 50000
+            WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 150000
+            ELSE -1 END AS BIGINT) AS _id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS bucket_total
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
@@ -1337,6 +1379,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_status_rollup": QuerySpec(
         q_pipeline_status_rollup, ORACLE_PIPELINE_STATUS,
         "A1 via the Mongo aggregation-pipeline translator"),
+    "pipeline_bucket": QuerySpec(
+        q_pipeline_bucket, ORACLE_PIPELINE_BUCKET,
+        "$bucket stage via the pipeline translator"),
     "status_counts": QuerySpec(q_status_counts, ORACLE_STATUS_COUNTS, "A1"),
     "event_type_counts": QuerySpec(q_event_type_counts, ORACLE_EVENT_TYPE_COUNTS,
                                    "A1+distinct agg"),
