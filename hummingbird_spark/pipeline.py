@@ -261,6 +261,46 @@ def mongo_pipeline_to_df(
             outputs = spec.get("output", {"count": {"$sum": 1}})
             aggs = [_accumulator(a).alias(n) for n, a in outputs.items()]
             out = keyed.groupBy("_id").agg(*aggs).orderBy("_id")
+        elif op == "$bucketAuto":
+            # even-count buckets via a global ntile sort (bucketAuto is
+            # inherently a total order; Mongo's is equally approximate
+            # at value ties). Boundary rows with equal groupBy values
+            # may land in either adjacent bucket.
+            from pyspark.sql.window import Window
+
+            n = int(spec["buckets"])
+            gb = _ref(spec["groupBy"])
+            w = Window.orderBy(gb)
+            keyed = out.withColumn("__gv", gb).withColumn(
+                "__b", F.ntile(n).over(w))
+            outputs = spec.get("output", {"count": {"$sum": 1}})
+            aggs = [_accumulator(a).alias(nm) for nm, a in outputs.items()]
+            out = (
+                keyed.groupBy("__b")
+                .agg(F.struct(F.min("__gv").alias("min"),
+                              F.max("__gv").alias("max")).alias("_id"),
+                     *aggs)
+                .orderBy("__b").drop("__b")
+                .select("_id", *outputs.keys())
+            )
+        elif op == "$facet":
+            # each facet runs its own sub-pipeline over the SAME input
+            # and lands as an array-of-struct column in one result row;
+            # array element order is unordered unless the sub-pipeline
+            # ends with $sort (collect_list gives no ordering promise)
+            if not spec:
+                raise ValueError("$facet requires at least one facet")
+            facets = []
+            for name, sub in spec.items():
+                fdf = mongo_pipeline_to_df(out, sub, tables)
+                facets.append(
+                    fdf.agg(F.collect_list(
+                        F.struct(*fdf.columns)).alias(name))
+                )
+            merged = facets[0]
+            for fdf in facets[1:]:
+                merged = merged.crossJoin(fdf)
+            out = merged
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out

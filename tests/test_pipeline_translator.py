@@ -143,7 +143,7 @@ def test_push_and_addtoset(spark):
 
 def test_unsupported_stage_raises(spark, orders):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        mongo_pipeline_to_df(orders, [{"$facet": {}}])
+        mongo_pipeline_to_df(orders, [{"$graphLookup": {}}])
 
 
 def test_lookup_array_semantics(spark):
@@ -360,3 +360,38 @@ def test_replace_root_rejects_bad_newroot(spark):
         mongo_pipeline_to_df(df, [{"$replaceRoot": {"newRoot": "sub"}}])
     with pytest.raises(ValueError, match="path newRoot"):
         mongo_pipeline_to_df(df, [{"$replaceWith": {"$mergeObjects": []}}])
+
+
+def test_bucket_auto_even_counts(spark):
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame([(v,) for v in range(1, 13)], "v long")
+    out = mongo_pipeline_to_df(df, [{
+        "$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                        "output": {"count": {"$sum": 1},
+                                   "total": {"$sum": "$v"}}}
+    }])
+    rows = out.collect()
+    assert [r["count"] for r in rows] == [4, 4, 4]
+    assert rows[0]._id.min == 1 and rows[0]._id.max == 4
+    assert rows[2]._id.min == 9 and rows[2]._id.max == 12
+
+
+def test_facet_stage(spark):
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9), (3, "a", 2)], "k long, g string, v long")
+    out = mongo_pipeline_to_df(df, [{
+        "$facet": {
+            "by_group": [
+                {"$group": {"_id": "$g", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+            "big": [{"$match": {"v": {"$gte": 5}}},
+                    {"$count": "n_big"}],
+        }
+    }])
+    row = out.first()
+    assert {d.n for d in row.by_group} == {1, 2}
+    assert row.big[0].n_big == 2
