@@ -1504,8 +1504,8 @@ _VERIFY_FIRST = [
     "asof_attribution", "range_join_week", "cube_agg", "grouping_sets",
     # Deferred to r3 (the list must stay at <=50 entries or the tail
     # falls off the driver's recording window): media_pipeline
-    # (rows-only), pack_sequences, mixture_rebalance — all three are
-    # still oracle/parity-checked locally by tests/test_oracle_parity.py
+    # (rows-only), pack_sequences, mixture_rebalance, pipeline_bucket —
+    # all still oracle/parity-checked locally by test_oracle_parity.py
     "approx_distinct", "sample_group", "docgen_all_types",
     "min_cost_supplier", "market_share",
     "product_profit", "important_stock", "excess_suppliers",
