@@ -225,12 +225,28 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
+    # The driver records only a truncated tail of stdout, so BENCH_r01/
+    # r02 ended up "parsed": null — the full per-query map (~2.5 KB)
+    # overflowed its buffer. Keep fd 1 to one compact line (<200 bytes)
+    # and persist the per-query detail to a committed repo file instead.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_r3.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": _sf_from_dir(SF_DIR),
+            "n_queries": len(timings),
+            "queries": timings,
+        }, f, indent=1, sort_keys=True)
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "queries": {"n": len(timings), "detail": "BENCH_DETAIL_r3.json"},
     })
     os.write(_json_fd, (line + "\n").encode())
     os.close(_json_fd)

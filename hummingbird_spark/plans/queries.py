@@ -1485,31 +1485,29 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # added in round 2
-    "pipeline_status_rollup",
-    "funnel_steps", "cohort_retention", "session_stats",
-    "running_revenue", "moving_avg_revenue", "seg_first_last",
-    "percent_rank_balance", "region_nations_agg", "corr_price_qty",
-    "histogram_price", "top_orders_per_cust", "ntile_quartiles",
-    "event_transitions", "dow_activity", "stratified_sample",
-    "dataset_split",
-    # r1 hash mismatch (oracle SUM(int)->HUGEINT->float64; now cast)
-    "priority_linestatus",
-    # r1 rows 51-83: never reached by the correctness harness
-    "dup_group_histogram", "minhash_dups", "dup_clusters",
-    "token_diversity", "hash_sample", "ngram_jaccard", "corpus_curation",
-    "tfidf_dup_pairs", "winnow_pairs", "simhash_dups", "knn_exact",
-    "knn_lsh", "knn_ivf", "embedding_top_pairs", "pivot_event_values",
-    "token_frequencies", "win_tumbling", "win_sliding", "win_session",
-    "asof_attribution", "range_join_week", "cube_agg", "grouping_sets",
-    # Deferred to r3 (the list must stay at <=50 entries or the tail
-    # falls off the driver's recording window): media_pipeline
-    # (rows-only), pack_sequences, mixture_rebalance, pipeline_bucket —
-    # all still oracle/parity-checked locally by test_oracle_parity.py
-    "approx_distinct", "sample_group", "docgen_all_types",
-    "min_cost_supplier", "market_share",
-    "product_profit", "important_stock", "excess_suppliers",
-    "waiting_suppliers",
+    # r3 priority: the only registry queries with no driver CORRECTNESS
+    # record after r1+r2 (deferred from r2's 50-slot window), plus
+    # docgen_all_types (r2 driver-red: array column unhashable in the
+    # harness canonicalizer; now emitted as to_json on both sides)
+    "pipeline_bucket", "pack_sequences", "mixture_rebalance",
+    "media_pipeline", "docgen_all_types",
+    # queries added in round 3 (each needs a first green record)
+    "decile_stats", "first_order_gap", "order_price_bands",
+    "lineitem_shipmodes", "supplier_fill_rate", "doc_pii_scrub",
+    "doc_fingerprint", "doc_near_window", "minhash_signature_probe",
+    "order_seasonality", "events_sessionized", "embedding_norms",
+    "ivf_recall_probe", "shingle_stats", "quality_mixture",
+    # least-recently-verified (r1 window, in r1 order) — keeps every
+    # green record fresh on a 2-round rotation; total stays <=50 so the
+    # tail doesn't fall off the driver's recording window
+    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
+    "range_scan", "mask_default", "mask_partial", "mask_hex",
+    "status_counts", "event_type_counts", "topk_events",
+    "union_namespaces", "except_diff", "anti_join", "semi_join",
+    "revenue_by_nation", "shipping_priority", "returned_items",
+    "window_rank", "rollup_agg", "cdc_state_at", "cdc_last_state",
+    "proj_sort", "count_pred", "parent_rollup", "promo_revenue",
+    "custdist", "small_qty_revenue", "big_orders", "idle_balance",
 ]
 
 QUERIES = {

@@ -18,10 +18,12 @@ DOCGEN_N = 1000
 
 
 def q_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # scalar + array columns only: struct/binary reprs aren't comparable
-    # across engines in the hash harness
+    # scalar columns only; the array column is stringified with to_json
+    # because the driver's pandas canonicalizer cannot sort/hash list
+    # values (r2 driver-red: "unhashable type: 'list'")
     return docgen(spark, DOCGEN_N).select(
-        "_id", "color", "float64", "int64", "seq", "string", "ts", "array"
+        "_id", "color", "float64", "int64", "seq", "string", "ts",
+        F.to_json("array").alias("array_json"),
     )
 
 
@@ -39,7 +41,9 @@ SELECT
     || CAST(seq + 1001 AS VARCHAR) || '-'
     || CAST((seq + 1001) * (seq + 1001) + 3629 AS VARCHAR) AS string,
   TIMESTAMP '1970-01-01' + seq * INTERVAL 1 SECOND AS ts,
-  list_transform(range(101, 110), k -> CAST(k * k - k AS INT)) AS array
+  '[' || array_to_string(
+    list_transform(range(101, 110), k -> CAST(k * k - k AS INT)), ','
+  ) || ']' AS array_json
 FROM range({DOCGEN_N}) t(seq)
 """
 
