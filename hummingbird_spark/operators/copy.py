@@ -99,6 +99,27 @@ def list_source_namespaces(source: str) -> list[str]:
     return sorted(names)
 
 
+def _adopt_parquet_files(spark: SparkSession, tmp: str, dst: str,
+                         move: bool = True) -> None:
+    """Move the data files of a finished temp write into the live target
+    directory, then drop the temp dir. Part filenames embed the writing
+    task's UUID, so renames cannot collide with existing files. Uses the
+    Hadoop FS API (rename is a metadata op on HDFS/local; on S3A the
+    committer would own this) — nothing passes through the driver."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_p.getFileSystem(conf)
+    if move:
+        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+        for status in fs.listStatus(tmp_p):
+            name = status.getPath().getName()
+            if name.endswith(".parquet"):
+                fs.rename(status.getPath(),
+                          jvm.org.apache.hadoop.fs.Path(dst_p, name))
+    fs.delete(tmp_p, True)
+
+
 def transform_for_include(df: DataFrame, include: Include) -> DataFrame:
     """The per-namespace dataflow: filter ∧ mask ∧ limit
     (task.go:54-61 + mask.go:23-28 + includes.go:16)."""
@@ -151,14 +172,21 @@ def copy_table(
         df = partition_for_copy(df, cfg.key, rows=rows, block=cfg.block)
 
     if mode == "append":
-        # Appending to the path we may also be reading (self-read) is
-        # unsafe on plain parquet: materialize the delta rows first.
-        delta_rows = df.collect()
-        n = len(delta_rows)
-        if n:
-            spark.createDataFrame(delta_rows, df.schema).write.mode(
-                "append"
-            ).parquet(dst_path)
+        # Appending to the path the anti-join is also reading (self-read)
+        # is unsafe on plain parquet, but materializing the delta on the
+        # driver caps the top-up at driver memory. Instead write the
+        # delta to a sibling temp dir executor-side (the job finishes —
+        # and its reads of dst complete — before any file moves), then
+        # move the data files in: the plain-parquet equivalent of MERGE
+        # whenNotMatchedInsert, same temp-swap discipline as
+        # operators/compact.py.
+        tmp = dst_path.rstrip("/") + "__append_tmp"
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        n = obs.get["rows"]
+        _adopt_parquet_files(spark, tmp, dst_path, move=n > 0)
     else:
         # count during the write (observed metric, A6-style) — not with a
         # read-back scan of the target

@@ -145,12 +145,27 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
     nearest-centroid-by-dot == nearest-by-cosine."""
     import numpy as np
 
-    sample = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(sample_size)
-        .collect()
+    # "smallest sample_size md5 values" without a global sort: count the
+    # corpus (no shuffle), keep rows whose md5 prefix falls under a
+    # threshold sized for ~4x sample_size survivors, then sort ONLY the
+    # survivors. Same selection as a full orderBy(md5).limit(n) — the
+    # 4x margin makes missing the true cutoff negligible — but the sort
+    # input is ~4*sample_size rows instead of the corpus.
+    n = df.count()
+    frac = min(1.0, (4.0 * sample_size) / max(n, 1))
+    base = df.select(id_col, vec_col).withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
     )
+    if frac < 1.0:
+        cutoff = format(int(frac * 0xFFFFFFFF), "08x")
+        filtered = base.filter(F.substring("__h", 1, 8) <= cutoff)
+    else:
+        filtered = base
+    sample = filtered.orderBy("__h").limit(sample_size) \
+        .select(id_col, vec_col).collect()
+    if len(sample) < min(sample_size, n):  # threshold undershot (rare)
+        sample = base.orderBy("__h").limit(sample_size) \
+            .select(id_col, vec_col).collect()
     mat = np.array([r[1] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     centroids = mat[:n_centroids].copy()
@@ -234,19 +249,20 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id",
-                               top_k: int | None = None) -> DataFrame:
-    """Exact all-pairs cosine >= threshold, blocked-matmul shape:
-    broadcast one side as a dense matrix, stream the other side through
-    Arrow batches, numpy matmul per block, emit only qualifying pairs
-    (a < b).
+                               top_k: int | None = None,
+                               rows_per_block: int = 4096) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, with BOTH sides blocked.
 
-    This is the dense-similarity scale pattern: per executor work is
-    BLAS on a (batch x dim) @ (dim x n) block; only hit pairs leave the
-    worker. The broadcast side here is the whole table (fine to ~1M
-    rows x small dim); past that, block BOTH sides (outer join over
-    block ids) — same inner kernel, unchanged plan shape. The pure-
-    expression equivalent (near_duplicate_pairs with n_planes=0) is
-    ~10x slower at 2k x 64 because per-pair HOF folds are interpreted.
+    Rows hash into ceil(n / rows_per_block) blocks; every unordered
+    block pair (bi <= bj) becomes one applyInPandas group holding the
+    rows of just those two blocks, where a numpy matmul scores the
+    cross product and emits only qualifying (a < b) pairs. Nothing is
+    collected to the driver and no full-matrix broadcast exists — per
+    task memory is <= 2*rows_per_block vectors regardless of corpus
+    size, and the shuffle is n*n_blocks rows (the unavoidable all-pairs
+    data movement, amortized dim-wide by BLAS). The pure-expression
+    equivalent (near_duplicate_pairs with n_planes=0) is ~10x slower at
+    2k x 64 because per-pair HOF folds are interpreted.
 
     Float note: numpy's pairwise-summed dot differs from a sequential
     fold by ~1 ulp; scores are rounded to 6 decimals, which absorbs it
@@ -254,48 +270,72 @@ def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
 
     top_k: return the k most-similar pairs overall instead of a
     threshold cut (total order: cosine desc, then (a, b)). Correctness
-    at scale: each (a, b) pair is scored in exactly one Arrow block, so
-    the global top-k is a subset of the union of per-block top-k's —
-    each block emits at most k rows and the final orderBy/limit is a
-    TakeOrdered over ~k * n_blocks rows, never the full pair set.
+    at scale: each (a, b) pair is scored in exactly one block-pair
+    group, so the global top-k is a subset of the union of per-group
+    top-k's — each group emits at most k rows and the final
+    orderBy/limit is a TakeOrdered over ~k * n_groups rows, never the
+    full pair set.
     """
+    import math as _math
+
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    n = df.count()
+    n_blocks = max(1, _math.ceil(n / rows_per_block))
 
-    def block(it):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        all_norms = b_norms.value
-        for pdf in it:
-            bm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bnorms = np.sqrt((bm * bm).sum(axis=1))
-            scores = (bm @ all_mat.T) / np.outer(bnorms, all_norms)
-            scores = np.round(scores, 6)
-            valid = bids[:, None] < all_ids[None, :]  # a < b, once per pair
-            if top_k is None:
-                bi, aj = np.nonzero(valid & (scores >= threshold))
-            else:
-                flat = np.where(valid, scores, -np.inf).ravel()
-                k = min(top_k, flat.size)
-                idx = np.argpartition(flat, -k)[-k:]
-                idx = idx[np.isfinite(flat[idx])]
-                bi, aj = np.unravel_index(idx, scores.shape)
-            yield pd.DataFrame({
-                "a": bids[bi], "b": all_ids[aj],
-                "cosine": scores[bi, aj],
-            })
+    tagged = df.select(id_col, vec_col).withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+               F.lit(n_blocks)).cast("int"),
+    )
+    # replicate each row into every block pair it participates in:
+    # row in block i -> groups (min(i,j), max(i,j)) for all j
+    exploded = tagged.select(
+        id_col, vec_col, "__blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__o"),
+    ).select(
+        id_col, vec_col, "__blk",
+        F.least("__blk", "__o").alias("__bi"),
+        F.greatest("__blk", "__o").alias("__bj"),
+    )
 
-    out = df.select(id_col, vec_col).mapInPandas(
-        block, "a long, b long, cosine double"
+    def score_group(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        a_side = pdf[pdf["__blk"] == bi]
+        ida = a_side[id_col].to_numpy(dtype=np.int64)
+        ma = np.array(list(a_side[vec_col]), dtype=np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        if bi == bj:
+            idb, mb, nb = ida, ma, na
+        else:
+            b_side = pdf[pdf["__blk"] == bj]
+            idb = b_side[id_col].to_numpy(dtype=np.int64)
+            mb = np.array(list(b_side[vec_col]), dtype=np.float64)
+            nb = np.sqrt((mb * mb).sum(axis=1))
+        if not len(ida) or not len(idb):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        scores = np.round((ma @ mb.T) / np.outer(na, nb), 6)
+        # each unordered pair is scored once: id order inside the same
+        # block, cross pairs always (uniquely owned by this group)
+        valid = (ida[:, None] < idb[None, :]) if bi == bj else \
+            np.ones_like(scores, dtype=bool)
+        if top_k is None:
+            ri, cj = np.nonzero(valid & (scores >= threshold))
+        else:
+            flat = np.where(valid, scores, -np.inf).ravel()
+            k = min(top_k, flat.size)
+            idx = np.argpartition(flat, -k)[-k:]
+            idx = idx[np.isfinite(flat[idx])]
+            ri, cj = np.unravel_index(idx, scores.shape)
+        left, right = ida[ri], idb[cj]
+        return pd.DataFrame({
+            "a": np.minimum(left, right), "b": np.maximum(left, right),
+            "cosine": scores[ri, cj],
+        })
+
+    out = exploded.groupBy("__bi", "__bj").applyInPandas(
+        score_group, "a long, b long, cosine double"
     )
     if top_k is not None:
         return out.orderBy(F.desc("cosine"), "a", "b").limit(top_k)
