@@ -45,8 +45,21 @@ def _cmd_start(args: argparse.Namespace, resume: bool = False) -> int:
     spark = get_spark(app_name="hummingbird_migrate")
     spark.sparkContext.setLogLevel("ERROR")
     cfg = MigrationConfig.from_file(args.config)
+    tracker = server = None
+    if getattr(args, "port", None) is not None:
+        # the reference's monitoring UI (-port 3629, web_server.go:19)
+        from hummingbird_spark.web import ProgressTracker, start_web_server
+
+        tracker = ProgressTracker()
+        server = start_web_server(tracker, args.port)
+        print(f"progress UI: http://localhost:"
+              f"{server.server_address[1]}/", file=sys.stderr)
     t0 = time.time()
-    report = run_migration(spark, cfg, resume=resume)
+    try:
+        report = run_migration(spark, cfg, resume=resume, tracker=tracker)
+    finally:
+        if server is not None:
+            server.shutdown()
     out = {
         "command": "resume" if resume else "start",
         "tables": [
@@ -193,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("start", "resume", "compare", "worker"):
         sp = sub.add_parser(name)
         sp.add_argument("config", help="migration config JSON")
+        if name in ("start", "resume"):
+            sp.add_argument(
+                "--port", type=int, default=None,
+                help="serve a progress UI on this port while the "
+                     "migration runs (reference default: 3629; 0 picks "
+                     "an ephemeral port)")
     sub.add_parser("version")
     comp = sub.add_parser("compact")
     comp.add_argument("path")

@@ -199,7 +199,8 @@ def copy_table(
 
 
 def run_migration(
-    spark: SparkSession, cfg: MigrationConfig, resume: bool = False
+    spark: SparkSession, cfg: MigrationConfig, resume: bool = False,
+    tracker=None,
 ) -> MigrationReport:
     """The `-start` data phase (start.go:78-82): resolve includes against
     the source catalog (wildcards expand, data_copier.go:78-102), then
@@ -236,6 +237,18 @@ def run_migration(
         expanded = [Include(namespace=ns) for ns in available]
 
     os.makedirs(cfg.target, exist_ok=True)
+    if tracker is not None:  # web.ProgressTracker status feed (A4)
+        tracker.add(*[inc.namespace for inc in expanded])
     for inc in expanded:
-        report.results.append(copy_table(spark, cfg, inc, resume=resume))
+        if tracker is not None:
+            tracker.start(inc.namespace)
+        try:
+            result = copy_table(spark, cfg, inc, resume=resume)
+        except Exception:
+            if tracker is not None:
+                tracker.fail(inc.namespace)
+            raise
+        report.results.append(result)
+        if tracker is not None:
+            tracker.complete(inc.namespace, result.rows_copied)
     return report

@@ -62,6 +62,13 @@ def zvalue_column(df: DataFrame, cols: list[str], bits: int = 10) -> Column:
     cells = 2 ** bits
     coords = []
     for c in cols:
+        if stats[f"__mn_{c}"] is None or stats[f"__mx_{c}"] is None:
+            # empty input or all-null clustered column: no stats to
+            # grid on — surface it instead of a float(None) TypeError
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-null values "
+                f"(empty DataFrame or all-null column)"
+            )
         mn = float(stats[f"__mn_{c}"])
         mx = float(stats[f"__mx_{c}"])
         span = (mx - mn) or 1.0

@@ -127,6 +127,13 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
         else:  # rename / computed: {"alias": "$field"}
             has_include = True
             includes.append(_ref(v).alias(name))
+    if has_include and [e for e in excludes if e != "_id"]:
+        # Mongo rejects mixed include/exclude projections (except _id);
+        # accepting them silently would mask a malformed pipeline
+        raise ValueError(
+            f"$project cannot mix inclusion with exclusion (except _id): "
+            f"{spec!r}"
+        )
     if has_include:
         if "_id" in df.columns and "_id" not in spec:
             includes.insert(0, F.col("_id"))  # _id is implicit in Mongo
@@ -155,7 +162,9 @@ def _apply_lookup(df: DataFrame, spec: dict,
         left join on localField == foreignField
         coalesce(matches, []) AS as
 
-    Mongo semantics preserved: no match -> empty array, not NULL."""
+    Mongo semantics preserved: no match -> empty array, not NULL, and
+    the join is null-safe — a null/missing localField matches foreign
+    docs whose foreignField is null, as Mongo does."""
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec.get('from')!r}: pass the foreign frame "
@@ -167,7 +176,7 @@ def _apply_lookup(df: DataFrame, spec: dict,
         foreign.groupBy(F.col(fkey).alias("__lk"))
         .agg(F.collect_list(F.struct(*foreign.columns)).alias("__docs"))
     )
-    joined = df.join(rolled, df[local] == rolled["__lk"], "left")
+    joined = df.join(rolled, df[local].eqNullSafe(rolled["__lk"]), "left")
     empty = F.array().cast(
         dict(joined.dtypes)["__docs"]
     )

@@ -81,12 +81,24 @@ def merge_rollup_batch(
 
     `batch_id` (from foreachBatch) is recorded in a ledger file; an
     already-applied id is skipped, making checkpoint-recovery replays
-    idempotent even though += is not."""
+    idempotent even though += is not. The new ledger content is staged
+    to a temp file BEFORE the data swap and renamed immediately after
+    it, so the non-atomic window is two adjacent renames rather than a
+    rename plus an open/append; a crash landing exactly between them
+    can still double-apply one batch on replay (plain parquet has no
+    cross-file transaction — a Delta/Iceberg sink closes this for real).
+
+    Null keys merge too: the join matches on null-safe equality, so a
+    null key (or a null window_start from an unparseable timestamp)
+    accumulates in ONE rollup row instead of appending a new null-key
+    row every batch."""
     ledger = os.path.join(rollup_path + ".ledger")
-    if batch_id is not None and os.path.exists(ledger):
+    applied: list[str] = []
+    if os.path.exists(ledger):
         with open(ledger) as fh:
-            if str(batch_id) in fh.read().split():
-                return
+            applied = fh.read().split()
+    if batch_id is not None and str(batch_id) in applied:
+        return
 
     p = partials.withColumnRenamed("window_start", "__ws") \
         .withColumnRenamed("key", "__k")
@@ -94,7 +106,7 @@ def merge_rollup_batch(
         cur = spark.read.parquet(rollup_path)
         merged = cur.join(
             p,
-            (cur.window_start == p.__ws) & (cur.key == p.__k),
+            cur.window_start.eqNullSafe(p.__ws) & cur.key.eqNullSafe(p.__k),
             "full_outer",
         ).select(
             F.coalesce(cur.window_start, p.__ws).alias("window_start"),
@@ -121,14 +133,19 @@ def merge_rollup_batch(
             "n_events", "sum_value", "min_value", "max_value",
         )
 
-    tmp = f"{rollup_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{rollup_path}.__tmp_{token}"
     merged.write.mode("overwrite").parquet(tmp)
+    ledger_tmp = None
+    if batch_id is not None:
+        ledger_tmp = f"{ledger}.__tmp_{token}"
+        with open(ledger_tmp, "w") as fh:
+            fh.write(" ".join([*applied, str(batch_id)]) + " ")
     if os.path.exists(rollup_path):
         shutil.rmtree(rollup_path)
     os.rename(tmp, rollup_path)
-    if batch_id is not None:
-        with open(ledger, "a") as fh:
-            fh.write(f"{batch_id} ")
+    if ledger_tmp is not None:
+        os.rename(ledger_tmp, ledger)
 
 
 def start_continuous_rollup(

@@ -160,3 +160,63 @@ def test_cli_sql(spark, capsys):
     assert main(["sql", "SELECT 1 AS one", "--data", SF_SMOKE,
                  "--explain"]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_start_with_port_serves_progress(spark, cfg_file, capsys):
+    """--port N serves the progress UI during the migration (the
+    reference's -port 3629 web server, web_server.go:19-84). Port 0
+    binds ephemerally so the test never collides."""
+    assert main(["start", cfg_file, "--port", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total_rows"] > 0
+
+
+def test_web_server_endpoints():
+    import urllib.request
+
+    from hummingbird_spark.web import ProgressTracker, start_web_server
+
+    tr = ProgressTracker()
+    tr.add("db.a", "db.b")
+    tr.start("db.a")
+    tr.complete("db.a", rows=42)
+    server = start_web_server(tr, port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/progress"
+        ) as resp:
+            snap = json.loads(resp.read())
+        assert snap["ok"] == 1
+        assert snap["percent"] == 50.0
+        assert snap["counts"] == {"added": 1, "processing": 0,
+                                  "completed": 1, "failed": 0}
+        assert snap["rows_copied"] == 42
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
+            html = resp.read().decode()
+        assert "50.0" in html and "progress" in html.lower()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/favicon.ico"
+        ) as resp:
+            assert resp.status == 204
+    finally:
+        server.shutdown()
+
+
+def test_progress_tracker_failure_and_eta():
+    import time as _time
+
+    from hummingbird_spark.web import ProgressTracker
+
+    tr = ProgressTracker(started_at=_time.time() - 10)
+    tr.add("a", "b", "c", "d")
+    for ns in ("a", "b"):
+        tr.start(ns)
+        tr.complete(ns, rows=1)
+    tr.start("c")
+    tr.fail("c")
+    snap = tr.snapshot()
+    assert snap["counts"]["failed"] == 1
+    assert snap["percent"] == 50.0
+    # 2 done in ~10s -> ~10s for the remaining 2
+    assert 5.0 < snap["eta_seconds"] < 20.0

@@ -116,3 +116,27 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert n == 2 * list(once.values())[0][0]
     assert s == 2 * list(once.values())[0][1]
     assert (mn, mx) == (1.0, 3.0)
+
+
+def test_null_keys_merge_instead_of_duplicating(spark, tmp_path):
+    """A null key must accumulate in ONE rollup row across batches —
+    the merge joins null-safely. (Null-ts rows never reach the merge:
+    Spark's window() plants an IS NOT NULL filter on the time column.)"""
+    import datetime
+
+    rollup = str(tmp_path / "rollup_nulls.parquet")
+    df = spark.createDataFrame(
+        [(datetime.datetime.fromisoformat("2024-01-01T00:05:00"),
+          None, 2.0),
+         (None, None, 7.0)],  # dropped by window()'s null-ts filter
+        EVENT_SCHEMA,
+    )
+    merge_rollup_batch(spark, window_rollup_partials(df), rollup, batch_id=0)
+    merge_rollup_batch(spark, window_rollup_partials(df), rollup, batch_id=1)
+
+    out = read_rollup(spark, rollup).collect()
+    # one (window_start, null key) row, merged — not one per batch
+    assert len(out) == 1
+    assert out[0].key is None
+    assert out[0].n_events == 2
+    assert out[0].sum_value == 4.0

@@ -395,3 +395,34 @@ def test_facet_stage(spark):
     row = out.first()
     assert {d.n for d in row.by_group} == {1, 2}
     assert row.big[0].n_big == 2
+
+
+def test_project_rejects_mixed_include_exclude(spark, orders):
+    """Mongo rejects {a: 1, b: 0} (mixed projection, non-_id exclude);
+    so do we instead of silently dropping the exclusion."""
+    with pytest.raises(ValueError, match="cannot mix"):
+        mongo_pipeline_to_df(orders, [
+            {"$project": {"o_orderkey": 1, "o_comment": 0}},
+        ])
+    # _id exclusion alongside includes stays legal
+    out = mongo_pipeline_to_df(
+        orders.withColumnRenamed("o_orderkey", "_id"),
+        [{"$project": {"o_orderstatus": 1, "_id": 0}}],
+    )
+    assert out.columns == ["o_orderstatus"]
+
+
+def test_lookup_matches_null_local_field(spark):
+    """Mongo $lookup matches a null localField against docs whose
+    foreignField is null — the join must be null-safe."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k int, fk string")
+    foreign = spark.createDataFrame(
+        [("a", 10), (None, 99)], "fkey string, v int")
+    out = mongo_pipeline_to_df(left, [
+        {"$lookup": {"from": "f", "localField": "fk",
+                     "foreignField": "fkey", "as": "docs"}},
+    ], tables={"f": foreign})
+    rows = {r.k: r.docs for r in out.collect()}
+    assert [d.v for d in rows[1]] == [10]
+    assert [d.v for d in rows[2]] == [99]

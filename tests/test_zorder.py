@@ -114,3 +114,14 @@ def test_zvalue_orders_locally(spark):
     assert got[(0, 1)] == 2
     assert got[(1, 1)] == 3
     assert got[(3, 3)] == 15
+
+
+def test_zvalue_rejects_all_null_column(spark):
+    import pytest
+    from hummingbird_spark.operators.zorder import zvalue_column
+
+    df = spark.createDataFrame(
+        [(None,), (None,)], "x double"
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        zvalue_column(df, ["x"])
