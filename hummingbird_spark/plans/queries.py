@@ -1468,13 +1468,14 @@ QUERIES: dict[str, QuerySpec] = {
 # training-data pipeline queries (text analysis / dedup / similarity)
 from hummingbird_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_r3 import R3_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
-    **ANALYTICS_QUERIES,
+    **ANALYTICS_QUERIES, **R3_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1493,8 +1494,8 @@ _VERIFY_FIRST = [
     "media_pipeline", "docgen_all_types",
     # queries added in round 3 (each needs a first green record)
     "decile_stats", "first_order_gap", "order_price_bands",
-    "lineitem_shipmodes", "supplier_fill_rate", "doc_pii_scrub",
-    "doc_fingerprint", "doc_near_window", "minhash_signature_probe",
+    "top_users", "supplier_fill_rate", "doc_pii_scrub",
+    "doc_fingerprint", "doc_outliers", "minhash_signature_probe",
     "order_seasonality", "events_sessionized", "embedding_norms",
     "ivf_recall_probe", "shingle_stats", "quality_mixture",
     # least-recently-verified (r1 window, in r1 order) — keeps every

@@ -1,0 +1,719 @@
+"""Round-3 query additions: distribution analytics (deciles, bands,
+seasonality, sessionization), supply-chain service rates, and deeper
+training-data pipeline probes (PII scrub coverage, fingerprint
+uniformity, outlier docs, shingle uniqueness, quality mixture, LSH
+bucket skew, embedding norms, ANN recall).
+
+Every SQL-expressible query carries a DuckDB oracle built on the same
+md5/round-6 portability conventions as queries_text.py. Determinism
+discipline: every window/limit has a total order (explicit tiebreak
+keys), so Spark and the oracle rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import (
+    quality_score,
+    redact_pii,
+    fingerprint,
+    tokens,
+)
+from hummingbird_spark.operators.dedup import (
+    MINHASH_P,
+    minhash_coefficients,
+    minhash_signature_df,
+)
+from hummingbird_spark.operators.similarity import (
+    _norm,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from hummingbird_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics
+# ---------------------------------------------------------------------------
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles (ntile) with per-decile stats. The global
+    ntile is a total sort — the exact-quantile operator class; at
+    100 TB the approx path is percentile_approx bounds + a range join
+    (see q_percentiles for the exact-percentile variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(F.ntile(10).over(w).alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_DECILE_STATS = """
+SELECT decile, COUNT(*) AS n_orders,
+       round(MIN(o_totalprice), 2) AS min_price,
+       round(MAX(o_totalprice), 2) AS max_price,
+       round(AVG(o_totalprice), 4) AS avg_price
+FROM (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+GROUP BY decile ORDER BY decile
+"""
+
+
+def q_first_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between each customer's first and second order, rolled up
+    by market segment — repeat-purchase latency. Broadcast customer dim
+    onto the per-customer aggregate (small side after the window)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    per_cust = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate")))
+            .alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate")))
+            .alias("d2"),
+        )
+        .filter(F.col("d2").isNotNull())
+        .select("o_custkey", F.datediff("d2", "d1").alias("gap_days"))
+    )
+    return (
+        per_cust.join(F.broadcast(c),
+                      per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_customers"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_FIRST_ORDER_GAP = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       round(AVG(date_diff('day', CAST(d1 AS DATE), CAST(d2 AS DATE))), 4)
+         AS avg_gap_days,
+       CAST(MAX(date_diff('day', CAST(d1 AS DATE), CAST(d2 AS DATE)))
+         AS INT) AS max_gap_days
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+WHERE d2 IS NOT NULL
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed price bands with order share — CASE banding instead of
+    log10 so band edges can't straddle float rounding across engines.
+    The share window runs over the 4-row aggregate, not the fact
+    table."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1_000, "p0_under_1k")
+        .when(F.col("o_totalprice") < 10_000, "p1_1k_10k")
+        .when(F.col("o_totalprice") < 100_000, "p2_10k_100k")
+        .otherwise("p3_over_100k")
+    )
+    agg = (
+        o.select(band.alias("band"), "o_totalprice")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "band", "n_orders", "revenue",
+        F.round(F.col("n_orders") / F.sum("n_orders").over(total), 6)
+        .alias("order_share"),
+    ).orderBy("band")
+
+
+ORACLE_ORDER_PRICE_BANDS = """
+WITH agg AS (
+  SELECT CASE WHEN o_totalprice < 1000 THEN 'p0_under_1k'
+              WHEN o_totalprice < 10000 THEN 'p1_1k_10k'
+              WHEN o_totalprice < 100000 THEN 'p2_10k_100k'
+              ELSE 'p3_over_100k' END AS band,
+         COUNT(*) AS n_orders,
+         round(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY band
+)
+SELECT band, n_orders, revenue,
+       round(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6)
+         AS order_share
+FROM agg ORDER BY band
+"""
+
+
+def q_supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier on-time fill rate (shipped within 30 days of order
+    date), top 25 by line volume. lineitem⋈orders shuffles on orderkey;
+    the supplier dim broadcasts onto the tiny per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            (F.datediff("l_shipdate", "o_orderdate") <= 30)
+            .cast("int").alias("on_time"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum("on_time").alias("n_on_time"))
+    )
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", "n_lines",
+            F.round(F.col("n_on_time") / F.col("n_lines"), 6)
+            .alias("on_time_rate"),
+        )
+        .orderBy(F.desc("n_lines"), "s_suppkey")
+        .limit(25)
+    )
+
+
+ORACLE_SUPPLIER_FILL_RATE = """
+WITH per_supp AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+         SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) <= 30
+                  THEN 1 ELSE 0 END) AS n_on_time
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_lines,
+       round(CAST(n_on_time AS DOUBLE) / n_lines, 6) AS on_time_rate
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_lines DESC, s_suppkey LIMIT 25
+"""
+
+
+def q_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders by calendar month with each month's share of total
+    revenue — the seasonality profile. Share window runs over the
+    12-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy(F.month("o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+             F.sum("o_totalprice").alias("__rev"))
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "month", "n_orders", "avg_price",
+        F.round(F.col("__rev") / F.sum("__rev").over(total), 6)
+        .alias("revenue_share"),
+    ).orderBy("month")
+
+
+ORACLE_ORDER_SEASONALITY = """
+WITH agg AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS month, COUNT(*) AS n_orders,
+         round(AVG(o_totalprice), 4) AS avg_price,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY month
+)
+SELECT month, n_orders, avg_price,
+       round(rev / SUM(rev) OVER (), 6) AS revenue_share
+FROM agg ORDER BY month
+"""
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a session)
+    returning the 20 busiest sessions. The lag/cumsum windows partition
+    by user — the shuffle key — and microsecond arithmetic keeps the
+    gap comparison integer-exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ (parquet nanos source); unix_micros
+    # wants TIMESTAMP — the cast is identity in the UTC session tz
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0).alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
+        )
+        .orderBy(F.desc("n_events"), "user_id", "session_idx")
+        .limit(20)
+    )
+
+
+ORACLE_EVENTS_SESSIONIZED = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_idx
+ORDER BY n_events DESC, user_id, session_idx LIMIT 20
+"""
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume — the activity leaderboard
+    (TakeOrdered over a keyed aggregate; no global sort materializes)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_TOP_USERS = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text / training-data probes
+# ---------------------------------------------------------------------------
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction coverage per source: how many docs the scrubber
+    (functions.text.redact_pii — pure regexp projection, rides the
+    scan) actually changes."""
+    d = load_table(spark, sf_dir, "documents")
+    changed = (redact_pii(F.col("text")) != F.col("text")).cast("int")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(changed).alias("n_redacted"))
+        .select(
+            "source", "n_docs", "n_redacted",
+            F.round(F.col("n_redacted") / F.col("n_docs"), 6)
+            .alias("redacted_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOC_PII_SCRUB = r"""
+WITH scrubbed AS (
+  SELECT source,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g') AS red,
+    text
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted,
+       round(CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS redacted_rate
+FROM scrubbed GROUP BY source ORDER BY source
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-space uniformity: docs and distinct fingerprints per
+    leading hex nibble — a cheap balance probe for any downstream
+    hash-partitioning of the dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    f = fingerprint(F.col("text"))
+    return (
+        d.select(F.substring(f, 1, 1).alias("nibble"), f.alias("f"))
+        .groupBy("nibble")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("f").alias("n_distinct"))
+        .orderBy("nibble")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = r"""
+WITH fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT substr(f, 1, 1) AS nibble, COUNT(*) AS n_docs,
+       COUNT(DISTINCT f) AS n_distinct
+FROM fp GROUP BY nibble ORDER BY nibble
+"""
+
+
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length outliers per source: docs whose n_chars sits more than
+    2 sample-stddevs from their source's mean. Windowed moments over
+    the source partition — one shuffle, no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    mu = F.avg("n_chars").over(w)
+    sd = F.stddev_samp("n_chars").over(w)
+    z = (F.col("n_chars") - mu) / sd
+    return (
+        d.select("doc_id", "source", "n_chars", z.alias("__z"))
+        .filter(F.abs(F.col("__z")) > 2.0)
+        .select("doc_id", "source", "n_chars",
+                F.round("__z", 4).alias("z_score"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_OUTLIERS = """
+WITH z AS (
+  SELECT doc_id, source, n_chars,
+         (n_chars - AVG(n_chars) OVER (PARTITION BY source))
+           / stddev_samp(n_chars) OVER (PARTITION BY source) AS zv
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(zv, 4) AS z_score
+FROM z WHERE abs(zv) > 2.0 ORDER BY doc_id
+"""
+
+
+def q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle uniqueness per language: distinct 3-gram shingles over
+    total shingle positions — near-1 means novel text, low means
+    internal repetition. Shares the exact shingle construction of the
+    MinHash pipeline (so this doubles as its diagnostics query)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    based = d.select("lang", ws.alias("__ws")).filter(F.size("__ws") >= 3)
+    idx = F.sequence(F.lit(0), F.size("__ws") - 3)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("__ws", (i + 1).cast("int")),
+            F.element_at("__ws", (i + 2).cast("int")),
+            F.element_at("__ws", (i + 3).cast("int")),
+        ),
+    )
+    ratio = (
+        F.size(F.array_distinct(grams)).cast("double")
+        / (F.size("__ws") - 2).cast("double")
+    )
+    return (
+        based.select("lang", ratio.alias("__r"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("__r"), 6).alias("avg_uniqueness"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_SHINGLE_STATS = r"""
+WITH words AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT lang,
+         CAST(len(list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE)
+           / (len(ws) - 2) AS r
+  FROM words WHERE len(ws) >= 3
+)
+SELECT lang, COUNT(*) AS n_docs, round(AVG(r), 6) AS avg_uniqueness
+FROM sh GROUP BY lang ORDER BY lang
+"""
+
+
+def q_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling-mixture table: doc counts and within-language share
+    per (lang, quality quintile) — what a data-mixing stage consumes as
+    weights. The share window runs over the tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(quality_score(F.col("text")) * 5).cast("int"), F.lit(4)
+    )
+    agg = (
+        d.select("lang", bucket.alias("q_bucket"))
+        .groupBy("lang", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang", "q_bucket", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+        .alias("share_in_lang"),
+    ).orderBy("lang", "q_bucket")
+
+
+ORACLE_QUALITY_MIXTURE = r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ws, w -> lower(w) IN
+                   ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) END AS stop_ratio,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) END AS wl
+  FROM t
+), q AS (
+  SELECT lang,
+         least(CAST(floor(round(0.4 * alpha_ratio
+               + 0.2 * least(stop_ratio * 5.0, 1.0)
+               + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * least(n_tok / 50.0, 1.0), 6) * 5) AS INT), 4)
+           AS q_bucket
+  FROM c
+), agg AS (
+  SELECT lang, q_bucket, COUNT(*) AS n_docs FROM q GROUP BY lang, q_bucket
+)
+SELECT lang, q_bucket, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share_in_lang
+FROM agg ORDER BY lang, q_bucket
+"""
+
+
+# same constants as operators.dedup / queries_text.ORACLE_MINHASH
+_R3_COEFFS = minhash_coefficients(16)
+_R3_HASH_MINS = ",\n         ".join(
+    f"min((({a} * v) + {b}) % {MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_R3_COEFFS)
+)
+_R3_SIG_LIST = ", ".join(f"m{i}" for i in range(16))
+
+
+def q_minhash_signature_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket skew probe: per band, how many buckets exist,
+    the largest bucket, and the candidate-pair volume Σ n·(n−1)/2 each
+    band would emit — the number that decides whether the band-join is
+    safe or needs the max_bucket_size guard. Reuses the production
+    signature pipeline (one md5 per shingle, k codegen'd minima)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature_df(d, num_hashes=16)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("__sig", b * 4 + r + 1)
+                          for r in range(4)],
+                    ).alias("bkey"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("bb.band", "bb.bkey")
+    sizes = banded.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket_size"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+            ).alias("n_candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_MINHASH_PROBE = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM words WHERE len(ws) >= 3
+), ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % {MINHASH_P} AS v
+  FROM shingles
+), sigv AS (
+  SELECT doc_id,
+         {_R3_HASH_MINS}
+  FROM ex GROUP BY doc_id
+), sigl AS (
+  SELECT doc_id, [{_R3_SIG_LIST}] AS sig FROM sigv
+), banded AS (
+  SELECT CAST(bands.band AS INT) AS band,
+         CAST(sig[bands.band*4+1] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+2] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+3] AS VARCHAR) || '|' ||
+         CAST(sig[bands.band*4+4] AS VARCHAR) AS bkey
+  FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+), sizes AS (
+  SELECT band, bkey, COUNT(*) AS sz FROM banded GROUP BY band, bkey
+)
+SELECT band, COUNT(*) AS n_buckets, MAX(sz) AS max_bucket_size,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+FROM sizes GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding probes
+# ---------------------------------------------------------------------------
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the sanity
+    check before any cosine pipeline (un-normalized or degenerate
+    clusters show up here first). Pure Column fold, JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = _norm(F.col("embedding"))
+    return (
+        e.select("label", n.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(AVG(nv), 6) AS avg_norm,
+       round(MIN(nv), 6) AS min_norm,
+       round(MAX(nv), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+def q_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two ANN paths against the exact top-k for the
+    fixed probe vector — the quality metric that justifies trusting the
+    partition-pruned scan at 100 TB. Deterministic (seeded planes and
+    centroids) but not SQL-expressible: rows-only by design."""
+    from hummingbird_spark.plans.queries_text import _query_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = cosine_topk(e, qv, k=10).select("vec_id")
+    approx = {
+        "lsh": lsh_topk(e, qv, k=10, n_planes=8, probe_hamming=2)
+        .select("vec_id"),
+        "ivf": ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
+        .select("vec_id"),
+    }
+    parts = [
+        exact.join(df, "vec_id", "semi").agg(
+            F.lit(name).alias("method"),
+            (F.count(F.lit(1)) / 10.0).alias("recall_at_10"),
+        )
+        for name, df in approx.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+R3_QUERIES: dict[str, tuple] = {
+    "decile_stats": (q_decile_stats, ORACLE_DECILE_STATS,
+                     "ntile deciles over order value"),
+    "first_order_gap": (q_first_order_gap, ORACLE_FIRST_ORDER_GAP,
+                        "repeat-purchase latency by segment"),
+    "order_price_bands": (q_order_price_bands, ORACLE_ORDER_PRICE_BANDS,
+                          "fixed price bands with order share"),
+    "supplier_fill_rate": (q_supplier_fill_rate, ORACLE_SUPPLIER_FILL_RATE,
+                           "on-time fill rate per supplier (top 25)"),
+    "order_seasonality": (q_order_seasonality, ORACLE_ORDER_SEASONALITY,
+                          "monthly order/revenue seasonality"),
+    "events_sessionized": (q_events_sessionized, ORACLE_EVENTS_SESSIONIZED,
+                           "gap-based sessionization, busiest sessions"),
+    "top_users": (q_top_users, ORACLE_TOP_USERS,
+                  "top-20 users by event volume"),
+    "doc_pii_scrub": (q_doc_pii_scrub, ORACLE_DOC_PII_SCRUB,
+                      "PII redaction coverage per source"),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
+                        "fingerprint-space uniformity probe"),
+    "doc_outliers": (q_doc_outliers, ORACLE_DOC_OUTLIERS,
+                     "length z-score outliers per source"),
+    "shingle_stats": (q_shingle_stats, ORACLE_SHINGLE_STATS,
+                      "3-gram shingle uniqueness per language"),
+    "quality_mixture": (q_quality_mixture, ORACLE_QUALITY_MIXTURE,
+                        "(lang, quality-quintile) sampling mixture"),
+    "minhash_signature_probe": (q_minhash_signature_probe,
+                                ORACLE_MINHASH_PROBE,
+                                "LSH band-bucket skew probe"),
+    "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS,
+                        "per-label embedding norm profile"),
+    "ivf_recall_probe": (q_ivf_recall_probe, None,
+                         "ANN recall@10 vs exact (rows-only)"),
+}
