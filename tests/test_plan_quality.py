@@ -363,3 +363,46 @@ def test_corr_decomposition_is_partial_final(spark):
     assert "HashAggregate" in plan
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_first_order_gap_window_group_limit(spark):
+    """The rn<=2 filter must become a WindowGroupLimit that prunes
+    map-side BEFORE the shuffle (only each customer's top-2 rows move),
+    and the customer dim must broadcast."""
+    df = QUERIES["first_order_gap"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionized_single_shuffle(spark):
+    """lag + cumulative-sum windows and the (user, session) aggregate
+    all share ONE hash exchange on user_id (subset partitioning
+    satisfies the group distribution); the top-20 is a TakeOrdered,
+    not a global sort."""
+    df = QUERIES["events_sessionized"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fill_rate_broadcasts_supplier(spark):
+    df = QUERIES["supplier_fill_rate"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_share_windows_run_over_aggregates(spark):
+    """order_price_bands / order_seasonality compute their share
+    windows over the tiny post-aggregate frame — the fact scan feeds
+    exactly one partial/final agg pair, and the single-partition window
+    exchange moves only the aggregated rows."""
+    for name in ("order_price_bands", "order_seasonality"):
+        df = QUERIES[name].spark(spark, SF_SMOKE)
+        plan = _executed_plan(df)
+        assert "Window" in plan, name
+        # window runs AFTER the aggregate in the plan tree (appears
+        # above it in the printed plan)
+        assert plan.index("Window") < plan.index("HashAggregate"), name
