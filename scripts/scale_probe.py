@@ -47,7 +47,18 @@ PROBES = [
     ("winnow_pairs", ["documents"]),
     ("doc_quality", ["documents"]),
     ("top_orders_per_cust", ["orders"]),
+    # round-3 additions
+    ("first_order_gap", ["orders", "customer"]),
+    ("supplier_fill_rate", ["lineitem", "orders"]),
+    ("events_sessionized", ["events"]),
+    ("minhash_signature_probe", ["documents"]),
+    # all-pairs is O(n^2): embeddings replicate 4x (16x pairs), which
+    # is the regime that forces the blocked kernel past one block —
+    # the property under test; growth is quoted against 16x pair work
+    ("embedding_top_pairs", ["embeddings"]),
 ]
+
+EMB_COPIES = 4
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -58,11 +69,18 @@ def _permuted(alpha: str, i: int) -> str:
 
 
 def build(spark, copies: int) -> None:
-    small = ["region", "nation", "customer", "supplier", "part",
-             "embeddings"]
+    small = ["region", "nation", "customer", "supplier", "part"]
     for t in small:
         load_table(spark, SRC, t).write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet")
+
+    emb = load_table(spark, SRC, "embeddings")
+    vid_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    u = emb
+    for i in range(1, EMB_COPIES):
+        u = u.unionByName(emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * vid_span)))
+    u.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
     li = load_table(spark, SRC, "lineitem")
     # span must cover BOTH tables' keys or lineitem-less orders would
@@ -133,7 +151,8 @@ def main() -> int:
     build(spark, args.copies)
 
     counts = {}
-    for t in ["lineitem", "orders", "events", "documents", "customer"]:
+    for t in ["lineitem", "orders", "events", "documents", "customer",
+              "embeddings"]:
         counts[t] = (load_table(spark, SRC, t).count(),
                      load_table(spark, OUT, t).count())
 
@@ -165,6 +184,12 @@ def main() -> int:
         "<=10x time; sublinear when the constant term dominates). "
         "Superlinear growth means a shuffle/partition problem the small "
         "SF was hiding.\n\n"
+        "Note: embeddings replicate 4x (not 10x) because "
+        "embedding_top_pairs is all-pairs — 4x rows = 16x pair work, "
+        "the regime that pushes the blocked kernel past one block "
+        "(8,000 rows -> 2 hash blocks -> 3 block-pair tasks); its "
+        "growth column is wall-clock vs 16x work, i.e. strongly "
+        "sublinear in pairs.\n\n"
         "| query | sf0.1 s | 10x s | growth | 10x Mrows/s |\n"
         "|---|---|---|---|---|\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
