@@ -217,6 +217,12 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("path")
     comp.add_argument("--target-mb", type=int, default=128)
     comp.add_argument("--partition-col", action="append", default=None)
+    ret = sub.add_parser("retention")
+    ret.add_argument("path")
+    ret.add_argument("--order-col", required=True,
+                     help="insertion-order column (oldest rows drop first)")
+    ret.add_argument("--max-rows", type=int, default=None)
+    ret.add_argument("--max-bytes", type=int, default=None)
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -276,6 +282,27 @@ def main(argv: list[str] | None = None) -> int:
             partition_cols=args.partition_col,
         )
         print(json.dumps({"command": "compact", **report}))
+        return 0
+    if args.command == "retention":
+        # capped-collection enforcement (collection_creator.go:55-66):
+        # explicit caps win; otherwise the table's own D1 properties
+        from hummingbird_spark.operators.retention import (
+            enforce_capped_from_properties,
+            enforce_retention,
+        )
+
+        spark = get_spark(app_name="hummingbird_retention")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.max_rows is not None or args.max_bytes is not None:
+            report = enforce_retention(
+                spark, args.path, args.order_col,
+                max_rows=args.max_rows, max_bytes=args.max_bytes,
+            )
+        else:
+            report = enforce_capped_from_properties(
+                spark, args.path, args.order_col
+            )
+        print(json.dumps({"command": "retention", **report}))
         return 0
     if args.command == "worker":
         cfg = MigrationConfig.from_file(args.config)

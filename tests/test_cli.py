@@ -220,3 +220,15 @@ def test_progress_tracker_failure_and_eta():
     assert snap["percent"] == 50.0
     # 2 done in ~10s -> ~10s for the remaining 2
     assert 5.0 < snap["eta_seconds"] < 20.0
+
+
+def test_cli_retention(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cap.parquet")
+    spark.range(400).select(F.col("id").alias("seq")).write.parquet(path)
+    assert main(["retention", path, "--order-col", "seq",
+                 "--max-rows", "150"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["enforced"] and out["rows_after"] == 150
+    assert spark.read.parquet(path).count() == 150
