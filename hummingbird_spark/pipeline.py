@@ -35,6 +35,15 @@ Supported stages:
   $lookup   -> pre-aggregated left join (array-of-docs semantics);
                foreign frames passed via the `tables` argument
   $sortByCount -> group + count + desc sort (Mongo's exact contract)
+  $setWindowFields -> Spark window functions (running/rank/shift; the
+               stage IS Spark's window operator, translated 1:1)
+  $graphLookup -> join-per-depth BFS with (row, node) dedup so cycles
+               terminate; maxDepth default 20 (documented deviation —
+               Mongo's only bound is memory)
+  $densify  -> per-partition numeric grids via sequence+explode and an
+               anti-join against existing points (no driver loop)
+  $fill     -> value fill (coalesce) or locf
+               (last(ignorenulls) over unbounded-preceding)
 
 Group `_id` forms: None (global), "$field", {alias: "$field", ...}
 (compound key). The output column is named `_id` exactly as Mongo
@@ -185,6 +194,242 @@ def _apply_lookup(df: DataFrame, spec: dict,
     ).drop("__lk", "__docs")
 
 
+def _window_frame(base, sort_by: dict | None, window_spec: dict | None):
+    """Mongo window spec -> Spark WindowSpec. Default window (no
+    `documents`) is the whole partition, Mongo's contract."""
+    from pyspark.sql.window import Window as W
+
+    w = base
+    if sort_by:
+        w = w.orderBy(*[
+            F.col(c).asc() if d >= 0 else F.col(c).desc()
+            for c, d in sort_by.items()
+        ])
+
+    def _bound(b, lo: bool):
+        if b == "unbounded":
+            return W.unboundedPreceding if lo else W.unboundedFollowing
+        if b == "current":
+            return W.currentRow
+        return int(b)
+
+    docs = (window_spec or {}).get("documents")
+    if docs:
+        w = w.rowsBetween(_bound(docs[0], True), _bound(docs[1], False))
+    elif sort_by is None:
+        w = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    else:
+        # Mongo: with sortBy but no explicit window, accumulator
+        # windows still span the whole partition
+        w = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return w
+
+
+def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """$setWindowFields -> Spark window functions (the stage IS Spark's
+    window operator; the translation is 1:1). Supported operators:
+    $sum $avg $min $max $count $push $first $last $rank $denseRank
+    $documentNumber $shift. partitionBy: '$field' or None (None =
+    one global partition — fine for small frames, a scale smell on
+    big ones, exactly as in Mongo)."""
+    from pyspark.sql.window import Window as W
+
+    part = spec.get("partitionBy")
+    base = W.partitionBy(_ref(part)) if part is not None else W.partitionBy()
+    sort_by = spec.get("sortBy")
+    out = df
+    for name, ospec in spec["output"].items():
+        ospec = dict(ospec)
+        window_spec = ospec.pop("window", None)
+        if len(ospec) != 1:
+            raise ValueError(
+                f"$setWindowFields output {name!r} needs exactly one "
+                f"operator: {ospec!r}")
+        op, arg = next(iter(ospec.items()))
+        rank_ops = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                    "$documentNumber": F.row_number}
+        if op in rank_ops:
+            if not sort_by:
+                raise ValueError(f"{op} requires sortBy")
+            w = base.orderBy(*[
+                F.col(c).asc() if d >= 0 else F.col(c).desc()
+                for c, d in sort_by.items()
+            ])
+            col = rank_ops[op]().over(w)
+        elif op == "$shift":
+            if not sort_by:
+                raise ValueError("$shift requires sortBy")
+            w = base.orderBy(*[
+                F.col(c).asc() if d >= 0 else F.col(c).desc()
+                for c, d in sort_by.items()
+            ])
+            by = int(arg.get("by", 1))
+            default = arg.get("default")
+            fn = F.lead if by >= 0 else F.lag
+            col = fn(_ref(arg["output"]), abs(by), default).over(w)
+        else:
+            w = _window_frame(base, sort_by, window_spec)
+            agg_ops = {
+                "$sum": lambda a: F.sum(_ref(a)),
+                "$avg": lambda a: F.avg(_ref(a)),
+                "$min": lambda a: F.min(_ref(a)),
+                "$max": lambda a: F.max(_ref(a)),
+                "$count": lambda a: F.count(F.lit(1)),
+                "$push": lambda a: F.collect_list(_ref(a)),
+                "$first": lambda a: F.first(_ref(a)),
+                "$last": lambda a: F.last(_ref(a)),
+            }
+            if op not in agg_ops:
+                raise ValueError(
+                    f"unsupported $setWindowFields operator: {op}")
+            col = agg_ops[op](arg).over(w)
+        out = out.withColumn(name, col)
+    return out
+
+
+def _apply_graph_lookup(df: DataFrame, spec: dict,
+                        tables: dict[str, DataFrame] | None) -> DataFrame:
+    """$graphLookup: BFS over `from`, seeded per input row from
+    `startWith`, following connectFromField -> connectToField edges.
+    Spark-first shape: a join-per-depth loop (O(diameter) rounds, the
+    same frontier pattern as the dedup connected-components operator),
+    frontier deduplicated per (row, node) so cycles terminate; matched
+    docs collect into `as` (+ optional depthField). maxDepth bounds the
+    rounds; default 20 guards unbounded cyclic graphs (Mongo's only
+    bound is memory — documented deviation)."""
+    if not tables or spec["from"] not in tables:
+        raise ValueError(
+            f"$graphLookup from {spec.get('from')!r}: pass the frame "
+            f"via tables=")
+    foreign = tables[spec["from"]]
+    start, alias = spec["startWith"], spec["as"]
+    cfrom, cto = spec["connectFromField"], spec["connectToField"]
+    depth_field = spec.get("depthField")
+    max_depth = int(spec.get("maxDepth", 20))
+
+    src = df.withColumn("__row", F.monotonically_increasing_id())
+    fcols = foreign.columns
+    # frontier: (row id, node value to match against connectToField)
+    frontier = src.select("__row", _ref(start).alias("__v")).distinct()
+    reached = None  # (__row, foreign cols..., __depth)
+    for depth in range(max_depth + 1):
+        hits = frontier.join(
+            foreign, frontier["__v"].eqNullSafe(foreign[cto])
+        ).select("__row", *fcols, F.lit(depth).alias("__depth"))
+        if reached is not None:
+            # drop (row, node) pairs already visited — terminates cycles
+            seen = reached.select(
+                F.col("__row").alias("__r2"), F.col(cto).alias("__seen")
+            )
+            hits = hits.join(
+                seen,
+                (hits["__row"] == seen["__r2"])
+                & hits[cto].eqNullSafe(seen["__seen"]),
+                "left_anti",
+            )
+        hits = hits.localCheckpoint(eager=True)  # cut loop lineage
+        if hits.limit(1).count() == 0:
+            break
+        reached = hits if reached is None else reached.unionByName(hits)
+        frontier = hits.select("__row", F.col(cfrom).alias("__v")) \
+            .distinct()
+
+    if reached is None:  # nothing matched anywhere: everyone gets []
+        struct_fields = ", ".join(
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in foreign.schema.fields
+        )
+        if depth_field:
+            struct_fields += f", {depth_field}: bigint"
+        return src.withColumn(
+            alias, F.array().cast(f"array<struct<{struct_fields}>>")
+        ).drop("__row")
+
+    doc_cols = list(fcols) + (
+        [F.col("__depth").cast("long").alias(depth_field)]
+        if depth_field else []
+    )
+    rolled = reached.groupBy("__row").agg(
+        F.collect_list(F.struct(*doc_cols)).alias(alias)
+    )
+    empty = None
+    out = src.join(rolled, "__row", "left")
+    empty = F.array().cast(dict(out.dtypes)[alias])
+    return out.withColumn(alias, F.coalesce(F.col(alias), empty)) \
+        .drop("__row")
+
+
+def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """$densify (numeric ranges): insert rows so `field` steps evenly
+    across the bounds; non-densified columns are NULL on generated
+    rows, as in Mongo. bounds: 'full' (global min/max — a 1-row scalar
+    broadcast, not a collect of the data), 'partition', or [lo, hi)
+    literals. Generation is sequence+explode per partition key — no
+    driver loop."""
+    field = spec["field"]
+    rng = spec["range"]
+    step = rng["step"]
+    bounds = rng.get("bounds", "full")
+    parts = spec.get("partitionByFields", [])
+
+    if isinstance(bounds, (list, tuple)):
+        lo, hi = F.lit(bounds[0]), F.lit(bounds[1])
+        grid_src = (df.select(*parts).distinct() if parts
+                    else df.limit(1).select(F.lit(1).alias("__one")))
+    else:
+        agg = [F.min(field).alias("__lo"), F.max(field).alias("__hi")]
+        grid_src = (df.groupBy(*parts).agg(*agg) if parts and
+                    bounds == "partition" else
+                    df.agg(*agg).crossJoin(
+                        df.select(*parts).distinct()) if parts else
+                    df.agg(*agg))
+        lo, hi = F.col("__lo"), F.col("__hi")
+
+    grid = grid_src.select(
+        *(parts or []),
+        F.explode(
+            F.sequence(lo, hi, F.lit(step))
+        ).alias(field),
+    )
+    if isinstance(bounds, (list, tuple)):
+        # Mongo bounds are [lo, hi): the sequence is inclusive — trim
+        grid = grid.filter(F.col(field) < F.lit(bounds[1]))
+    join_keys = parts + [field]
+    existing = df.select(*[F.col(c).alias(c) for c in join_keys]) \
+        .distinct()
+    missing = grid.join(existing, join_keys, "left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """$fill: value fill or last-observation-carried-forward per
+    partition/sort — F.last(ignorenulls) over an unbounded-preceding
+    frame (and its mirror for 'linear'-free simplicity)."""
+    from pyspark.sql.window import Window as W
+
+    part = spec.get("partitionBy")
+    parts = ([_ref(part)] if isinstance(part, str)
+             else [_ref(p) for p in part] if part else [])
+    sort_by = spec.get("sortBy")
+    out = df
+    for name, how in spec["output"].items():
+        if "value" in how:
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), _ref(how["value"])))
+        elif how.get("method") == "locf":
+            if not sort_by:
+                raise ValueError("$fill method locf requires sortBy")
+            w = W.partitionBy(*parts).orderBy(*[
+                F.col(c).asc() if d >= 0 else F.col(c).desc()
+                for c, d in sort_by.items()
+            ]).rowsBetween(W.unboundedPreceding, W.currentRow)
+            out = out.withColumn(
+                name, F.last(F.col(name), ignorenulls=True).over(w))
+        else:
+            raise ValueError(f"unsupported $fill output: {how!r}")
+    return out
+
+
 def mongo_pipeline_to_df(
     df: DataFrame,
     stages: list[dict],
@@ -292,6 +537,14 @@ def mongo_pipeline_to_df(
                 .orderBy("__b").drop("__b")
                 .select("_id", *outputs.keys())
             )
+        elif op == "$setWindowFields":
+            out = _apply_set_window_fields(out, spec)
+        elif op == "$graphLookup":
+            out = _apply_graph_lookup(out, spec, tables)
+        elif op == "$densify":
+            out = _apply_densify(out, spec)
+        elif op == "$fill":
+            out = _apply_fill(out, spec)
         elif op == "$facet":
             # each facet runs its own sub-pipeline over the SAME input
             # and lands as an array-of-struct column in one result row;

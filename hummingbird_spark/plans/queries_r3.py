@@ -717,3 +717,92 @@ R3_QUERIES: dict[str, tuple] = {
     "ivf_recall_probe": (q_ivf_recall_probe, None,
                          "ANN recall@10 vs exact (rows-only)"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-translator coverage: round-3 stages through the driver gate
+# ---------------------------------------------------------------------------
+
+def q_pipeline_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields through the translator: per-customer running
+    spend + document number, keeping each customer's first 3 orders.
+    Proves the stage against a plain-SQL window oracle."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    o = load_table(spark, sf_dir, "orders")
+    out = mongo_pipeline_to_df(o, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "running_spend": {"$sum": "$o_totalprice",
+                                  "window": {"documents": ["unbounded",
+                                                           "current"]}},
+                "order_no": {"$documentNumber": {}},
+            },
+        }},
+        {"$match": {"order_no": {"$lte": 3}}},
+    ])
+    return out.select(
+        "o_orderkey", "o_custkey", "order_no",
+        F.round("running_spend", 4).alias("running_spend"),
+    )
+
+
+ORACLE_PIPELINE_WINDOW_FIELDS = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS running,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS order_no
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, CAST(order_no AS BIGINT) AS order_no,
+       round(running, 4) AS running_spend
+FROM w WHERE order_no <= 3
+"""
+
+
+def q_pipeline_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify + $fill through the translator: per-day event counts on
+    a gap-free day grid, generated rows filled with 0 — the canonical
+    time-grid preparation for downstream window math."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = mongo_pipeline_to_df(daily, [
+        {"$densify": {"field": "day", "range": {"step": 1,
+                                                "bounds": "full"}}},
+        {"$fill": {"output": {"n_events": {"value": 0}}}},
+    ])
+    return out.select(
+        F.col("day").cast("int").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("day")
+
+
+ORACLE_PIPELINE_DENSIFY_FILL = """
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY day
+), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+g AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+SELECT CAST(g.day AS INT) AS day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN d ON g.day = d.day
+ORDER BY day
+"""
+
+
+R3_QUERIES["pipeline_window_fields"] = (
+    q_pipeline_window_fields, ORACLE_PIPELINE_WINDOW_FIELDS,
+    "$setWindowFields translator vs SQL window oracle")
+R3_QUERIES["pipeline_densify_fill"] = (
+    q_pipeline_densify_fill, ORACLE_PIPELINE_DENSIFY_FILL,
+    "$densify+$fill translator vs generate-series oracle")

@@ -143,7 +143,7 @@ def test_push_and_addtoset(spark):
 
 def test_unsupported_stage_raises(spark, orders):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        mongo_pipeline_to_df(orders, [{"$graphLookup": {}}])
+        mongo_pipeline_to_df(orders, [{"$planCacheStats": {}}])
 
 
 def test_lookup_array_semantics(spark):
@@ -426,3 +426,124 @@ def test_lookup_matches_null_local_field(spark):
     rows = {r.k: r.docs for r in out.collect()}
     assert [d.v for d in rows[1]] == [10]
     assert [d.v for d in rows[2]] == [99]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 stages: $setWindowFields, $graphLookup, $densify, $fill
+# ---------------------------------------------------------------------------
+
+def test_set_window_fields_running_and_rank(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 5.0), ("b", 2, 15.0)],
+        "grp string, seq int, v double")
+    out = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$grp",
+            "sortBy": {"seq": 1},
+            "output": {
+                "running": {"$sum": "$v",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "total": {"$sum": "$v"},
+                "rk": {"$rank": {}},
+                "prev": {"$shift": {"output": "$v", "by": -1,
+                                    "default": 0.0}},
+            },
+        }},
+        {"$sort": {"grp": 1, "seq": 1}},
+    ])
+    rows = out.collect()
+    a = [r for r in rows if r.grp == "a"]
+    assert [r.running for r in a] == [10.0, 30.0, 60.0]
+    assert [r.total for r in a] == [60.0, 60.0, 60.0]
+    assert [r.rk for r in a] == [1, 2, 3]
+    assert [r.prev for r in a] == [0.0, 10.0, 20.0]
+
+
+def test_set_window_fields_requires_sort_for_rank(spark):
+    df = spark.createDataFrame([("a", 1)], "grp string, v int")
+    with pytest.raises(ValueError, match="requires sortBy"):
+        mongo_pipeline_to_df(df, [
+            {"$setWindowFields": {"partitionBy": "$grp",
+                                  "output": {"r": {"$rank": {}}}}},
+        ])
+
+
+def test_graph_lookup_follows_chain_and_cycles(spark):
+    """org chart with a cycle: a->b->c->a; BFS must terminate and each
+    row must collect its reachable set with depths."""
+    people = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", None)],
+        "name string, boss string")
+    out = mongo_pipeline_to_df(people, [
+        {"$graphLookup": {
+            "from": "people", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "name",
+            "as": "chain", "depthField": "depth",
+        }},
+    ], tables={"people": people})
+    rows = {r.name: r.chain for r in out.collect()}
+    a_chain = {(d.name, d.depth) for d in rows["a"]}
+    # a's boss chain: b (depth 0), c (1), a itself (2) — then the cycle
+    # stops because (row, node) pairs dedupe
+    assert a_chain == {("b", 0), ("c", 1), ("a", 2)}
+    assert rows["d"] == []  # null startWith matches only null names
+
+
+def test_densify_fills_numeric_gaps(spark):
+    df = spark.createDataFrame(
+        [("s1", 0, 1.0), ("s1", 3, 2.0), ("s2", 1, 9.0)],
+        "sensor string, t int, v double")
+    out = mongo_pipeline_to_df(df, [
+        {"$densify": {"field": "t",
+                      "partitionByFields": ["sensor"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$sort": {"sensor": 1, "t": 1}},
+    ])
+    rows = out.collect()
+    s1 = [(r.t, r.v) for r in rows if r.sensor == "s1"]
+    assert s1 == [(0, 1.0), (1, None), (2, None), (3, 2.0)]
+    assert [(r.t, r.v) for r in rows if r.sensor == "s2"] == [(1, 9.0)]
+
+
+def test_densify_explicit_bounds_half_open(spark):
+    df = spark.createDataFrame([(2,)], "t int")
+    out = mongo_pipeline_to_df(df, [
+        {"$densify": {"field": "t", "range": {"step": 2,
+                                              "bounds": [0, 6]}}},
+        {"$sort": {"t": 1}},
+    ])
+    assert [r.t for r in out.collect()] == [0, 2, 4]  # 6 excluded
+
+
+def test_fill_locf_and_value(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 10.0, None), ("s", 2, None, 5.0), ("s", 3, None, None),
+         ("s", 4, 40.0, None)],
+        "grp string, seq int, a double, b double")
+    out = mongo_pipeline_to_df(df, [
+        {"$fill": {"partitionBy": "$grp", "sortBy": {"seq": 1},
+                   "output": {"a": {"method": "locf"},
+                              "b": {"value": 0.0}}}},
+        {"$sort": {"seq": 1}},
+    ])
+    rows = out.collect()
+    assert [r.a for r in rows] == [10.0, 10.0, 10.0, 40.0]
+    assert [r.b for r in rows] == [0.0, 5.0, 0.0, 0.0]
+
+
+def test_densify_then_fill_composes(spark):
+    """The Mongo docs' canonical pairing: densify a time grid, then
+    carry the last observation forward across the generated rows."""
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 3, 4.0)], "k string, t int, v double")
+    out = mongo_pipeline_to_df(df, [
+        {"$densify": {"field": "t", "partitionByFields": ["k"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$k", "sortBy": {"t": 1},
+                   "output": {"v": {"method": "locf"}}}},
+        {"$sort": {"t": 1}},
+    ])
+    assert [(r.t, r.v) for r in out.collect()] == [
+        (0, 1.0), (1, 1.0), (2, 1.0), (3, 4.0)]
