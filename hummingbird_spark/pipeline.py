@@ -72,33 +72,195 @@ def _ref(expr: Any) -> Column:
     return F.lit(expr)
 
 
+def _nary(fn, args, n=None):
+    cols = [_expr(a) for a in args]
+    if n is not None and len(cols) != n:
+        raise ValueError(f"expected {n} operands, got {len(cols)}")
+    return fn(cols)
+
+
+def _chain(op):
+    from functools import reduce
+
+    return lambda cols: reduce(op, cols)
+
+
+# Mongo aggregation expression operators -> Column builders. Each takes
+# the already-translated operand Column list. Null propagation matches
+# Mongo for the arithmetic/string/comparison core (both engines return
+# null when an operand is null); documented deviations live in _expr's
+# docstring.
+_EXPR_OPS = {
+    # arithmetic
+    "$add": _chain(lambda a, b: a + b),
+    "$subtract": lambda c: c[0] - c[1],
+    "$multiply": _chain(lambda a, b: a * b),
+    "$divide": lambda c: c[0] / c[1],
+    "$mod": lambda c: c[0] % c[1],
+    "$abs": lambda c: F.abs(c[0]),
+    "$ceil": lambda c: F.ceil(c[0]),
+    "$floor": lambda c: F.floor(c[0]),
+    # $round / $substrCP / $slice are specials in _expr (extra args)
+    "$trunc": lambda c: c[0].cast("long"),
+    "$sqrt": lambda c: F.sqrt(c[0]),
+    "$pow": lambda c: F.pow(c[0], c[1]),
+    "$exp": lambda c: F.exp(c[0]),
+    "$ln": lambda c: F.log(c[0]),
+    "$log10": lambda c: F.log10(c[0]),
+    # comparison (Mongo $cmp: -1/0/1)
+    "$eq": lambda c: c[0] == c[1],
+    "$ne": lambda c: c[0] != c[1],
+    "$gt": lambda c: c[0] > c[1],
+    "$gte": lambda c: c[0] >= c[1],
+    "$lt": lambda c: c[0] < c[1],
+    "$lte": lambda c: c[0] <= c[1],
+    "$cmp": lambda c: F.when(c[0] < c[1], -1)
+    .when(c[0] > c[1], 1).otherwise(0),
+    # boolean
+    "$and": _chain(lambda a, b: a & b),
+    "$or": _chain(lambda a, b: a | b),
+    "$not": lambda c: ~c[0].cast("boolean"),
+    # string
+    "$concat": lambda c: F.concat(*c),
+    "$toUpper": lambda c: F.upper(c[0]),
+    "$toLower": lambda c: F.lower(c[0]),
+    "$strLenCP": lambda c: F.length(c[0]),
+    "$toString": lambda c: c[0].cast("string"),
+    "$trim": lambda c: F.trim(c[0]),
+    "$ltrim": lambda c: F.ltrim(c[0]),
+    "$rtrim": lambda c: F.rtrim(c[0]),
+    "$split": lambda c: F.split(c[0], c[1], -1),
+    # dates (UTC session tz; Mongo returns UTC parts by default too)
+    "$year": lambda c: F.year(c[0]),
+    "$month": lambda c: F.month(c[0]),
+    "$dayOfMonth": lambda c: F.dayofmonth(c[0]),
+    "$hour": lambda c: F.hour(c[0]),
+    "$minute": lambda c: F.minute(c[0]),
+    "$second": lambda c: F.second(c[0]),
+    "$dayOfWeek": lambda c: F.dayofweek(c[0]),  # 1=Sunday, as Mongo
+    "$toDate": lambda c: c[0].cast("timestamp"),
+    # arrays
+    "$size": lambda c: F.size(c[0]),
+    "$arrayElemAt": lambda c: F.element_at(
+        c[0], (c[1] + 1).cast("int")),  # Mongo is 0-based
+    "$first": lambda c: F.element_at(c[0], 1),
+    "$last": lambda c: F.element_at(c[0], -1),
+    "$concatArrays": lambda c: F.concat(*c),
+    "$in": lambda c: F.array_contains(c[1], c[0]),
+    # type conversion
+    "$toInt": lambda c: c[0].cast("int"),
+    "$toLong": lambda c: c[0].cast("long"),
+    "$toDouble": lambda c: c[0].cast("double"),
+    "$toBool": lambda c: c[0].cast("boolean"),
+}
+
+
+def _expr(spec: Any) -> Column:
+    """Mongo aggregation EXPRESSION -> Column (the $project/$addFields/
+    accumulator argument language), translated recursively:
+
+      '$field'            -> column ref ('a.b' paths work via Column)
+      scalar              -> literal
+      [e1, e2, ...]       -> array of expressions
+      {$op: args}         -> operator (see _EXPR_OPS + specials below)
+      {k1: e1, k2: e2}    -> embedded document -> struct(e1 AS k1, ...)
+
+    Specials: $literal, $cond (array or {if,then,else}), $ifNull,
+    $switch ({branches: [{case, then}...], default}), $round with an
+    explicit place count, $substrCP (0-based -> substring), $slice.
+
+    Deviations (documented): $$variables (e.g. $$ROOT) are unsupported;
+    $divide by zero yields null/Infinity per Spark instead of erroring;
+    heterogeneous-type comparisons follow Spark coercion, not Mongo's
+    cross-type BSON ordering."""
+    if isinstance(spec, str) and spec.startswith("$$"):
+        raise ValueError(f"aggregation variables unsupported: {spec}")
+    if isinstance(spec, str) and spec.startswith("$"):
+        return F.col(spec[1:])
+    if isinstance(spec, list):
+        return F.array(*[_expr(e) for e in spec])
+    if not isinstance(spec, dict):
+        return F.lit(spec)
+
+    if len(spec) == 1:
+        op, arg = next(iter(spec.items()))
+        if op == "$literal":
+            return F.lit(arg)
+        if op == "$cond":
+            if isinstance(arg, dict):
+                cif, cthen, celse = arg["if"], arg["then"], arg["else"]
+            else:
+                cif, cthen, celse = arg
+            return F.when(_expr(cif), _expr(cthen)).otherwise(_expr(celse))
+        if op == "$ifNull":
+            return F.coalesce(*[_expr(a) for a in arg])
+        if op == "$switch":
+            out = None
+            for br in arg["branches"]:
+                w = (F.when(_expr(br["case"]), _expr(br["then"]))
+                     if out is None
+                     else out.when(_expr(br["case"]), _expr(br["then"])))
+                out = w
+            if "default" in arg:
+                out = out.otherwise(_expr(arg["default"]))
+            return out
+        if op == "$round":
+            if isinstance(arg, list) and len(arg) == 2:
+                return F.round(_expr(arg[0]), int(arg[1]))
+            a = arg[0] if isinstance(arg, list) else arg
+            return F.round(_expr(a), 0)
+        if op == "$substrCP":
+            s, start, length = arg
+            # Mongo is 0-based; Spark substring is 1-based
+            return F.substring(
+                _expr(s), (_expr(start) + 1).cast("int"),
+                _expr(length).cast("int"))
+        if op == "$slice":
+            if len(arg) == 2:
+                return F.slice(_expr(arg[0]), 1, _expr(arg[1]).cast("int"))
+            return F.slice(_expr(arg[0]),
+                           (_expr(arg[1]) + 1).cast("int"),
+                           _expr(arg[2]).cast("int"))
+        if op in _EXPR_OPS:
+            args = arg if isinstance(arg, list) else [arg]
+            return _EXPR_OPS[op]([_expr(a) for a in args])
+        if op.startswith("$"):
+            raise ValueError(f"unsupported expression operator: {op}")
+    # embedded document literal: every value is itself an expression
+    return F.struct(*[_expr(v).alias(k) for k, v in spec.items()])
+
+
 def _accumulator(spec: dict) -> Column:
     if not (isinstance(spec, dict) and len(spec) == 1):
         raise ValueError(f"unsupported accumulator: {spec!r}")
     op, arg = next(iter(spec.items()))
     if op == "$sum":
-        # {$sum: 1} counts; {$sum: "$f"} sums (workspace.go:224 uses 1)
+        # {$sum: 1} counts; {$sum: <expr>} sums (workspace.go:224 uses 1)
         if isinstance(arg, (int, float)) and not isinstance(arg, bool):
             if arg == 1:
                 return F.count(F.lit(1))
             return F.sum(F.lit(arg))
-        return F.sum(_ref(arg))
+        return F.sum(_expr(arg))
     if op == "$avg":
-        return F.avg(_ref(arg))
+        return F.avg(_expr(arg))
     if op == "$min":
-        return F.min(_ref(arg))
+        return F.min(_expr(arg))
     if op == "$max":
-        return F.max(_ref(arg))
+        return F.max(_expr(arg))
     if op == "$first":
-        return F.first(_ref(arg))
+        return F.first(_expr(arg))
     if op == "$last":
-        return F.last(_ref(arg))
+        return F.last(_expr(arg))
     if op == "$push":
-        return F.collect_list(_ref(arg))
+        return F.collect_list(_expr(arg))
     if op == "$addToSet":
-        return F.collect_set(_ref(arg))
+        return F.collect_set(_expr(arg))
     if op == "$count":
         return F.count(F.lit(1))
+    if op == "$stdDevPop":
+        return F.stddev_pop(_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(_expr(arg))
     raise ValueError(f"unsupported accumulator: {op}")
 
 
@@ -108,10 +270,14 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
         keyed = df.withColumn("_id", F.lit(None).cast("string"))
     elif isinstance(gid, str):
         keyed = df.withColumn("_id", _ref(gid))
+    elif isinstance(gid, dict) and len(gid) == 1 \
+            and next(iter(gid)).startswith("$"):
+        # expression key, e.g. {_id: {$month: "$o_orderdate"}}
+        keyed = df.withColumn("_id", _expr(gid))
     elif isinstance(gid, dict):
         keyed = df.withColumn(
             "_id",
-            F.struct(*[_ref(v).alias(k) for k, v in gid.items()]),
+            F.struct(*[_expr(v).alias(k) for k, v in gid.items()]),
         )
     else:
         raise ValueError(f"unsupported $group _id: {gid!r}")
@@ -133,9 +299,9 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
         elif v in (1, True):
             has_include = True
             includes.append(F.col(name))
-        else:  # rename / computed: {"alias": "$field"}
+        else:  # rename / computed expression: {"alias": <expression>}
             has_include = True
-            includes.append(_ref(v).alias(name))
+            includes.append(_expr(v).alias(name))
     if has_include and [e for e in excludes if e != "_id"]:
         # Mongo rejects mixed include/exclude projections (except _id);
         # accepting them silently would mask a malformed pipeline
@@ -450,7 +616,7 @@ def mongo_pipeline_to_df(
             out = _apply_project(out, spec)
         elif op in ("$addFields", "$set"):
             for name, v in spec.items():
-                out = out.withColumn(name, _ref(v))
+                out = out.withColumn(name, _expr(v))
         elif op == "$sort":
             out = out.orderBy(*[
                 F.col(c).asc() if d >= 0 else F.col(c).desc()

@@ -806,3 +806,58 @@ R3_QUERIES["pipeline_window_fields"] = (
 R3_QUERIES["pipeline_densify_fill"] = (
     q_pipeline_densify_fill, ORACLE_PIPELINE_DENSIFY_FILL,
     "$densify+$fill translator vs generate-series oracle")
+
+
+def q_pipeline_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation expression language through the translator:
+    $addFields computes net revenue ($multiply/$subtract/$round) and a
+    $cond class, $group keys on the computed pair with a computed $sum
+    — the everyday Mongo analytics pipeline shape. The struct _id is
+    flattened for the hash harness."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    # decimal inputs so the computed $sum is order-independent (the
+    # float fold differs between engines at cents magnitude; same
+    # discipline as pricing_summary)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        .alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("l_discount"),
+    )
+    out = mongo_pipeline_to_df(li, [
+        {"$addFields": {
+            "net": {"$round": [{"$multiply": [
+                "$l_extendedprice",
+                {"$subtract": [1, "$l_discount"]}]}, 2]},
+            "cls": {"$cond": {"if": {"$gte": ["$l_quantity", 30]},
+                              "then": "heavy", "else": "light"}},
+        }},
+        {"$group": {"_id": {"flag": "$l_returnflag", "cls": "$cls"},
+                    "n": {"$sum": 1},
+                    "net_sum": {"$sum": "$net"}}},
+    ])
+    return out.select(
+        F.col("_id.flag").alias("flag"), F.col("_id.cls").alias("cls"),
+        "n",
+        F.round("net_sum", 2).cast("double").alias("net_sum"),
+    ).orderBy("flag", "cls")
+
+
+ORACLE_PIPELINE_EXPRESSIONS = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CASE WHEN l_quantity >= 30 THEN 'heavy' ELSE 'light' END AS cls,
+         round(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS net
+  FROM lineitem
+)
+SELECT flag, cls, COUNT(*) AS n,
+       CAST(round(SUM(net), 2) AS DOUBLE) AS net_sum
+FROM t GROUP BY flag, cls ORDER BY flag, cls
+"""
+
+
+R3_QUERIES["pipeline_expressions"] = (
+    q_pipeline_expressions, ORACLE_PIPELINE_EXPRESSIONS,
+    "Mongo expression language ($multiply/$cond/$round) vs SQL oracle")

@@ -547,3 +547,106 @@ def test_densify_then_fill_composes(spark):
     ])
     assert [(r.t, r.v) for r in out.collect()] == [
         (0, 1.0), (1, 1.0), (2, 1.0), (3, 4.0)]
+
+
+# ---------------------------------------------------------------------------
+# Aggregation expression language ($project/$addFields/accumulator args)
+# ---------------------------------------------------------------------------
+
+def test_expression_arithmetic_and_cond(spark):
+    df = spark.createDataFrame(
+        [(10.0, 2.0, "x"), (3.0, 0.5, "y")], "a double, b double, tag string")
+    out = mongo_pipeline_to_df(df, [
+        {"$addFields": {
+            "prod": {"$multiply": ["$a", "$b", 2]},
+            "ratio": {"$round": [{"$divide": ["$a", "$b"]}, 2]},
+            "grade": {"$cond": {"if": {"$gte": ["$a", 5]},
+                                "then": "big", "else": "small"}},
+            "label": {"$concat": [{"$toUpper": "$tag"}, "-",
+                                  {"$toString": {"$toInt": "$a"}}]},
+        }},
+        {"$sort": {"a": -1}},
+    ])
+    rows = out.collect()
+    assert [r.prod for r in rows] == [40.0, 3.0]
+    assert [r.ratio for r in rows] == [5.0, 6.0]
+    assert [r.grade for r in rows] == ["big", "small"]
+    assert [r.label for r in rows] == ["X-10", "Y-3"]
+
+
+def test_expression_switch_ifnull_dates_arrays(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 15, 10, 30), None, [5, 6, 7]),
+         (datetime.datetime(2023, 12, 1, 0, 0), 9.0, [1])],
+        "ts timestamp, maybe double, arr array<int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "y": {"$year": "$ts"}, "m": {"$month": "$ts"},
+            "filled": {"$ifNull": ["$maybe", 0.0]},
+            "head": {"$arrayElemAt": ["$arr", 0]},
+            "tail": {"$last": "$arr"},
+            "n": {"$size": "$arr"},
+            "season": {"$switch": {
+                "branches": [
+                    {"case": {"$in": [{"$month": "$ts"}, [12, 1, 2]]},
+                     "then": "winter"},
+                    {"case": {"$in": [{"$month": "$ts"}, [3, 4, 5]]},
+                     "then": "spring"},
+                ],
+                "default": "other"}},
+        }},
+        {"$sort": {"y": -1}},
+    ])
+    rows = out.collect()
+    assert (rows[0].y, rows[0].m, rows[0].season) == (2024, 3, "spring")
+    assert (rows[1].y, rows[1].season) == (2023, "winter")
+    assert [r.filled for r in rows] == [0.0, 9.0]
+    assert [r.head for r in rows] == [5, 1]
+    assert [r.tail for r in rows] == [7, 1]
+    assert [r.n for r in rows] == [3, 1]
+
+
+def test_expression_in_group_key_and_accumulator(spark, orders):
+    """{_id: {$month: ...}} expression group key and a computed $sum
+    argument — the revenue-style accumulator shape."""
+    out = mongo_pipeline_to_df(orders, [
+        {"$group": {
+            "_id": {"$month": "$o_orderdate"},
+            "n": {"$sum": 1},
+            "double_rev": {"$sum": {"$multiply": ["$o_totalprice", 2]}},
+        }},
+        {"$sort": {"_id": 1}},
+    ])
+    rows = out.collect()
+    assert [r._id for r in rows] == list(range(1, 13))
+    want = {r.m: (r.n, r.rev) for r in orders.groupBy(
+        F.month("o_orderdate").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("o_totalprice") * 2).alias("rev")).collect()}
+    for r in rows:
+        assert r.n == want[r._id][0]
+        assert abs(r.double_rev - want[r._id][1]) < 1e-6
+
+
+def test_expression_document_literal_and_substr(spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "doc": {"head": {"$substrCP": ["$s", 0, 5]},
+                    "len": {"$strLenCP": "$s"}},
+        }},
+    ])
+    r = out.first()
+    assert r.doc.head == "hello" and r.doc.len == 11
+
+
+def test_expression_unsupported_operator_raises(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="unsupported expression"):
+        mongo_pipeline_to_df(df, [
+            {"$addFields": {"x": {"$meta": "textScore"}}}])
+    with pytest.raises(ValueError, match="variables unsupported"):
+        mongo_pipeline_to_df(df, [
+            {"$addFields": {"x": "$$ROOT"}}])
