@@ -173,19 +173,94 @@ def _expr(spec: Any) -> Column:
     $divide by zero yields null/Infinity per Spark instead of erroring;
     heterogeneous-type comparisons follow Spark coercion, not Mongo's
     cross-type BSON ordering."""
+    return _expr_v(spec, {})
+
+
+def _expr_v(spec: Any, variables: dict) -> Column:
+    """_expr body with lexical variables in scope ($$this/$$value from
+    $map/$filter/$reduce, plus user $let bindings)."""
     if isinstance(spec, str) and spec.startswith("$$"):
+        path = spec[2:].split(".", 1)
+        if path[0] in variables:
+            col = variables[path[0]]
+            return col[path[1]] if len(path) == 2 else col
         raise ValueError(f"aggregation variables unsupported: {spec}")
     if isinstance(spec, str) and spec.startswith("$"):
         return F.col(spec[1:])
     if isinstance(spec, list):
-        return F.array(*[_expr(e) for e in spec])
+        return F.array(*[_expr_v(e, variables) for e in spec])
     if not isinstance(spec, dict):
         return F.lit(spec)
+
+    def _expr(s):  # shadow: recurse with the current variable scope
+        return _expr_v(s, variables)
 
     if len(spec) == 1:
         op, arg = next(iter(spec.items()))
         if op == "$literal":
             return F.lit(arg)
+        if op == "$map":
+            as_name = arg.get("as", "this")
+            return F.transform(
+                _expr(arg["input"]),
+                lambda x: _expr_v(arg["in"], {**variables, as_name: x}),
+            )
+        if op == "$filter":
+            as_name = arg.get("as", "this")
+            return F.filter(
+                _expr(arg["input"]),
+                lambda x: _expr_v(arg["cond"], {**variables, as_name: x}),
+            )
+        if op == "$reduce":
+            return F.aggregate(
+                _expr(arg["input"]),
+                _expr(arg["initialValue"]),
+                lambda acc, x: _expr_v(
+                    arg["in"], {**variables, "value": acc, "this": x}),
+            )
+        if op == "$let":
+            bound = {
+                name: _expr(v) for name, v in arg["vars"].items()
+            }
+            return _expr_v(arg["in"], {**variables, **bound})
+        if op == "$regexMatch":
+            return _expr(arg["input"]).rlike(arg["regex"])
+        if op == "$dateTrunc":
+            unit = arg["unit"]
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second"):
+                raise ValueError(f"unsupported $dateTrunc unit: {unit}")
+            return F.date_trunc(unit, _expr(arg["date"]))
+        if op == "$dateDiff":
+            unit = arg["unit"]
+            start, end = _expr(arg["startDate"]), _expr(arg["endDate"])
+            if unit == "day":
+                return F.datediff(end, start).cast("long")
+            if unit in ("hour", "minute", "second"):
+                secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+                return ((end.cast("long") - start.cast("long"))
+                        / secs).cast("long")
+            if unit == "month":
+                return F.months_between(end, start, True).cast("long")
+            if unit == "year":
+                return (F.year(end) - F.year(start)).cast("long")
+            raise ValueError(f"unsupported $dateDiff unit: {unit}")
+        if op == "$dateAdd":
+            unit, amount = arg["unit"], arg["amount"]
+            start = _expr(arg["startDate"])
+            if unit not in ("year", "month", "week", "day", "hour",
+                            "minute", "second"):
+                raise ValueError(f"unsupported $dateAdd unit: {unit}")
+            n = amount if isinstance(amount, int) else int(amount)
+            return start + F.expr(f"INTERVAL {n} {unit}")
+        if op == "$dateToString":
+            fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
+            # Mongo strftime-ish -> Spark datetime pattern
+            mapping = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                       "%M": "mm", "%S": "ss", "%j": "DDD"}
+            for k, v in mapping.items():
+                fmt = fmt.replace(k, v)
+            return F.date_format(_expr(arg["date"]), fmt)
         if op == "$cond":
             if isinstance(arg, dict):
                 cif, cthen, celse = arg["if"], arg["then"], arg["else"]

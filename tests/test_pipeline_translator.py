@@ -650,3 +650,60 @@ def test_expression_unsupported_operator_raises(spark):
     with pytest.raises(ValueError, match="variables unsupported"):
         mongo_pipeline_to_df(df, [
             {"$addFields": {"x": "$$ROOT"}}])
+
+
+def test_expression_map_filter_reduce_let(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4],)], "xs array<int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "doubled": {"$map": {"input": "$xs", "as": "x",
+                                 "in": {"$multiply": ["$$x", 2]}}},
+            "evens": {"$filter": {"input": "$xs",
+                                  "cond": {"$eq": [
+                                      {"$mod": ["$$this", 2]}, 0]}}},
+            "total": {"$reduce": {"input": "$xs", "initialValue": 0,
+                                  "in": {"$add": ["$$value", "$$this"]}}},
+            "scaled": {"$let": {"vars": {"k": 10},
+                                "in": {"$multiply": [
+                                    {"$size": "$xs"}, "$$k"]}}},
+        }},
+    ])
+    r = out.first()
+    assert list(r.doubled) == [2, 4, 6, 8]
+    assert list(r.evens) == [2, 4]
+    assert r.total == 10
+    assert r.scaled == 40
+
+
+def test_expression_date_family(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 15, 10, 30, 45),
+          datetime.datetime(2024, 3, 18, 22, 0, 0))],
+        "a timestamp, b timestamp")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "trunc_m": {"$dateTrunc": {"date": "$a", "unit": "month"}},
+            "days": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                   "unit": "day"}},
+            "hours": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                    "unit": "hour"}},
+            "plus_week": {"$dateAdd": {"startDate": "$a", "unit": "week",
+                                       "amount": 1}},
+            "pretty": {"$dateToString": {"date": "$a",
+                                         "format": "%Y-%m-%d"}},
+            "is_march": {"$regexMatch": {"input": {"$dateToString": {
+                "date": "$a", "format": "%Y-%m"}},
+                "regex": "-03$"}},
+        }},
+    ])
+    r = out.first()
+    import datetime as dt
+    assert r.trunc_m == dt.datetime(2024, 3, 1)
+    assert r.days == 3
+    assert r.hours == 83
+    assert r.plus_week == dt.datetime(2024, 3, 22, 10, 30, 45)
+    assert r.pretty == "2024-03-15"
+    assert r.is_march is True
