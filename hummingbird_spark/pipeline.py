@@ -336,6 +336,27 @@ def _accumulator(spec: dict) -> Column:
         return F.stddev_pop(_expr(arg))
     if op == "$stdDevSamp":
         return F.stddev_samp(_expr(arg))
+    if op in ("$top", "$bottom"):
+        # Mongo 5.2 positional accumulators: the output expression of
+        # the first/last doc under sortBy — Spark's min_by/max_by on a
+        # single sort key (the common case; compound sortBy would need
+        # a struct key with Mongo's cross-type ordering)
+        sort_by = arg["sortBy"]
+        if len(sort_by) != 1:
+            raise ValueError(f"{op} supports a single sortBy key")
+        key, direction = next(iter(sort_by.items()))
+        asc = direction >= 0
+        fn = F.min_by if (asc == (op == "$top")) else F.max_by
+        return fn(_expr(arg["output"]), F.col(key))
+    if op == "$median":
+        # Mongo's default (approximate) method; percentile_approx is
+        # the mergeable sketch equivalent
+        return F.percentile_approx(_expr(arg["input"]), 0.5, 10000)
+    if op == "$percentile":
+        ps = arg["p"]
+        return F.percentile_approx(
+            _expr(arg["input"]),
+            F.array(*[F.lit(float(p)) for p in ps]), 10000)
     raise ValueError(f"unsupported accumulator: {op}")
 
 

@@ -74,3 +74,81 @@ def running_user_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time sessionization with custom close conditions
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+SESSION_STATE = "start timestamp, last_ts timestamp, n long, total double"
+
+
+def _make_session_fn(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def update(key, batches, state: GroupState):
+        (user_id,) = key
+
+        def row(start, end, n, total):
+            return {"user_id": user_id, "session_start": start,
+                    "session_end": end, "n_events": int(n),
+                    "total_value": float(total)}
+
+        if state.hasTimedOut:
+            start, last_ts, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last_ts, n, total)])
+            return
+
+        events = pd.concat(list(batches)).sort_values("ts")
+        closed = []
+        cur = list(state.get) if state.exists else None
+        for ts, value in zip(events["ts"], events["value"]):
+            if cur is None:
+                cur = [ts, ts, 0, 0.0]
+            elif ts - cur[1] > gap:  # intra-batch gap closes a session
+                closed.append(row(cur[0], cur[1], cur[2], cur[3]))
+                cur = [ts, ts, 0, 0.0]
+            cur[1] = max(cur[1], ts)
+            cur[2] += 1
+            cur[3] += float(value)
+        state.update(tuple(cur))
+        # close via watermark: fire once event time passes last_ts+gap
+        state.setTimeoutTimestamp(
+            int(cur[1].timestamp() * 1000) + gap_seconds * 1000)
+        yield pd.DataFrame(closed) if closed else pd.DataFrame(
+            [], columns=["user_id", "session_start", "session_end",
+                         "n_events", "total_value"])
+
+    return update
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      watermark_delay: str = "10 seconds") -> DataFrame:
+    """events(user_id, ts, value) stream -> CLOSED sessions, emitted
+    when event time (the watermark) passes the session's last event by
+    `gap_seconds` — sessionization with an event-time timeout, the
+    applyInPandasWithState pattern the built-in session_window can't
+    express once the close condition stops being a fixed gap (bound
+    session length, value-triggered close, per-key gaps all slot into
+    the same update function).
+
+    State is one open session per live key (four scalars); closed
+    sessions leave the store immediately, so state size tracks live
+    keys, not history. Output is append-shaped (sessions emit exactly
+    once, on close)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

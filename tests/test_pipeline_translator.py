@@ -707,3 +707,26 @@ def test_expression_date_family(spark):
     assert r.plus_week == dt.datetime(2024, 3, 22, 10, 30, 45)
     assert r.pretty == "2024-03-15"
     assert r.is_march is True
+
+
+def test_top_bottom_median_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "p"), ("a", 5, "q"), ("a", 3, "r"),
+         ("b", 9, "s"), ("b", 2, "t")],
+        "grp string, score int, name string")
+    out = mongo_pipeline_to_df(df, [
+        {"$group": {
+            "_id": "$grp",
+            "best": {"$top": {"sortBy": {"score": -1},
+                              "output": "$name"}},
+            "worst": {"$bottom": {"sortBy": {"score": -1},
+                                  "output": "$name"}},
+            "med": {"$median": {"input": "$score"}},
+        }},
+        {"$sort": {"_id": 1}},
+    ])
+    rows = out.collect()
+    assert [(r._id, r.best, r.worst) for r in rows] == [
+        ("a", "q", "p"), ("b", "s", "t")]
+    assert rows[0].med == 3
+    assert rows[1].med in (2, 9)  # approx median of 2 values

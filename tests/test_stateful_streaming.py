@@ -82,3 +82,56 @@ def test_state_carries_across_batches(spark, tmp_path):
     assert s2[1].n_events == 3 and s2[1].total_value == 17.5  # carried
     assert s2[3].n_events == 1  # new key
     assert 2 not in s2  # untouched key emits nothing in update mode
+
+
+def test_event_time_sessionization(spark, tmp_path):
+    """sessionize_stream closes sessions when the WATERMARK (event
+    time) passes last_ts + gap: intra-batch gaps split immediately;
+    open sessions close on a later run once fresher events advance the
+    watermark past their timeout."""
+    from hummingbird_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "sev")
+    ckpt = str(tmp_path / "sckpt")
+    sink = str(tmp_path / "ssink")
+
+    def run():
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(SCHEMA).json(src),
+                gap_seconds=60, watermark_delay="0 seconds")
+            .writeStream.foreachBatch(write)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # batch 1: user 1 has two sessions separated by a 300 s gap
+    # (intra-batch split); the second stays open
+    _write(src, "0.json", [(0, 1, 1.0), (10, 1, 2.0),
+                           (310, 1, 4.0), (315, 1, 8.0)])
+    run()
+    import glob as _g
+    if _g.glob(os.path.join(sink, "*.parquet")):
+        closed = spark.read.parquet(sink).collect()
+        assert len(closed) >= 1
+
+    # batch 2: a much later event advances the watermark past the open
+    # session's timeout -> it closes on this (or the next) run
+    _write(src, "1.json", [(5000, 2, 1.0)])
+    run()
+    _write(src, "2.json", [(9000, 2, 1.0)])
+    run()
+
+    rows = spark.read.parquet(sink).filter("user_id = 1") \
+        .orderBy("session_start").collect()
+    assert len(rows) == 2
+    first, second = rows
+    assert first.n_events == 2 and first.total_value == 3.0
+    assert (first.session_end - first.session_start).seconds == 10
+    assert second.n_events == 2 and second.total_value == 12.0
