@@ -206,3 +206,61 @@ def token_diversity(col: Column) -> Column:
         F.size(F.array_distinct(ws)).cast("double")
         / F.size(ws).cast("double")
     )
+
+
+def chunk_spans(ws: Column, max_tokens: int, stride: int) -> Column:
+    """Array of [start, end) token spans covering the token array `ws`
+    in windows of `max_tokens` advancing by `stride` (stride <
+    max_tokens gives overlap). Pure Column expression: the chunking
+    rides the scan, and posexplode turns spans into chunk rows.
+
+    Span count is ceil(max(n - max_tokens, 0) / stride) + 1 for
+    non-empty docs (the last window is allowed to be short), 0 spans
+    for empty docs."""
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    n = F.size(ws)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil((F.greatest(n - max_tokens, F.lit(0)))
+               / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i * stride).alias("start"),
+            F.least(i * stride + max_tokens, n).alias("end"),
+        ),
+    )
+    return F.when(n_chunks <= 0, F.array().cast(
+        "array<struct<start:int,end:int>>"
+    )).otherwise(spans.cast("array<struct<start:int,end:int>>"))
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 50, stride: int = 40):
+    """documents -> one row per training chunk: (id, chunk_id,
+    chunk_text, n_tokens). Tokenize once into a bound column (see
+    ngrams_from_tokens' performance contract), compute spans, then
+    posexplode + slice + concat_ws — all JVM-side, no Python.
+
+    stride < max_tokens yields overlapping context windows (the
+    standard LM data prep); stride == max_tokens gives disjoint
+    chunks (then sequence packing — queries_analytics.pack_sequences —
+    reassembles them into fixed-length training rows)."""
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws")
+    ).select(
+        F.col(id_col), "__ws",
+        F.posexplode(chunk_spans(F.col("__ws"), max_tokens, stride))
+        .alias("chunk_id", "__span"),
+    )
+    piece = F.slice(
+        F.col("__ws"), F.col("__span.start") + 1,
+        F.col("__span.end") - F.col("__span.start"),
+    )
+    return toked.select(
+        F.col(id_col), F.col("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        (F.col("__span.end") - F.col("__span.start")).alias("n_tokens"),
+    )

@@ -861,3 +861,46 @@ FROM t GROUP BY flag, cls ORDER BY flag, cls
 R3_QUERIES["pipeline_expressions"] = (
     q_pipeline_expressions, ORACLE_PIPELINE_EXPRESSIONS,
     "Mongo expression language ($multiply/$cond/$round) vs SQL oracle")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM training chunking: overlapping 50-token windows, stride 40.
+    Emits per-chunk rows (JVM-side slice/concat — the chunker rides the
+    scan); the oracle reproduces the span arithmetic in SQL."""
+    from hummingbird_spark.functions.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=50, stride=40) \
+        .orderBy("doc_id", "chunk_id")
+
+
+ORACLE_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+), spans AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= 0 THEN 0
+              ELSE CAST(ceil(greatest(len(ws) - 50, 0) / 40.0) AS INT)
+                   + 1 END AS n_chunks
+  FROM t
+), ex AS (
+  SELECT doc_id, ws, n,
+         CAST(unnest(range(n_chunks)) AS INT) AS chunk_id
+  FROM spans WHERE n_chunks > 0
+)
+SELECT doc_id, chunk_id,
+       array_to_string(ws[chunk_id * 40 + 1 :
+                          least(chunk_id * 40 + 50, n)], ' ')
+         AS chunk_text,
+       least(chunk_id * 40 + 50, n) - chunk_id * 40 AS n_tokens
+FROM ex
+ORDER BY doc_id, chunk_id
+"""
+
+
+R3_QUERIES["doc_chunks"] = (
+    q_doc_chunks, ORACLE_DOC_CHUNKS,
+    "LM chunking: overlapping token windows per doc")

@@ -343,3 +343,24 @@ def test_tfidf_cosine_order_insensitive(spark):
     # them; no pairs survive (doc 3's terms are unique, no partners)
     assert tfidf_cosine_pairs(df, threshold=0.1,
                               max_doc_freq=2).count() == 0
+
+
+def test_chunk_documents_edges(spark):
+    from hummingbird_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+         (2, "a b c"),                                 # shorter than win
+         (3, ""),                                      # empty -> 0 rows
+         (4, " ".join(f"x{i}" for i in range(50)))],   # exactly one win
+        "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=50, stride=40)
+    rows = sorted([(r.doc_id, r.chunk_id, r.n_tokens)
+                   for r in out.collect()])
+    # doc 1: spans [0,50) [40,90) [80,100) -> 3 chunks
+    assert rows == [(1, 0, 50), (1, 1, 50), (1, 2, 20),
+                    (2, 0, 3), (4, 0, 50)]
+    # overlap check: chunk 1 of doc 1 starts at token 40
+    c1 = out.filter("doc_id = 1 AND chunk_id = 1").first()
+    assert c1.chunk_text.split()[0] == "t40"
+    assert c1.chunk_text.split()[-1] == "t89"
