@@ -147,6 +147,15 @@ _EXPR_OPS = {
     "$last": lambda c: F.element_at(c[0], -1),
     "$concatArrays": lambda c: F.concat(*c),
     "$in": lambda c: F.array_contains(c[1], c[0]),
+    "$setUnion": lambda c: F.array_distinct(F.concat(*c)),
+    "$setIntersection": _chain(F.array_intersect),
+    "$setDifference": lambda c: F.array_except(c[0], c[1]),
+    "$indexOfArray": lambda c: F.coalesce(
+        F.array_position(c[0], c[1]).cast("int") - 1, F.lit(-1)),
+    "$range": lambda c: F.sequence(
+        c[0], c[1] - 1, c[2] if len(c) == 3 else F.lit(1)),
+    "$reverseArray": lambda c: F.reverse(c[0]),
+    "$isNumber": lambda c: c[0].cast("double").isNotNull(),
     # type conversion
     "$toInt": lambda c: c[0].cast("int"),
     "$toLong": lambda c: c[0].cast("long"),
@@ -225,6 +234,8 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             return _expr_v(arg["in"], {**variables, **bound})
         if op == "$regexMatch":
             return _expr(arg["input"]).rlike(arg["regex"])
+        if op == "$zip":
+            return F.arrays_zip(*[_expr(i) for i in arg["inputs"]])
         if op == "$dateTrunc":
             unit = arg["unit"]
             if unit not in ("year", "quarter", "month", "week", "day",
@@ -713,6 +724,9 @@ def mongo_pipeline_to_df(
         elif op in ("$addFields", "$set"):
             for name, v in spec.items():
                 out = out.withColumn(name, _expr(v))
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            out = out.drop(*fields)
         elif op == "$sort":
             out = out.orderBy(*[
                 F.col(c).asc() if d >= 0 else F.col(c).desc()

@@ -730,3 +730,31 @@ def test_top_bottom_median_accumulators(spark):
         ("a", "q", "p"), ("b", "s", "t")]
     assert rows[0].med == 3
     assert rows[1].med in (2, 9)  # approx median of 2 values
+
+
+def test_set_ops_range_zip_unset(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], [2, 3, 4], "gone")],
+        "xs array<int>, ys array<int>, junk string")
+    out = mongo_pipeline_to_df(df, [
+        {"$addFields": {
+            "union": {"$setUnion": ["$xs", "$ys"]},
+            "both": {"$setIntersection": ["$xs", "$ys"]},
+            "only_x": {"$setDifference": ["$xs", "$ys"]},
+            "idx": {"$indexOfArray": ["$ys", 3]},
+            "missing": {"$indexOfArray": ["$ys", 99]},
+            "seq": {"$range": [0, 6, 2]},
+            "pairs": {"$zip": {"inputs": ["$xs", "$ys"]}},
+            "rev": {"$reverseArray": "$xs"},
+        }},
+        {"$unset": "junk"},
+    ])
+    r = out.first()
+    assert sorted(r.union) == [1, 2, 3, 4]
+    assert sorted(r.both) == [2, 3]
+    assert list(r.only_x) == [1]
+    assert r.idx == 1 and r.missing == -1
+    assert list(r.seq) == [0, 2, 4]
+    assert [(p[0], p[1]) for p in r.pairs] == [(1, 2), (2, 3), (3, 4)]
+    assert list(r.rev) == [3, 2, 1]
+    assert "junk" not in out.columns
