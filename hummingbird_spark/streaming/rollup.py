@@ -43,25 +43,44 @@ def window_rollup_partials(
     key_col: str = "event_type",
     window: str = "1 hour",
     value_col: str = "value",
+    hist_range: tuple[float, float] | None = None,
+    hist_bins: int = 32,
 ) -> DataFrame:
     """One micro-batch -> partial aggregates per (window_start, key).
-    Runs map-side combine + one small shuffle over the BATCH only."""
-    return (
+    Runs map-side combine + one small shuffle over the BATCH only.
+
+    hist_range=(lo, hi): also keep a mergeable fixed-bin histogram
+    sketch of value_col (functions/sketch.py), which makes approximate
+    quantiles readable from the rollup — the non-decomposable
+    aggregate the SUM/COUNT algebra alone can't give you."""
+    from hummingbird_spark.functions.sketch import (
+        assemble_sketch,
+        histogram_sketch,
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+        F.min(F.col(value_col).cast("double")).alias("min_value"),
+        F.max(F.col(value_col).cast("double")).alias("max_value"),
+    ]
+    if hist_range is not None:
+        aggs += histogram_sketch(F.col(value_col), hist_range[0],
+                                 hist_range[1], hist_bins)
+    out = (
         batch.groupBy(
             F.window(F.col(ts_col), window).alias("__w"),
             F.col(key_col).alias("key"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
-            F.min(F.col(value_col).cast("double")).alias("min_value"),
-            F.max(F.col(value_col).cast("double")).alias("max_value"),
-        )
-        .select(
-            F.col("__w.start").alias("window_start"),
-            "key", "n_events", "sum_value", "min_value", "max_value",
-        )
+        .agg(*aggs)
     )
+    cols = [
+        F.col("__w.start").alias("window_start"),
+        "key", "n_events", "sum_value", "min_value", "max_value",
+    ]
+    if hist_range is not None:
+        cols.append(assemble_sketch(hist_bins).alias("hist"))
+    return out.select(*cols)
 
 
 def merge_rollup_batch(
@@ -100,6 +119,8 @@ def merge_rollup_batch(
     if batch_id is not None and str(batch_id) in applied:
         return
 
+    from hummingbird_spark.functions.sketch import merge_sketches
+
     p = partials.withColumnRenamed("window_start", "__ws") \
         .withColumnRenamed("key", "__k")
     if os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
@@ -125,12 +146,15 @@ def merge_rollup_batch(
                 F.greatest(cur.max_value, p.max_value),
                 cur.max_value, p.max_value,
             ).alias("max_value"),
+            *([merge_sketches(cur.hist, p.hist).alias("hist")]
+              if "hist" in cur.columns and "hist" in p.columns else []),
         )
     else:
         merged = p.select(
             F.col("__ws").alias("window_start"),
             F.col("__k").alias("key"),
             "n_events", "sum_value", "min_value", "max_value",
+            *(["hist"] if "hist" in p.columns else []),
         )
 
     token = uuid.uuid4().hex[:8]
@@ -179,11 +203,28 @@ def start_continuous_rollup(
     )
 
 
-def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    """The query surface: avg reconstructed from decomposable parts."""
+def read_rollup(spark: SparkSession, rollup_path: str,
+                hist_range: tuple[float, float] | None = None,
+                hist_bins: int = 32) -> DataFrame:
+    """The query surface: avg reconstructed from decomposable parts;
+    when the rollup carries a histogram sketch AND the caller supplies
+    the (lo, hi) range it was built with, p50/p95 read directly from
+    the merged sketch (error <= one bin width)."""
     r = spark.read.parquet(rollup_path)
-    return r.select(
+    cols = [
         "window_start", "key", "n_events", "sum_value",
         "min_value", "max_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
-    )
+    ]
+    if hist_range is not None and "hist" in r.columns:
+        from hummingbird_spark.functions.sketch import sketch_quantile
+
+        lo, hi = hist_range
+        cols += [
+            F.col("hist"),
+            sketch_quantile(F.col("hist"), 0.5, lo, hi, hist_bins)
+            .alias("p50_value"),
+            sketch_quantile(F.col("hist"), 0.95, lo, hi, hist_bins)
+            .alias("p95_value"),
+        ]
+    return r.select(*cols)

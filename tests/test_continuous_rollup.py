@@ -140,3 +140,62 @@ def test_null_keys_merge_instead_of_duplicating(spark, tmp_path):
     assert out[0].key is None
     assert out[0].n_events == 2
     assert out[0].sum_value == 4.0
+
+
+def test_histogram_sketch_rollup_quantiles(spark, tmp_path):
+    """The sketch column merges across batches exactly (incremental
+    histogram == from-scratch histogram) and quantile reads land
+    within one bin width of the exact percentile."""
+    import datetime
+
+    from hummingbird_spark.streaming.rollup import (
+        merge_rollup_batch as merge, read_rollup as read,
+        window_rollup_partials as partials,
+    )
+
+    rollup = str(tmp_path / "hist_rollup.parquet")
+    lo, hi, bins = 0.0, 100.0, 50
+    t0 = datetime.datetime(2024, 1, 1)
+    rows1 = [(t0, "a", float(v)) for v in range(0, 60)]
+    rows2 = [(t0, "a", float(v)) for v in range(60, 100)]
+    b1 = spark.createDataFrame(rows1, EVENT_SCHEMA)
+    b2 = spark.createDataFrame(rows2, EVENT_SCHEMA)
+
+    merge(spark, partials(b1, hist_range=(lo, hi), hist_bins=bins),
+          rollup, batch_id=0)
+    merge(spark, partials(b2, hist_range=(lo, hi), hist_bins=bins),
+          rollup, batch_id=1)
+
+    out = read(spark, rollup, hist_range=(lo, hi), hist_bins=bins) \
+        .collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 100
+    # incremental merge == one-shot histogram over the union
+    both = b1.unionByName(b2)
+    one_shot = partials(both, hist_range=(lo, hi), hist_bins=bins) \
+        .collect()[0]
+    assert list(r.hist) == list(one_shot.hist)
+    # exact p50 of 0..99 is ~49.5; bin width is 2.0
+    assert abs(r.p50_value - 49.5) <= 2.0
+    assert abs(r.p95_value - 94.5) <= 2.0
+
+
+def test_sketch_quantile_expression_correctness(spark):
+    """Unit check of the pure-expression quantile walk on a known
+    histogram (counts [10, 0, 30]): p50 falls in the third bin."""
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.functions.sketch import sketch_quantile
+
+    df = spark.createDataFrame([([10, 0, 30],)], "hist array<long>")
+    got = df.select(
+        sketch_quantile(F.col("hist"), 0.5, 0.0, 30.0, 3).alias("q")
+    ).first().q
+    # target = 20; cum = [10, 10, 40] -> bin 3, frac (20-10)/30 = 1/3
+    # value = 0 + (2 + 1/3)/3 * 30 = 23.33
+    assert abs(got - 23.333333) < 1e-4
+    empty = df.select(sketch_quantile(
+        F.array([F.lit(0)] * 3).cast("array<long>"), 0.5, 0.0, 30.0, 3
+    ).alias("q")).first().q
+    assert empty is None
