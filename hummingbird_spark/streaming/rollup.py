@@ -45,6 +45,7 @@ def window_rollup_partials(
     value_col: str = "value",
     hist_range: tuple[float, float] | None = None,
     hist_bins: int = 32,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """One micro-batch -> partial aggregates per (window_start, key).
     Runs map-side combine + one small shuffle over the BATCH only.
@@ -52,7 +53,13 @@ def window_rollup_partials(
     hist_range=(lo, hi): also keep a mergeable fixed-bin histogram
     sketch of value_col (functions/sketch.py), which makes approximate
     quantiles readable from the rollup — the non-decomposable
-    aggregate the SUM/COUNT algebra alone can't give you."""
+    aggregate the SUM/COUNT algebra alone can't give you.
+
+    distinct_col: also keep a DataSketches HLL sketch (binary partial,
+    hll_sketch_agg) so approximate COUNT DISTINCT of that column reads
+    from the rollup — distinct counts are the other classically
+    non-decomposable aggregate; HLL partials merge losslessly
+    (hll_union), so incremental == one-shot."""
     from hummingbird_spark.functions.sketch import (
         assemble_sketch,
         histogram_sketch,
@@ -67,6 +74,12 @@ def window_rollup_partials(
     if hist_range is not None:
         aggs += histogram_sketch(F.col(value_col), hist_range[0],
                                  hist_range[1], hist_bins)
+    if distinct_col is not None:
+        # hll_sketch_agg accepts int/bigint/string/binary — stringify
+        # so any column type (doubles, dates) sketches uniformly
+        aggs.append(
+            F.hll_sketch_agg(F.col(distinct_col).cast("string"))
+            .alias("hll"))
     out = (
         batch.groupBy(
             F.window(F.col(ts_col), window).alias("__w"),
@@ -80,6 +93,8 @@ def window_rollup_partials(
     ]
     if hist_range is not None:
         cols.append(assemble_sketch(hist_bins).alias("hist"))
+    if distinct_col is not None:
+        cols.append("hll")
     return out.select(*cols)
 
 
@@ -148,6 +163,11 @@ def merge_rollup_batch(
             ).alias("max_value"),
             *([merge_sketches(cur.hist, p.hist).alias("hist")]
               if "hist" in cur.columns and "hist" in p.columns else []),
+            *([
+                F.when(cur.hll.isNull(), p.hll)
+                .when(p.hll.isNull(), cur.hll)
+                .otherwise(F.hll_union(cur.hll, p.hll)).alias("hll")
+            ] if "hll" in cur.columns and "hll" in p.columns else []),
         )
     else:
         merged = p.select(
@@ -155,6 +175,7 @@ def merge_rollup_batch(
             F.col("__k").alias("key"),
             "n_events", "sum_value", "min_value", "max_value",
             *(["hist"] if "hist" in p.columns else []),
+            *(["hll"] if "hll" in p.columns else []),
         )
 
     token = uuid.uuid4().hex[:8]
@@ -227,4 +248,7 @@ def read_rollup(spark: SparkSession, rollup_path: str,
             sketch_quantile(F.col("hist"), 0.95, lo, hi, hist_bins)
             .alias("p95_value"),
         ]
+    if "hll" in r.columns:
+        cols.append(
+            F.hll_sketch_estimate(F.col("hll")).alias("approx_distinct"))
     return r.select(*cols)

@@ -199,3 +199,30 @@ def test_sketch_quantile_expression_correctness(spark):
         F.array([F.lit(0)] * 3).cast("array<long>"), 0.5, 0.0, 30.0, 3
     ).alias("q")).first().q
     assert empty is None
+
+
+def test_hll_distinct_rollup(spark, tmp_path):
+    """HLL partials merge losslessly: the incrementally maintained
+    approx-distinct equals the one-shot sketch over the union, and at
+    small cardinality the estimate is exact."""
+    import datetime
+
+    from hummingbird_spark.streaming.rollup import (
+        merge_rollup_batch as merge, read_rollup as read,
+        window_rollup_partials as partials,
+    )
+
+    rollup = str(tmp_path / "hll_rollup.parquet")
+    t0 = datetime.datetime(2024, 1, 1)
+    # values 0..39 in batch 1, 20..59 in batch 2 -> 60 distinct overall
+    b1 = spark.createDataFrame(
+        [(t0, "a", float(v)) for v in range(0, 40)], EVENT_SCHEMA)
+    b2 = spark.createDataFrame(
+        [(t0, "a", float(v)) for v in range(20, 60)], EVENT_SCHEMA)
+
+    merge(spark, partials(b1, distinct_col="value"), rollup, batch_id=0)
+    merge(spark, partials(b2, distinct_col="value"), rollup, batch_id=1)
+
+    r = read(spark, rollup).collect()[0]
+    assert r.n_events == 80
+    assert r.approx_distinct == 60  # HLL exact at this cardinality
