@@ -446,13 +446,26 @@ def _apply_lookup(df: DataFrame, spec: dict,
 
     Mongo semantics preserved: no match -> empty array, not NULL, and
     the join is null-safe — a null/missing localField matches foreign
-    docs whose foreignField is null, as Mongo does."""
+    docs whose foreignField is null, as Mongo does.
+
+    The pipeline form ({from, let, pipeline, as}) compiles the
+    correlated-equality shape to the same join: $match stages whose
+    $expr is an $eq (or $and of $eqs) between a $$let variable and a
+    foreign field become join keys; remaining UNCORRELATED row-wise
+    stages ($match/$project/$addFields/$set/$unset) pre-filter the
+    foreign frame. Stages that don't commute with the per-row grouping
+    ($group/$sort/$limit/$skip and anything still referencing $$vars)
+    are refused with a clear error — a correlated subquery per row is
+    exactly the shape that cannot scale, so the translator won't
+    silently build it."""
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec.get('from')!r}: pass the foreign frame "
             f"via mongo_pipeline_to_df(..., tables={{name: df}})"
         )
     foreign = tables[spec["from"]]
+    if "pipeline" in spec:
+        return _apply_lookup_pipeline(df, spec, foreign)
     local, fkey, alias = spec["localField"], spec["foreignField"], spec["as"]
     rolled = (
         foreign.groupBy(F.col(fkey).alias("__lk"))
@@ -701,6 +714,119 @@ def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
         else:
             raise ValueError(f"unsupported $fill output: {how!r}")
     return out
+
+
+def _contains_var(spec: Any) -> bool:
+    """True if the expression subtree references any $$variable."""
+    if isinstance(spec, str):
+        return spec.startswith("$$")
+    if isinstance(spec, dict):
+        return any(_contains_var(v) for v in spec.values())
+    if isinstance(spec, list):
+        return any(_contains_var(v) for v in spec)
+    return False
+
+
+def _apply_lookup_pipeline(df: DataFrame, spec: dict,
+                           foreign: DataFrame) -> DataFrame:
+    """Pipeline-form $lookup (see _apply_lookup docstring)."""
+    alias = spec["as"]
+    let = spec.get("let", {})
+    eq_pairs: list[tuple[Any, Any]] = []  # (local side, foreign side)
+    pre_stages: list[dict] = []   # before the correlated $match
+    post_stages: list[dict] = []  # after it (Mongo runs in order)
+    residual = pre_stages
+
+    def _split_eq(e: dict) -> None:
+        op, arg = next(iter(e.items()))
+        if op == "$and":
+            for sub in arg:
+                _split_eq(sub)
+            return
+        if op != "$eq" or len(arg) != 2:
+            raise ValueError(
+                f"$lookup pipeline $expr supports $eq / $and-of-$eq "
+                f"correlations, got: {e!r}")
+        a, b = arg
+        if _contains_var(a) and not _contains_var(b):
+            eq_pairs.append((a, b))
+        elif _contains_var(b) and not _contains_var(a):
+            eq_pairs.append((b, a))
+        else:
+            raise ValueError(
+                f"$eq must compare a $$variable side with a foreign "
+                f"side: {e!r}")
+
+    for stage in spec["pipeline"]:
+        op, sspec = next(iter(stage.items()))
+        if op == "$match" and isinstance(sspec, dict) \
+                and "$expr" in sspec and _contains_var(sspec["$expr"]):
+            _split_eq(sspec["$expr"])
+            rest = {k: v for k, v in sspec.items() if k != "$expr"}
+            if rest:
+                residual.append({"$match": rest})
+            residual = post_stages
+        elif op in ("$match", "$project", "$addFields", "$set",
+                    "$unset") and not _contains_var(sspec):
+            residual.append(stage)
+        else:
+            raise ValueError(
+                f"$lookup pipeline stage not supported in the "
+                f"join-compiled form: {stage!r} (correlated non-$eq, "
+                f"or a stage that doesn't commute with per-row "
+                f"grouping: $group/$sort/$limit/$skip)")
+
+    def _bind_local(e: Any) -> Column:
+        """Local-side expr: substitute $$var with its let binding
+        (an expression over df)."""
+        if isinstance(e, str) and e.startswith("$$"):
+            name = e[2:].split(".", 1)[0]
+            if name not in let:
+                raise ValueError(f"undefined $lookup let variable: {e}")
+            return _expr(let[name])
+        if isinstance(e, dict):
+            raise ValueError(
+                f"only a bare $$variable is supported on the local "
+                f"side of a join $eq: {e!r}")
+        return _expr(e)
+
+    left = df
+    # keys bind where the correlated $match sat in the pipeline: after
+    # the pre-stages, before the post-stages (which may drop/rename
+    # the key's source columns)
+    right = mongo_pipeline_to_df(foreign, pre_stages)
+    for i, (lspec, fspec) in enumerate(eq_pairs):
+        left = left.withColumn(f"__lk{i}", _bind_local(lspec))
+        right = right.withColumn(f"__fk{i}", _expr(fspec))
+    key_names = [f"__fk{i}" for i in range(len(eq_pairs))]
+    for stage in post_stages:
+        op, sspec = next(iter(stage.items()))
+        if op == "$project" and any(
+            v not in (0, False) for v in sspec.values()
+        ):
+            # include-mode project: carry the join keys through
+            sspec = {**sspec, **{k: 1 for k in key_names}}
+        right = mongo_pipeline_to_df(right, [{op: sspec}])
+    fcols = [c for c in right.columns if c not in key_names]
+    rolled = right.groupBy(
+        *[F.col(f"__fk{i}") for i in range(len(eq_pairs))]
+    ).agg(F.collect_list(F.struct(*fcols)).alias("__docs"))
+
+    cond = None
+    for i in range(len(eq_pairs)):
+        c = left[f"__lk{i}"].eqNullSafe(rolled[f"__fk{i}"])
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        raise ValueError(
+            "$lookup pipeline needs at least one $expr $eq correlation "
+            "(an uncorrelated lookup is $unionWith/crossJoin territory)")
+    joined = left.join(rolled, cond, "left")
+    empty = F.array().cast(dict(joined.dtypes)["__docs"])
+    drop = ["__docs"] + [f"__lk{i}" for i in range(len(eq_pairs))] \
+        + [f"__fk{i}" for i in range(len(eq_pairs))]
+    return joined.withColumn(
+        alias, F.coalesce(F.col("__docs"), empty)
+    ).drop(*drop)
 
 
 def mongo_pipeline_to_df(

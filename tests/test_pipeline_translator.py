@@ -758,3 +758,48 @@ def test_set_ops_range_zip_unset(spark):
     assert [(p[0], p[1]) for p in r.pairs] == [(1, 2), (2, 3), (3, 4)]
     assert list(r.rev) == [3, 2, 1]
     assert "junk" not in out.columns
+
+
+def test_lookup_pipeline_form(spark):
+    """Pipeline-form $lookup: let + $expr $eq correlation compiles to
+    the same pre-aggregated join; uncorrelated stages pre-filter the
+    foreign side."""
+    orders_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "z")], "oid int, cust string")
+    items = spark.createDataFrame(
+        [("a", "x", 5), ("a", "y", 50), ("b", "w", 7)],
+        "cust string, sku string, qty int")
+    out = mongo_pipeline_to_df(orders_df, [
+        {"$lookup": {
+            "from": "items",
+            "let": {"c": "$cust"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$c", "$cust"]}}},
+                {"$match": {"qty": {"$lt": 10}}},  # uncorrelated
+                {"$project": {"sku": 1, "qty": 1}},
+            ],
+            "as": "small_items",
+        }},
+        {"$sort": {"oid": 1}},
+    ], tables={"items": items})
+    rows = out.collect()
+    assert [sorted(d.sku for d in r.small_items) for r in rows] == [
+        ["x"], ["w"], []]
+    assert rows[2].small_items == []  # empty array, never null
+
+
+def test_lookup_pipeline_rejects_noncommuting_stages(spark):
+    left = spark.createDataFrame([(1,)], "k int")
+    f = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="doesn't commute|not supported"):
+        mongo_pipeline_to_df(left, [
+            {"$lookup": {"from": "f", "let": {"k": "$k"},
+                         "pipeline": [
+                             {"$match": {"$expr": {"$eq": ["$$k", "$k"]}}},
+                             {"$limit": 1}],
+                         "as": "m"}},
+        ], tables={"f": f})
+    with pytest.raises(ValueError, match="at least one"):
+        mongo_pipeline_to_df(left, [
+            {"$lookup": {"from": "f", "pipeline": [], "as": "m"}},
+        ], tables={"f": f})
