@@ -229,6 +229,13 @@ def mongo_filter_to_column(filter_doc: dict | None) -> Column:
                 ~reduce(lambda a, b: a | b,
                         [mongo_filter_to_column(d) for d in spec])
             )
+        elif key == "$expr":
+            # aggregation expression as a predicate (find() $expr) —
+            # delegates to the pipeline expression translator (lazy
+            # import: pipeline imports this module)
+            from hummingbird_spark.pipeline import _expr
+
+            conds.append(_expr(spec).cast("boolean"))
         elif key.startswith("$"):
             raise FilterError(f"unsupported top-level operator {key!r}")
         else:

@@ -180,3 +180,18 @@ def test_expand_namespaces():
     assert expand_namespaces(avail, ["db.*"]) == ["db.a", "db.b"]
     assert expand_namespaces(avail, None) == ["db.a", "db.b", "other.c"]
     assert expand_namespaces(avail, ["*.c"]) == ["other.c"]
+
+
+def test_expr_predicate_in_find_filter(spark):
+    """find() $expr: aggregation expressions as predicates (field-to-
+    field comparisons, the thing plain find operators can't say)."""
+    from hummingbird_spark.filters import mongo_filter_to_column
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 20, 10), (3, 7, 7)], "id int, a int, b int")
+    out = df.filter(mongo_filter_to_column(
+        {"$expr": {"$gt": ["$a", "$b"]}}))
+    assert [r.id for r in out.collect()] == [2]
+    both = df.filter(mongo_filter_to_column(
+        {"id": {"$gte": 2}, "$expr": {"$eq": ["$a", "$b"]}}))
+    assert [r.id for r in both.collect()] == [3]
