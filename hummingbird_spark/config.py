@@ -79,6 +79,14 @@ class MigrationConfig:
     workers: int = DEFAULT_WORKERS
     key: str = "_id"  # range-partition key (the reference hardwires _id)
     verbose: bool = False
+    # D2 index analogue on parquet: point-lookup data skipping via
+    # parquet bloom filters on these columns (the reference copies the
+    # source's indexes, index_copier.go:14-62; columnar targets get
+    # the equivalent read-pruning from footer blooms). ndv sizes the
+    # filter — REQUIRED thinking at scale: the default 1M NDV made a
+    # 31 KB fixture file grow to 1 MB+ of bloom bytes (measured).
+    bloom_filter_cols: list[str] = field(default_factory=list)
+    bloom_filter_ndv: int = 100_000
 
     def __post_init__(self) -> None:
         # ValidateMigratorConfig (migrator.go:277-311)
@@ -128,6 +136,9 @@ class MigrationConfig:
             workers=int(doc.get("workers", DEFAULT_WORKERS) or DEFAULT_WORKERS),
             key=doc.get("key", "_id") or "_id",
             verbose=bool(doc.get("verbose", False)),
+            bloom_filter_cols=list(doc.get("bloom_filter_cols", []) or []),
+            bloom_filter_ndv=int(doc.get("bloom_filter_ndv", 100_000)
+                                 or 100_000),
         )
 
     @classmethod

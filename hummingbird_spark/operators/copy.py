@@ -171,6 +171,22 @@ def copy_table(
             rows = _parquet_row_count(src_path)
         df = partition_for_copy(df, cfg.key, rows=rows, block=cfg.block)
 
+    def _with_bloom(writer):
+        """D2 index analogue: parquet bloom filters on the configured
+        columns (index_copier.go:14-62 — the reference copies source
+        indexes; columnar targets get point-lookup skipping from
+        footer blooms instead). ndv sizes the filter; the 1M default
+        would bloat small files by orders of magnitude."""
+        for col in getattr(cfg, "bloom_filter_cols", []) or []:
+            if col in df.columns:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{col}", "true"
+                ).option(
+                    f"parquet.bloom.filter.expected.ndv#{col}",
+                    str(cfg.bloom_filter_ndv),
+                )
+        return writer
+
     if mode == "append":
         # Appending to the path the anti-join is also reading (self-read)
         # is unsafe on plain parquet, but materializing the delta on the
@@ -182,18 +198,18 @@ def copy_table(
         # operators/compact.py.
         tmp = dst_path.rstrip("/") + "__append_tmp"
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        _with_bloom(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write
+        ).mode("overwrite").parquet(tmp)
         n = obs.get["rows"]
         _adopt_parquet_files(spark, tmp, dst_path, move=n > 0)
     else:
         # count during the write (observed metric, A6-style) — not with a
         # read-back scan of the target
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(dst_path)
+        _with_bloom(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write
+        ).mode("overwrite").parquet(dst_path)
         n = obs.get["rows"]
     return CopyResult(include.namespace, include.target_namespace, n)
 
