@@ -203,15 +203,21 @@ def start_continuous_rollup(
     window: str = "1 hour",
     value_col: str = "value",
     checkpoint: str | None = None,
+    hist_range: tuple[float, float] | None = None,
+    hist_bins: int = 32,
+    distinct_col: str | None = None,
 ) -> StreamingQuery:
     """File-source stream -> per-batch partials -> rollup merge. The
-    rollup is queryable (spark.read.parquet) while the stream runs."""
+    rollup is queryable (spark.read.parquet) while the stream runs.
+    hist_range/distinct_col thread through to the sketch columns."""
     stream = spark.readStream.schema(schema).json(source_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         partials = window_rollup_partials(
             batch_df, ts_col=ts_col, key_col=key_col,
             window=window, value_col=value_col,
+            hist_range=hist_range, hist_bins=hist_bins,
+            distinct_col=distinct_col,
         )
         merge_rollup_batch(spark, partials, rollup_path, batch_id=batch_id)
 
