@@ -115,3 +115,31 @@ def sampled_hash_compare(
         )
         .select(key, "__src_hash", "__tgt_hash")
     )
+
+
+def column_diff_report(source: DataFrame, target: DataFrame,
+                       key: str) -> dict:
+    """Key-matched per-COLUMN mismatch census — the triage layer on
+    top of compare_tables' row-level verdict: once a compare fails,
+    this answers "which columns diverge, and how often" in one join +
+    one aggregate (V1 depth; the reference stops at doc counts,
+    compare.go:13-31).
+
+    Returns {column: mismatch_count} over keys present on BOTH sides
+    (missing/extra keys are compare_tables' row-level business),
+    plus '__keys_compared'. Null-safe: NULL==NULL counts as a match."""
+    shared = [c for c in source.columns
+              if c in target.columns and c != key]
+    s = source.select(key, *shared).alias("s")
+    t = target.select(key, *shared).alias("t")
+    joined = s.join(t, F.col(f"s.{key}").eqNullSafe(F.col(f"t.{key}")))
+    aggs = [
+        F.sum(
+            (~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))).cast("int")
+        ).alias(c)
+        for c in shared
+    ] + [F.count(F.lit(1)).alias("__keys_compared")]
+    row = joined.agg(*aggs).collect()[0]
+    return {c: int(row[c] or 0) for c in shared} | {
+        "__keys_compared": int(row["__keys_compared"])
+    }

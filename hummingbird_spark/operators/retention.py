@@ -48,7 +48,14 @@ def keep_newest(df: DataFrame, order_col: str, n: int,
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     parts = df.repartitionByRange(num_partitions, F.desc(order_col))
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    # pin the partition assignment: __pid is read by TWO jobs (the
+    # sizes aggregate, then the final filter), and AQE may coalesce
+    # the range shuffle differently per job, silently shifting ids —
+    # materializing freezes them (caught by the sf0.01 oracle gate:
+    # 526 rows returned for n=500)
+    tagged = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     sizes = {
         r["__pid"]: r["cnt"]
         for r in tagged.groupBy("__pid")

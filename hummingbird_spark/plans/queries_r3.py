@@ -904,3 +904,39 @@ ORDER BY doc_id, chunk_id
 R3_QUERIES["doc_chunks"] = (
     q_doc_chunks, ORACLE_DOC_CHUNKS,
     "LM chunking: overlapping token windows per doc")
+
+
+def q_keep_newest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention operator's kernel under the correctness gate:
+    exact global newest-500 by (o_orderdate, o_orderkey) computed with
+    range partitioning + per-partition ranks + broadcast offsets
+    (operators/retention.py::keep_newest — no single-partition window,
+    no driver TakeOrdered), against a plain ORDER BY ... LIMIT oracle.
+
+    keep_newest orders by ONE column; a composite (date, key) order
+    rides a packed struct-free surrogate: date days * 2^32 + orderkey
+    (both positive, orderkey < 2^32 at any SF here)."""
+    from hummingbird_spark.operators.retention import keep_newest
+
+    o = load_table(spark, sf_dir, "orders")
+    surrogate = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long") * F.lit(4294967296).cast("long")
+        + F.col("o_orderkey")
+    )
+    kept = keep_newest(o.withColumn("__ord", surrogate), "__ord", 500)
+    return kept.select("o_orderkey", "o_custkey", "o_orderdate") \
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+
+
+ORACLE_KEEP_NEWEST = """
+SELECT o_orderkey, o_custkey, o_orderdate
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 500
+"""
+
+
+R3_QUERIES["keep_newest_orders"] = (
+    q_keep_newest_orders, ORACLE_KEEP_NEWEST,
+    "distributed keep-newest vs ORDER BY LIMIT oracle")

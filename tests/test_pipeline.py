@@ -254,3 +254,18 @@ def test_copy_writes_bloom_filters(spark, tmp_path):
     a = spark.read.parquet(f"{plain_t}/orders.parquet").count()
     b = spark.read.parquet(f"{bloom_t}/orders.parquet").count()
     assert a == b > 0
+
+
+def test_column_diff_report(spark):
+    from hummingbird_spark.operators.compare import column_diff_report
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "k int, s string, v double")
+    dst = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "X", 20.0), (3, None, 99.0), (4, "e", 0.0)],
+        "k int, s string, v double")
+    rep = column_diff_report(src, dst, "k")
+    assert rep["__keys_compared"] == 3  # key 4 is extra, not compared
+    assert rep["s"] == 1   # row 2 differs
+    assert rep["v"] == 1   # row 3 differs; NULL==NULL matched in s
