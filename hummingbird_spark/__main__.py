@@ -217,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("path")
     comp.add_argument("--target-mb", type=int, default=128)
     comp.add_argument("--partition-col", action="append", default=None)
+    prof = sub.add_parser("profile")
+    prof.add_argument("path", help="parquet table to profile")
+    prof.add_argument("--exact", action="store_true",
+                      help="exact distinct counts (full shuffle per col)")
     ret = sub.add_parser("retention")
     ret.add_argument("path")
     ret.add_argument("--order-col", required=True,
@@ -282,6 +286,18 @@ def main(argv: list[str] | None = None) -> int:
             partition_cols=args.partition_col,
         )
         print(json.dumps({"command": "compact", **report}))
+        return 0
+    if args.command == "profile":
+        # migration-assessment profiling (collstats generalized to
+        # column granularity), one scan
+        from hummingbird_spark.operators.profile import profile_table
+
+        spark = get_spark(app_name="hummingbird_profile")
+        spark.sparkContext.setLogLevel("ERROR")
+        prof_df = profile_table(
+            spark.read.parquet(args.path), exact_distinct=args.exact)
+        for row in prof_df.toJSON().collect():
+            print(row)
         return 0
     if args.command == "retention":
         # capped-collection enforcement (collection_creator.go:55-66):

@@ -940,3 +940,49 @@ LIMIT 500
 R3_QUERIES["keep_newest_orders"] = (
     q_keep_newest_orders, ORACLE_KEEP_NEWEST,
     "distributed keep-newest vs ORDER BY LIMIT oracle")
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler under the gate (exact distinct for the oracle;
+    min/max excluded — engine string formats differ for doubles)."""
+    from hummingbird_spark.operators.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, exact_distinct=True, include_minmax=False
+    ).select("column", "n_rows", "n_null", "n_distinct") \
+        .orderBy("column")
+
+
+ORACLE_PROFILE_ORDERS = """
+WITH n AS (SELECT COUNT(*) AS c FROM orders)
+SELECT col AS column, n.c AS n_rows, n_null, n_distinct
+FROM (
+  SELECT 'o_orderkey' AS col,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+  FROM orders
+  UNION ALL SELECT 'o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+  UNION ALL SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+  UNION ALL SELECT 'o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+  UNION ALL SELECT 'o_orderdate',
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+  UNION ALL SELECT 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+) s CROSS JOIN n
+ORDER BY col
+"""
+
+
+R3_QUERIES["profile_orders"] = (
+    q_profile_orders, ORACLE_PROFILE_ORDERS,
+    "one-scan column profiler (exact distinct) vs per-column oracle")

@@ -232,3 +232,17 @@ def test_cli_retention(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["enforced"] and out["rows_after"] == 150
     assert spark.read.parquet(path).count() == 150
+
+
+def test_cli_profile(spark, capsys):
+    from tests.conftest import SF_SMOKE
+
+    assert main(["profile", f"{SF_SMOKE}/region.parquet"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["r_regionkey"]["n_rows"] == 5
+    assert by_col["r_regionkey"]["n_null"] == 0
+    assert by_col["r_regionkey"]["n_distinct"] == 5
+    assert by_col["r_regionkey"]["min_value"] == "0"
+    assert by_col["r_regionkey"]["max_value"] == "4"
