@@ -593,7 +593,13 @@ def _apply_graph_lookup(df: DataFrame, spec: dict,
     depth_field = spec.get("depthField")
     max_depth = int(spec.get("maxDepth", 20))
 
-    src = df.withColumn("__row", F.monotonically_increasing_id())
+    # pin the row ids: monotonically_increasing_id is assigned per
+    # evaluation, and src feeds BOTH the frontier loop and the final
+    # join — re-evaluation would mismatch them (same failure class as
+    # the keep_newest partition-id race)
+    src = df.withColumn(
+        "__row", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     fcols = foreign.columns
     # frontier: (row id, node value to match against connectToField)
     frontier = src.select("__row", _ref(start).alias("__v")).distinct()
