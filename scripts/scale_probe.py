@@ -56,6 +56,9 @@ PROBES = [
     # is the regime that forces the blocked kernel past one block —
     # the property under test; growth is quoted against 16x pair work
     ("embedding_top_pairs", ["embeddings"]),
+    ("keep_newest_orders", ["orders"]),
+    ("doc_chunks", ["documents"]),
+    ("profile_orders", ["orders"]),
 ]
 
 EMB_COPIES = 4
