@@ -500,8 +500,16 @@ def _window_frame(base, sort_by: dict | None, window_spec: dict | None):
         return int(b)
 
     docs = (window_spec or {}).get("documents")
+    rng = (window_spec or {}).get("range")
     if docs:
         w = w.rowsBetween(_bound(docs[0], True), _bound(docs[1], False))
+    elif rng:
+        if (window_spec or {}).get("unit"):
+            raise ValueError(
+                "$setWindowFields range windows with a time unit are "
+                "unsupported — sort by a numeric epoch column and use "
+                "a plain range instead")
+        w = w.rangeBetween(_bound(rng[0], True), _bound(rng[1], False))
     elif sort_by is None:
         w = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     else:
@@ -652,15 +660,24 @@ def _apply_graph_lookup(df: DataFrame, spec: dict,
 
 
 def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
-    """$densify (numeric ranges): insert rows so `field` steps evenly
-    across the bounds; non-densified columns are NULL on generated
-    rows, as in Mongo. bounds: 'full' (global min/max — a 1-row scalar
-    broadcast, not a collect of the data), 'partition', or [lo, hi)
-    literals. Generation is sequence+explode per partition key — no
-    driver loop."""
+    """$densify: insert rows so `field` steps evenly across the
+    bounds; non-densified columns are NULL on generated rows, as in
+    Mongo. bounds: 'full' (global min/max — a 1-row scalar broadcast,
+    not a collect of the data), 'partition', or [lo, hi) literals.
+    Numeric by default; range.unit (year/month/week/day/hour/minute/
+    second) switches to timestamp grids via interval-stepped sequence.
+    Generation is sequence+explode per partition key — no driver
+    loop."""
     field = spec["field"]
     rng = spec["range"]
     step = rng["step"]
+    unit = rng.get("unit")
+    if unit is not None and unit not in (
+        "year", "month", "week", "day", "hour", "minute", "second"
+    ):
+        raise ValueError(f"unsupported $densify unit: {unit}")
+    step_expr = (F.expr(f"INTERVAL {int(step)} {unit}") if unit
+                 else F.lit(step))
     bounds = rng.get("bounds", "full")
     parts = spec.get("partitionByFields", [])
 
@@ -680,7 +697,7 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
     grid = grid_src.select(
         *(parts or []),
         F.explode(
-            F.sequence(lo, hi, F.lit(step))
+            F.sequence(lo, hi, step_expr)
         ).alias(field),
     )
     if isinstance(bounds, (list, tuple)):

@@ -230,6 +230,54 @@ def start_continuous_rollup(
     )
 
 
+def refresh_rollup(
+    spark: SparkSession,
+    raw: DataFrame,
+    rollup_path: str,
+    window_start_min,
+    window_start_max,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    value_col: str = "value",
+    hist_range: tuple[float, float] | None = None,
+    hist_bins: int = 32,
+    distinct_col: str | None = None,
+) -> None:
+    """Recompute the rollup rows whose window_start falls in
+    [window_start_min, window_start_max) from the RAW data and swap
+    them in — the repair path (TimescaleDB refresh_continuous_
+    aggregate): late corrections, deletes, or a double-applied batch
+    break the merge's additive model, and the fix is re-deriving the
+    affected windows from source, never patching partials.
+
+    Only the raw rows of the affected range are scanned (pushdown
+    filter on ts); untouched rollup rows are carried over verbatim.
+    Idempotent by construction — no ledger interaction needed. Pass
+    the same sketch options the rollup was built with so the refreshed
+    rows carry matching columns."""
+    lo = F.lit(window_start_min).cast("timestamp")
+    hi = F.lit(window_start_max).cast("timestamp")
+    affected_raw = raw.filter(
+        (F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+    recomputed = window_rollup_partials(
+        affected_raw, ts_col=ts_col, key_col=key_col, window=window,
+        value_col=value_col, hist_range=hist_range,
+        hist_bins=hist_bins, distinct_col=distinct_col,
+    )
+    cur = spark.read.parquet(rollup_path)
+    kept = cur.filter(
+        (F.col("window_start") < lo) | (F.col("window_start") >= hi))
+    merged = kept.unionByName(
+        recomputed.select(*cur.columns), allowMissingColumns=False)
+
+    tmp = f"{rollup_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(rollup_path):
+        shutil.rmtree(rollup_path)
+    os.rename(tmp, rollup_path)
+
+
 def read_rollup(spark: SparkSession, rollup_path: str,
                 hist_range: tuple[float, float] | None = None,
                 hist_bins: int = 32) -> DataFrame:

@@ -226,3 +226,39 @@ def test_hll_distinct_rollup(spark, tmp_path):
     r = read(spark, rollup).collect()[0]
     assert r.n_events == 80
     assert r.approx_distinct == 60  # HLL exact at this cardinality
+
+
+def test_refresh_rollup_repairs_corruption(spark, tmp_path):
+    """A double-applied batch (simulating a ledger gap) corrupts one
+    window's counters; refresh_rollup re-derives the affected range
+    from raw and leaves other windows untouched."""
+    import datetime
+
+    from hummingbird_spark.streaming.rollup import refresh_rollup
+
+    rollup = str(tmp_path / "refresh_rollup.parquet")
+    h0 = datetime.datetime(2024, 1, 1, 0)
+    h2 = datetime.datetime(2024, 1, 1, 2)
+    raw_rows = (
+        [(h0.replace(minute=m), "click", float(m)) for m in (5, 25)]
+        + [(h2.replace(minute=m), "view", float(m)) for m in (10, 50)]
+    )
+    raw = spark.createDataFrame(raw_rows, EVENT_SCHEMA)
+
+    merge_rollup_batch(spark, window_rollup_partials(raw), rollup,
+                       batch_id=0)
+    clean = {(r.window_start, r.key): (r.n_events, r.sum_value)
+             for r in read_rollup(spark, rollup).collect()}
+    # corrupt: re-apply hour-0's rows under a NEW batch id (+= doubles)
+    bad = raw.filter(F.col("ts") < F.lit(h2))
+    merge_rollup_batch(spark, window_rollup_partials(bad), rollup,
+                       batch_id=1)
+    corrupted = {(r.window_start, r.key): r.n_events
+                 for r in read_rollup(spark, rollup).collect()}
+    assert corrupted[(h0, "click")] == 4  # doubled
+
+    refresh_rollup(spark, raw, rollup,
+                   "2024-01-01 00:00:00", "2024-01-01 01:00:00")
+    repaired = {(r.window_start, r.key): (r.n_events, r.sum_value)
+                for r in read_rollup(spark, rollup).collect()}
+    assert repaired == clean

@@ -803,3 +803,45 @@ def test_lookup_pipeline_rejects_noncommuting_stages(spark):
         mongo_pipeline_to_df(left, [
             {"$lookup": {"from": "f", "pipeline": [], "as": "m"}},
         ], tables={"f": f})
+
+
+def test_densify_date_unit(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0), (dt.datetime(2024, 1, 4), 4.0)],
+        "d timestamp, v double")
+    out = mongo_pipeline_to_df(df, [
+        {"$densify": {"field": "d",
+                      "range": {"step": 1, "unit": "day",
+                                "bounds": "full"}}},
+        {"$sort": {"d": 1}},
+    ])
+    rows = out.collect()
+    assert [r.d.day for r in rows] == [1, 2, 3, 4]
+    assert [r.v for r in rows] == [1.0, None, None, 4.0]
+
+
+def test_set_window_fields_range_window(spark):
+    """range window: sum over values within +/-1 of the current sort
+    key (value-based frame, not row-based)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 5, 40.0)],
+        "g string, k int, v double")
+    out = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {"near": {"$sum": "$v",
+                                "window": {"range": [-1, 1]}}},
+        }},
+        {"$sort": {"k": 1}},
+    ])
+    assert [r.near for r in out.collect()] == [30.0, 30.0, 40.0]
+    with pytest.raises(ValueError, match="time unit"):
+        mongo_pipeline_to_df(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {"x": {"$sum": "$v",
+                                 "window": {"range": [-1, 1],
+                                            "unit": "day"}}}}},
+        ])
