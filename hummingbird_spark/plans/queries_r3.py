@@ -986,3 +986,48 @@ ORDER BY col
 R3_QUERIES["profile_orders"] = (
     q_profile_orders, ORACLE_PROFILE_ORDERS,
     "one-scan column profiler (exact distinct) vs per-column oracle")
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the gate: docs sharing 5-gram
+    shingles with a synthetic "eval set" (every 97th doc). The planted
+    overlap is exact-duplicate docs in the fixture plus the eval docs
+    themselves; the oracle reproduces the shingle join in SQL."""
+    from hummingbird_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(d, bench, ngram=5) \
+        .select("doc_id", "n_hits", "n_grams", "hit_ratio")
+
+
+ORACLE_DECONTAMINATION = r"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]))) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE len(ws) >= 5
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), hits AS (
+  SELECT grams.doc_id, COUNT(*) AS n_hits
+  FROM grams JOIN bench ON grams.g = bench.g
+  GROUP BY grams.doc_id
+)
+SELECT hits.doc_id, n_hits, n_grams,
+       round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_ratio
+FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+ORDER BY hits.doc_id
+"""
+
+
+R3_QUERIES["decontamination"] = (
+    q_decontamination, ORACLE_DECONTAMINATION,
+    "benchmark n-gram contamination report vs SQL oracle")

@@ -364,3 +364,29 @@ def test_chunk_documents_edges(spark):
     c1 = out.filter("doc_id = 1 AND chunk_id = 1").first()
     assert c1.chunk_text.split()[0] == "t40"
     assert c1.chunk_text.split()[-1] == "t89"
+
+
+def test_decontamination_planted_overlap(spark):
+    from hummingbird_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [(1, f"intro words {bench_text} trailing text here"),  # contains
+         (2, "completely unrelated content about spark plans and joins"),
+         (3, bench_text),                                      # verbatim
+         (4, "quick brown fox but too short overlap")],        # < 8-gram
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    rep = {r.doc_id: r for r in
+           contamination_report(corpus, bench, ngram=8).collect()}
+    assert set(rep) == {1, 3}
+    assert rep[3].hit_ratio == 1.0       # wholesale inclusion
+    assert 0 < rep[1].hit_ratio <= 1.0
+    assert len(rep[1].example_gram.split()) == 8
+
+    clean = decontaminate(corpus, bench, ngram=8)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
