@@ -264,3 +264,54 @@ def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
         F.concat_ws(" ", piece).alias("chunk_text"),
         (F.col("__span.end") - F.col("__span.start")).alias("n_tokens"),
     )
+
+
+def c4_quality_flags(col: Column) -> Column:
+    """Web-corpus curation rules in the C4 style (Raffel et al., 2020
+    §2.2 describes the public heuristics), as one struct of boolean
+    flags plus line statistics — all pure Column expressions over a
+    line split, so the filter rides the scan:
+
+      too_few_lines        < 3 lines
+      short_lines          mean line length < 20 chars
+      low_terminal_punct   < 50% of lines end in .!?" 
+      has_lorem_ipsum      placeholder text present
+      has_curly_brace      '{' present (code/markup tell)
+      keep                 none of the above tripped
+
+    Deviations from C4 proper are deliberate and documented: C4 also
+    drops lines by a badwords list (deployment-specific) and
+    deduplicates three-sentence spans (that's the dedup family's job
+    here, not a row-wise flag)."""
+    lines = F.filter(
+        F.split(col, r"\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    n_lines = F.size(lines)
+    mean_len = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.aggregate(lines, F.lit(0).cast("long"),
+                    lambda acc, ln: acc + F.length(ln)).cast("double")
+        / n_lines.cast("double")
+    )
+    n_terminal = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+    ))
+    terminal_ratio = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_terminal.cast("double") / n_lines.cast("double"))
+    too_few_lines = n_lines < 3
+    short_lines = mean_len < 20.0
+    low_terminal = terminal_ratio < 0.5
+    lorem = F.lower(col).contains("lorem ipsum")
+    curly = col.contains("{")
+    return F.struct(
+        n_lines.alias("n_lines"),
+        F.round(mean_len, 4).alias("mean_line_len"),
+        F.round(terminal_ratio, 6).alias("terminal_punct_ratio"),
+        too_few_lines.alias("too_few_lines"),
+        short_lines.alias("short_lines"),
+        low_terminal.alias("low_terminal_punct"),
+        lorem.alias("has_lorem_ipsum"),
+        curly.alias("has_curly_brace"),
+        (~too_few_lines & ~short_lines & ~low_terminal
+         & ~lorem & ~curly).alias("keep"),
+    )

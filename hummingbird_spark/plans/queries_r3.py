@@ -1031,3 +1031,62 @@ ORDER BY hits.doc_id
 R3_QUERIES["decontamination"] = (
     q_decontamination, ORACLE_DECONTAMINATION,
     "benchmark n-gram contamination report vs SQL oracle")
+
+
+def q_c4_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style curation flags rolled up per source: keep rate and the
+    line statistics driving each rule (flags ride the scan; one
+    shuffle for the rollup)."""
+    from hummingbird_spark.functions.text import c4_quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("source", c4_quality_flags(F.col("text")).alias("q"))
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q.keep").cast("long")).alias("n_keep"),
+            F.round(F.avg("q.mean_line_len"), 4).alias("avg_line_len"),
+            F.round(F.avg("q.terminal_punct_ratio"), 6)
+            .alias("avg_terminal_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_C4_FILTER_STATS = r"""
+WITH t AS (
+  SELECT source, text,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM documents
+), m AS (
+  SELECT source,
+         len(lines) AS n_lines,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE round(CAST(list_sum(list_transform(lines,
+                   l -> length(l))) AS DOUBLE) / len(lines), 4)
+         END AS mean_len,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE round(CAST(len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '[.!?"]$')))
+                   AS DOUBLE) / len(lines), 6)
+         END AS term_ratio,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{') AS curly
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_lines >= 3 AND mean_len >= 20.0
+                      AND term_ratio >= 0.5 AND NOT lorem
+                      AND NOT curly
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(AVG(mean_len), 4) AS avg_line_len,
+       round(AVG(term_ratio), 6) AS avg_terminal_ratio
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+R3_QUERIES["c4_filter_stats"] = (
+    q_c4_filter_stats, ORACLE_C4_FILTER_STATS,
+    "C4-style curation flags rollup vs SQL oracle")

@@ -390,3 +390,27 @@ def test_decontamination_planted_overlap(spark):
 
     clean = decontaminate(corpus, bench, ngram=8)
     assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+
+
+def test_c4_quality_flags(spark):
+    from hummingbird_spark.functions.text import c4_quality_flags
+
+    good = "\n".join(
+        [f"This is a sufficiently long prose sentence number {i}."
+         for i in range(5)])
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "one line only."),                       # too few lines
+         (3, "a\nb\nc\nd"),                           # short lines
+         (4, good + "\nlorem ipsum dolor sit amet" * 1),
+         (5, good.replace("number 0.", "number {0}"))],  # curly
+        "doc_id long, text string")
+    out = docs.select(
+        "doc_id", c4_quality_flags(F.col("text")).alias("q"))
+    rows = {r.doc_id: r.q for r in out.collect()}
+    assert rows[1].keep is True
+    assert rows[2].too_few_lines and not rows[2].keep
+    assert rows[3].short_lines and not rows[3].keep
+    assert rows[4].has_lorem_ipsum and not rows[4].keep
+    assert rows[5].has_curly_brace and not rows[5].keep
+    assert rows[1].terminal_punct_ratio == 1.0
