@@ -406,3 +406,13 @@ def test_share_windows_run_over_aggregates(spark):
         # window runs AFTER the aggregate in the plan tree (appears
         # above it in the printed plan)
         assert plan.index("Window") < plan.index("HashAggregate"), name
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast (it's the MB-scale side;
+    the corpus is the 100 TB side) — no shuffle of corpus shingles for
+    the join."""
+    df = QUERIES["decontamination"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
