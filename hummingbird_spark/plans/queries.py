@@ -1500,7 +1500,7 @@ _VERIFY_FIRST = [
     "ivf_recall_probe", "shingle_stats", "quality_mixture",
     "pipeline_window_fields", "pipeline_densify_fill",
     "pipeline_expressions", "doc_chunks", "keep_newest_orders",
-    "profile_orders", "decontamination", "c4_filter_stats",
+    "profile_orders", "decontamination", "c4_filter_stats", "repetition_stats",
     # least-recently-verified (r1 window, in r1 order) — keeps every
     # green record fresh on a 2-round rotation; total stays <=50 so the
     # tail doesn't fall off the driver's recording window
@@ -1509,7 +1509,7 @@ _VERIFY_FIRST = [
     "status_counts", "event_type_counts", "topk_events",
     "union_namespaces", "except_diff", "anti_join", "semi_join",
     "revenue_by_nation", "shipping_priority", "returned_items",
-    "window_rank", "rollup_agg", "cdc_state_at", "cdc_last_state",
+    "window_rank", "rollup_agg", "cdc_state_at",
     # promo_revenue / custdist / small_qty_revenue / big_orders /
     # idle_balance keep their r1 record; they rotate in r4 so the list
     # stays at 50 (the driver's recording window)

@@ -1090,3 +1090,57 @@ FROM m GROUP BY source ORDER BY source
 R3_QUERIES["c4_filter_stats"] = (
     q_c4_filter_stats, ORACLE_C4_FILTER_STATS,
     "C4-style curation flags rollup vs SQL oracle")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1: docs
+    whose most frequent word dominates are boilerplate/degenerate):
+    per-doc top-word fraction via explode + two-level aggregation (the
+    measured-fast shape for per-token work in this repo — nested array
+    HOFs interpret per element), rolled up per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang",
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    per_word = words.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_doc = per_word.groupBy("doc_id", "lang").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double"))
+        .alias("top_frac"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_frac"), 6).alias("avg_top_word_frac"),
+            F.sum((F.col("top_frac") > 0.2).cast("long"))
+            .alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), per_word AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c
+  FROM words GROUP BY doc_id, lang, w
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+  FROM per_word GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       round(AVG(top_frac), 6) AS avg_top_word_frac,
+       CAST(SUM(CASE WHEN top_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+R3_QUERIES["repetition_stats"] = (
+    q_repetition_stats, ORACLE_REPETITION_STATS,
+    "Gopher top-word repetition rollup vs SQL oracle")
