@@ -178,6 +178,65 @@ def _cmd_query(args: argparse.Namespace, explain: bool = False) -> int:
     return 0
 
 
+def _cmd_verify(args: argparse.Namespace) -> int:
+    """Run every oracle-backed registry query on Spark AND its DuckDB
+    oracle over the same parquet tables, hash-comparing values — the
+    user-facing form of the correctness gate. Prints one JSON line per
+    query; exits 1 on any mismatch."""
+    import hashlib
+
+    import duckdb
+
+    from hummingbird_spark.plans.queries import QUERIES
+
+    spark = get_spark(app_name="hummingbird_verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.data}/{t}.parquet'")
+
+    def value_hash(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
+        return hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+
+    names = args.only or list(QUERIES)
+    failures = 0
+    for name in names:
+        spec = QUERIES.get(name)
+        if spec is None:
+            print(json.dumps({"query": name, "status": "unknown"}))
+            failures += 1
+            continue
+        try:
+            sdf = spec.spark(spark, args.data)
+            if spec.oracle is None:
+                n = sdf.count()
+                print(json.dumps({"query": name, "status": "rows_only",
+                                  "rows": n}))
+                continue
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+            ok = (value_hash(sdf.columns, s_rows)
+                  == value_hash(d_cols, d_rows))
+            print(json.dumps({
+                "query": name, "status": "match" if ok else "MISMATCH",
+                "rows": len(s_rows),
+            }))
+            failures += 0 if ok else 1
+        except Exception as ex:  # surface, keep going
+            print(json.dumps({"query": name, "status": "ERROR",
+                              "error": f"{type(ex).__name__}: {ex}"[:200]}))
+            failures += 1
+    print(json.dumps({"command": "verify", "queries": len(names),
+                      "failures": failures}))
+    return 0 if failures == 0 else 1
+
+
 def _print_rows(df, limit: int) -> None:
     for row in df.limit(limit).toJSON().collect():
         print(row)
@@ -217,6 +276,10 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("path")
     comp.add_argument("--target-mb", type=int, default=128)
     comp.add_argument("--partition-col", action="append", default=None)
+    ver = sub.add_parser("verify")
+    ver.add_argument("--data", default="/root/testdata/sf0.01")
+    ver.add_argument("--only", action="append", default=None,
+                     help="limit to these query names (repeatable)")
     prof = sub.add_parser("profile")
     prof.add_argument("path", help="parquet table to profile")
     prof.add_argument("--exact", action="store_true",
@@ -287,6 +350,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"command": "compact", **report}))
         return 0
+    if args.command == "verify":
+        return _cmd_verify(args)
     if args.command == "profile":
         # migration-assessment profiling (collstats generalized to
         # column granularity), one scan

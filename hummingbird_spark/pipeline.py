@@ -155,6 +155,9 @@ _EXPR_OPS = {
     "$range": lambda c: F.sequence(
         c[0], c[1] - 1, c[2] if len(c) == 3 else F.lit(1)),
     "$reverseArray": lambda c: F.reverse(c[0]),
+    # instr is 1-based with 0 = absent; Mongo is 0-based with -1 —
+    # the -1 shift maps both at once
+    "$indexOfCP": lambda c: F.instr(c[0], c[1]) - 1,
     "$isNumber": lambda c: c[0].cast("double").isNotNull(),
     # type conversion
     "$toInt": lambda c: c[0].cast("int"),
@@ -236,6 +239,20 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             return _expr(arg["input"]).rlike(arg["regex"])
         if op == "$zip":
             return F.arrays_zip(*[_expr(i) for i in arg["inputs"]])
+        if op == "$replaceAll":
+            return F.replace(_expr(arg["input"]), _expr(arg["find"]),
+                             _expr(arg["replacement"]))
+        if op == "$replaceOne":
+            s = _expr(arg["input"])
+            find = _expr(arg["find"])
+            rep = _expr(arg["replacement"])
+            pos = F.instr(s, find)  # 1-based; 0 = absent
+            return F.when(pos == 0, s).otherwise(F.concat(
+                F.substring(s, F.lit(1), pos - 1),
+                rep,
+                F.substring(s, pos + F.length(find),
+                            F.length(s)),
+            ))
         if op == "$dateTrunc":
             unit = arg["unit"]
             if unit not in ("year", "quarter", "month", "week", "day",

@@ -246,3 +246,17 @@ def test_cli_profile(spark, capsys):
     assert by_col["r_regionkey"]["n_distinct"] == 5
     assert by_col["r_regionkey"]["min_value"] == "0"
     assert by_col["r_regionkey"]["max_value"] == "4"
+
+
+def test_cli_verify_subset(spark, capsys):
+    assert main(["verify", "--data", SF_SMOKE,
+                 "--only", "status_counts",
+                 "--only", "simhash_dups",
+                 "--only", "pricing_summary"]) == 0
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    by_q = {l["query"]: l for l in lines if "query" in l}
+    assert by_q["status_counts"]["status"] == "match"
+    assert by_q["pricing_summary"]["status"] == "match"
+    assert by_q["simhash_dups"]["status"] == "rows_only"
+    assert lines[-1]["failures"] == 0

@@ -845,3 +845,24 @@ def test_set_window_fields_range_window(spark):
                                  "window": {"range": [-1, 1],
                                             "unit": "day"}}}}},
         ])
+
+
+def test_string_replace_and_index(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("no match here",)], "s string")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "idx": {"$indexOfCP": ["$s", "the"]},
+            "one": {"$replaceOne": {"input": "$s", "find": "the",
+                                    "replacement": "a"}},
+            "all": {"$replaceAll": {"input": "$s", "find": "the",
+                                    "replacement": "a"}},
+        }},
+        {"$sort": {"idx": -1}},
+    ])
+    rows = out.collect()
+    assert rows[0].idx == 0
+    assert rows[0].one == "a cat and the dog"   # first only
+    assert rows[0].all == "a cat and a dog"     # every occurrence
+    assert rows[1].idx == -1                    # absent -> -1
+    assert rows[1].one == "no match here"       # unchanged
