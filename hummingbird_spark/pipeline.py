@@ -158,6 +158,24 @@ _EXPR_OPS = {
     # instr is 1-based with 0 = absent; Mongo is 0-based with -1 —
     # the -1 shift maps both at once
     "$indexOfCP": lambda c: F.instr(c[0], c[1]) - 1,
+    "$strcasecmp": lambda c: F.when(
+        F.lower(c[0]) < F.lower(c[1]), -1
+    ).when(F.lower(c[0]) > F.lower(c[1]), 1).otherwise(0),
+    # expression (non-accumulator) forms: variadic scalars, or a
+    # single array operand folded element-wise
+    "$max": lambda c: F.greatest(*c) if len(c) > 1
+    else F.array_max(c[0]),
+    "$min": lambda c: F.least(*c) if len(c) > 1
+    else F.array_min(c[0]),
+    "$sum": lambda c: F.aggregate(
+        c[0], F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0)),
+    ) if len(c) == 1 else sum(c[1:], c[0]),
+    "$avg": lambda c: F.aggregate(
+        F.filter(c[0], lambda x: x.isNotNull()), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    ) / F.size(F.filter(c[0], lambda x: x.isNotNull())) if len(c) == 1
+    else sum(c[1:], c[0]) / F.lit(len(c)),
     "$isNumber": lambda c: c[0].cast("double").isNotNull(),
     # type conversion
     "$toInt": lambda c: c[0].cast("int"),

@@ -866,3 +866,24 @@ def test_string_replace_and_index(spark):
     assert rows[0].all == "a cat and a dog"     # every occurrence
     assert rows[1].idx == -1                    # absent -> -1
     assert rows[1].one == "no match here"       # unchanged
+
+
+def test_expression_min_max_sum_avg_forms(spark):
+    df = spark.createDataFrame(
+        [(3, 7, [1.0, 2.0, None, 5.0])], "a int, b int, xs array<double>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "mx": {"$max": ["$a", "$b", 5]},
+            "mn": {"$min": ["$a", "$b"]},
+            "arr_mx": {"$max": "$xs"},
+            "arr_sum": {"$sum": "$xs"},       # nulls ignored, as Mongo
+            "arr_avg": {"$avg": "$xs"},
+            "cmp": {"$strcasecmp": ["ABC", "abd"]},
+        }},
+    ])
+    r = out.first()
+    assert r.mx == 7 and r.mn == 3
+    assert r.arr_mx == 5.0
+    assert r.arr_sum == 8.0
+    assert abs(r.arr_avg - 8.0 / 3) < 1e-12
+    assert r.cmp == -1
