@@ -315,3 +315,18 @@ def c4_quality_flags(col: Column) -> Column:
         (~too_few_lines & ~short_lines & ~low_terminal
          & ~lorem & ~curly).alias("keep"),
     )
+
+
+def strip_repeated_lines(col: Column) -> Column:
+    """Remove duplicate lines WITHIN a document, keeping each line's
+    first occurrence (nav menus / cookie banners / footer boilerplate
+    repeat verbatim inside crawled pages). Pure expressions:
+    array_distinct preserves first-occurrence order in Spark, so the
+    pipeline is split -> distinct -> join — no Python, no shuffle.
+    Blank-only lines collapse too (first kept). Returns the cleaned
+    text; compare length to the input for a boilerplate-fraction
+    signal."""
+    lines = F.split(col, r"\n")
+    kept = F.array_distinct(F.transform(lines, lambda ln: F.trim(ln)))
+    return F.array_join(
+        F.filter(kept, lambda ln: F.length(ln) > 0), "\n")

@@ -414,3 +414,24 @@ def test_c4_quality_flags(spark):
     assert rows[4].has_lorem_ipsum and not rows[4].keep
     assert rows[5].has_curly_brace and not rows[5].keep
     assert rows[1].terminal_punct_ratio == 1.0
+
+
+def test_strip_repeated_lines(spark):
+    from hummingbird_spark.functions.text import strip_repeated_lines
+
+    text = "\n".join([
+        "Cookie notice: we use cookies.",
+        "Real content sentence one.",
+        "Cookie notice: we use cookies.",
+        "  Real content sentence two.  ",
+        "Cookie notice: we use cookies.",
+        "",
+    ])
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df.select(
+        strip_repeated_lines(F.col("text")).alias("clean")).first().clean
+    assert out.splitlines() == [
+        "Cookie notice: we use cookies.",
+        "Real content sentence one.",
+        "Real content sentence two.",
+    ]
