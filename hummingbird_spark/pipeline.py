@@ -338,9 +338,18 @@ def _expr_v(spec: Any, variables: dict) -> Column:
                 _expr(length).cast("int"))
         if op == "$slice":
             if len(arg) == 2:
-                return F.slice(_expr(arg[0]), 1, _expr(arg[1]).cast("int"))
-            return F.slice(_expr(arg[0]),
-                           (_expr(arg[1]) + 1).cast("int"),
+                # Mongo: positive n = first n, negative n = LAST n
+                if isinstance(arg[1], int) and arg[1] < 0:
+                    return F.slice(_expr(arg[0]), arg[1], -arg[1])
+                n = _expr(arg[1]).cast("int")
+                return F.when(
+                    n >= 0, F.slice(_expr(arg[0]), F.lit(1), n)
+                ).otherwise(F.slice(_expr(arg[0]), n, -n))
+            # three-arg form: 0-based position (may be negative:
+            # from the end, as in Mongo) + count
+            pos = _expr(arg[1]).cast("int")
+            start = F.when(pos >= 0, pos + 1).otherwise(pos)
+            return F.slice(_expr(arg[0]), start,
                            _expr(arg[2]).cast("int"))
         if op in _EXPR_OPS:
             args = arg if isinstance(arg, list) else [arg]

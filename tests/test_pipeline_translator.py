@@ -887,3 +887,20 @@ def test_expression_min_max_sum_avg_forms(spark):
     assert r.arr_sum == 8.0
     assert abs(r.arr_avg - 8.0 / 3) < 1e-12
     assert r.cmp == -1
+
+
+def test_slice_negative_and_positional_forms(spark):
+    df = spark.createDataFrame([([1, 2, 3, 4, 5],)], "xs array<int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "first2": {"$slice": ["$xs", 2]},
+            "last2": {"$slice": ["$xs", -2]},
+            "mid": {"$slice": ["$xs", 1, 3]},       # 0-based pos 1, 3 items
+            "from_end": {"$slice": ["$xs", -3, 2]},  # 3rd-from-end, 2 items
+        }},
+    ])
+    r = out.first()
+    assert list(r.first2) == [1, 2]
+    assert list(r.last2) == [4, 5]
+    assert list(r.mid) == [2, 3, 4]
+    assert list(r.from_end) == [3, 4]
