@@ -141,8 +141,12 @@ _EXPR_OPS = {
     "$toDate": lambda c: c[0].cast("timestamp"),
     # arrays
     "$size": lambda c: F.size(c[0]),
+    # Mongo is 0-based; negative indexes count from the end (Spark's
+    # element_at is 1-based with native negative support, and index 0
+    # is an error — shift only the non-negative side)
     "$arrayElemAt": lambda c: F.element_at(
-        c[0], (c[1] + 1).cast("int")),  # Mongo is 0-based
+        c[0],
+        F.when(c[1] >= 0, c[1] + 1).otherwise(c[1]).cast("int")),
     "$first": lambda c: F.element_at(c[0], 1),
     "$last": lambda c: F.element_at(c[0], -1),
     "$concatArrays": lambda c: F.concat(*c),

@@ -904,3 +904,14 @@ def test_slice_negative_and_positional_forms(spark):
     assert list(r.last2) == [4, 5]
     assert list(r.mid) == [2, 3, 4]
     assert list(r.from_end) == [3, 4]
+
+
+def test_array_elem_at_negative_index(spark):
+    df = spark.createDataFrame([([10, 20, 30],)], "xs array<int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {"first": {"$arrayElemAt": ["$xs", 0]},
+                      "last": {"$arrayElemAt": ["$xs", -1]},
+                      "second_last": {"$arrayElemAt": ["$xs", -2]}}},
+    ])
+    r = out.first()
+    assert (r.first, r.last, r.second_last) == (10, 30, 20)
