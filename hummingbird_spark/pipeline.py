@@ -407,6 +407,26 @@ def _accumulator(spec: dict) -> Column:
         asc = direction >= 0
         fn = F.min_by if (asc == (op == "$top")) else F.max_by
         return fn(_expr(arg["output"]), F.col(key))
+    if op in ("$minN", "$maxN"):
+        # Mongo 5.2 N-smallest/largest accumulators. collect_list
+        # buffers the group before slicing — fine for the bounded-group
+        # shapes these serve (per-key leaderboards); a group with
+        # millions of rows wants the retention-style two-phase top-N
+        # instead.
+        n = int(arg["n"])
+        coll = F.collect_list(_expr(arg["input"]))
+        asc = op == "$minN"
+        return F.slice(F.sort_array(coll, asc=asc), 1, n)
+    if op in ("$firstN", "$lastN"):
+        # first/last follow input order, which Mongo only defines under
+        # a preceding $sort; Spark's groupBy has the same caveat
+        n = int(arg["n"])
+        coll = F.collect_list(_expr(arg["input"]))
+        if op == "$firstN":
+            return F.slice(coll, 1, n)
+        return F.when(
+            F.size(coll) <= n, coll
+        ).otherwise(F.slice(coll, -n, n))
     if op == "$median":
         # Mongo's default (approximate) method; percentile_approx is
         # the mergeable sketch equivalent

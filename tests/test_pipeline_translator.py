@@ -915,3 +915,19 @@ def test_array_elem_at_negative_index(spark):
     ])
     r = out.first()
     assert (r.first, r.last, r.second_last) == (10, 30, 20)
+
+
+def test_minn_maxn_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 1), ("a", 9), ("a", 3), ("b", 2)],
+        "g string, v int")
+    out = mongo_pipeline_to_df(df, [
+        {"$group": {"_id": "$g",
+                    "lo2": {"$minN": {"input": "$v", "n": 2}},
+                    "hi2": {"$maxN": {"input": "$v", "n": 2}}}},
+        {"$sort": {"_id": 1}},
+    ])
+    rows = out.collect()
+    assert list(rows[0].lo2) == [1, 3]
+    assert list(rows[0].hi2) == [9, 5]
+    assert list(rows[1].lo2) == [2]       # fewer than n -> all
