@@ -261,6 +261,10 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             return _expr(arg["input"]).rlike(arg["regex"])
         if op == "$zip":
             return F.arrays_zip(*[_expr(i) for i in arg["inputs"]])
+        if op == "$getField":
+            if isinstance(arg, str):  # shorthand: field of $$CURRENT
+                return F.col(arg)
+            return _expr(arg["input"]).getField(arg["field"])
         if op == "$replaceAll":
             return F.replace(_expr(arg["input"]), _expr(arg["find"]),
                              _expr(arg["replacement"]))

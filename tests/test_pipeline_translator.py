@@ -931,3 +931,14 @@ def test_minn_maxn_accumulators(spark):
     assert list(rows[0].lo2) == [1, 3]
     assert list(rows[0].hi2) == [9, 5]
     assert list(rows[1].lo2) == [2]       # fewer than n -> all
+
+
+def test_get_field(spark):
+    df = spark.createDataFrame(
+        [((1, "x"),)], "s struct<a:int, b:string>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {"aa": {"$getField": {"input": "$s", "field": "a"}},
+                      "bb": {"$getField": {"input": "$s", "field": "b"}}}},
+    ])
+    r = out.first()
+    assert (r.aa, r.bb) == (1, "x")
