@@ -380,3 +380,56 @@ def near_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .orderBy("a", "b")
     )
+
+
+def embedding_duplicate_clusters(df: DataFrame, threshold: float = 0.8,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 method: str = "exact",
+                                 top_k: int | None = None,
+                                 rows_per_block: int = 4096,
+                                 n_planes: int = 12,
+                                 seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERS: pairs -> connected components
+    -> one row per input id with its cluster label.
+
+    The semantic-dedup analogue of the MinHash dup_clusters pipeline
+    (SemDeDup-style): two documents whose embeddings exceed the cosine
+    threshold are duplicates even when they share no n-grams. Returns
+    (id, cluster_id, is_canonical) for EVERY input row — rows with no
+    near-dup partner are singleton clusters of themselves, and the
+    canonical representative of each cluster is its minimum id (keep
+    rows where is_canonical to apply the dedup).
+
+    method='exact' scores all pairs with the blocked two-sided matmul
+    kernel (no driver collect; per-task memory bounded by
+    rows_per_block); method='lsh' prunes candidates to same-sign-bucket
+    pairs first (approximate recall, linear-ish shuffle — the 100 TB
+    path). top_k clusters only the k most-similar pairs instead of a
+    threshold cut (useful when the corpus has no pairs above any fixed
+    threshold).
+    """
+    from hummingbird_spark.operators.dedup import connected_components
+
+    if method == "exact":
+        pairs = exact_near_duplicate_pairs(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col,
+            top_k=top_k, rows_per_block=rows_per_block)
+    elif method == "lsh":
+        if top_k is not None:
+            raise ValueError("top_k requires method='exact'")
+        pairs = near_duplicate_pairs(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col,
+            n_planes=n_planes, seed=seed)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    labels = connected_components(pairs, "a", "b")
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

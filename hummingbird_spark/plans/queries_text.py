@@ -685,8 +685,7 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_near_duplicate_pairs(e, top_k=20)
 
 
-ORACLE_EMB_NEAR_DUP = """
-WITH pairs AS (
+_EMB_PAIRS_SQL = """
   SELECT x.vec_id AS a, y.vec_id AS b,
     round(
       list_sum(list_transform(range(1, len(x.embedding) + 1),
@@ -697,8 +696,49 @@ WITH pairs AS (
            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 6)
       AS cosine
   FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-)
+"""
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH pairs AS ({_EMB_PAIRS_SQL})
 SELECT a, b, cosine FROM pairs ORDER BY cosine DESC, a, b LIMIT 20
+"""
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters (SemDeDup shape): exact blocked-cosine
+    top-50 pairs -> connected components -> per-cluster size rollup.
+    Top-k pairs rather than a threshold cut for the same reason as
+    embedding_top_pairs (no synthetic pairs above cosine 0.61);
+    singletons are dropped so the output is the duplicate-group
+    inventory, mirroring dup_clusters for the embedding modality."""
+    from hummingbird_spark.operators.similarity import (
+        embedding_duplicate_clusters,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = embedding_duplicate_clusters(e, method="exact", top_k=50)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+ORACLE_EMB_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_EMB_PAIRS_SQL} ORDER BY cosine DESC, a, b LIMIT 50) t
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS cluster_size
+FROM comp GROUP BY cluster_id
+ORDER BY cluster_size DESC, cluster_id
 """
 
 
@@ -745,4 +785,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                 "IVF inverted-list cosine top-k (approximate; rows-only)"),
     "embedding_top_pairs": (q_embedding_top_pairs, ORACLE_EMB_NEAR_DUP,
                             "exact top-k most-similar embedding pairs"),
+    "embedding_dup_clusters": (q_embedding_dup_clusters, ORACLE_EMB_CLUSTERS,
+                               "semantic-dedup clusters (CC over cosine "
+                               "pairs)"),
 }

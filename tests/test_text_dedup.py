@@ -320,6 +320,36 @@ def test_exact_near_dup_threshold_and_topk(spark):
     assert top[0].cosine == 1.0
 
 
+def test_embedding_duplicate_clusters(spark):
+    """Planted near-dup vectors must cluster transitively under their
+    minimum id; unrelated vectors stay singleton clusters of themselves
+    (every input row appears exactly once)."""
+    from hummingbird_spark.operators.similarity import (
+        embedding_duplicate_clusters,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),   # ~dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),      # singleton
+        Row(vec_id=4, embedding=[2.0, 0.0, 0.0, 0.0]),      # scaled dup
+        Row(vec_id=5, embedding=[0.0, 0.98, 0.2, 0.0]),     # singleton
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {r.vec_id: (r.cluster_id, r.is_canonical)
+           for r in embedding_duplicate_clusters(
+               df, threshold=0.99, method="exact").collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 4: (1, False),
+        3: (3, True), 5: (5, True),
+    }
+    # the LSH path finds the same clusters on this tiny planted corpus
+    lsh = {r.vec_id: r.cluster_id
+           for r in embedding_duplicate_clusters(
+               df, threshold=0.99, method="lsh", n_planes=6).collect()}
+    assert lsh == {1: 1, 2: 1, 4: 1, 3: 3, 5: 5}
+
+
 def test_tfidf_cosine_order_insensitive(spark):
     """The property that distinguishes TF-IDF cosine from shingle
     detectors: a word-REORDERED copy scores cosine 1.0 (same bag of
