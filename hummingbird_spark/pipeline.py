@@ -1118,14 +1118,16 @@ def run_pipeline(
                         if isinstance(spec, dict) else "merge")
         when_not = (spec.get("whenNotMatched", "insert")
                     if isinstance(spec, dict) else "insert")
-        if when_matched not in ("replace", "merge", "keepExisting"):
+        if not isinstance(when_matched, list) and \
+                when_matched not in ("replace", "merge", "keepExisting"):
             raise ValueError(f"unsupported whenMatched: {when_matched!r}")
         if when_not not in ("insert", "discard"):
             raise ValueError(f"unsupported whenNotMatched: {when_not!r}")
         out = out.dropDuplicates(keys)
+        let_spec = (spec.get("let") if isinstance(spec, dict) else None)
         result = _merge_into(spark, out,
                              os.path.join(data_dir, f"{coll}.parquet"),
-                             keys, when_matched, when_not)
+                             keys, when_matched, when_not, let_spec)
 
     path = os.path.join(data_dir, f"{coll}.parquet")
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -1137,9 +1139,18 @@ def run_pipeline(
 
 
 def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
-                when_matched: str, when_not: str) -> DataFrame:
+                when_matched, when_not: str,
+                let_spec: dict | None = None) -> DataFrame:
     """Build the merged frame for a terminal $merge (see run_pipeline
-    docstring for the option semantics)."""
+    docstring for the option semantics).
+
+    when_matched may also be a STAGE LIST (Mongo's pipeline form): the
+    stages run over each matched TARGET document, with the incoming
+    document bound as $$new (or custom `let` variables, each evaluated
+    against the incoming doc; default {new: "$$ROOT"}). Supported
+    stages: $addFields/$set, $unset, $project (include form), and
+    $replaceRoot/$replaceWith with an embedded-document newRoot.
+    """
     if not os.path.exists(path):
         return out if when_not == "insert" else out.limit(0)
     target = spark.read.parquet(path)
@@ -1163,6 +1174,15 @@ def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
         c = target_a[k].eqNullSafe(out_a[k])
         cond = c if cond is None else (cond & c)
 
+    if isinstance(when_matched, list):
+        merged = _merge_matched_pipeline(
+            target_a, out, keys, when_matched, let_spec)
+        unmatched_t = target_a.join(out_a, cond, "left_anti")
+        result = merged.unionByName(unmatched_t, allowMissingColumns=True)
+        if when_not == "insert":
+            incoming = out_a.join(target_a, cond, "left_anti")
+            result = result.unionByName(incoming, allowMissingColumns=True)
+        return result
     if when_matched == "keepExisting":
         kept = target_a
         incoming = (out_a.join(target_a, cond, "left_anti")
@@ -1193,3 +1213,73 @@ def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
     if when_not == "insert":
         return kept.unionByName(unmatched)
     return kept
+
+
+def _merge_matched_pipeline(target_a: DataFrame, out: DataFrame,
+                            keys: list[str], stages: list[dict],
+                            let_spec: dict | None) -> DataFrame:
+    """Apply a $merge whenMatched stage pipeline to the matched target
+    rows. Each `let` variable (default {new: "$$ROOT"}) is evaluated
+    against the INCOMING document and carried through the key join as a
+    struct column, so stage expressions see target fields as column
+    refs and the incoming doc via $$new (etc.) — all JVM-side."""
+    new_struct = F.struct(*[F.col(c).alias(c) for c in out.columns])
+    let_spec = let_spec or {"new": "$$ROOT"}
+    lets = {}
+    for name, v in let_spec.items():
+        lets[name] = new_struct if v == "$$ROOT" else _expr(v)
+    r = out.select(
+        *[F.col(k).alias(f"__mk_{i}") for i, k in enumerate(keys)],
+        *[c.alias(f"__let_{n}") for n, c in lets.items()],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = target_a[k].eqNullSafe(r[f"__mk_{i}"])
+        cond = c if cond is None else (cond & c)
+    m = target_a.join(r, cond, "inner").drop(
+        *[f"__mk_{i}" for i in range(len(keys))])
+    varmap = {n: F.col(f"__let_{n}") for n in lets}
+
+    for stage in stages:
+        op, sarg = next(iter(stage.items()))
+        if op in ("$addFields", "$set"):
+            for name, v in sarg.items():
+                if "." in name:
+                    raise ValueError(
+                        "whenMatched pipeline $set: dotted paths "
+                        "unsupported; set the top-level field")
+                m = m.withColumn(name, _expr_v(v, varmap))
+        elif op == "$unset":
+            names = [sarg] if isinstance(sarg, str) else list(sarg)
+            m = m.drop(*names)
+        elif op == "$project":
+            incl = {k: v for k, v in sarg.items()
+                    if not (v in (0, False) and k != "_id")}
+            if any(v in (0, False) for k, v in sarg.items() if k != "_id"):
+                raise ValueError(
+                    "whenMatched pipeline $project: exclude form "
+                    "unsupported")
+            cols = []
+            for name, v in incl.items():
+                if v in (1, True):
+                    cols.append(F.col(name).alias(name))
+                else:
+                    cols.append(_expr_v(v, varmap).alias(name))
+            keep_keys = [F.col(k) for k in keys if k not in incl]
+            lets_cols = [F.col(f"__let_{n}") for n in lets]
+            m = m.select(*keep_keys, *cols, *lets_cols)
+        elif op in ("$replaceRoot", "$replaceWith"):
+            new_root = sarg["newRoot"] if op == "$replaceRoot" else sarg
+            if not isinstance(new_root, dict) or \
+                    next(iter(new_root), "").startswith("$"):
+                raise ValueError(
+                    "whenMatched pipeline $replaceRoot: newRoot must be "
+                    "an embedded-document literal")
+            cols = [_expr_v(v, varmap).alias(k) for k, v in new_root.items()]
+            keep_keys = [F.col(k) for k in keys if k not in new_root]
+            lets_cols = [F.col(f"__let_{n}") for n in lets]
+            m = m.select(*keep_keys, *cols, *lets_cols)
+        else:
+            raise ValueError(
+                f"unsupported whenMatched pipeline stage: {op}")
+    return m.drop(*[f"__let_{n}" for n in lets])

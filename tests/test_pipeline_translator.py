@@ -337,6 +337,61 @@ def test_merge_dedupes_duplicate_keys(spark, tmp_path):
     assert got.filter("_id = 7").count() == 1
 
 
+def test_merge_when_matched_pipeline(spark, tmp_path):
+    """Mongo's $merge whenMatched PIPELINE form: stages run on the
+    matched target doc with the incoming doc bound as $$new. The
+    canonical accumulate-on-match example from the Mongo docs."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "_id long, total long, tag string"
+    ).write.parquet(str(tmp_path / "agg.parquet"))
+    src = spark.createDataFrame(
+        [(2, 5), (3, 7)], "_id long, total long")
+
+    got = {r._id: r for r in run_pipeline(spark, src, [
+        {"$merge": {
+            "into": "agg", "on": "_id",
+            "whenMatched": [
+                {"$addFields": {
+                    "total": {"$add": ["$total", "$$new.total"]},
+                    "updated": True,
+                }},
+            ],
+            "whenNotMatched": "insert",
+        }},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got[1].total == 10 and got[1].updated is None  # untouched
+    assert got[2].total == 25 and got[2].updated is True  # accumulated
+    assert got[2].tag == "b"                              # target kept
+    assert got[3].total == 7                              # inserted as-is
+
+
+def test_merge_pipeline_custom_let_and_discard(spark, tmp_path):
+    """Custom `let` variables evaluate against the incoming doc;
+    whenNotMatched=discard drops unmatched incoming rows."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "_id long, v long"
+    ).write.parquet(str(tmp_path / "lt.parquet"))
+    src = spark.createDataFrame(
+        [(2, 8, 2), (9, 9, 9)], "_id long, x long, y long")
+
+    got = {r._id: r for r in run_pipeline(spark, src, [
+        {"$merge": {
+            "into": "lt", "on": "_id",
+            "let": {"delta": {"$multiply": ["$x", "$y"]}},
+            "whenMatched": [
+                {"$set": {"v": {"$add": ["$v", "$$delta"]}}},
+            ],
+            "whenNotMatched": "discard",
+        }},
+    ], data_dir=str(tmp_path)).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].v == 100 and got[2].v == 216   # 200 + 8*2
+
+
 def test_bucket_validation_and_string_default(spark):
     import pytest
     from hummingbird_spark.pipeline import mongo_pipeline_to_df
