@@ -48,6 +48,15 @@ Supported stages:
 Group `_id` forms: None (global), "$field", {alias: "$field", ...}
 (compound key). The output column is named `_id` exactly as Mongo
 returns it; compound keys become a struct column.
+
+Expression-language deviations (beyond those in _expr's docstring):
+$regexFind/$regexFindAll capture a non-participating group as ''
+where Mongo yields null (regexp_extract cannot distinguish them), and
+$regexFindAll omits per-match idx; $objectToArray/$arrayToObject
+operate on MapType columns (schemaless-doc analogue), not structs;
+$sortArray supports scalar sortBy only; $dateFromParts has no ISO-week
+form; $week/$isoWeekYear are computed from Spark date parts (agree
+with Mongo on the Gregorian calendar).
 """
 
 from __future__ import annotations
@@ -107,6 +116,20 @@ _EXPR_OPS = {
     "$exp": lambda c: F.exp(c[0]),
     "$ln": lambda c: F.log(c[0]),
     "$log10": lambda c: F.log10(c[0]),
+    # $log [number, base]: ln ratio so the base may be any expression
+    "$log": lambda c: F.log(c[0]) / F.log(c[1]),
+    "$sin": lambda c: F.sin(c[0]),
+    "$cos": lambda c: F.cos(c[0]),
+    "$tan": lambda c: F.tan(c[0]),
+    "$asin": lambda c: F.asin(c[0]),
+    "$acos": lambda c: F.acos(c[0]),
+    "$atan": lambda c: F.atan(c[0]),
+    "$atan2": lambda c: F.atan2(c[0], c[1]),
+    "$sinh": lambda c: F.sinh(c[0]),
+    "$cosh": lambda c: F.cosh(c[0]),
+    "$tanh": lambda c: F.tanh(c[0]),
+    "$degreesToRadians": lambda c: F.radians(c[0]),
+    "$radiansToDegrees": lambda c: F.degrees(c[0]),
     # comparison (Mongo $cmp: -1/0/1)
     "$eq": lambda c: c[0] == c[1],
     "$ne": lambda c: c[0] != c[1],
@@ -138,6 +161,18 @@ _EXPR_OPS = {
     "$minute": lambda c: F.minute(c[0]),
     "$second": lambda c: F.second(c[0]),
     "$dayOfWeek": lambda c: F.dayofweek(c[0]),  # 1=Sunday, as Mongo
+    "$dayOfYear": lambda c: F.dayofyear(c[0]),
+    "$millisecond": lambda c: F.date_format(c[0], "SSS").cast("int"),
+    "$isoWeek": lambda c: F.weekofyear(c[0]),
+    # Mongo ISO day: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+    "$isoDayOfWeek": lambda c: ((F.dayofweek(c[0]) + 5) % 7) + 1,
+    # ISO week-year = calendar year of that week's Thursday
+    "$isoWeekYear": lambda c: F.year(F.date_add(
+        c[0].cast("date"),
+        F.lit(4) - (((F.dayofweek(c[0]) + 5) % 7) + 1))),
+    # Mongo $week: Sunday-start weeks, days before the first Sunday of
+    # the year are week 0
+    "$week": lambda c: _mongo_week(c[0]),
     "$toDate": lambda c: c[0].cast("timestamp"),
     # arrays
     "$size": lambda c: F.size(c[0]),
@@ -154,6 +189,21 @@ _EXPR_OPS = {
     "$setUnion": lambda c: F.array_distinct(F.concat(*c)),
     "$setIntersection": _chain(F.array_intersect),
     "$setDifference": lambda c: F.array_except(c[0], c[1]),
+    "$setEquals": lambda c: _fold_and([
+        F.array_sort(F.array_distinct(c[0]))
+        == F.array_sort(F.array_distinct(x)) for x in c[1:]
+    ]),
+    "$setIsSubset": lambda c: F.size(F.array_except(c[0], c[1])) == 0,
+    "$allElementsTrue": lambda c: F.forall(
+        c[0], lambda x: x.cast("boolean")),
+    "$anyElementTrue": lambda c: F.exists(
+        c[0], lambda x: x.cast("boolean")),
+    # object <-> entry-array (MapType columns; Mongo's k/v field names)
+    "$objectToArray": lambda c: F.transform(
+        F.map_entries(c[0]),
+        lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v"))),
+    "$arrayToObject": lambda c: F.map_from_entries(
+        F.transform(c[0], lambda e: F.struct(e["k"], e["v"]))),
     "$indexOfArray": lambda c: F.coalesce(
         F.array_position(c[0], c[1]).cast("int") - 1, F.lit(-1)),
     "$range": lambda c: F.sequence(
@@ -186,7 +236,76 @@ _EXPR_OPS = {
     "$toLong": lambda c: c[0].cast("long"),
     "$toDouble": lambda c: c[0].cast("double"),
     "$toBool": lambda c: c[0].cast("boolean"),
+    "$toDecimal": lambda c: c[0].cast("decimal(38,10)"),
+    "$strLenBytes": lambda c: F.octet_length(c[0]),
+    "$binarySize": lambda c: F.octet_length(c[0]),
 }
+
+
+def _fold_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _regex_pattern(arg: dict) -> str:
+    """Mongo {regex, options} -> a Java regex with inline flags."""
+    pat = arg["regex"]
+    flags = "".join(o for o in arg.get("options", "") if o in "imsx")
+    return f"(?{flags}){pat}" if flags else pat
+
+
+def _capture_group_count(pattern: str) -> int:
+    """Count capture groups in a regex literal: '(' not escaped and not
+    opening a (?...) non-capturing/lookaround construct. A '(' inside a
+    character class is miscounted — acceptable for the translator's
+    literal-pattern scope."""
+    n, i = 0, 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(" and pattern[i + 1:i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _empty_string_array() -> Column:
+    return F.slice(F.array(F.lit("")), 1, 0)
+
+
+def _captures_array(s: Column, pat: str, raw: str) -> Column:
+    """Per-group first-match captures. Deviation (documented): a
+    non-participating group captures '' here, where Mongo yields null —
+    Spark's regexp_extract cannot distinguish the two."""
+    n = _capture_group_count(raw)
+    if not n:
+        return _empty_string_array()
+    return F.array(*[F.regexp_extract(s, pat, g + 1) for g in range(n)])
+
+
+_STRFTIME_MAP = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                 "%M": "mm", "%S": "ss", "%L": "SSS", "%j": "DDD"}
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    for k, v in _STRFTIME_MAP.items():
+        fmt = fmt.replace(k, v)
+    return fmt
+
+
+def _mongo_week(d: Column) -> Column:
+    """Mongo $week: 0-based Sunday-start weeks. Days strictly before
+    the year's first Sunday are week 0; the first Sunday starts week 1.
+    """
+    doy = F.dayofyear(d)
+    jan1_dow = F.dayofweek(F.trunc(d, "year"))  # 1=Sunday
+    first_sunday = ((F.lit(8) - jan1_dow) % 7) + 1  # day-of-year
+    return F.when(doy < first_sunday, 0).otherwise(
+        F.floor((doy - first_sunday) / 7).cast("int") + 1)
 
 
 def _expr(spec: Any) -> Column:
@@ -258,7 +377,54 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             }
             return _expr_v(arg["in"], {**variables, **bound})
         if op == "$regexMatch":
-            return _expr(arg["input"]).rlike(arg["regex"])
+            return _expr(arg["input"]).rlike(_regex_pattern(arg))
+        if op == "$regexFind":
+            s = _expr(arg["input"])
+            pat = _regex_pattern(arg)
+            caps = _captures_array(s, pat, arg["regex"])
+            return F.when(s.rlike(pat), F.struct(
+                F.regexp_extract(s, pat, 0).alias("match"),
+                (F.regexp_instr(s, F.lit(pat)) - 1).alias("idx"),
+                caps.alias("captures"),
+            ))
+        if op == "$regexFindAll":
+            s = _expr(arg["input"])
+            pat = _regex_pattern(arg)
+            n_groups = _capture_group_count(arg["regex"])
+            matches = F.regexp_extract_all(s, F.lit(pat), 0)
+            group_arrays = [
+                F.regexp_extract_all(s, F.lit(pat), g + 1)
+                for g in range(n_groups)
+            ]
+            return F.transform(matches, lambda m, i: F.struct(
+                m.alias("match"),
+                (F.array(*[F.element_at(g, i + 1) for g in group_arrays])
+                 if n_groups else _empty_string_array()).alias("captures"),
+            ))
+        if op == "$sortArray":
+            sb = arg["sortBy"]
+            if not isinstance(sb, int):
+                raise ValueError(
+                    "$sortArray: only scalar sortBy 1/-1 is supported")
+            return F.sort_array(_expr(arg["input"]), asc=sb >= 0)
+        if op == "$dateFromParts":
+            if "isoWeekYear" in arg:
+                raise ValueError("$dateFromParts ISO form unsupported")
+            sec = (_expr(arg.get("second", 0)).cast("double")
+                   + _expr(arg.get("millisecond", 0)).cast("double") / 1000)
+            return F.make_timestamp(
+                _expr(arg["year"]).cast("int"),
+                _expr(arg.get("month", 1)).cast("int"),
+                _expr(arg.get("day", 1)).cast("int"),
+                _expr(arg.get("hour", 0)).cast("int"),
+                _expr(arg.get("minute", 0)).cast("int"),
+                sec)
+        if op == "$dateFromString":
+            s = _expr(arg["dateString"])
+            fmt = arg.get("format")
+            if fmt is None:
+                return s.cast("timestamp")
+            return F.to_timestamp(s, _strftime_to_spark(fmt))
         if op == "$zip":
             return F.arrays_zip(*[_expr(i) for i in arg["inputs"]])
         if op == "$getField":
@@ -644,6 +810,12 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 "$push": lambda a: F.collect_list(_ref(a)),
                 "$first": lambda a: F.first(_ref(a)),
                 "$last": lambda a: F.last(_ref(a)),
+                "$stdDevPop": lambda a: F.stddev_pop(_ref(a)),
+                "$stdDevSamp": lambda a: F.stddev_samp(_ref(a)),
+                "$covariancePop": lambda a: F.covar_pop(
+                    _ref(a[0]), _ref(a[1])),
+                "$covarianceSamp": lambda a: F.covar_samp(
+                    _ref(a[0]), _ref(a[1])),
             }
             if op not in agg_ops:
                 raise ValueError(

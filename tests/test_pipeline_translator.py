@@ -663,6 +663,131 @@ def test_expression_switch_ifnull_dates_arrays(spark):
     assert [r.n for r in rows] == [3, 1]
 
 
+def test_expression_math_and_set_ops(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(8.0, [1, 2, 2], [2, 1], [1, 2, 3], [True, True], [False, True])],
+        "x double, s1 array<int>, s2 array<int>, s3 array<int>, "
+        "allt array<boolean>, anyt array<boolean>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "lg": {"$log": ["$x", 2]},
+            "sn": {"$round": [{"$sin": {"$degreesToRadians": 90}}, 6]},
+            "at2": {"$round": [{"$atan2": [1, 1]}, 6]},
+            "se": {"$setEquals": ["$s1", "$s2"]},
+            "sne": {"$setEquals": ["$s1", "$s3"]},
+            "sub": {"$setIsSubset": ["$s1", "$s3"]},
+            "nsub": {"$setIsSubset": ["$s3", "$s1"]},
+            "allt": {"$allElementsTrue": ["$allt"]},
+            "anyt": {"$anyElementTrue": ["$anyt"]},
+        }},
+    ])
+    r = out.first()
+    assert r.lg == 3.0
+    assert r.sn == 1.0
+    assert r.at2 == round(math.pi / 4, 6)
+    assert r.se is True and r.sne is False
+    assert r.sub is True and r.nsub is False
+    assert r.allt is True and r.anyt is True
+
+
+def test_expression_object_array_roundtrip(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},)], "m map<string,int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "entries": {"$sortArray": {
+                "input": {"$map": {
+                    "input": {"$objectToArray": "$m"},
+                    "in": "$$this.k"}},
+                "sortBy": 1}},
+            "back": {"$arrayToObject": [{"$objectToArray": "$m"}]},
+        }},
+    ])
+    r = out.first()
+    assert r.entries == ["a", "b"]
+    assert dict(r.back) == {"a": 1, "b": 2}
+
+
+def test_expression_date_parts_and_weeks(spark):
+    import datetime
+
+    # 2024-01-07 is the first Sunday of 2024 (Jan 1 was a Monday)
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 6, 12, 0, 0, 250000),
+          datetime.datetime(2024, 1, 7, 0, 0),
+          "2024-03-15 10:30:00")],
+        "before timestamp, sunday timestamp, s string")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "w0": {"$week": "$before"},
+            "w1": {"$week": "$sunday"},
+            "doy": {"$dayOfYear": "$sunday"},
+            "iso_dow_sat": {"$isoDayOfWeek": "$before"},
+            "iso_wy": {"$isoWeekYear": "$before"},  # 2024-01-06 -> 2024
+            "ms": {"$millisecond": "$before"},
+            "made": {"$dateFromParts": {
+                "year": 2024, "month": 3, "day": 15,
+                "hour": 10, "minute": 30}},
+            "parsed": {"$dateFromString": {
+                "dateString": "$s", "format": "%Y-%m-%d %H:%M:%S"}},
+        }},
+    ])
+    r = out.first()
+    assert (r.w0, r.w1) == (0, 1)
+    assert r.doy == 7
+    assert r.iso_dow_sat == 6       # Saturday
+    assert r.iso_wy == 2024
+    assert r.ms == 250
+    assert r.made == r.parsed == __import__("datetime").datetime(
+        2024, 3, 15, 10, 30)
+
+
+def test_expression_regex_find(spark):
+    df = spark.createDataFrame(
+        [("order 12 and order 345", "no digits")], "a string, b string")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "f": {"$regexFind": {"input": "$a",
+                                 "regex": r"order (\d+)"}},
+            "none": {"$regexFind": {"input": "$b",
+                                    "regex": r"(\d+)"}},
+            "all": {"$regexFindAll": {"input": "$a",
+                                      "regex": r"order (\d+)"}},
+            "ci": {"$regexMatch": {"input": "$a", "regex": "ORDER",
+                                   "options": "i"}},
+        }},
+    ])
+    r = out.first()
+    assert r.f.match == "order 12" and r.f.idx == 0
+    assert list(r.f.captures) == ["12"]
+    assert r.none is None
+    assert [(m.match, list(m.captures)) for m in r.all] == [
+        ("order 12", ["12"]), ("order 345", ["345"])]
+    assert r.ci is True
+
+
+def test_window_fields_covariance_stddev(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+         ("b", 5.0, 5.0)],
+        "g string, x double, y double")
+    out = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {
+                "cov": {"$covariancePop": ["$x", "$y"]},
+                "sd": {"$stdDevPop": "$x"},
+            }}},
+        {"$match": {"g": "a"}},
+        {"$limit": 1},
+    ])
+    r = out.first()
+    assert abs(r.cov - 4.0 / 3.0) < 1e-9
+    assert abs(r.sd - (2.0 / 3.0) ** 0.5) < 1e-9
+
+
 def test_expression_in_group_key_and_accumulator(spark, orders):
     """{_id: {$month: ...}} expression group key and a computed $sum
     argument — the revenue-style accumulator shape."""
