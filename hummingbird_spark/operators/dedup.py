@@ -135,12 +135,12 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows_per_band: int = 4,
-                        max_bucket_size: int = 1000) -> DataFrame:
-    """Band the signature, bucket-join: docs sharing any full band are
-    candidates. Returns distinct (a, b) with a < b."""
-    banded = sig_df.select(
+def band_keys(sig_df: DataFrame, id_col: str = "doc_id",
+              bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bkey) rows: the LSH band keys of each signature —
+    the join/lookup unit for both batch candidate pairing and the
+    streaming dedup store."""
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -156,6 +156,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any full band are
+    candidates. Returns distinct (a, b) with a < b."""
+    banded = band_keys(sig_df, id_col, bands, rows_per_band)
 
     # drop pathological buckets (boilerplate explosion guard)
     sized = banded.withColumn(
@@ -562,4 +570,67 @@ def tfidf_cosine_pairs(df: DataFrame, text_col: str = "text",
         .select("a", "b", quantized.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("a", "b")
+    )
+
+
+def segment_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         window: int = 10) -> DataFrame:
+    """(id, segment-hash) rows: the doc's DISJOINT `window`-word blocks,
+    each md5-fingerprinted. The segment (≈paragraph) unit for cross-doc
+    exact dedup when the corpus has no structural paragraph breaks —
+    the Dolma/RefinedWeb paragraph-dedup analogue on flat text.
+
+    All expression-level (split -> slice -> md5 -> explode), so the
+    fingerprinting rides the scan; only (id, 32-byte hash) shuffles.
+    Docs shorter than one window emit no rows.
+    """
+    from hummingbird_spark.functions.text import tokens
+
+    toks = ensure_kernel_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws")
+    )
+    nblk = F.floor(F.size("__ws") / window).cast("int")
+    idx = F.when(nblk > 0, F.sequence(F.lit(0), nblk - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    segs = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice(F.col("__ws"), i * window + 1, window))),
+    )
+    return toks.select(
+        F.col(id_col), F.explode(segs).alias("segment"),
+    )
+
+
+def segment_duplicate_stats(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            window: int = 10) -> DataFrame:
+    """Per-doc duplicate-segment profile: of the doc's disjoint
+    `window`-word blocks, how many also occur in ANOTHER document
+    (exact match). Returns (id, n_segments, n_dup_segments,
+    dup_fraction) — the per-doc signal paragraph-level dedup cuts on
+    (e.g. drop docs with dup_fraction > 0.3, or strip the segments).
+
+    Two shuffles at any scale: segment-hash groupBy (count distinct
+    docs per segment) and the per-doc rollup; the join back to segments
+    is on the same segment key the groupBy just produced, so AQE plans
+    it shuffle-local. Nothing driver-side.
+    """
+    segs = segment_fingerprints(df, text_col, id_col, window)
+    seg_docs = segs.groupBy("segment").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd"))
+    return (
+        segs.join(seg_docs, "segment")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_segments")
+                    / F.col("n_segments").cast("double"), 6),
+        )
     )

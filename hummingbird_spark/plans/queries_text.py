@@ -704,6 +704,106 @@ SELECT a, b, cosine FROM pairs ORDER BY cosine DESC, a, b LIMIT 20
 """
 
 
+def q_segment_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc segment-level exact dedup signal: per doc, the
+    fraction of its disjoint 10-word blocks that appear verbatim in
+    another document (paragraph-dedup analogue on flat text; planted
+    duplicate docs surface with dup_fraction ~1). Docs with at least
+    one duplicated segment only, to keep the result the actionable
+    cut-list."""
+    from hummingbird_spark.operators.dedup import segment_duplicate_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        segment_duplicate_stats(d, window=10)
+        .filter(F.col("n_dup_segments") > 0)
+        .orderBy(F.desc("dup_fraction"), "doc_id")
+    )
+
+
+ORACLE_SEGMENT_DUP = r"""
+WITH words AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[i.i*10+1 : i.i*10+10], ' ')) AS segment
+  FROM words,
+       LATERAL (SELECT unnest(range(CAST(floor(len(ws)/10) AS BIGINT)))
+                AS i) i
+),
+seg_docs AS (
+  SELECT segment, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY segment
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_segments,
+         CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments
+  FROM segs s JOIN seg_docs d USING (segment)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segments, n_dup_segments,
+       round(n_dup_segments / CAST(n_segments AS DOUBLE), 6)
+         AS dup_fraction
+FROM per_doc
+WHERE n_dup_segments > 0
+ORDER BY dup_fraction DESC, doc_id
+"""
+
+
+def q_classifier_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter rollup: hashed-linear classifier
+    score per doc (scan-side, no shuffle), then per-source keep-rate at
+    the 0.5 cut — the pipeline view a mixture designer reads before
+    setting per-source sampling rates."""
+    from hummingbird_spark.functions.text import hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", hashed_classifier_score(F.col("text")).alias("score"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+            .alias("n_keep"),
+        )
+        .withColumn("keep_rate",
+                    F.round(F.col("n_keep")
+                            / F.col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    )
+
+
+ORACLE_CLASSIFIER_MIX = r"""
+WITH scored AS (
+  SELECT source,
+    round(1.0 / (1.0 + exp(-(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      list_sum(list_transform(ws, w ->
+        (('0x' || substr(md5('qcls-v1' || lower(w)), 1, 15))::BIGINT
+         % 1024) / 1023.0 - 0.5)) / len(ws) * 4.0 END))), 6) AS score
+  FROM (
+    SELECT source,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS ws
+    FROM documents
+  )
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(AVG(score), 6) AS avg_score,
+       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       round(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup clusters (SemDeDup shape): exact blocked-cosine
     top-50 pairs -> connected components -> per-cluster size rollup.
@@ -788,4 +888,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     "embedding_dup_clusters": (q_embedding_dup_clusters, ORACLE_EMB_CLUSTERS,
                                "semantic-dedup clusters (CC over cosine "
                                "pairs)"),
+    "segment_dup_stats": (q_segment_dup_stats, ORACLE_SEGMENT_DUP,
+                          "per-doc duplicate-segment fraction "
+                          "(paragraph-level dedup signal)"),
+    "classifier_quality_mix": (q_classifier_quality_mix,
+                               ORACLE_CLASSIFIER_MIX,
+                               "hashed-linear classifier keep-rate "
+                               "per source"),
 }

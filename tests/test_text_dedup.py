@@ -320,6 +320,57 @@ def test_exact_near_dup_threshold_and_topk(spark):
     assert top[0].cosine == 1.0
 
 
+def test_hashed_classifier_score(spark):
+    """Deterministic, bounded, case-insensitive, and centered: empty
+    text scores exactly 0.5; identical text scores identically across
+    runs; scores stay inside (0, 1)."""
+    from hummingbird_spark.functions.text import hashed_classifier_score
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="completely different content entirely"),
+    ])
+    out = df.select("doc_id",
+                    hashed_classifier_score(F.col("text")).alias("s"))
+    got = {r.doc_id: r.s for r in out.collect()}
+    again = {r.doc_id: r.s for r in out.collect()}
+    assert got == again
+    assert got[1] == got[2]          # lowercased before hashing
+    assert got[3] == 0.5             # empty -> zero logit
+    assert all(0.0 < s < 1.0 for s in got.values())
+    assert got[1] != got[4]
+
+
+def test_segment_duplicate_stats(spark):
+    """A doc sharing one exact 5-word block with another doc shows
+    exactly that block as duplicated; sub-window docs emit nothing."""
+    from hummingbird_spark.operators.dedup import (
+        segment_duplicate_stats,
+        segment_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=shared + " one two three four five"),
+        Row(doc_id=2, text=shared + " six seven eight nine ten"),
+        Row(doc_id=3, text="totally different words here now "
+                           "plus some more filler tokens"),
+        Row(doc_id=4, text="too short"),
+    ])
+    stats = {r.doc_id: r for r in
+             segment_duplicate_stats(df, window=5).collect()}
+    assert stats[1].n_segments == 2 and stats[1].n_dup_segments == 1
+    assert stats[1].dup_fraction == 0.5
+    assert stats[2].dup_fraction == 0.5
+    assert stats[3].n_dup_segments == 0
+    assert 4 not in stats  # shorter than one window: no segments
+    # fingerprints are disjoint blocks: 10 words -> 2 segments
+    n = segment_fingerprints(df, window=5).filter("doc_id = 1").count()
+    assert n == 2
+
+
 def test_embedding_duplicate_clusters(spark):
     """Planted near-dup vectors must cluster transitively under their
     minimum id; unrelated vectors stay singleton clusters of themselves
