@@ -330,3 +330,33 @@ def strip_repeated_lines(col: Column) -> Column:
     kept = F.array_distinct(F.transform(lines, lambda ln: F.trim(ln)))
     return F.array_join(
         F.filter(kept, lambda ln: F.length(ln) > 0), "\n")
+
+
+def hashed_classifier_score(col: Column, n_buckets: int = 1024,
+                            salt: str = "qcls-v1") -> Column:
+    """FastText-style hashed linear classifier as pure Column math —
+    the model-based quality-filter PLUMBING (token -> hash bucket ->
+    weight -> mean -> sigmoid), with deterministic surrogate weights
+    so both engines and every re-run agree bit-for-bit.
+
+    Each token hashes to one of n_buckets via a 60-bit md5 prefix
+    (the engine-portable hash used across the sampling operators);
+    its surrogate weight is bucket/(n_buckets-1) - 0.5 ∈ [-0.5, 0.5].
+    Swapping in trained weights = replacing that arithmetic with a
+    broadcast weight-table lookup; every other part of the pipeline
+    (scan-side scoring, no shuffle, threshold cut) is the real thing.
+    Empty docs score exactly 0.5 (zero logit). Rounded to 6 dp so the
+    1-ulp libm exp() divergence between engines cannot leak out.
+    """
+    ws = tokens(col)
+    weight_sum = F.aggregate(
+        ws, F.lit(0.0),
+        lambda acc, w: acc + (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(salt), F.lower(w))), 1, 15),
+                16, 10).cast("long") % n_buckets
+        ).cast("double") / (n_buckets - 1) - 0.5,
+    )
+    logit = F.when(F.size(ws) == 0, F.lit(0.0)) \
+        .otherwise(weight_sum / F.size(ws) * 4.0)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
