@@ -768,6 +768,52 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (tau=0.7, the
+    multilingual-LM standard): p_i ∝ tokens_i^tau flattens the natural
+    distribution toward uniform; `boost` (weight / natural share) is
+    the implied per-source repeat factor. One scan + one tiny
+    aggregate; the normalizing windows run over the ~20-row post-agg
+    frame, not the data."""
+    from hummingbird_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    whole = Window.partitionBy()
+    w = F.pow(F.col("n_tokens").cast("double"), 0.7)
+    return (
+        counts
+        .withColumn("weight", F.round(w / F.sum(w).over(whole), 6))
+        .withColumn(
+            "boost",
+            F.round(
+                (w / F.sum(w).over(whole))
+                / (F.col("n_tokens")
+                   / F.sum("n_tokens").over(whole).cast("double")), 6))
+        .select("source", "n_tokens", "weight", "boost")
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = r"""
+WITH c AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens,
+       round(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER (), 6)
+         AS weight,
+       round((pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER ())
+             / (n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE)), 6)
+         AS boost
+FROM c ORDER BY source
+"""
+
+
 ORACLE_MIXTURE_REBALANCE = """
 WITH counts AS (
   SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
@@ -841,4 +887,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "mixture_rebalance": (
         q_mixture_rebalance, ORACLE_MIXTURE_REBALANCE,
         "hash-deterministic downsample to an equal source mixture"),
+    "mixture_temperature": (
+        q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE,
+        "temperature-scaled (tau=0.7) source sampling weights"),
 }
