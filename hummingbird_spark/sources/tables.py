@@ -66,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 def read_source(spark: SparkSession, path: str,
                 fmt: str | None = None, **options) -> DataFrame:
     """Format-dispatched scan: parquet (columnar, splittable — the
-    default at scale), JSON-lines, or CSV-with-header, chosen by
+    default at scale), ORC, JSON-lines, or CSV-with-header, chosen by
     explicit `fmt` or file extension. The reference's S7 gzip-BSON
     spool reader generalizes here: row formats are ingest/interchange
     surfaces; pipelines land them to parquet (`run_migration`) so later
@@ -84,6 +84,10 @@ def read_source(spark: SparkSession, path: str,
         reader = reader.schema(schema)
     if fmt == "parquet":
         return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        # the other built-in columnar format: splittable, predicate
+        # pushdown + column pruning via ORC stripe stats
+        return reader.options(**options).orc(path)
     if fmt == "json":
         return reader.options(**options).json(path)
     if fmt == "csv":

@@ -31,6 +31,17 @@ def test_jsonl_roundtrip(spark, tmp_path):
         == _nation_rows(spark)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "nation") \
+        .select("n_nationkey", "n_name", "n_regionkey")
+    p = str(tmp_path / "nation.orc")
+    src.write.orc(p)
+    got = read_source(spark, p)
+    assert {tuple(r) for r in
+            got.select("n_nationkey", "n_name", "n_regionkey").collect()} \
+        == _nation_rows(spark)
+
+
 def test_csv_and_tsv_roundtrip(spark, tmp_path):
     src = load_table(spark, SF_SMOKE, "nation") \
         .select("n_nationkey", "n_name", "n_regionkey")
