@@ -239,6 +239,11 @@ _EXPR_OPS = {
     "$toDecimal": lambda c: c[0].cast("decimal(38,10)"),
     "$strLenBytes": lambda c: F.octet_length(c[0]),
     "$binarySize": lambda c: F.octet_length(c[0]),
+    # BSON Timestamp packed as long t<<32|i (SURVEY §1.2, the stream
+    # offset encoding): seconds / increment extraction
+    "$tsSecond": lambda c: F.shiftright(c[0].cast("long"), 32),
+    "$tsIncrement": lambda c: c[0].cast("long")
+    .bitwiseAND(F.lit(0xFFFFFFFF)),
 }
 
 
@@ -425,6 +430,27 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             if fmt is None:
                 return s.cast("timestamp")
             return F.to_timestamp(s, _strftime_to_spark(fmt))
+        if op == "$convert":
+            type_map = {
+                "int": "int", "long": "long", "double": "double",
+                "decimal": "decimal(38,10)", "bool": "boolean",
+                "string": "string", "date": "timestamp",
+            }
+            to = arg["to"]
+            if to not in type_map:
+                raise ValueError(f"unsupported $convert target: {to!r}")
+            inp = _expr(arg["input"])
+            conv = inp.try_cast(type_map[to])
+            out = conv
+            if "onError" in arg:
+                # deviation (documented): a failed cast with no
+                # onError yields null, where Mongo raises
+                out = F.when(inp.isNotNull() & conv.isNull(),
+                             _expr(arg["onError"])).otherwise(conv)
+            if "onNull" in arg:
+                out = F.when(inp.isNull(),
+                             _expr(arg["onNull"])).otherwise(out)
+            return out
         if op == "$zip":
             return F.arrays_zip(*[_expr(i) for i in arg["inputs"]])
         if op == "$getField":

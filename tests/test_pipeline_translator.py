@@ -768,6 +768,27 @@ def test_expression_regex_find(spark):
     assert r.ci is True
 
 
+def test_expression_convert_and_ts_parts(spark):
+    df = spark.createDataFrame(
+        [("42", None, (7 << 32) | 3), ("not a number", "x", 1 << 32)],
+        "s string, maybe string, ts long")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "n": {"$convert": {"input": "$s", "to": "int",
+                               "onError": -1, "onNull": -2}},
+            "filled": {"$convert": {"input": "$maybe", "to": "string",
+                                    "onNull": "missing"}},
+            "sec": {"$tsSecond": "$ts"},
+            "inc": {"$tsIncrement": "$ts"},
+        }},
+        {"$sort": {"sec": -1}},
+    ])
+    rows = out.collect()
+    assert [r.n for r in rows] == [42, -1]
+    assert rows[0].filled == "missing" and rows[1].filled == "x"
+    assert [(r.sec, r.inc) for r in rows] == [(7, 3), (1, 0)]
+
+
 def test_window_fields_covariance_stddev(spark):
     df = spark.createDataFrame(
         [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
