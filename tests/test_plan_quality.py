@@ -416,3 +416,32 @@ def test_decontamination_broadcasts_benchmark(spark):
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_classifier_scores_ride_the_scan(spark):
+    """classifier_quality_mix: scoring is pure projection — exactly one
+    exchange in the plan (the per-source rollup), no window, no join."""
+    df = QUERIES["classifier_quality_mix"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark):
+    """segment_dup_stats: the exploded segment rows shuffle as
+    (doc_id, 32-char md5), never the document text — `text` must not
+    appear in any Exchange's schema."""
+    df = QUERIES["segment_dup_stats"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line, first_line
+
+
+def test_mixture_temperature_windows_post_aggregate(spark):
+    """mixture_temperature: the normalizing window runs over the tiny
+    per-source aggregate, after the one fact-scan rollup."""
+    df = QUERIES["mixture_temperature"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
