@@ -290,6 +290,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="insertion-order column (oldest rows drop first)")
     ret.add_argument("--max-rows", type=int, default=None)
     ret.add_argument("--max-bytes", type=int, default=None)
+    cur = sub.add_parser("curate")
+    cur.add_argument("src", help="source documents parquet")
+    cur.add_argument("out", help="curated output parquet")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--lang", action="append", default=None,
+                     help="accepted languages (repeatable; omit to skip)")
+    cur.add_argument("--classifier-threshold", type=float, default=None)
+    cur.add_argument("--max-dup-segments", type=float, default=None)
+    cur.add_argument("--strip-boilerplate", action="store_true")
+    cur.add_argument("--no-dedup", action="store_true")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -352,6 +362,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "verify":
         return _cmd_verify(args)
+    if args.command == "curate":
+        from hummingbird_spark.operators.curate import curate_corpus
+
+        spark = get_spark(app_name="hummingbird_curate")
+        spark.sparkContext.setLogLevel("ERROR")
+        rep = curate_corpus(
+            spark, spark.read.parquet(args.src), args.out,
+            min_quality=args.min_quality,
+            langs=tuple(args.lang) if args.lang else None,
+            classifier_threshold=args.classifier_threshold,
+            max_dup_segment_fraction=args.max_dup_segments,
+            strip_boilerplate=args.strip_boilerplate,
+            dedup=not args.no_dedup,
+        )
+        print(json.dumps({
+            "command": "curate", "n_input": rep.n_input,
+            "n_kept": rep.n_kept,
+            "keep_rate": round(rep.keep_rate, 6),
+            "dropped": rep.dropped, "out": rep.out_path,
+        }))
+        return 0
     if args.command == "profile":
         # migration-assessment profiling (collstats generalized to
         # column granularity), one scan

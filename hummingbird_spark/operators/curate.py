@@ -1,0 +1,151 @@
+"""End-to-end corpus curation run: score -> filter -> dedup -> WRITE.
+
+The registry's `corpus_curation` query is the read-side probe of this
+pipeline; this operator is the materializing form a training-data run
+executes — it lands the curated corpus to parquet and returns the
+per-reason drop accounting (the number every curation report leads
+with).
+
+Drop-reason semantics follow the usual pipeline convention: each doc
+gets the FIRST reason that disqualifies it, checked in fixed order
+(empty -> quality -> language -> classifier -> dup_segments -> dup),
+so the report's reasons partition the corpus and sum to its size.
+
+Plan shape at 100 TB (same discipline as corpus_curation):
+  - the scored frame is one projection pass over the scan, staged once
+    (localCheckpoint) because three consumers read it (dedup agg,
+    survivor join, report rollup);
+  - exact dedup adds one agg shuffle + a broadcast of the keep set;
+  - segment-fraction screening (optional) adds the two segment
+    shuffles of segment_duplicate_stats;
+  - the write is a straight partitioned append of survivors — no
+    orderBy, no coalesce(1).
+
+Reference tie-in: run_migration (task.go:54-105) is the copy shell;
+curation is the transform stack a reference user would bolt on via
+masks/filters, generalized to the LLM-data surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import (
+    fingerprint,
+    hashed_classifier_score,
+    lang_id,
+    quality_score,
+    strip_repeated_lines,
+    token_count,
+)
+from hummingbird_spark.operators.dedup import (
+    ensure_kernel_parallelism,
+    segment_duplicate_stats,
+)
+
+
+@dataclass
+class CurationReport:
+    """Outcome of a curate_corpus run."""
+    n_input: int
+    n_kept: int
+    dropped: dict[str, int]          # reason -> count
+    out_path: str
+
+    @property
+    def keep_rate(self) -> float:
+        return self.n_kept / self.n_input if self.n_input else 0.0
+
+
+def curate_corpus(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] | None = ("en",),
+    classifier_threshold: float | None = None,
+    max_dup_segment_fraction: float | None = None,
+    strip_boilerplate: bool = False,
+    dedup: bool = True,
+) -> CurationReport:
+    """Run the curation stack over `df` and land survivors at
+    `out_path` (temp-dir + rename swap; safe to re-point at a previous
+    output). Returns the per-reason accounting.
+
+    Filters are opt-out: langs=None skips language screening,
+    classifier_threshold/max_dup_segment_fraction=None skip those
+    stages (and their plan cost) entirely.
+    """
+    src = ensure_kernel_parallelism(df)
+    text = F.col(text_col)
+    if strip_boilerplate:
+        src = src.withColumn(text_col, strip_repeated_lines(text))
+
+    scored = src.withColumns({
+        "__n_tokens": token_count(text),
+        "__fp": fingerprint(text),
+        "__quality": quality_score(text),
+        "__lang": lang_id(text),
+        **({"__cls": hashed_classifier_score(text)}
+           if classifier_threshold is not None else {}),
+    })
+    if max_dup_segment_fraction is not None:
+        seg = segment_duplicate_stats(src, text_col, id_col) \
+            .select(id_col, "dup_fraction")
+        scored = scored.join(seg, id_col, "left") \
+            .withColumn("__segdup", F.coalesce("dup_fraction", F.lit(0.0))) \
+            .drop("dup_fraction")
+    scored = scored.localCheckpoint(eager=False)
+
+    # first-failing-reason, in fixed order
+    reason = F.when(F.col("__n_tokens") == 0, "empty") \
+        .when(F.col("__quality") < min_quality, "quality")
+    if langs is not None:
+        reason = reason.when(~F.col("__lang").isin(*langs), "language")
+    if classifier_threshold is not None:
+        reason = reason.when(F.col("__cls") < classifier_threshold,
+                             "classifier")
+    if max_dup_segment_fraction is not None:
+        reason = reason.when(
+            F.col("__segdup") > max_dup_segment_fraction, "dup_segments")
+    scored = scored.withColumn("__reason", reason)
+
+    passing = scored.filter(F.col("__reason").isNull())
+    if dedup:
+        keep = passing.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        # the checkpointed frame carries no stats; hint the broadcast
+        # (same measured fallback as corpus_curation)
+        survivors = passing.join(F.broadcast(keep), ["__fp", id_col])
+    else:
+        survivors = passing
+
+    aux = ["__n_tokens", "__fp", "__quality", "__lang", "__cls",
+           "__segdup", "__reason"]
+    out = survivors.drop(*[c for c in aux if c in survivors.columns])
+
+    tmp = f"{out_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.rename(tmp, out_path)
+
+    # accounting: filter reasons from the scored frame; the dedup drop
+    # is the passing/kept difference (exact, no extra join)
+    rows = scored.filter(F.col("__reason").isNotNull()) \
+        .groupBy("__reason").count().collect()
+    dropped = {r["__reason"]: r["count"] for r in rows}
+    n_input = scored.count()
+    n_kept = spark.read.parquet(out_path).count()
+    n_passing = n_input - sum(dropped.values())
+    if dedup and n_passing > n_kept:
+        dropped["duplicate"] = n_passing - n_kept
+    return CurationReport(n_input=n_input, n_kept=n_kept,
+                          dropped=dropped, out_path=out_path)

@@ -260,3 +260,15 @@ def test_cli_verify_subset(spark, capsys):
     assert by_q["pricing_summary"]["status"] == "match"
     assert by_q["simhash_dups"]["status"] == "rows_only"
     assert lines[-1]["failures"] == 0
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", f"{SF_SMOKE}/documents.parquet", out,
+                 "--lang", "en", "--min-quality", "0.4"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_input"] == rep["n_kept"] + sum(rep["dropped"].values())
+    assert rep["n_kept"] > 0
+    assert spark.read.parquet(out).count() == rep["n_kept"]

@@ -1,0 +1,63 @@
+"""curate_corpus: the materializing curation run (score -> filter ->
+dedup -> write) with per-reason drop accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from hummingbird_spark.operators.curate import curate_corpus
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds are singing "
+        "in the garden outside the old house near the quiet river "
+        "with many other plain english words in this long sentence")
+FRENCH = ("le chat est sur la table et le chien dort dans le jardin "
+          "avec les oiseaux qui chantent pres de la vieille maison "
+          "et la riviere tranquille coule sous le pont de pierre "
+          "pendant que les enfants jouent dans la rue ce matin")
+
+
+def test_curate_reasons_partition_and_write(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=GOOD),
+        Row(doc_id=2, source="a", text=GOOD),            # exact dup of 1
+        Row(doc_id=3, source="b", text="  " + GOOD + " "),  # fp dup of 1
+        Row(doc_id=4, source="b", text=FRENCH),          # language
+        Row(doc_id=5, source="b", text=""),              # empty
+        Row(doc_id=6, source="c", text="@@ ## $$ %% ^^ && ** (("),  # quality
+        Row(doc_id=7, source="c", text=GOOD.replace("quick", "slow")
+            .replace("lazy", "busy").replace("garden", "meadow")
+            .replace("river", "stream")),                # kept (distinct)
+    ])
+    rep = curate_corpus(spark, df, out, langs=("en",))
+    assert rep.n_input == 7
+    assert rep.dropped["empty"] == 1
+    assert rep.dropped["language"] == 1
+    assert rep.dropped["quality"] == 1
+    assert rep.dropped["duplicate"] == 2
+    assert rep.n_kept == 2
+    assert rep.n_kept + sum(rep.dropped.values()) == rep.n_input
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 7}
+    # aux columns never land in the output
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"doc_id", "source", "text"}
+
+
+def test_curate_optional_stages_and_reswap(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=GOOD),
+        Row(doc_id=2, source="a", text=GOOD + " extra tail"),
+    ])
+    # no language screen, no dedup: both survive
+    rep = curate_corpus(spark, df, out, langs=None, dedup=False)
+    assert rep.n_kept == 2 and rep.dropped == {}
+    assert rep.keep_rate == 1.0
+    # re-running over the same out_path swaps cleanly
+    rep2 = curate_corpus(spark, df, out, langs=None, dedup=False,
+                         classifier_threshold=0.0,
+                         max_dup_segment_fraction=1.0)
+    assert rep2.n_kept == 2
+    assert spark.read.parquet(out).count() == 2
