@@ -59,6 +59,11 @@ PROBES = [
     ("keep_newest_orders", ["orders"]),
     ("doc_chunks", ["documents"]),
     ("profile_orders", ["orders"]),
+    # round-3 continuation
+    ("segment_dup_stats", ["documents"]),
+    ("classifier_quality_mix", ["documents"]),
+    ("mixture_temperature", ["documents"]),
+    ("embedding_dup_clusters", ["embeddings"]),
 ]
 
 EMB_COPIES = 4
