@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 _COMPARISON = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
                "$exists", "$regex", "$options", "$mod", "$size", "$not",
-               "$all", "$elemMatch"}
+               "$all", "$elemMatch", "$bitsAllSet", "$bitsAnySet",
+               "$bitsAllClear", "$bitsAnyClear"}
 
 
 class FilterError(ValueError):
@@ -132,6 +133,20 @@ def _compare(path: str, op: str, value: Any) -> Column:
             lambda a, b: a & b,
             [F.array_contains(col, F.lit(v)) for v in val],
         )
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear",
+              "$bitsAnyClear"):
+        # numeric bitmask form (position arrays: sum(1<<p) first)
+        if isinstance(val, list):
+            mask = sum(1 << int(p) for p in val)
+        else:
+            mask = int(val)
+        anded = col.cast("long").bitwiseAND(F.lit(mask))
+        return {
+            "$bitsAllSet": anded == F.lit(mask),
+            "$bitsAnySet": anded != F.lit(0),
+            "$bitsAllClear": anded == F.lit(0),
+            "$bitsAnyClear": anded != F.lit(mask),
+        }[op]
     raise FilterError(f"unsupported operator {op!r}")
 
 

@@ -96,6 +96,14 @@ def test_not(spark):
     assert _ids(spark, {"n": {"$not": {"$gt": 10}}}) == [1, 2]
 
 
+def test_bits_operators(spark):
+    # n values: 5=0b0101, 10=0b1010, 15=0b1111, 20=0b10100
+    assert _ids(spark, {"n": {"$bitsAllSet": 5}}) == [1, 3]      # 0b0101
+    assert _ids(spark, {"n": {"$bitsAnySet": [1]}}) == [2, 3]    # bit 1
+    assert _ids(spark, {"n": {"$bitsAllClear": 2}}) == [1, 4]
+    assert _ids(spark, {"n": {"$bitsAnyClear": 0b1111}}) == [1, 2, 4]
+
+
 def test_nested_dotted_path(spark):
     df = spark.createDataFrame([Row(_id=1, sub=Row(level1=Row(x=7)))])
     got = df.filter(
