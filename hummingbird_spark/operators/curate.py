@@ -75,6 +75,7 @@ def curate_corpus(
     max_dup_segment_fraction: float | None = None,
     strip_boilerplate: bool = False,
     dedup: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> CurationReport:
     """Run the curation stack over `df` and land survivors at
     `out_path` (temp-dir + rename swap; safe to re-point at a previous
@@ -132,7 +133,12 @@ def curate_corpus(
     out = survivors.drop(*[c for c in aux if c in survivors.columns])
 
     tmp = f"{out_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        # hive-partitioned layout (e.g. lang/source) so downstream
+        # scans of one slice prune directories, not row groups
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
     os.rename(tmp, out_path)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hummingbird_spark.functions.text import (
     fingerprint,
@@ -755,6 +756,61 @@ ORDER BY dup_fraction DESC, doc_id
 """
 
 
+def q_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (MinHash ->
+    connected components) keep their HIGHEST-quality member (ties ->
+    min doc_id) instead of the min-id one — the policy real curation
+    runs use, since the duplicate kept is the one that trains. Returns
+    one row per non-singleton cluster with the winner and its score.
+    Plan: the cluster frame is tiny (only docs in dup pairs); the
+    quality join hits it broadcast-size, then one rank-1 window per
+    cluster."""
+    from hummingbird_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=4, ngram=3)
+    labels = connected_components(pairs, "a", "b")
+    scored = labels.join(
+        d.select(F.col("doc_id").alias("node"),
+                 quality_score(F.col("text")).alias("quality")),
+        "node")
+    w = Window.partitionBy("label").orderBy(
+        F.desc("quality"), F.asc("node"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("node").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_QUALITY_CANONICAL = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+q AS ({ORACLE_DOC_QUALITY}),
+ranked AS (
+  SELECT comp.cluster_id, comp.node, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY q.quality DESC, comp.node)
+           AS rn
+  FROM comp JOIN q ON q.doc_id = comp.node
+)
+SELECT cluster_id, node AS keep_id, quality AS keep_quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 def q_classifier_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter rollup: hashed-linear classifier
     score per doc (scan-side, no shuffle), then per-source keep-rate at
@@ -895,4 +951,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                                ORACLE_CLASSIFIER_MIX,
                                "hashed-linear classifier keep-rate "
                                "per source"),
+    "quality_canonical_dedup": (q_quality_canonical_dedup,
+                                ORACLE_QUALITY_CANONICAL,
+                                "best-quality doc kept per near-dup "
+                                "cluster"),
 }

@@ -55,9 +55,13 @@ def test_curate_optional_stages_and_reswap(spark, tmp_path):
     rep = curate_corpus(spark, df, out, langs=None, dedup=False)
     assert rep.n_kept == 2 and rep.dropped == {}
     assert rep.keep_rate == 1.0
-    # re-running over the same out_path swaps cleanly
+    # re-running over the same out_path swaps cleanly; partitioned
+    # layout prunes by directory
     rep2 = curate_corpus(spark, df, out, langs=None, dedup=False,
                          classifier_threshold=0.0,
-                         max_dup_segment_fraction=1.0)
+                         max_dup_segment_fraction=1.0,
+                         partition_cols=["source"])
     assert rep2.n_kept == 2
     assert spark.read.parquet(out).count() == 2
+    import os
+    assert any(e.startswith("source=") for e in os.listdir(out))
