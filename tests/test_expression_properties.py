@@ -38,8 +38,13 @@ def _gen(rng: random.Random, depth: int, kind: str = "num"):
             return "$" + rng.choice(COLS)
         return rng.randint(-5, 5)
     op = rng.choice(
-        ["$add", "$subtract", "$multiply", "$cond", "$ifNull", "$abs"])
+        ["$add", "$subtract", "$multiply", "$cond", "$ifNull", "$abs",
+         "$max", "$min"])
     if op in ("$add", "$multiply"):
+        return {op: [num() for _ in range(rng.randint(2, 3))]}
+    if op in ("$max", "$min"):
+        # variadic scalar form: null-SKIPPING (greatest/least), unlike
+        # the null-propagating arithmetic ops
         return {op: [num() for _ in range(rng.randint(2, 3))]}
     if op == "$subtract":
         return {op: [num(), num()]}
@@ -108,6 +113,11 @@ def _pyeval(tree, row: dict):
         return False
     if op == "$not":
         return None if vals[0] is None else (not vals[0])
+    if op in ("$max", "$min"):
+        nn = [v for v in vals if v is not None]
+        if not nn:
+            return None
+        return max(nn) if op == "$max" else min(nn)
     raise AssertionError(op)
 
 
@@ -136,3 +146,34 @@ def test_expression_translator_matches_reference_semantics(spark):
             assert got == want, (
                 f"tree {t!r} on row {row}: spark={got!r} py={want!r}"
             )
+
+
+def test_set_operator_family_matches_python_sets(spark):
+    """Randomized differential test for the set-expression family:
+    Spark results must equal Python's set algebra (order-insensitive —
+    Mongo leaves set ORDER unspecified and so do we)."""
+    rng = random.Random(1729)
+    rows = []
+    for _ in range(60):
+        mk = lambda: [rng.randint(0, 6)  # noqa: E731
+                      for _ in range(rng.randint(0, 5))]
+        rows.append((mk(), mk()))
+    df = spark.createDataFrame(rows, "x array<int>, y array<int>")
+
+    out = df.select(
+        "x", "y",
+        _expr({"$setUnion": ["$x", "$y"]}).alias("u"),
+        _expr({"$setIntersection": ["$x", "$y"]}).alias("i"),
+        _expr({"$setDifference": ["$x", "$y"]}).alias("d"),
+        _expr({"$setEquals": ["$x", "$y"]}).alias("eq"),
+        _expr({"$setIsSubset": ["$x", "$y"]}).alias("sub"),
+        _expr({"$size": "$x"}).alias("n"),
+    ).collect()
+    for r in out:
+        sx, sy = set(r.x), set(r.y)
+        assert set(r.u) == sx | sy
+        assert set(r.i) == sx & sy
+        assert set(r.d) == sx - sy
+        assert r.eq == (sx == sy)
+        assert r.sub == (sx <= sy)
+        assert r.n == len(r.x)
