@@ -1157,6 +1157,15 @@ def mongo_pipeline_to_df(
             out = out.offset(int(spec))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$collStats":
+            # count form only: storage/latency stats belong to the
+            # storage layer (operators/profile.py + compact.table_bytes
+            # cover the assessment surface)
+            if set(spec) - {"count"}:
+                raise ValueError(
+                    "$collStats supports only the count form; use the "
+                    "profile CLI for storage-level stats")
+            out = out.agg(F.count(F.lit(1)).alias("count"))
         elif op == "$unwind":
             out = _apply_unwind(out, spec)
         elif op == "$sample":

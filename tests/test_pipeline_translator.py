@@ -768,6 +768,16 @@ def test_expression_regex_find(spark):
     assert r.ci is True
 
 
+def test_coll_stats_count_form(spark):
+    import pytest
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "v long")
+    out = mongo_pipeline_to_df(df, [{"$collStats": {"count": {}}}])
+    assert out.first()["count"] == 7
+    with pytest.raises(ValueError, match="count form"):
+        mongo_pipeline_to_df(df, [{"$collStats": {"storageStats": {}}}])
+
+
 def test_expression_convert_and_ts_parts(spark):
     df = spark.createDataFrame(
         [("42", None, (7 << 32) | 3), ("not a number", "x", 1 << 32)],
