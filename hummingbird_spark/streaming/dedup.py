@@ -111,10 +111,16 @@ def start_streaming_dedup(
     bands: int = 4,
     ngram: int = 3,
     checkpoint: str | None = None,
+    pre_filter=None,
 ) -> StreamingQuery:
     """File-source JSON stream -> per-batch dedup -> survivors append
     to out_path, their band keys to store_path. Idempotent on batch
-    replay via a ledger next to the store."""
+    replay via a ledger next to the store.
+
+    pre_filter: optional DataFrame -> DataFrame transform applied to
+    each batch BEFORE dedup (quality/language cuts — docs it drops
+    never enter the store, so the stream is a full online curation
+    path: filter -> near-dedup -> append)."""
     ledger = store_path + ".ledger"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -124,6 +130,8 @@ def start_streaming_dedup(
                 applied = fh.read().split()
         if str(batch_id) in applied:
             return
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
         survivors, bands_df = dedup_batch_against_store(
             spark, batch_df, store_path, text_col, id_col,
             threshold, num_hashes, bands, ngram)

@@ -108,3 +108,23 @@ def test_streaming_dedup_replay_is_noop(spark, tmp_path):
     surv, bands = dedup_batch_against_store(
         spark, batch, store, threshold=0.5)
     assert surv.count() == 0 and bands.count() == 0
+
+
+def test_streaming_dedup_pre_filter(spark, tmp_path):
+    """pre_filter runs before dedup: filtered docs never reach the
+    output OR the band store."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    _write(src, "0.json", [(1, BASE), (2, "tiny"), (3, FAR)])
+    q = start_streaming_dedup(
+        spark, src, out, store, SCHEMA, threshold=0.5,
+        checkpoint=str(tmp_path / "ckpt"),
+        pre_filter=lambda df: df.filter(F.length("text") > 50))
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}
+    # 2 docs x 4 bands; the filtered doc contributed nothing
+    assert spark.read.parquet(store).count() == 8
