@@ -76,6 +76,7 @@ def curate_corpus(
     strip_boilerplate: bool = False,
     dedup: bool = True,
     partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> CurationReport:
     """Run the curation stack over `df` and land survivors at
     `out_path` (temp-dir + rename swap; safe to re-point at a previous
@@ -132,13 +133,13 @@ def curate_corpus(
            "__segdup", "__reason"]
     out = survivors.drop(*[c for c in aux if c in survivors.columns])
 
+    from hummingbird_spark.sources.tables import read_source, write_sink
+
     tmp = f"{out_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    writer = out.write.mode("overwrite")
-    if partition_cols:
-        # hive-partitioned layout (e.g. lang/source) so downstream
-        # scans of one slice prune directories, not row groups
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
+    # hive-partitioned layout (e.g. lang/source) so downstream scans
+    # of one slice prune directories, not row groups; fmt=jsonl emits
+    # the sharded-JSONL layout LLM training loaders consume
+    write_sink(out, tmp, fmt=fmt, partition_cols=partition_cols)
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
     os.rename(tmp, out_path)
@@ -149,7 +150,11 @@ def curate_corpus(
         .groupBy("__reason").count().collect()
     dropped = {r["__reason"]: r["count"] for r in rows}
     n_input = scored.count()
-    n_kept = spark.read.parquet(out_path).count()
+    kept_schema = out.schema if fmt in ("json", "jsonl", "ndjson") \
+        else None
+    n_kept = read_source(
+        spark, out_path, fmt=fmt,
+        **({"schema": kept_schema} if kept_schema else {})).count()
     n_passing = n_input - sum(dropped.values())
     if dedup and n_passing > n_kept:
         dropped["duplicate"] = n_passing - n_kept

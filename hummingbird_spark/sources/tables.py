@@ -76,8 +76,8 @@ def read_source(spark: SparkSession, path: str,
     an explicit schema= option on big row-format inputs."""
     if fmt is None:
         base = path[:-3] if path.endswith(".gz") else path
-        ext = os.path.splitext(base)[1].lstrip(".").lower()
-        fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(ext, ext)
+        fmt = os.path.splitext(base)[1].lstrip(".").lower()
+    fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(fmt, fmt)
     schema = options.pop("schema", None)
     reader = spark.read
     if schema is not None:
@@ -98,6 +98,34 @@ def read_source(spark: SparkSession, path: str,
             opts.setdefault("sep", "\t")
         return reader.options(**opts).csv(path)
     raise ValueError(f"unsupported source format {fmt!r} for {path}")
+
+
+def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
+               mode: str = "overwrite", partition_cols=None,
+               compression: str | None = None, **options) -> None:
+    """Format-dispatched write — the mirror of read_source. parquet is
+    the scan-optimized default; jsonl/csv are interchange surfaces
+    (each output file is a valid JSONL/CSV shard, the layout LLM
+    training loaders consume). compression: e.g. 'zstd' (parquet/orc)
+    or 'gzip' (jsonl/csv) — at 100 TB the codec choice is a real
+    storage/scan-cost knob, so it is explicit here."""
+    fmt = {"json": "json", "jsonl": "json", "ndjson": "json",
+           "tsv": "csv"}.get(fmt, fmt)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*list(partition_cols))
+    if compression is not None:
+        options["compression"] = compression
+    if fmt == "parquet":
+        writer.options(**options).parquet(path)
+    elif fmt == "orc":
+        writer.options(**options).orc(path)
+    elif fmt == "json":
+        writer.options(**options).json(path)
+    elif fmt == "csv":
+        writer.options(**{"header": "true", **options}).csv(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
 
 
 def _utc_ns(bound: str) -> int:

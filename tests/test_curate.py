@@ -65,3 +65,20 @@ def test_curate_optional_stages_and_reswap(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     import os
     assert any(e.startswith("source=") for e in os.listdir(out))
+
+
+def test_curate_jsonl_output(spark, tmp_path):
+    import glob
+
+    out = str(tmp_path / "curated_jsonl")
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=GOOD),
+        Row(doc_id=2, source="a", text=GOOD),
+    ])
+    rep = curate_corpus(spark, df, out, langs=None, fmt="jsonl")
+    assert rep.n_kept == 1
+    shards = glob.glob(f"{out}/*.json")
+    assert shards
+    import json as _json
+    rows = [_json.loads(line) for p in shards for line in open(p)]
+    assert [r["doc_id"] for r in rows] == [1]
