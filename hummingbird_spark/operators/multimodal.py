@@ -216,3 +216,61 @@ def write_partitioned_by_kind(df: DataFrame, path: str) -> None:
     """Modality-partitioned layout: per-kind pipelines read only their
     partition (partition pruning at the source)."""
     df.write.mode("overwrite").partitionBy("kind").parquet(path)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("start_ms", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+])
+
+
+def audio_window_features(df: DataFrame,
+                          window_ms: int = 100) -> DataFrame:
+    """Per-window audio features: each audio payload explodes into
+    ceil(duration_ms / window_ms) rows of (media_id, window_idx,
+    start_ms, rms, zero_crossings) — the 1->N Arrow batch shape of
+    distributed audio feature extraction (the frame_sample_plan
+    analogue for the time axis).
+
+    Codec seam: with soundfile/librosa installed the kernel would
+    decode PCM and compute real RMS/ZCR per window; the deterministic
+    fallback derives per-window pseudo-samples from
+    sha256(payload || window_idx), so row counts, schema, and
+    determinism behave exactly like the real kernel. Bytes move as
+    Arrow record batches; the per-window rows carry no payload, so
+    the explosion shuffles features, never audio."""
+    import numpy as np
+
+    a = df.filter(F.col("kind") == "audio").select(
+        "media_id", "data", F.col("meta.duration_ms").alias("dur"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "start_ms": [],
+                   "rms": [], "zero_crossings": []}
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"])
+                if data[:4] != _MAGIC:
+                    raise NotImplementedError(
+                        "no audio codec available for non-HBMM payload "
+                        "(soundfile/librosa not installed)")
+                dur = int(r["dur"] or 0)
+                n_win = max(1, -(-dur // window_ms))
+                for w in range(n_win):
+                    seed = hashlib.sha256(
+                        data + w.to_bytes(4, "little")).digest()
+                    samples = (np.frombuffer(seed, dtype=np.uint8)
+                               .astype(np.float32) - 127.5) / 127.5
+                    out["media_id"].append(r["media_id"])
+                    out["window_idx"].append(w)
+                    out["start_ms"].append(w * window_ms)
+                    out["rms"].append(
+                        float(np.sqrt((samples ** 2).mean())))
+                    out["zero_crossings"].append(
+                        int((np.diff(np.sign(samples)) != 0).sum()))
+            yield pd.DataFrame(out)
+
+    return a.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)

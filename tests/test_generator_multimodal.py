@@ -161,3 +161,30 @@ def test_resize_media_roundtrip(spark):
     assert [(m[0], m[1]) for m in meta] == [(32, 24)]
     big = decode_media(resize_media(media, 640, 480)).first()
     assert big.byte_len > feats[0].byte_len
+
+
+def test_audio_window_features(spark):
+    from hummingbird_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    media = synth_media(spark, 9)   # 3 audio rows
+    meta = {r.media_id: r.meta for r in
+            media.filter("kind = 'audio'").collect()}
+    rows = audio_window_features(media, window_ms=250).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(meta)
+    for mid, wins in by_id.items():
+        expect = max(1, -(-meta[mid].duration_ms // 250))
+        assert len(wins) == expect
+        idxs = sorted(w.window_idx for w in wins)
+        assert idxs == list(range(expect))
+        assert all(0.0 <= w.rms <= 1.0 for w in wins)
+        assert all(w.start_ms == w.window_idx * 250 for w in wins)
+    # deterministic across runs
+    again = {(r.media_id, r.window_idx): r.rms
+             for r in audio_window_features(media, window_ms=250)
+             .collect()}
+    assert again == {(r.media_id, r.window_idx): r.rms for r in rows}
