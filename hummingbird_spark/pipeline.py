@@ -357,6 +357,10 @@ def _expr_v(spec: Any, variables: dict) -> Column:
         op, arg = next(iter(spec.items()))
         if op == "$literal":
             return F.lit(arg)
+        if op == "$meta":
+            if arg not in ("vectorSearchScore", "searchScore"):
+                raise ValueError(f"unsupported $meta: {arg!r}")
+            return F.col("__vs_score")
         if op == "$map":
             as_name = arg.get("as", "this")
             return F.transform(
@@ -1130,11 +1134,16 @@ def mongo_pipeline_to_df(
     """Apply an aggregation pipeline to a DataFrame, stage by stage.
     `tables` names the foreign frames $lookup may reference."""
     out = df
-    for stage in stages:
+    for i, stage in enumerate(stages):
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise ValueError(f"each stage must have exactly one key: {stage!r}")
         op, spec = next(iter(stage.items()))
-        if op == "$match":
+        if op == "$vectorSearch":
+            if i != 0:
+                raise ValueError(
+                    "$vectorSearch must be the first pipeline stage")
+            out = _apply_vector_search(out, spec)
+        elif op == "$match":
             out = out.filter(mongo_filter_to_column(spec))
         elif op == "$group":
             out = _apply_group(out, spec)
@@ -1269,7 +1278,55 @@ def mongo_pipeline_to_df(
             out = merged
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
+    # Mongo hides the vector-search score unless a later stage projects
+    # it via {$meta: "vectorSearchScore"}
+    if "__vs_score" in out.columns:
+        out = out.drop("__vs_score")
     return out
+
+
+def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:
+    """$vectorSearch (Atlas vector search, first-stage only) over an
+    array<float> column. exact=True scores every row (ENN); the default
+    ANN path prunes to sign-LSH buckets within hamming<=2 of the
+    query's bucket before exact rescoring — numCandidates only bounds
+    the rescore set, as in Atlas. An optional `filter` (find() dialect)
+    applies BEFORE scoring so the scan prunes first. The score is kept
+    in a hidden column surfaced by {$meta: "vectorSearchScore"}."""
+    from hummingbird_spark.operators.similarity import (
+        _query_bucket,
+        _vec_lit,
+        cosine,
+        lsh_bucket,
+        random_hyperplanes,
+    )
+
+    path = spec["path"]
+    qvec = [float(x) for x in spec["queryVector"]]
+    limit = int(spec["limit"])
+    out = df
+    if spec.get("filter"):
+        out = out.filter(mongo_filter_to_column(spec["filter"]))
+    if not spec.get("exact", False):
+        n_planes = 8
+        planes = random_hyperplanes(len(qvec), n_planes)
+        qb = _query_bucket(qvec, planes)
+        probe = {qb}
+        for j in range(n_planes):
+            probe.add(qb ^ (1 << j))
+            for k in range(j + 1, n_planes):
+                probe.add(qb ^ (1 << j) ^ (1 << k))
+        out = out.withColumn(
+            "__vs_bucket", lsh_bucket(F.col(path), planes)
+        ).filter(F.col("__vs_bucket").isin(*probe)).drop("__vs_bucket")
+        n_cand = int(spec.get("numCandidates", limit * 10))
+        score = F.round(cosine(F.col(path), _vec_lit(qvec), len(qvec)), 6)
+        out = out.withColumn("__vs_score", score) \
+            .orderBy(F.desc("__vs_score")).limit(max(n_cand, limit))
+    else:
+        score = F.round(cosine(F.col(path), _vec_lit(qvec), len(qvec)), 6)
+        out = out.withColumn("__vs_score", score)
+    return out.orderBy(F.desc("__vs_score")).limit(limit)
 
 
 def run_pipeline(

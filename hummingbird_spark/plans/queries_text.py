@@ -655,6 +655,24 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_vector_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo $vectorSearch run verbatim through the pipeline
+    translator (exact path): identical semantics to knn_exact, so the
+    brute-force oracle is a true equivalent — proving the Atlas
+    vector-search surface end-to-end through the driver gate."""
+    from hummingbird_spark.pipeline import mongo_pipeline_to_df
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mongo_pipeline_to_df(e, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": _query_vec(spark, sf_dir),
+                           "limit": 10, "exact": True}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+        {"$sort": {"score": -1, "vec_id": 1}},
+    ])
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, _query_vec(spark, sf_dir), k=10, n_planes=8,
@@ -955,4 +973,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                                 ORACLE_QUALITY_CANONICAL,
                                 "best-quality doc kept per near-dup "
                                 "cluster"),
+    "vector_search_pipeline": (q_vector_search_pipeline, ORACLE_KNN,
+                               "$vectorSearch stage through the "
+                               "pipeline translator (exact path)"),
 }

@@ -768,6 +768,54 @@ def test_expression_regex_find(spark):
     assert r.ci is True
 
 
+def test_vector_search_stage(spark):
+    import pytest
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mongo_pipeline_to_df(df, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": [1.0, 0.0, 0.0, 0.0],
+                           "limit": 2, "exact": True}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ])
+    got = [(r.vec_id, r.score) for r in out.collect()]
+    assert [v for v, _ in got] == [1, 2]
+    assert got[0][1] == 1.0
+
+    # score stays hidden without the $meta projection
+    bare = mongo_pipeline_to_df(df, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": [1.0, 0.0, 0.0, 0.0],
+                           "limit": 2, "exact": True}},
+    ])
+    assert bare.columns == ["vec_id", "embedding"]
+
+    # ANN path recalls the exact neighbor on a planted corpus, and a
+    # pre-filter prunes before scoring
+    ann = mongo_pipeline_to_df(df, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": [1.0, 0.0, 0.0, 0.0],
+                           "limit": 1, "numCandidates": 4,
+                           "filter": {"vec_id": {"$ne": 1}}}},
+    ])
+    assert [r.vec_id for r in ann.collect()] == [2]
+
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        mongo_pipeline_to_df(df, [
+            {"$limit": 3},
+            {"$vectorSearch": {"path": "embedding",
+                               "queryVector": [1.0, 0.0, 0.0, 0.0],
+                               "limit": 1}},
+        ])
+
+
 def test_coll_stats_count_form(spark):
     import pytest
 
