@@ -61,6 +61,7 @@ with Mongo on the Gregorian calendar).
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import uuid
@@ -1143,6 +1144,18 @@ def mongo_pipeline_to_df(
                 raise ValueError(
                     "$vectorSearch must be the first pipeline stage")
             out = _apply_vector_search(out, spec)
+        elif op == "$documents":
+            if i != 0:
+                raise ValueError(
+                    "$documents must be the first pipeline stage")
+            if not isinstance(spec, list) or not spec:
+                raise ValueError("$documents requires a non-empty array")
+            out = df.sparkSession.createDataFrame(spec)
+        elif op == "$geoNear":
+            if i != 0:
+                raise ValueError(
+                    "$geoNear must be the first pipeline stage")
+            out = _apply_geo_near(out, spec)
         elif op == "$match":
             out = out.filter(mongo_filter_to_column(spec))
         elif op == "$group":
@@ -1283,6 +1296,44 @@ def mongo_pipeline_to_df(
     if "__vs_score" in out.columns:
         out = out.drop("__vs_score")
     return out
+
+
+_EARTH_RADIUS_M = 6_378_100.0  # MongoDB's earth radius constant
+
+
+def _apply_geo_near(df: DataFrame, spec: dict) -> DataFrame:
+    """$geoNear (first-stage only) without a geo index: the `key`
+    column holds [lon, lat]; distance to `near` is computed per row
+    (haversine on the Mongo earth radius for spherical=true, planar
+    euclidean in coordinate units otherwise), filtered by
+    min/maxDistance, sorted ascending into `distanceField`. On a
+    lat-partitioned/z-ordered table the min/max predicate is the
+    pushdown handle; the sort is the same TakeOrdered every top-k
+    query compiles to."""
+    near = [float(x) for x in spec["near"]]
+    key = spec.get("key", "location")
+    dist_field = spec["distanceField"]
+    lon, lat = F.element_at(F.col(key), 1), F.element_at(F.col(key), 2)
+    if spec.get("spherical", False):
+        lam1, phi1 = F.radians(lon), F.radians(lat)
+        lam2, phi2 = math.radians(near[0]), math.radians(near[1])
+        a = (
+            F.pow(F.sin((F.lit(phi2) - phi1) / 2), 2)
+            + F.cos(phi1) * F.lit(math.cos(phi2))
+            * F.pow(F.sin((F.lit(lam2) - lam1) / 2), 2)
+        )
+        dist = F.lit(2 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    else:
+        dist = F.sqrt(F.pow(lon - near[0], 2) + F.pow(lat - near[1], 2))
+    mult = float(spec.get("distanceMultiplier", 1.0))
+    out = df.withColumn(dist_field, F.round(dist * mult, 6))
+    if spec.get("query"):
+        out = out.filter(mongo_filter_to_column(spec["query"]))
+    if "minDistance" in spec:
+        out = out.filter(F.col(dist_field) >= float(spec["minDistance"]))
+    if "maxDistance" in spec:
+        out = out.filter(F.col(dist_field) <= float(spec["maxDistance"]))
+    return out.orderBy(F.asc(dist_field))
 
 
 def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:

@@ -816,6 +816,43 @@ def test_vector_search_stage(spark):
         ])
 
 
+def test_documents_stage(spark):
+    df = spark.createDataFrame([(0,)], "ignore long")
+    out = mongo_pipeline_to_df(df, [
+        {"$documents": [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}]},
+        {"$match": {"k": {"$gte": 2}}},
+    ])
+    assert [(r.k, r.s) for r in out.collect()] == [(2, "b")]
+
+
+def test_geo_near_stage(spark):
+    import math as m
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [3.0, 4.0]),      # planar distance 5 from origin
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "pid long, location array<double>")
+    out = mongo_pipeline_to_df(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "location",
+                      "distanceField": "dist", "maxDistance": 5.0}},
+    ])
+    got = [(r.pid, r.dist) for r in out.collect()]
+    assert got == [(1, 0.0), (3, 1.0), (2, 5.0)]
+
+    # spherical: 1 degree of latitude at the equator on Mongo's earth
+    # radius = R * pi/180 meters
+    sph = mongo_pipeline_to_df(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "location",
+                      "distanceField": "d", "spherical": True,
+                      "query": {"pid": {"$ne": 2}}}},
+    ]).collect()
+    assert [r.pid for r in sph] == [1, 3]
+    expect = 6_378_100.0 * m.pi / 180
+    assert abs(sph[1].d - expect) < 1.0
+
+
 def test_coll_stats_count_form(spark):
     import pytest
 
