@@ -44,6 +44,16 @@ Supported stages:
                anti-join against existing points (no driver loop)
   $fill     -> value fill (coalesce) or locf
                (last(ignorenulls) over unbounded-preceding)
+  $collStats -> count form (storage stats live in operators/profile)
+  $documents -> literal-doc source (first stage)
+  $geoNear  -> per-row haversine/planar distance + ascending sort
+               (first stage; no geo index — the distance predicate is
+               the pushdown handle on a z-ordered table)
+  $vectorSearch -> exact or LSH-pruned ANN cosine top-k over an
+               array<float> column; score via {$meta:
+               "vectorSearchScore"} (first stage)
+  $merge    -> terminal upsert incl. the whenMatched PIPELINE form
+               ($$new / custom let vars, stages over matched docs)
 
 Group `_id` forms: None (global), "$field", {alias: "$field", ...}
 (compound key). The output column is named `_id` exactly as Mongo
