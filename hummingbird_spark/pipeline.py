@@ -829,6 +829,43 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 for c, d in sort_by.items()
             ])
             col = rank_ops[op]().over(w)
+        elif op == "$derivative":
+            if not sort_by or len(sort_by) != 1:
+                raise ValueError("$derivative requires one sortBy field")
+            w = _window_frame(base, sort_by, window_spec)
+            sfield = next(iter(sort_by))
+            y = _expr(arg["input"]).cast("double")
+            x = F.col(sfield).cast("double")  # timestamps -> epoch s
+            dy = F.last(y).over(w) - F.first(y).over(w)
+            dx = F.last(x).over(w) - F.first(x).over(w)
+            unit = arg.get("unit")
+            if unit is not None:
+                secs = {"week": 604800.0, "day": 86400.0, "hour": 3600.0,
+                        "minute": 60.0, "second": 1.0,
+                        "millisecond": 0.001}[unit]
+                dx = dx / F.lit(secs)
+            col = F.when(dx != 0, dy / dx)
+        elif op == "$expMovingAvg":
+            # EMA is inherently sequential: fold the ordered prefix of
+            # inputs per row (collect_list over unbounded-preceding +
+            # aggregate HOF). O(n) values per row — fine at rollup
+            # granularity, a scale smell on million-row partitions,
+            # exactly like Mongo's own per-partition scan.
+            if not sort_by:
+                raise ValueError("$expMovingAvg requires sortBy")
+            if "N" in arg:
+                alpha = 2.0 / (float(arg["N"]) + 1.0)
+            else:
+                alpha = float(arg["alpha"])
+            w = _window_frame(
+                base, sort_by, {"documents": ["unbounded", "current"]})
+            vals = F.collect_list(
+                _expr(arg["input"]).cast("double")).over(w)
+            col = F.aggregate(
+                vals, F.lit(None).cast("double"),
+                lambda acc, v: F.when(acc.isNull(), v).otherwise(
+                    F.lit(alpha) * v + F.lit(1.0 - alpha) * acc),
+            )
         elif op == "$shift":
             if not sort_by:
                 raise ValueError("$shift requires sortBy")

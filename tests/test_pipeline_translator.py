@@ -884,6 +884,39 @@ def test_expression_convert_and_ts_parts(spark):
     assert [(r.sec, r.inc) for r in rows] == [(7, 3), (1, 0)]
 
 
+def test_window_fields_derivative_and_ema(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 10, 20.0), ("a", 20, 60.0)],
+        "g string, t long, y double")
+    out = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"t": 1},
+            "output": {
+                "slope": {"$derivative": {"input": "$y"},
+                          "window": {"documents": [-1, 0]}},
+                "ema": {"$expMovingAvg": {"input": "$y", "N": 1}},
+            }}},
+        {"$sort": {"t": 1}},
+    ])
+    rows = out.collect()
+    # pairwise slopes: none for first row (dx=0 -> null), then 2, 4
+    assert rows[0].slope is None
+    assert rows[1].slope == 2.0 and rows[2].slope == 4.0
+    # N=1 -> alpha=1: EMA tracks the input exactly
+    assert [r.ema for r in rows] == [0.0, 20.0, 60.0]
+
+    # alpha form: ema_i = a*y_i + (1-a)*ema_{i-1}
+    out2 = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$y",
+                                                 "alpha": 0.5}}}}},
+        {"$sort": {"t": 1}},
+    ]).collect()
+    assert [r.ema for r in out2] == [0.0, 10.0, 35.0]
+
+
 def test_window_fields_covariance_stddev(spark):
     df = spark.createDataFrame(
         [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
