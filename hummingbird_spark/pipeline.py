@@ -45,6 +45,9 @@ Supported stages:
   $fill     -> value fill (coalesce) or locf
                (last(ignorenulls) over unbounded-preceding)
   $collStats -> count form (storage stats live in operators/profile)
+  $redact   -> schema-driven recursive document-level access control
+               ($$PRUNE/$$KEEP/$$DESCEND compiled to nested
+               when()/struct() — the masking transform generalized)
   $documents -> literal-doc source (first stage)
   $geoNear  -> per-row haversine/planar distance + ascending sort
                (first stage; no geo index — the distance predicate is
@@ -1203,6 +1206,8 @@ def mongo_pipeline_to_df(
                 raise ValueError(
                     "$geoNear must be the first pipeline stage")
             out = _apply_geo_near(out, spec)
+        elif op == "$redact":
+            out = _apply_redact(out, spec)
         elif op == "$match":
             out = out.filter(mongo_filter_to_column(spec))
         elif op == "$group":
@@ -1343,6 +1348,74 @@ def mongo_pipeline_to_df(
     if "__vs_score" in out.columns:
         out = out.drop("__vs_score")
     return out
+
+
+def _apply_redact(df: DataFrame, spec: Any) -> DataFrame:
+    """$redact: per-document (and recursively per embedded document /
+    array-of-documents element) access control. The expression
+    evaluates at every document level to $$PRUNE (drop this level),
+    $$KEEP (keep subtree as-is, stop recursing), or $$DESCEND (keep
+    this level's scalars, recurse into subdocuments) — the
+    field-level-security generalization of the reference's masking
+    transform (mask.go:23-49 recurses subdocs/arrays the same way).
+
+    Schema-driven: Spark knows every struct's shape, so the recursion
+    is compiled into nested when()/struct() expressions — one pass, no
+    UDF. Restriction (documented): field refs inside the condition are
+    single-level names resolved at the CURRENT level (Mongo's own
+    common usage); dotted refs raise."""
+    from pyspark.sql import types as T
+
+    def _rebase(tree: Any) -> Any:
+        # "$f" -> "$$doc.f" so the same condition evaluates against
+        # whichever level's struct is bound as $$doc
+        if isinstance(tree, str) and tree.startswith("$") \
+                and not tree.startswith("$$"):
+            if "." in tree:
+                raise ValueError(
+                    "$redact: dotted field refs are unsupported — the "
+                    "condition binds to the current document level")
+            return "$$doc." + tree[1:]
+        if isinstance(tree, list):
+            return [_rebase(x) for x in tree]
+        if isinstance(tree, dict):
+            return {k: _rebase(v) for k, v in tree.items()}
+        return tree
+
+    sentinels = {"PRUNE": F.lit("__prune__"), "KEEP": F.lit("__keep__"),
+                 "DESCEND": F.lit("__descend__")}
+    rebased = _rebase(spec)
+
+    def decision(base: Column | None) -> Column:
+        if base is None:
+            return _expr_v(spec, dict(sentinels))
+        return _expr_v(rebased, {**sentinels, "doc": base})
+
+    def redact_value(col: Column, dtype) -> Column:
+        if isinstance(dtype, T.StructType):
+            d = decision(col)
+            rebuilt = F.struct(*[
+                redact_value(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ])
+            return F.when(col.isNull() | (d == "__prune__"),
+                          F.lit(None).cast(dtype)) \
+                .when(d == "__keep__", col).otherwise(rebuilt)
+        if isinstance(dtype, T.ArrayType) and \
+                isinstance(dtype.elementType, T.StructType):
+            et = dtype.elementType
+            kept = F.filter(col, lambda e: decision(e) != "__prune__")
+            return F.transform(kept, lambda e: redact_value(e, et))
+        return col
+
+    root = decision(None)
+    out = df.filter(root != "__prune__")
+    return out.select(*[
+        F.when(root == "__keep__", F.col(f.name))
+        .otherwise(redact_value(F.col(f.name), f.dataType))
+        .alias(f.name)
+        for f in df.schema.fields
+    ])
 
 
 _EARTH_RADIUS_M = 6_378_100.0  # MongoDB's earth radius constant

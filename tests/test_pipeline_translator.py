@@ -816,6 +816,42 @@ def test_vector_search_stage(spark):
         ])
 
 
+def test_redact_stage(spark):
+    """The canonical Mongo $redact shape: per-level access control —
+    a level tagged above the clearance is pruned WITH its subtree;
+    cleared levels descend; arrays of subdocs filter element-wise."""
+    rows = [
+        (1, 1,
+         (9, "classified", (1, "never seen")),     # secret: pruned
+         (2, "public", (9, "classified inner")),   # pub: descend
+         [(1, "x"), (9, "y")]),                    # items: y pruned
+        (2, 9, (1, "a", (1, "b")), (1, "c", (1, "d")), [(1, "z")]),
+    ]
+    df = spark.createDataFrame(rows, """
+        _id long, level int,
+        secret struct<level:int, note:string,
+                      inner:struct<level:int, note:string>>,
+        pub struct<level:int, note:string,
+                   inner:struct<level:int, note:string>>,
+        items array<struct<level:int, tag:string>>
+    """)
+    cond = {"$cond": [{"$lte": ["$level", 5]}, "$$DESCEND", "$$PRUNE"]}
+    out = {r._id: r for r in mongo_pipeline_to_df(
+        df, [{"$redact": cond}]).collect()}
+    assert set(out) == {1}                  # doc 2's root level 9 pruned
+    r = out[1]
+    assert r.secret is None                 # level-9 subtree gone
+    assert r.pub.note == "public"           # level-2: kept scalars
+    assert r.pub.inner is None              # ...but its level-9 inner gone
+    assert [(e.level, e.tag) for e in r.items] == [(1, "x")]
+
+    # $$KEEP stops recursion: everything below survives untouched
+    keep_all = {"$cond": [{"$lte": ["$level", 5]}, "$$KEEP", "$$PRUNE"]}
+    k = {r._id: r for r in mongo_pipeline_to_df(
+        df, [{"$redact": keep_all}]).collect()}
+    assert k[1].secret.note == "classified"   # KEEP at root: no descent
+
+
 def test_documents_stage(spark):
     df = spark.createDataFrame([(0,)], "ignore long")
     out = mongo_pipeline_to_df(df, [
