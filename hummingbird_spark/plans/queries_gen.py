@@ -63,9 +63,32 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio time-axis explode: per-window RMS/ZCR features rolled up
+    per clip (deterministic surrogate DSP; Arrow 1->N batch shape) ->
+    rows-only."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    media = synth_media(spark, 120)
+    wins = audio_window_features(media, window_ms=100)
+    return (
+        wins.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.sum("zero_crossings").alias("total_zc"),
+        )
+        .orderBy("media_id")
+    )
+
+
 GEN_QUERIES: dict[str, tuple] = {
     "docgen_all_types": (q_docgen, ORACLE_DOCGEN,
                          "G1 DocGen arithmetic parity"),
     "media_pipeline": (q_media_pipeline, None,
                        "multimodal decode+feature pipeline (rows-only)"),
+    "audio_windows": (q_audio_windows, None,
+                      "per-window audio features rollup (rows-only)"),
 }
