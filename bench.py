@@ -98,6 +98,22 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Warm EVERY plan once at sf0.001 before timing at SF_DIR: the
+    # generated whole-stage-codegen classes depend on plan structure,
+    # not input size, so the tiny pass compiles (janino) and JITs each
+    # query's code while touching ~1k rows. Without this the first
+    # slots of the rotation-ordered registry absorb all first-plan
+    # compilation (measured: profile_orders 4.5s cold vs 1.6s warm)
+    # and per-round rotations masquerade as regressions.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(
+            warm_dir) != os.path.realpath(SF_DIR):
+        for name, spec in QUERIES.items():
+            try:
+                spec.spark(spark, warm_dir).collect()
+            except Exception:
+                pass  # timed run will surface any real failure
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
