@@ -1307,3 +1307,71 @@ def test_get_field(spark):
     ])
     r = out.first()
     assert (r.aa, r.bb) == (1, "x")
+
+
+def test_redact_matches_reference_interpreter(spark):
+    """Differential test: $redact over 40 random nested docs must equal
+    a direct Python interpreter of the $$PRUNE/$$KEEP/$$DESCEND
+    semantics (prune removes the subtree, keep stops recursion,
+    descend recurses into subdocs and array-of-doc elements)."""
+    import random as _r
+
+    rng = _r.Random(77)
+
+    def gen_doc(i):
+        return (
+            i, rng.randint(0, 9),
+            (rng.randint(0, 9), rng.randint(0, 99),
+             (rng.randint(0, 9), rng.randint(0, 99))),
+            [(rng.randint(0, 9), rng.randint(0, 99))
+             for _ in range(rng.randint(0, 3))],
+        )
+
+    rows = [gen_doc(i) for i in range(40)]
+    df = spark.createDataFrame(rows, """
+        _id long, level int,
+        sub struct<level:int, v:int, inner:struct<level:int, v:int>>,
+        items array<struct<level:int, v:int>>
+    """)
+    cut = 5
+    cond = {"$cond": [{"$lt": ["$level", cut]}, "$$DESCEND", "$$PRUNE"]}
+
+    def redact_py(doc):
+        # doc: dict with level + nested; returns redacted or None
+        if doc["level"] >= cut:
+            return None
+        out = dict(doc)
+        for k, v in doc.items():
+            if isinstance(v, dict):
+                out[k] = redact_py(v)
+            elif isinstance(v, list):
+                out[k] = [e for e in (redact_py(x) for x in v)
+                          if e is not None]
+        return out
+
+    expect = {}
+    for (_id, level, (sl, sv, (il, iv)), items) in rows:
+        doc = {"level": level,
+               "sub": {"level": sl, "v": sv,
+                       "inner": {"level": il, "v": iv}},
+               "items": [{"level": l, "v": v} for l, v in items]}
+        red = redact_py(doc)
+        if red is not None:
+            expect[_id] = red
+
+    got = {r._id: r for r in mongo_pipeline_to_df(
+        df, [{"$redact": cond}]).collect()}
+    assert set(got) == set(expect)
+    for _id, want in expect.items():
+        r = got[_id]
+        if want["sub"] is None:
+            assert r.sub is None
+        else:
+            assert (r.sub.level, r.sub.v) == (want["sub"]["level"],
+                                              want["sub"]["v"])
+            if want["sub"]["inner"] is None:
+                assert r.sub.inner is None
+            else:
+                assert r.sub.inner.v == want["sub"]["inner"]["v"]
+        assert [(e.level, e.v) for e in r.items] == \
+            [(e["level"], e["v"]) for e in want["items"]]
