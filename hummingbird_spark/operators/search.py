@@ -1,0 +1,115 @@
+"""Corpus retrieval: BM25 ranking and hybrid (lexical + vector) fusion.
+
+The retrieval side of a training-data/RAG pipeline: BM25 is the
+standard lexical ranker (Robertson/Sparck Jones probabilistic
+weighting), and reciprocal-rank fusion (RRF, Cormack et al. 2009 —
+also Mongo 8's $rankFusion / Atlas hybrid search) combines it with
+embedding similarity without score calibration.
+
+Scale shape:
+  - BM25 is fully relational: tokenize -> explode -> filter to query
+    terms (the filter rides the explode, so only query-term postings
+    shuffle — a handful of terms, not the corpus vocabulary),
+    per-(doc, term) TF, per-term DF as a broadcast (|query| rows),
+    one score aggregation, TakeOrdered top-k. No UDFs.
+  - RRF consumes two ranked lists (top-k each) — post-aggregate
+    frames of k rows; every join in the fusion is broadcast-size.
+
+Determinism: ln() on both engines is the same IEEE double; scores
+round to 6 dp before ordering with an id tie-break, so ranks are
+engine-stable (same discipline as the cosine operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import tokens
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(id, score) for every document matching >=1 query term, BM25:
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d)    = sum_t idf(t) * tf * (k1+1)
+                  / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Matching is lowercase whole-token. The per-term DF table and the
+    (N, avgdl) scalars are broadcast; only query-term postings move.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)),
+                    lambda w: F.lower(w)).alias("__ws"),
+    )
+    lengths = toks.select(id_col, F.size("__ws").alias("__dl"))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    postings = (
+        toks.select(F.col(id_col), F.explode("__ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    tf_term = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf")
+           + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    return (
+        postings
+        .join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_term), 6).alias("score"))
+    )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              **kw) -> DataFrame:
+    scores = bm25_scores(df, query_terms, **kw)
+    id_col = scores.columns[0]
+    return scores.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(ranked: list[DataFrame], id_col: str = "doc_id",
+             rrf_k: int = 60, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (each: (id, score) in
+    rank order already materializable by (score desc, id)):
+    rrf(d) = sum_lists 1 / (rrf_k + rank_d); docs missing from a list
+    contribute nothing for it. The standard calibration-free hybrid
+    combiner ($rankFusion / Cormack et al.)."""
+    from pyspark.sql.window import Window
+
+    contribs = []
+    for i, r in enumerate(ranked):
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        contribs.append(
+            r.select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(float(rrf_k))
+                               + F.row_number().over(w)))
+                .alias("__c"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

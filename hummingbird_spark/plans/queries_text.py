@@ -655,6 +655,111 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+_BM25_TERMS = ["spark", "query", "merge"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus: fully relational
+    (query-term postings only shuffle; per-term DF broadcast)."""
+    from hummingbird_spark.operators.search import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=15)
+
+
+_ORACLE_BM25_BODY = r"""
+toks AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END,
+           w -> lower(w)) AS ws
+  FROM documents
+),
+lens AS (SELECT doc_id, len(ws) AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+  WHERE term IN ('spark', 'query', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM postings GROUP BY term
+),
+bm25 AS (
+  SELECT p.doc_id,
+         round(SUM(
+           ln(1 + (c.n - d.df_t + 0.5) / (d.df_t + 0.5))
+           * p.tf * (1.2 + 1)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN dfreq d USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+"""
+
+ORACLE_BM25 = f"""
+WITH {_ORACLE_BM25_BODY}
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 + exact cosine top-20 fused by
+    reciprocal rank (rrf_k=60, the $rankFusion constant). Both input
+    lists are post-aggregate top-k frames, so every fusion join is
+    broadcast-size."""
+    from hummingbird_spark.operators.search import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, _BM25_TERMS, k=20)
+    vec = cosine_topk(e, _query_vec(spark, sf_dir), k=20).select(
+        F.col("vec_id").alias("doc_id"), "score")
+    return rrf_fuse([lex, vec], k=10)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH {_ORACLE_BM25_BODY},
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM (SELECT doc_id, score FROM bm25
+        ORDER BY score DESC, doc_id LIMIT 20) t
+),
+q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+    round(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+                * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+           i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))))), 6)
+      AS score
+  FROM embeddings e, q
+),
+vec AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM (SELECT doc_id, score FROM cos
+        ORDER BY score DESC, doc_id LIMIT 20) t
+),
+contrib AS (
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM vec
+)
+SELECT doc_id, round(SUM(c), 6) AS rrf_score
+FROM contrib GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
 def q_vector_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo $vectorSearch run verbatim through the pipeline
     translator (exact path): identical semantics to knn_exact, so the
@@ -976,4 +1081,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "vector_search_pipeline": (q_vector_search_pipeline, ORACLE_KNN,
                                "$vectorSearch stage through the "
                                "pipeline translator (exact path)"),
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25,
+                  "BM25 lexical retrieval (relational postings)"),
+    "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF,
+                   "hybrid BM25+vector reciprocal-rank fusion"),
 }

@@ -516,3 +516,40 @@ def test_strip_repeated_lines(spark):
         "Real content sentence one.",
         "Real content sentence two.",
     ]
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a hand-built corpus: more matching terms beat
+    fewer; rare terms outweigh common ones; non-matching docs absent."""
+    from hummingbird_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark query engine with spark shuffle"),
+        Row(doc_id=2, text="query only document here today"),
+        Row(doc_id=3, text="nothing relevant at all whatsoever"),
+        Row(doc_id=4, text="spark spark spark spark spark spark"),
+    ])
+    top = bm25_topk(df, ["spark", "query"], k=10).collect()
+    ids = [r.doc_id for r in top]
+    assert 3 not in ids
+    assert ids[0] == 1                # matches both terms
+    scores = {r.doc_id: r.score for r in top}
+    # tf saturation: six 'spark's beat one 'query' but not both terms
+    assert scores[1] > scores[4] > 0
+    assert all(s > 0 for s in scores.values())
+
+
+def test_rrf_fusion(spark):
+    """RRF: a doc ranked mid-list in BOTH lists beats a doc that tops
+    one list but misses the other (1/61+1/62 > 1/61)."""
+    from hummingbird_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(doc_id=10, score=0.9), Row(doc_id=20, score=0.8)])
+    b = spark.createDataFrame(
+        [Row(doc_id=30, score=0.7), Row(doc_id=20, score=0.6)])
+    fused = rrf_fuse([a, b], k=10).collect()
+    assert fused[0].doc_id == 20
+    got = {r.doc_id: r.rrf_score for r in fused}
+    assert abs(got[20] - round(1 / 62 + 1 / 62, 6)) < 1e-9
+    assert abs(got[10] - round(1 / 61, 6)) < 1e-9
