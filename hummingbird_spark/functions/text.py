@@ -360,3 +360,18 @@ def hashed_classifier_score(col: Column, n_buckets: int = 1024,
     logit = F.when(F.size(ws) == 0, F.lit(0.0)) \
         .otherwise(weight_sum / F.size(ws) * 4.0)
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
+def doc_bigrams(col: Column) -> Column:
+    """Adjacent lowercase token pairs as 'w1 w2' strings; docs with
+    fewer than 2 tokens yield an empty array."""
+    ws = F.transform(tokens(col), lambda w: F.lower(w))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, (i + 1).cast("int")),
+            F.element_at(ws, (i + 2).cast("int"))),
+    )
+    return F.when(F.size(ws) < 2, F.array().cast("array<string>")) \
+        .otherwise(grams)

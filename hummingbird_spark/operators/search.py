@@ -113,3 +113,47 @@ def rrf_fuse(ranked: list[DataFrame], id_col: str = "doc_id",
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bigram_perplexity(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      alpha: float = 0.1) -> DataFrame:
+    """Per-doc bigram language-model perplexity, trained on the corpus
+    itself — the CCNet-style quality filter (low perplexity under an
+    in-domain LM = fluent text; gibberish scores high):
+
+        P(w2 | w1) = (B(w1,w2) + alpha) / (U(w1) + alpha * V)
+        ppl(d)     = exp( mean over d's bigrams of -ln P )
+
+    Add-alpha smoothing keeps unseen bigrams finite. Two aggregation
+    passes over exploded bigrams (model counts, then per-doc scoring
+    via a join on the bigram key) — at 100 TB the model join is the
+    standard posting-style equi-join; the unigram table (vocab-sized)
+    joins on the context word. Docs with <2 tokens emit no row.
+    Rounded to 4 dp: the per-doc mean is a float sum whose order
+    differs across engines; 4 dp absorbs the drift at any doc length.
+    """
+    from hummingbird_spark.functions.text import doc_bigrams
+
+    grams = df.select(
+        F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    bi = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("b_cnt"))
+    uni = (
+        grams.select(w1.alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("u_cnt"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    nll = -F.log(
+        (F.col("b_cnt") + alpha)
+        / (F.col("u_cnt") + alpha * F.col("v")))
+    return (
+        grams
+        .join(bi, "bg")
+        .withColumn("w1", w1)
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+             F.count(F.lit(1)).alias("n_bigrams"))
+    )

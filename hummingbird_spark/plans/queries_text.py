@@ -760,6 +760,54 @@ ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
 
+def q_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: bigram perplexity under the
+    corpus's own add-alpha LM; the 20 most-perplexed docs are the
+    gibberish/outlier cut surface."""
+    from hummingbird_spark.operators.search import bigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_perplexity(d)
+        .orderBy(F.desc("perplexity"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END,
+           w -> lower(w)) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM toks
+),
+bi AS (SELECT bg, COUNT(*) AS b_cnt FROM grams GROUP BY bg),
+uni AS (
+  SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS u_cnt
+  FROM grams GROUP BY 1
+),
+vv AS (SELECT COUNT(*) AS v FROM uni)
+SELECT doc_id,
+       round(exp(AVG(-ln((b.b_cnt + 0.1) / (u.u_cnt + 0.1 * vv.v)))), 4)
+         AS perplexity,
+       COUNT(*) AS n_bigrams
+FROM grams g
+JOIN bi b USING (bg)
+JOIN uni u ON u.w1 = string_split(g.bg, ' ')[1]
+CROSS JOIN vv
+GROUP BY doc_id
+ORDER BY perplexity DESC, doc_id LIMIT 20
+"""
+
+
 def q_vector_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo $vectorSearch run verbatim through the pipeline
     translator (exact path): identical semantics to knn_exact, so the
@@ -1085,4 +1133,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                   "BM25 lexical retrieval (relational postings)"),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF,
                    "hybrid BM25+vector reciprocal-rank fusion"),
+    "perplexity_outliers": (q_perplexity_outliers, ORACLE_PERPLEXITY,
+                            "bigram-LM perplexity quality filter "
+                            "(CCNet shape)"),
 }

@@ -553,3 +553,24 @@ def test_rrf_fusion(spark):
     got = {r.doc_id: r.rrf_score for r in fused}
     assert abs(got[20] - round(1 / 62 + 1 / 62, 6)) < 1e-9
     assert abs(got[10] - round(1 / 61, 6)) < 1e-9
+
+
+def test_bigram_perplexity_fluency_ordering(spark):
+    """Text repeating the corpus's dominant pattern scores LOWER
+    perplexity than a doc of unique never-repeated transitions; <2
+    tokens emit no row."""
+    from hummingbird_spark.operators.search import bigram_perplexity
+
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=common),
+        Row(doc_id=2, text=common),
+        Row(doc_id=3, text=common),
+        Row(doc_id=4, text="zeta omega kappa lambda sigma phi"),
+        Row(doc_id=5, text="one"),
+    ])
+    got = {r.doc_id: r for r in bigram_perplexity(df).collect()}
+    assert 5 not in got
+    assert got[1].perplexity == got[2].perplexity == got[3].perplexity
+    assert got[4].perplexity > got[1].perplexity
+    assert got[1].n_bigrams == 5
