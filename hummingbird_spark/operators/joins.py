@@ -48,15 +48,28 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest right_time <= left_time within the same key. Ties on
-    right_time resolve to the last row in (time, side) order.
+    """As-of join (pandas merge_asof semantics), per key:
 
-    Union+window implementation: one shuffle on `key`, sorted once;
-    right values forward-fill onto subsequent left rows via
-    last(ignorenulls) over an unbounded-preceding window.
+      backward (default): greatest right_time <= left_time
+      forward:            smallest right_time >= left_time
+      nearest:            whichever of the two is closer (ties ->
+                          backward, as in pandas)
+
+    tolerance (in the time column's native units — seconds for
+    timestamps) nulls the match when |left_time - matched_time|
+    exceeds it.
+
+    Union+window implementation: one shuffle on `key`; right values
+    reach left rows via last/first(ignorenulls) over
+    unbounded-preceding / unbounded-following windows. Side ordering
+    at equal timestamps makes exact matches visible in both
+    directions (<= / >= semantics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     rcols = right_cols or [c for c in right.columns
                            if c not in (key, right_time)]
     lcols = left.columns
@@ -76,19 +89,58 @@ def asof_join(
         F.col(right_time).alias("__rt"),
     )
 
-    # right rows sort before left rows at equal timestamps, so an exact
-    # timestamp match is visible to the left row (<= semantics)
-    w = (
+    # backward: right rows sort BEFORE left at equal ts (<= visible);
+    # forward: right rows sort AFTER left at equal ts (>= visible)
+    wb = (
         Window.partitionBy(key)
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-          for c in rcols],
-        F.last("__rt", ignorenulls=True).over(w).alias("__f_rt"),
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    unioned = l_tagged.unionByName(r_tagged)
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [F.last(f"__r_{c}", ignorenulls=True).over(wb)
+                  .alias(f"__fb_{c}") for c in rcols]
+        fills += [F.last("__rt", ignorenulls=True).over(wb).alias("__fb_rt")]
+    if direction in ("forward", "nearest"):
+        fills += [F.first(f"__r_{c}", ignorenulls=True).over(wf)
+                  .alias(f"__ff_{c}") for c in rcols]
+        fills += [F.first("__rt", ignorenulls=True).over(wf).alias("__ff_rt")]
+    filled = unioned.select("*", *fills)
+
+    if direction == "nearest":
+        t = F.col("__t").cast("double")
+        bt = F.col("__fb_rt").cast("double")
+        ft = F.col("__ff_rt").cast("double")
+        pick_b = F.col("__ff_rt").isNull() | (
+            F.col("__fb_rt").isNotNull() & ((t - bt) <= (ft - t)))
+        chosen = [(F.when(pick_b, F.col(f"__fb_{c}"))
+                   .otherwise(F.col(f"__ff_{c}"))).alias(f"__f_{c}")
+                  for c in rcols]
+        chosen_rt = F.when(pick_b, F.col("__fb_rt")) \
+            .otherwise(F.col("__ff_rt")).alias("__f_rt")
+    else:
+        tag = "fb" if direction == "backward" else "ff"
+        chosen = [F.col(f"__{tag}_{c}").alias(f"__f_{c}") for c in rcols]
+        chosen_rt = F.col(f"__{tag}_rt").alias("__f_rt")
+    filled = filled.select("*", *chosen, chosen_rt)
+
+    if tolerance is not None:
+        within = (
+            F.abs(F.col("__t").cast("double")
+                  - F.col("__f_rt").cast("double")) <= float(tolerance))
+        filled = filled.select(
+            *[c for c in filled.columns
+              if not c.startswith("__f_")],
+            *[F.when(within, F.col(f"__f_{c}")).alias(f"__f_{c}")
+              for c in rcols],
+            F.when(within, F.col("__f_rt")).alias("__f_rt"),
+        )
     out = filled.filter(F.col("__side") == 1).select(
         F.col(key),
         *[F.col(c) for c in lcols if c not in (key,)],

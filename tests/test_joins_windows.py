@@ -43,6 +43,44 @@ def test_asof_backward_semantics(spark):
     assert out["thirty"].rt_right == T(20)
 
 
+def test_asof_forward_nearest_tolerance(spark):
+    """merge_asof parity: forward takes the next right row (>=
+    inclusive), nearest picks the closer side with backward ties, and
+    tolerance nulls matches outside the band."""
+    left = spark.createDataFrame([
+        Row(k="u1", lt=T(10), which="ten"),
+        Row(k="u1", lt=T(14), which="fourteen"),   # 8 behind=6, 20 ahead=6
+        Row(k="u1", lt=T(25), which="late"),       # after last right row
+    ])
+    right = spark.createDataFrame([
+        Row(k="u1", rt=T(8), tag="r8"),
+        Row(k="u1", rt=T(10), tag="r10"),
+        Row(k="u1", rt=T(20), tag="r20"),
+    ])
+
+    fwd = {r.which: r for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["tag"], direction="forward").collect()}
+    assert fwd["ten"].tag == "r10"        # >= includes exact match
+    assert fwd["fourteen"].tag == "r20"
+    assert fwd["late"].tag is None        # nothing after
+
+    near = {r.which: r for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["tag"], direction="nearest").collect()}
+    assert near["ten"].tag == "r10"
+    assert near["fourteen"].tag == "r10"  # equidistant -> backward wins
+    assert near["late"].tag == "r20"      # only backward exists
+
+    tol = {r.which: r for r in asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["tag"], direction="backward", tolerance=3.0
+    ).collect()}
+    assert tol["ten"].tag == "r10"        # delta 0 <= 3
+    assert tol["fourteen"].tag is None    # nearest backward is 4 away
+    assert tol["late"].tag is None        # 5 away
+
+
 def test_asof_does_not_leak_across_keys(spark):
     left = spark.createDataFrame([Row(k="a", lt=T(10)), Row(k="b", lt=T(10))])
     right = spark.createDataFrame([Row(k="a", rt=T(5), tag="A")])
