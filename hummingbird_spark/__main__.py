@@ -290,6 +290,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="insertion-order column (oldest rows drop first)")
     ret.add_argument("--max-rows", type=int, default=None)
     ret.add_argument("--max-bytes", type=int, default=None)
+    srch = sub.add_parser("search")
+    srch.add_argument("terms", help="space-separated query terms")
+    srch.add_argument("--data", required=True,
+                      help="documents parquet (doc_id, text)")
+    srch.add_argument("--k", type=int, default=10)
+    srch.add_argument("--embeddings", default=None,
+                      help="embeddings parquet for hybrid RRF fusion")
+    srch.add_argument("--query-vec-id", type=int, default=0,
+                      help="vec_id whose embedding is the vector query")
     cur = sub.add_parser("curate")
     cur.add_argument("src", help="source documents parquet")
     cur.add_argument("out", help="curated output parquet")
@@ -362,6 +371,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "verify":
         return _cmd_verify(args)
+    if args.command == "search":
+        from pyspark.sql import functions as _F
+        from hummingbird_spark.operators.search import bm25_topk, rrf_fuse
+        from hummingbird_spark.operators.similarity import cosine_topk
+
+        spark = get_spark(app_name="hummingbird_search")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(args.data)
+        lex = bm25_topk(docs, args.terms.split(), k=args.k)
+        if args.embeddings:
+            emb = spark.read.parquet(args.embeddings)
+            qv = emb.filter(
+                _F.col("vec_id") == args.query_vec_id
+            ).first().embedding
+            vec = cosine_topk(emb, list(qv), k=args.k).select(
+                _F.col("vec_id").alias("doc_id"), "score")
+            result = rrf_fuse([lex, vec], k=args.k)
+        else:
+            result = lex
+        for row in result.toJSON().collect():
+            print(row)
+        return 0
     if args.command == "curate":
         from hummingbird_spark.operators.curate import curate_corpus
 

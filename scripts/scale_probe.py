@@ -64,6 +64,9 @@ PROBES = [
     ("classifier_quality_mix", ["documents"]),
     ("mixture_temperature", ["documents"]),
     ("embedding_dup_clusters", ["embeddings"]),
+    ("bm25_topk", ["documents"]),
+    ("perplexity_outliers", ["documents"]),
+    ("hybrid_rrf", ["documents", "embeddings"]),
 ]
 
 EMB_COPIES = 4

@@ -272,3 +272,24 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert rep["n_input"] == rep["n_kept"] + sum(rep["dropped"].values())
     assert rep["n_kept"] > 0
     assert spark.read.parquet(out).count() == rep["n_kept"]
+
+
+def test_cli_search(spark, capsys):
+    from tests.conftest import SF_SMOKE
+
+    assert main(["search", "spark query", "--data",
+                 f"{SF_SMOKE}/documents.parquet", "--k", "5"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert all(r["score"] > 0 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    assert main(["search", "spark query", "--data",
+                 f"{SF_SMOKE}/documents.parquet", "--k", "5",
+                 "--embeddings", f"{SF_SMOKE}/embeddings.parquet"]) == 0
+    fused = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(fused) <= 5
+    assert all("rrf_score" in r for r in fused)

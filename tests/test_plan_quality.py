@@ -445,3 +445,22 @@ def test_mixture_temperature_windows_post_aggregate(spark):
     plan = _executed_plan(df)
     assert "Window" in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_bm25_shuffles_postings_not_corpus(spark):
+    """bm25_topk: the query-term filter rides the explode (scan-side),
+    so the aggregation shuffle carries only query-term postings; the
+    per-term DF table and corpus scalars arrive broadcast."""
+    df = QUERIES["bm25_topk"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_perplexity_single_model_pass(spark):
+    """perplexity_outliers: model counts and scoring share the same
+    exploded-bigram base; the vocab scalar broadcasts."""
+    df = QUERIES["perplexity_outliers"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab cross join
