@@ -146,6 +146,54 @@ ASOF LEFT JOIN clicks c
 """
 
 
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click attaches the user's next purchase at
+    or after it (time-to-conversion). Exercises asof_join's forward
+    direction against DuckDB's native <= ASOF JOIN; latency in exact
+    integer microseconds (both engines' subtraction is exact)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").groupBy(
+        "user_id", F.col("ts").alias("click_ts")
+    ).agg(F.max("event_id").alias("click_id"))
+    purchases = e.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id", F.col("ts").alias("purchase_ts")
+    ).agg(F.max("event_id").alias("purchase_id"))
+    out = asof_join(
+        clicks, purchases, key="user_id",
+        left_time="click_ts", right_time="purchase_ts",
+        right_cols=["purchase_id"], direction="forward",
+    )
+    return out.select(
+        "user_id", "click_id", "click_ts",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is
+            # an exact reinterpretation
+            F.unix_micros(F.col("purchase_ts_right").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp")),
+            F.lit(-1)
+        ).alias("latency_us"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purch AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.click_id, c.click_ts,
+       COALESCE(p.purchase_id, -1) AS purchase_id,
+       COALESCE(CAST(date_diff('microsecond', c.click_ts, p.purchase_ts)
+                     AS BIGINT), -1) AS latency_us
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Range join: events within 7 days after the user's order date
 # ---------------------------------------------------------------------------
@@ -330,6 +378,8 @@ WINDOW_QUERIES: dict[str, tuple] = {
                     "ST10 session window agg"),
     "asof_attribution": (q_asof_attribution, ORACLE_ASOF,
                          "as-of join (union+window impl vs native ASOF)"),
+    "asof_next_purchase": (q_asof_next_purchase, ORACLE_ASOF_FORWARD,
+                           "forward as-of join (time-to-conversion)"),
     "range_join_week": (q_range_join_week, ORACLE_RANGE_JOIN,
                         "equi+interval range join"),
     "cube_agg": (q_cube_agg, ORACLE_CUBE, "cube grouping sets"),
