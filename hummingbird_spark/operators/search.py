@@ -134,9 +134,15 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
     differs across engines; 4 dp absorbs the drift at any doc length.
     """
     from hummingbird_spark.functions.text import doc_bigrams
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 
-    grams = df.select(
-        F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg"))
+    # three consumers read the exploded bigrams (bigram counts, context
+    # counts, scoring) — stage them ONCE; without this each consumer
+    # re-tokenizes and re-explodes the corpus (measured 24s -> 4s at
+    # sf0.1), and a single-file scan would serialize the explode
+    grams = ensure_kernel_parallelism(df).select(
+        F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    ).localCheckpoint(eager=False)
     w1 = F.split(F.col("bg"), " ")[0]
     bi = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("b_cnt"))
     uni = (
