@@ -1,0 +1,125 @@
+"""Distributed BPE (byte-pair encoding) training and application.
+
+Classic BPE (Sennrich et al. 2016) trains on WORD-TYPE statistics:
+the corpus collapses to (word, count) once — the only corpus-scale
+pass — and every merge iteration then runs on that tiny table:
+count adjacent symbol pairs weighted by word frequency, take the most
+frequent pair, rewrite segmentations. The iterative loop is inherently
+sequential (each merge depends on the last), but each iteration is a
+distributed aggregate over word types, and the driver only ever sees
+one (pair, count) scalar per round.
+
+Scale shape: corpus tokens shuffle ONCE (the word-count groupBy); the
+word-type table is ~vocabulary-sized (Heaps' law: millions of rows at
+100 TB, still a small DataFrame), localCheckpoint'ed per iteration so
+50 merge rounds don't nest 50 fold expressions into one plan.
+Encoding joins documents' words against the final segmentation table
+(broadcast at fixture scale, hash join at web scale) — no per-doc
+deep expression trees.
+
+Differential-tested against a pure-Python reference implementation of
+the published algorithm (same merge sequence, same segmentations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import tokens
+
+END = "</w>"  # end-of-word marker, as in the original algorithm
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right single-pass merge of adjacent (a, b) -> a+b over a
+    symbol array — the published merge step — as one fold."""
+    ab = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) lowercase word-type counts — the one corpus pass."""
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    return (
+        ensure_kernel_parallelism(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              n_merges: int = 50,
+              min_pair_count: int = 2) -> tuple[list, DataFrame]:
+    """-> (merges, segmentation): the learned merge list in order, and
+    the word-type table (w, n, syms) holding each word's final
+    subword segmentation. Ties on pair count break lexicographically
+    (deterministic across engines and runs)."""
+    words = word_frequencies(df, text_col)
+    # size the word-type table's partitioning to the VOCABULARY, not
+    # the session default: every merge iteration runs 2 jobs over this
+    # table, and 30 iterations x 32 near-empty tasks is pure scheduler
+    # latency (measured 13.7s -> 4s at sf0.1 with ~200 word types).
+    # ~1M word types per partition keeps tasks meaningful at web scale.
+    n_types = words.count()
+    parts = max(1, n_types // 1_000_000)
+    seg = words.repartition(parts).withColumn(
+        "syms",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(END))),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            seg.select(
+                "n",
+                F.explode(F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").first()
+        if best is None or best.cnt < min_pair_count:
+            break
+        merges.append((best.a, best.b))
+        seg = seg.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), best.a, best.b)
+        ).localCheckpoint(eager=False)
+    return merges, seg
+
+
+def bpe_token_counts(df: DataFrame, seg: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc subword token counts under a trained segmentation:
+    explode words, join the (broadcastable) word-type table, sum
+    symbol counts. Words absent from the table count as
+    len(word)+1 raw symbols (the untrained fallback)."""
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    words = ensure_kernel_parallelism(df).select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).select(F.col(id_col), F.lower("w").alias("w"))
+    sizes = seg.select("w", F.size("syms").alias("n_sub"))
+    return (
+        words.join(F.broadcast(sizes), "w", "left")
+        .withColumn("n_sub", F.coalesce(
+            F.col("n_sub"), F.length("w") + 1))
+        .groupBy(id_col)
+        .agg(F.sum("n_sub").alias("n_bpe_tokens"),
+             F.count(F.lit(1)).alias("n_words"))
+    )

@@ -808,6 +808,35 @@ ORDER BY perplexity DESC, doc_id LIMIT 20
 """
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE (30 merges trained on the corpus's word types) ->
+    per-source fertility (subword tokens per word) — the number that
+    sizes an LM token budget per data source. Iterative training is
+    the documented non-SQL-expressible category (rows-only);
+    correctness is pinned by the differential test vs the published
+    algorithm (tests/test_bpe.py)."""
+    from hummingbird_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    _, seg = train_bpe(d, n_merges=20)
+    counts = bpe_token_counts(d, seg)
+    return (
+        counts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            F.sum("n_words").alias("words"),
+            F.round(F.sum("n_bpe_tokens")
+                    / F.sum("n_words").cast("double"), 4)
+            .alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_vector_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo $vectorSearch run verbatim through the pipeline
     translator (exact path): identical semantics to knn_exact, so the
@@ -1136,4 +1165,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "perplexity_outliers": (q_perplexity_outliers, ORACLE_PERPLEXITY,
                             "bigram-LM perplexity quality filter "
                             "(CCNet shape)"),
+    "bpe_fertility": (q_bpe_fertility, None,
+                      "trained-BPE subword fertility per source "
+                      "(iterative; rows-only)"),
 }
