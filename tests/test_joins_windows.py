@@ -129,3 +129,51 @@ def test_shard_alignment_wraps():
     }
     assert shard_alignment([], ["t1"]) == {}
     assert shard_alignment(["s1"], []) == {}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential test: asof_join vs pandas merge_asof on
+    every direction and a tolerance band (numeric time axis)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    left_rows = [("k%d" % rng.randint(0, 2), float(rng.randint(0, 100)))
+                 for _ in range(60)]
+    right_rows = [("k%d" % rng.randint(0, 2), float(rng.randint(0, 100)),
+                   rng.randint(1, 999))
+                  for _ in range(40)]
+    # dedupe right at (key, time): merge_asof picks the LAST among
+    # equal-time rows, our union+window the last in input order —
+    # dedupe (as the attribution query does) to remove the ambiguity
+    seen = {}
+    for k, t, v in right_rows:
+        seen[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k string, lt double, lid long")
+    right = spark.createDataFrame(right_rows, "k string, rt double, v long")
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "lt", "lid"]).sort_values("lt", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "rt", "v"]) \
+        .sort_values("rt", kind="stable")
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("nearest", None), ("backward", 7.0),
+                           ("nearest", 3.0)]:
+        got = {r.lid: r.v for r in asof_join(
+            left, right, key="k", left_time="lt", right_time="rt",
+            right_cols=["v"], direction=direction, tolerance=tol,
+        ).collect()}
+        want_df = pd.merge_asof(
+            lpd, rpd, left_on="lt", right_on="rt", by="k",
+            direction=direction,
+            **({"tolerance": tol} if tol is not None else {}))
+        want = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+                for r in want_df.itertuples()}
+        assert got == want, direction
