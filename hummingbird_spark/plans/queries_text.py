@@ -808,6 +808,81 @@ ORDER BY perplexity DESC, doc_id LIMIT 20
 """
 
 
+def q_lm_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LM data prep in ONE plan: quality+language filter ->
+    non-overlapping 64-token chunks -> deterministic-order packing
+    into 256-token sequences -> per-pack accounting. The composition
+    the chunk/curate/pack pieces exist FOR; every stage is the
+    already-oracle-verified operator, chained."""
+    from hummingbird_spark.functions.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        (quality_score(F.col("text")) >= 0.5)
+        & (lang_id(F.col("text")) == "en"))
+    chunks = chunk_documents(kept, max_tokens=64, stride=64)
+    ordered = chunks.withColumn(
+        "ord_key",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_"),
+                       F.col("chunk_id").cast("string"))))
+    w = Window.orderBy("ord_key", "doc_id", "chunk_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    pack = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(256))
+    return (
+        ordered.withColumn("pack_id", pack)
+        .groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("pack_id")
+    )
+
+
+ORACLE_LM_DATA_PREP = rf"""
+WITH q AS ({ORACLE_DOC_QUALITY}),
+l AS ({ORACLE_DOC_LANG}),
+kept AS (
+  SELECT d.doc_id,
+         CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(d.text), '\s+') END AS ws
+  FROM documents d
+  JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+),
+spans AS (
+  SELECT doc_id, len(ws) AS n,
+         CASE WHEN len(ws) <= 0 THEN 0
+              ELSE CAST(ceil(greatest(len(ws) - 64, 0) / 64.0) AS INT)
+                   + 1 END AS n_chunks
+  FROM kept
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(n_chunks)) AS INT) AS chunk_id,
+         n
+  FROM spans WHERE n_chunks > 0
+),
+sized AS (
+  SELECT doc_id, chunk_id,
+         least(chunk_id * 64 + 64, n) - chunk_id * 64 AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || '_'
+             || CAST(chunk_id AS VARCHAR)) AS ord_key
+  FROM chunks
+),
+packed AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY ord_key, doc_id,
+                                         chunk_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / 256) AS BIGINT) AS pack_id
+  FROM sized
+)
+SELECT pack_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY pack_id ORDER BY pack_id
+"""
+
+
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE (30 merges trained on the corpus's word types) ->
     per-source fertility (subword tokens per word) — the number that
@@ -1168,4 +1243,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "bpe_fertility": (q_bpe_fertility, None,
                       "trained-BPE subword fertility per source "
                       "(iterative; rows-only)"),
+    "lm_data_prep": (q_lm_data_prep, ORACLE_LM_DATA_PREP,
+                     "end-to-end filter -> chunk -> pack composition"),
 }
