@@ -848,6 +848,31 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                         "millisecond": 0.001}[unit]
                 dx = dx / F.lit(secs)
             col = F.when(dx != 0, dy / dx)
+        elif op == "$integral":
+            # trapezoidal rule: per-row t_i = (y_i + y_{i-1})/2 *
+            # (x_i - x_{i-1}) via lag, then sum over the frame MINUS
+            # the frame's first trapezoid (it spans outside the frame)
+            if not sort_by or len(sort_by) != 1:
+                raise ValueError("$integral requires one sortBy field")
+            sfield = next(iter(sort_by))
+            ordw = base.orderBy(*[
+                F.col(c).asc() if d >= 0 else F.col(c).desc()
+                for c, d in sort_by.items()
+            ])
+            y = _expr(arg["input"]).cast("double")
+            x = F.col(sfield).cast("double")
+            trap = ((y + F.lag(y, 1).over(ordw)) / 2
+                    * (x - F.lag(x, 1).over(ordw)))
+            unit = arg.get("unit")
+            if unit is not None:
+                secs = {"week": 604800.0, "day": 86400.0, "hour": 3600.0,
+                        "minute": 60.0, "second": 1.0,
+                        "millisecond": 0.001}[unit]
+                trap = trap / F.lit(secs)
+            w = _window_frame(base, sort_by, window_spec)
+            col = F.coalesce(
+                F.sum(trap).over(w) - F.first(trap).over(w),
+                F.sum(trap).over(w), F.lit(0.0))
         elif op == "$expMovingAvg":
             # EMA is inherently sequential: fold the ordered prefix of
             # inputs per row (collect_list over unbounded-preceding +

@@ -953,6 +953,27 @@ def test_window_fields_derivative_and_ema(spark):
     assert [r.ema for r in out2] == [0.0, 10.0, 35.0]
 
 
+def test_window_fields_integral(spark):
+    """$integral: trapezoid over the sorted partition — y=2x over
+    x∈[0,10] integrates to 100; a [-1, 0] documents window yields the
+    per-step trapezoid."""
+    rows = [("a", float(x), float(2 * x)) for x in (0, 2, 6, 10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = mongo_pipeline_to_df(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {
+                "total": {"$integral": {"input": "$y"}},
+                "step": {"$integral": {"input": "$y"},
+                         "window": {"documents": [-1, 0]}},
+            }}},
+        {"$sort": {"x": 1}},
+    ]).collect()
+    assert [r.total for r in out] == [100.0] * 4
+    # per-step: first row has no prior point -> 0
+    assert [r.step for r in out] == [0.0, 4.0, 32.0, 64.0]
+
+
 def test_window_fields_covariance_stddev(spark):
     df = spark.createDataFrame(
         [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
