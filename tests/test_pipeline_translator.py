@@ -1030,9 +1030,12 @@ def test_expression_document_literal_and_substr(spark):
 
 def test_expression_unsupported_operator_raises(spark):
     df = spark.createDataFrame([(1,)], "a int")
-    with pytest.raises(ValueError, match="unsupported expression"):
+    with pytest.raises(ValueError, match="unsupported \\$meta"):
         mongo_pipeline_to_df(df, [
             {"$addFields": {"x": {"$meta": "textScore"}}}])
+    with pytest.raises(ValueError, match="unsupported expression"):
+        mongo_pipeline_to_df(df, [
+            {"$addFields": {"x": {"$noSuchOp": 1}}}])
     with pytest.raises(ValueError, match="variables unsupported"):
         mongo_pipeline_to_df(df, [
             {"$addFields": {"x": "$$ROOT"}}])
