@@ -290,6 +290,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="insertion-order column (oldest rows drop first)")
     ret.add_argument("--max-rows", type=int, default=None)
     ret.add_argument("--max-bytes", type=int, default=None)
+    ana = sub.add_parser("analyze")
+    ana.add_argument("path", help="documents parquet (doc_id, text, ...)")
+    ana.add_argument("--source-col", default="source")
+    ana.add_argument("--lang-col", default=None,
+                     help="use this column instead of detecting language")
     srch = sub.add_parser("search")
     srch.add_argument("terms", help="space-separated query terms")
     srch.add_argument("--data", required=True,
@@ -371,6 +376,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "verify":
         return _cmd_verify(args)
+    if args.command == "analyze":
+        from hummingbird_spark.operators.profile import corpus_report
+
+        spark = get_spark(app_name="hummingbird_analyze")
+        spark.sparkContext.setLogLevel("ERROR")
+        report = corpus_report(
+            spark.read.parquet(args.path),
+            source_col=args.source_col, lang_col=args.lang_col)
+        print(json.dumps({"command": "analyze", **report}))
+        return 0
     if args.command == "search":
         from pyspark.sql import functions as _F
         from hummingbird_spark.operators.search import bm25_topk, rrf_fuse

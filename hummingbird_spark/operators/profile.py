@@ -66,3 +66,66 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     if include_minmax:
         schema += ", min_value string, max_value string"
     return spark.createDataFrame(rows, schema)
+
+
+def corpus_report(df, text_col: str = "text",
+                  source_col: str = "source",
+                  lang_col: str | None = None) -> dict:
+    """One-shot corpus health report for a documents table — the
+    numbers a curation run reads first: size, token budget, language
+    mix, per-source shares, quality distribution, exact-dup rate.
+
+    Cost: ONE scored projection pass (staged) + three rollups over it
+    (global, per-lang, per-source) + the dup-group aggregate. No text
+    ever shuffles — only fingerprints, scores, and group keys.
+    """
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.functions.text import (
+        fingerprint,
+        hashed_classifier_score,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    text = F.col(text_col)
+    scored = ensure_kernel_parallelism(df).select(
+        F.col(source_col).alias("source"),
+        token_count(text).alias("n_tok"),
+        quality_score(text).alias("quality"),
+        (F.col(lang_col) if lang_col else lang_id(text)).alias("lang"),
+        fingerprint(text).alias("fp"),
+        hashed_classifier_score(text).alias("cls"),
+    ).localCheckpoint(eager=False)
+
+    g = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg(F.when(F.col("quality") >= 0.5, 1.0)
+                      .otherwise(0.0)), 4).alias("quality_keep_rate"),
+        F.round(F.avg(F.when(F.col("cls") >= 0.5, 1.0)
+                      .otherwise(0.0)), 4).alias("classifier_keep_rate"),
+        F.count_distinct("fp").alias("n_unique"),
+    ).first()
+    langs = {r.lang: r.n for r in scored.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    sources = {r.source: {"n_docs": r.n, "tokens": r.t}
+               for r in scored.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tok").alias("t")).collect()}
+    return {
+        "n_docs": g.n_docs,
+        "total_tokens": g.total_tokens,
+        "avg_tokens": g.avg_tokens,
+        "avg_quality": g.avg_quality,
+        "quality_keep_rate": g.quality_keep_rate,
+        "classifier_keep_rate": g.classifier_keep_rate,
+        "exact_dup_rate": round(1 - g.n_unique / g.n_docs, 4)
+        if g.n_docs else 0.0,
+        "languages": langs,
+        "sources": sources,
+    }

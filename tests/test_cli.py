@@ -293,3 +293,17 @@ def test_cli_search(spark, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert 0 < len(fused) <= 5
     assert all("rrf_score" in r for r in fused)
+
+
+def test_cli_analyze(spark, capsys):
+    from tests.conftest import SF_SMOKE
+
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert main(["analyze", f"{SF_SMOKE}/documents.parquet"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == n
+    assert rep["total_tokens"] > 0
+    assert 0.0 <= rep["quality_keep_rate"] <= 1.0
+    assert 0.0 <= rep["exact_dup_rate"] < 1.0
+    assert sum(rep["languages"].values()) == n
+    assert sum(s["n_docs"] for s in rep["sources"].values()) == n
