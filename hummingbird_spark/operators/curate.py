@@ -107,8 +107,14 @@ def curate_corpus(
             .drop("dup_fraction")
     scored = scored.localCheckpoint(eager=False)
 
-    # first-failing-reason, in fixed order
-    reason = F.when(F.col("__n_tokens") == 0, "empty") \
+    # first-failing-reason, in fixed order. Null text must be caught
+    # here explicitly: it nulls every downstream score, so without
+    # this branch the doc would fall through all when()s with a null
+    # reason and get silently dropped by the dedup join (null fp
+    # matches nothing) — misattributed as "duplicate"
+    reason = F.when(
+        F.col(text_col).isNull()
+        | (F.coalesce(F.col("__n_tokens"), F.lit(0)) == 0), "empty") \
         .when(F.col("__quality") < min_quality, "quality")
     if langs is not None:
         reason = reason.when(~F.col("__lang").isin(*langs), "language")

@@ -67,6 +67,19 @@ def test_curate_optional_stages_and_reswap(spark, tmp_path):
     assert any(e.startswith("source=") for e in os.listdir(out))
 
 
+def test_curate_null_text_is_empty_not_duplicate(spark, tmp_path):
+    """Null text must be accounted as 'empty' — not silently vanish
+    through null-propagating filters into the dedup join."""
+    out = str(tmp_path / "curated")
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=None),
+        Row(doc_id=2, source="a", text=GOOD),
+    ])
+    rep = curate_corpus(spark, df, out, langs=None)
+    assert rep.dropped == {"empty": 1}
+    assert rep.n_kept == 1
+
+
 def test_curate_jsonl_output(spark, tmp_path):
     import glob
 
