@@ -464,3 +464,13 @@ def test_perplexity_single_model_pass(spark):
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab cross join
+
+
+def test_lm_data_prep_one_scan_one_exchange(spark):
+    """lm_data_prep (filter -> chunk -> pack): the whole composition is
+    ONE parquet scan and ONE exchange (the packing window's global
+    sort); filters and the chunk explode ride the scan."""
+    df = QUERIES["lm_data_prep"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2   # window sort + final rollup
