@@ -112,6 +112,7 @@ def start_streaming_dedup(
     ngram: int = 3,
     checkpoint: str | None = None,
     pre_filter=None,
+    compact_every: int = 32,
 ) -> StreamingQuery:
     """File-source JSON stream -> per-batch dedup -> survivors append
     to out_path, their band keys to store_path. Idempotent on batch
@@ -120,7 +121,14 @@ def start_streaming_dedup(
     pre_filter: optional DataFrame -> DataFrame transform applied to
     each batch BEFORE dedup (quality/language cuts — docs it drops
     never enter the store, so the stream is a full online curation
-    path: filter -> near-dedup -> append)."""
+    path: filter -> near-dedup -> append).
+
+    compact_every: every N applied batches the band store is rewritten
+    through the verified compaction swap (operators/compact.py) —
+    per-batch appends otherwise compound one small file per batch per
+    task, and the store is re-READ every batch (the classic streaming
+    small-file failure: scan cost grows with batch COUNT, not data).
+    """
     ledger = store_path + ".ledger"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -151,6 +159,10 @@ def start_streaming_dedup(
         with open(ledger + ".tmp", "w") as fh:
             fh.write(" ".join([*applied, str(batch_id)]) + " ")
         os.rename(ledger + ".tmp", ledger)
+        if compact_every and (len(applied) + 1) % compact_every == 0:
+            from hummingbird_spark.operators.compact import compact_table
+
+            compact_table(spark, store_path)
 
     stream = spark.readStream.schema(schema).json(source_dir)
     return (

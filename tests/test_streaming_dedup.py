@@ -128,3 +128,34 @@ def test_streaming_dedup_pre_filter(spark, tmp_path):
     assert got == {1, 3}
     # 2 docs x 4 bands; the filtered doc contributed nothing
     assert spark.read.parquet(store).count() == 8
+
+
+def test_streaming_dedup_store_compaction(spark, tmp_path):
+    """compact_every=1: after each batch the band store is rewritten
+    into a handful of right-sized files while its content (and the
+    dedup behavior that reads it) is unchanged."""
+    import glob
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+
+    _write(src, "0.json", [(1, BASE), (2, FAR)])
+    q = start_streaming_dedup(
+        spark, src, out, store, SCHEMA, threshold=0.5,
+        checkpoint=str(tmp_path / "ckpt"), compact_every=1)
+    q.awaitTermination(180)
+    n_files_1 = len(glob.glob(f"{store}/*.parquet"))
+    assert n_files_1 <= 2
+    assert spark.read.parquet(store).count() == 8   # 2 docs x 4 bands
+
+    _write(src, "1.json", [(10, BASE + " near copy addition")])
+    q = start_streaming_dedup(
+        spark, src, out, store, SCHEMA, threshold=0.5,
+        checkpoint=str(tmp_path / "ckpt"), compact_every=1)
+    q.awaitTermination(180)
+    # the near-dup was dropped via the compacted store
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
+    assert spark.read.parquet(store).count() == 8
+    assert len(glob.glob(f"{store}/*.parquet")) <= 2
