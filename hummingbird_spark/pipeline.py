@@ -251,6 +251,11 @@ _EXPR_OPS = {
     "$toDouble": lambda c: c[0].cast("double"),
     "$toBool": lambda c: c[0].cast("boolean"),
     "$toDecimal": lambda c: c[0].cast("decimal(38,10)"),
+    # ObjectId surrogate model is 24-hex strings (SURVEY §1.2):
+    # validate + normalize; invalid input -> null (Mongo raises;
+    # same deviation class as $convert without onError)
+    "$toObjectId": lambda c: F.when(
+        c[0].rlike("^[0-9a-fA-F]{24}$"), F.lower(c[0])),
     "$strLenBytes": lambda c: F.octet_length(c[0]),
     "$binarySize": lambda c: F.octet_length(c[0]),
     # BSON Timestamp packed as long t<<32|i (SURVEY §1.2, the stream
@@ -475,6 +480,11 @@ def _expr_v(spec: Any, variables: dict) -> Column:
             if isinstance(arg, str):  # shorthand: field of $$CURRENT
                 return F.col(arg)
             return _expr(arg["input"]).getField(arg["field"])
+        if op == "$setField":
+            return _expr(arg["input"]).withField(
+                arg["field"], _expr(arg["value"]))
+        if op == "$unsetField":
+            return _expr(arg["input"]).dropFields(arg["field"])
         if op == "$replaceAll":
             return F.replace(_expr(arg["input"]), _expr(arg["find"]),
                              _expr(arg["replacement"]))

@@ -899,6 +899,25 @@ def test_coll_stats_count_form(spark):
         mongo_pipeline_to_df(df, [{"$collStats": {"storageStats": {}}}])
 
 
+def test_expression_set_unset_field_and_objectid(spark):
+    df = spark.createDataFrame(
+        [((1, "a"), "507F1F77BCF86CD799439011", "nope")],
+        "sub struct<x:int, s:string>, oid string, bad string")
+    out = mongo_pipeline_to_df(df, [
+        {"$project": {
+            "patched": {"$setField": {"field": "x", "input": "$sub",
+                                      "value": 99}},
+            "pruned": {"$unsetField": {"field": "s", "input": "$sub"}},
+            "o": {"$toObjectId": "$oid"},
+            "o_bad": {"$toObjectId": "$bad"},
+        }},
+    ]).first()
+    assert out.patched.x == 99 and out.patched.s == "a"
+    assert out.pruned.asDict() == {"x": 1}
+    assert out.o == "507f1f77bcf86cd799439011"   # normalized lowercase
+    assert out.o_bad is None
+
+
 def test_expression_convert_and_ts_parts(spark):
     df = spark.createDataFrame(
         [("42", None, (7 << 32) | 3), ("not a number", "x", 1 << 32)],
