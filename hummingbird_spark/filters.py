@@ -244,6 +244,10 @@ def mongo_filter_to_column(filter_doc: dict | None) -> Column:
                 ~reduce(lambda a, b: a | b,
                         [mongo_filter_to_column(d) for d in spec])
             )
+        elif key == "$sampleRate":
+            # probabilistic row filter (nondeterministic, as in Mongo);
+            # for reproducible sampling use the md5 hash-slot pattern
+            conds.append(F.rand() < float(spec))
         elif key == "$expr":
             # aggregation expression as a predicate (find() $expr) —
             # delegates to the pipeline expression translator (lazy

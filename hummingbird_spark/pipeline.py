@@ -376,6 +376,9 @@ def _expr_v(spec: Any, variables: dict) -> Column:
         op, arg = next(iter(spec.items()))
         if op == "$literal":
             return F.lit(arg)
+        if op == "$rand":
+            # nondeterministic by contract, exactly as in Mongo
+            return F.rand()
         if op == "$meta":
             if arg not in ("vectorSearchScore", "searchScore"):
                 raise ValueError(f"unsupported $meta: {arg!r}")

@@ -203,3 +203,10 @@ def test_expr_predicate_in_find_filter(spark):
     both = df.filter(mongo_filter_to_column(
         {"id": {"$gte": 2}, "$expr": {"$eq": ["$a", "$b"]}}))
     assert [r.id for r in both.collect()] == [3]
+
+
+def test_sample_rate_filter(spark):
+    df = spark.range(2000).withColumnRenamed("id", "_id")
+    n = df.filter(mongo_filter_to_column({"$sampleRate": 0.25})).count()
+    assert 300 < n < 700       # ~500 expected; loose probabilistic band
+    assert df.filter(mongo_filter_to_column({"$sampleRate": 0.0})).count() == 0
