@@ -720,12 +720,18 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
 
 def _apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
     if isinstance(spec, str):
-        path, preserve = spec[1:], False
+        path, preserve, idx = spec[1:], False, None
     else:
         path = spec["path"][1:]
         preserve = bool(spec.get("preserveNullAndEmptyArrays"))
-    fn = F.explode_outer if preserve else F.explode
-    return df.withColumn(path, fn(F.col(path)))
+        idx = spec.get("includeArrayIndex")
+    if idx is None:
+        fn = F.explode_outer if preserve else F.explode
+        return df.withColumn(path, fn(F.col(path)))
+    fn = F.posexplode_outer if preserve else F.posexplode
+    others = [c for c in df.columns if c != path]
+    return df.select(*others, fn(F.col(path)).alias(idx, path)) \
+        .withColumn(idx, F.col(idx).cast("long"))
 
 
 def _apply_lookup(df: DataFrame, spec: dict,

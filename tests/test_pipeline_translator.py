@@ -103,6 +103,18 @@ def test_unwind_and_compound_group(spark):
     assert kept.filter(F.col("k") == "c").count() == 1
 
 
+def test_unwind_include_array_index(spark):
+    df = spark.createDataFrame(
+        [("a", [7, 8]), ("b", []), ("c", None)], "k string, xs array<int>")
+    out = mongo_pipeline_to_df(df, [
+        {"$unwind": {"path": "$xs", "includeArrayIndex": "i",
+                     "preserveNullAndEmptyArrays": True}},
+    ])
+    got = {(r.k, r.i, r.xs) for r in out.collect()}
+    assert got == {("a", 0, 7), ("a", 1, 8),
+                   ("b", None, None), ("c", None, None)}
+
+
 def test_global_group_and_addfields(spark, orders):
     out = mongo_pipeline_to_df(orders, [
         {"$addFields": {"double_price": "$o_totalprice"}},
