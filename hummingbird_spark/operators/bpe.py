@@ -39,8 +39,9 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
         syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == a) & (x == F.lit(b)),
+            # try_element_at: null (not an ANSI error) on the empty
+            # accumulator of the first fold step
+            (F.try_element_at(acc, F.lit(-1)) == a) & (x == F.lit(b)),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
         ).otherwise(F.concat(acc, F.array(x))),
     )

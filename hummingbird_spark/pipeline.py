@@ -192,12 +192,14 @@ _EXPR_OPS = {
     "$size": lambda c: F.size(c[0]),
     # Mongo is 0-based; negative indexes count from the end (Spark's
     # element_at is 1-based with native negative support, and index 0
-    # is an error — shift only the non-negative side)
-    "$arrayElemAt": lambda c: F.element_at(
+    # is an error — shift only the non-negative side). try_element_at:
+    # out-of-range yields null (Mongo yields "missing"; under ANSI the
+    # plain form would RAISE instead)
+    "$arrayElemAt": lambda c: F.try_element_at(
         c[0],
         F.when(c[1] >= 0, c[1] + 1).otherwise(c[1]).cast("int")),
-    "$first": lambda c: F.element_at(c[0], 1),
-    "$last": lambda c: F.element_at(c[0], -1),
+    "$first": lambda c: F.try_element_at(c[0], F.lit(1)),
+    "$last": lambda c: F.try_element_at(c[0], F.lit(-1)),
     "$concatArrays": lambda c: F.concat(*c),
     "$in": lambda c: F.array_contains(c[1], c[0]),
     "$setUnion": lambda c: F.array_distinct(F.concat(*c)),
