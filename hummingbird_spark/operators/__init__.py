@@ -1,5 +1,11 @@
 from hummingbird_spark.operators.compare import compare_tables, sampled_hash_compare
 from hummingbird_spark.operators.copy import copy_table, run_migration
+from hummingbird_spark.operators.curate import CurationReport, curate_corpus
+from hummingbird_spark.operators.search import (
+    bigram_perplexity,
+    bm25_topk,
+    rrf_fuse,
+)
 from hummingbird_spark.operators.split import block_boundaries, partition_for_copy
 
 __all__ = [
@@ -9,4 +15,9 @@ __all__ = [
     "sampled_hash_compare",
     "block_boundaries",
     "partition_for_copy",
+    "curate_corpus",
+    "CurationReport",
+    "bm25_topk",
+    "rrf_fuse",
+    "bigram_perplexity",
 ]
