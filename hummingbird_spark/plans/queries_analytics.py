@@ -768,6 +768,162 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since
+    last order vs corpus max date), frequency, monetary -> quartile
+    codes via ntile -> segment census. One scan, one per-customer agg,
+    three ntiles over the aggregate frame."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .alias("monetary"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("m"))
+    scored = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency_days", F.datediff(F.col("m"), F.col("last_order")))
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    seg = scored.select(
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return (
+        seg.groupBy("r", "f", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m_q")
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, frequency, monetary,
+         date_diff('day', last_order, (SELECT MAX(last_order)
+                                       FROM per_cust)) AS recency_days
+  FROM per_cust
+), seg AS (
+  SELECT
+    NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+    NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+    NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+  FROM scored
+)
+SELECT r, f, m_q, COUNT(*) AS n_customers
+FROM seg GROUP BY r, f, m_q ORDER BY r, f, m_q
+"""
+
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week growth: distinct users
+    per ISO week + lag-based delta. Exact distinct per week (one
+    shuffle), then the WoW window over the tiny weekly frame."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(F.date_trunc("week", F.col("ts")).cast("date")
+                 .alias("week_start"),
+                 "user_id")
+        .groupBy("week_start")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    w = Window.orderBy("week_start")
+    return (
+        weekly.withColumn("prev", F.lag("wau").over(w))
+        .select(
+            "week_start", "wau",
+            F.coalesce(F.col("wau") - F.col("prev"), F.lit(0))
+            .alias("wow_delta"),
+        )
+        .orderBy("week_start")
+    )
+
+
+ORACLE_WAU = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS week_start,
+         COUNT(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT week_start, wau,
+       COALESCE(wau - LAG(wau) OVER (ORDER BY week_start), 0)
+         AS wow_delta
+FROM weekly ORDER BY week_start
+"""
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part pairs: parts co-ordered in the same order,
+    ranked by lift = P(a,b) / (P(a) P(b)), min support 5 orders. The
+    frequent-itemset primitive: per-order self-join on the order key
+    (bounded by basket size, never all-pairs over parts), per-part
+    supports broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    supp = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("supp"))
+    a = baskets.select(F.col("l_orderkey"),
+                       F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("l_orderkey"),
+                       F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"),
+                     F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"),
+                     F.col("supp").alias("supp_b"))
+    return (
+        pairs.join(sa, "pa").join(sb, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_both",
+            F.round(F.col("n_both") * F.col("n_orders")
+                    / (F.col("supp_a") * F.col("supp_b")).cast("double"),
+                    6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(25)
+    )
+
+
+ORACLE_BASKET = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+supp AS (
+  SELECT l_partkey, COUNT(*) AS supp FROM baskets GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT pa, pb, n_both,
+       round(n_both * n.n_orders
+             / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.l_partkey = pa
+JOIN supp sb ON sb.l_partkey = pb
+CROSS JOIN n
+ORDER BY lift DESC, pa, pb LIMIT 25
+"""
+
+
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling weights (tau=0.7, the
     multilingual-LM standard): p_i ∝ tokens_i^tau flattens the natural
@@ -890,4 +1046,13 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "mixture_temperature": (
         q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE,
         "temperature-scaled (tau=0.7) source sampling weights"),
+    "rfm_segments": (
+        q_rfm_segments, ORACLE_RFM,
+        "RFM quartile segmentation census"),
+    "weekly_active_users": (
+        q_weekly_active_users, ORACLE_WAU,
+        "weekly actives with WoW delta"),
+    "basket_pairs": (
+        q_basket_pairs, ORACLE_BASKET,
+        "market-basket co-occurrence by lift (min support 5)"),
 }
