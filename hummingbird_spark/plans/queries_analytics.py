@@ -772,7 +772,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer recency (days since
     last order vs corpus max date), frequency, monetary -> quartile
     codes via ntile -> segment census. One scan, one per-customer agg,
-    three ntiles over the aggregate frame."""
+    three ntiles over the aggregate frame.
+
+    Scale note: exact ntile is a global sort of the per-customer frame
+    (fine to ~100M customers); past that, swap the three windows for
+    percentile_approx thresholds + comparisons — same output contract,
+    no global sort (the decile_stats query documents the exact
+    variant's cost class)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
