@@ -147,6 +147,9 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
         return 2
     out = run_pipeline(spark, tables[args.table], stages, tables=tables,
                        data_dir=args.data)
+    if getattr(args, "explain", False):
+        out.explain(mode="formatted")
+        return 0
     _print_rows(out, args.limit)
     return 0
 
@@ -324,6 +327,9 @@ def main(argv: list[str] | None = None) -> int:
     pipe.add_argument("--data", required=True,
                       help="directory of <table>.parquet files")
     pipe.add_argument("--limit", type=int, default=1000)
+    pipe.add_argument("--explain", action="store_true",
+                      help="print the formatted physical plan instead "
+                           "of rows")
     for name in ("query", "explain"):
         qp = sub.add_parser(name)
         qp.add_argument("name", nargs="?", default=None)
