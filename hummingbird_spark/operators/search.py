@@ -85,22 +85,27 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
 
 
 def rrf_fuse(ranked: list[DataFrame], id_col: str = "doc_id",
-             rrf_k: int = 60, k: int = 10) -> DataFrame:
+             rrf_k: int = 60, k: int = 10,
+             weights: list[float] | None = None) -> DataFrame:
     """Reciprocal-rank fusion of ranked lists (each: (id, score) in
     rank order already materializable by (score desc, id)):
-    rrf(d) = sum_lists 1 / (rrf_k + rank_d); docs missing from a list
-    contribute nothing for it. The standard calibration-free hybrid
-    combiner ($rankFusion / Cormack et al.)."""
+    rrf(d) = sum_lists w_i / (rrf_k + rank_d); docs missing from a
+    list contribute nothing for it. The standard calibration-free
+    hybrid combiner ($rankFusion / Cormack et al.); `weights` is the
+    stage's combination.weights (default 1.0 each)."""
     from pyspark.sql.window import Window
 
+    if weights is not None and len(weights) != len(ranked):
+        raise ValueError("weights must match the number of lists")
     contribs = []
     for i, r in enumerate(ranked):
+        wt = float(weights[i]) if weights is not None else 1.0
         w = Window.orderBy(F.desc("score"), F.asc(id_col))
         contribs.append(
             r.select(
                 F.col(id_col),
-                (F.lit(1.0) / (F.lit(float(rrf_k))
-                               + F.row_number().over(w)))
+                (F.lit(wt) / (F.lit(float(rrf_k))
+                              + F.row_number().over(w)))
                 .alias("__c"),
             )
         )
