@@ -554,13 +554,14 @@ def test_rrf_fusion(spark):
     assert abs(got[20] - round(1 / 62 + 1 / 62, 6)) < 1e-9
     assert abs(got[10] - round(1 / 61, 6)) < 1e-9
 
-    # weights ($rankFusion combination.weights): boosting list A makes
-    # its top doc win despite the dual-list doc
+    # weights ($rankFusion combination.weights): contributions scale
+    # per list — exact values and the induced ordering
     wf = rrf_fuse([a, b], k=10, weights=[5.0, 1.0]).collect()
-    assert wf[0].doc_id == 10
     got_w = {r.doc_id: r.rrf_score for r in wf}
     assert abs(got_w[10] - round(5 / 61, 6)) < 1e-9
     assert abs(got_w[20] - round(5 / 62 + 1 / 62, 6)) < 1e-9
+    assert abs(got_w[30] - round(1 / 61, 6)) < 1e-9
+    assert [r.doc_id for r in wf] == [20, 10, 30]
 
 
 def test_bigram_perplexity_fluency_ordering(spark):
