@@ -808,6 +808,47 @@ ORDER BY perplexity DESC, doc_id LIMIT 20
 """
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (MinHash+LSH,
+    jaccard>=0.7) attributed to their sources — the provenance signal
+    that tells a mixture designer WHICH sources mirror each other
+    (unordered source pair, so A<->B counts once). The pair frame is
+    tiny; both source joins are broadcast-size."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=4, ngram=3)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a"),
+                    F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b"),
+                    F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+        )
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "source_1", "source_2")
+    )
+
+
+ORACLE_CROSS_SOURCE = f"""
+WITH pairs AS ({ORACLE_MINHASH}),
+attributed AS (
+  SELECT least(da.source, db.source) AS source_1,
+         greatest(da.source, db.source) AS source_2
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a
+  JOIN documents db ON db.doc_id = p.b
+)
+SELECT source_1, source_2, COUNT(*) AS n_dup_pairs
+FROM attributed GROUP BY source_1, source_2
+ORDER BY n_dup_pairs DESC, source_1, source_2
+"""
+
+
 def q_lm_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LM data prep in ONE plan: quality+language filter ->
     non-overlapping 64-token chunks -> deterministic-order packing
@@ -1245,4 +1286,6 @@ TEXT_QUERIES: dict[str, tuple] = {
                       "(iterative; rows-only)"),
     "lm_data_prep": (q_lm_data_prep, ORACLE_LM_DATA_PREP,
                      "end-to-end filter -> chunk -> pack composition"),
+    "cross_source_dups": (q_cross_source_dups, ORACLE_CROSS_SOURCE,
+                          "cross-source near-dup provenance matrix"),
 }
