@@ -1105,6 +1105,33 @@ def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
             ]).rowsBetween(W.unboundedPreceding, W.currentRow)
             out = out.withColumn(
                 name, F.last(F.col(name), ignorenulls=True).over(w))
+        elif how.get("method") == "linear":
+            # interpolate between the surrounding non-null points on
+            # the (single, numeric) sort axis; Mongo's contract —
+            # leading/trailing nulls stay null
+            if not sort_by or len(sort_by) != 1:
+                raise ValueError(
+                    "$fill method linear requires a single sortBy "
+                    "field")
+            sfield = next(iter(sort_by))
+            order = [F.col(sfield).asc() if sort_by[sfield] >= 0
+                     else F.col(sfield).desc()]
+            wb = W.partitionBy(*parts).orderBy(*order) \
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            wf = W.partitionBy(*parts).orderBy(*order) \
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            v = F.col(name).cast("double")
+            x = F.col(sfield).cast("double")
+            x_of_v = F.when(F.col(name).isNotNull(), x)
+            pv = F.last(v, ignorenulls=True).over(wb)
+            px = F.last(x_of_v, ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            nx = F.first(x_of_v, ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * (x - px) / (nx - px)
+            out = out.withColumn(
+                name,
+                F.when(F.col(name).isNotNull(), v)
+                .when(pv.isNotNull() & nv.isNotNull(), interp))
         else:
             raise ValueError(f"unsupported $fill output: {how!r}")
     return out

@@ -1430,3 +1430,23 @@ def test_redact_matches_reference_interpreter(spark):
                 assert r.sub.inner.v == want["sub"]["inner"]["v"]
         assert [(e.level, e.v) for e in r.items] == \
             [(e["level"], e["v"]) for e in want["items"]]
+
+
+def test_fill_linear_interpolation(spark):
+    """$fill method:linear — interpolate across null runs on the sort
+    axis; leading/trailing nulls stay null (Mongo's contract)."""
+    rows = [("a", 0, 0.0), ("a", 2, None), ("a", 3, None),
+            ("a", 4, 8.0), ("a", 6, None),
+            ("b", 0, None), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = mongo_pipeline_to_df(df, [
+        {"$fill": {"partitionBy": "$g", "sortBy": {"x": 1},
+                   "output": {"y": {"method": "linear"}}}},
+        {"$sort": {"g": 1, "x": 1}},
+    ]).collect()
+    got = [(r.g, r.x, r.y) for r in out]
+    assert got == [
+        ("a", 0, 0.0), ("a", 2, 4.0), ("a", 3, 6.0),
+        ("a", 4, 8.0), ("a", 6, None),     # trailing: no next point
+        ("b", 0, None), ("b", 1, 5.0),     # leading: no prior point
+    ]
