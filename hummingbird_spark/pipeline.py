@@ -42,8 +42,9 @@ Supported stages:
                Mongo's only bound is memory)
   $densify  -> per-partition numeric grids via sequence+explode and an
                anti-join against existing points (no driver loop)
-  $fill     -> value fill (coalesce) or locf
-               (last(ignorenulls) over unbounded-preceding)
+  $fill     -> value fill (coalesce), locf (last(ignorenulls) over
+               unbounded-preceding), or linear (windowed
+               interpolation between surrounding known points)
   $collStats -> count form (storage stats live in operators/profile)
   $redact   -> schema-driven recursive document-level access control
                ($$PRUNE/$$KEEP/$$DESCEND compiled to nested
@@ -1082,9 +1083,10 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
-    """$fill: value fill or last-observation-carried-forward per
-    partition/sort — F.last(ignorenulls) over an unbounded-preceding
-    frame (and its mirror for 'linear'-free simplicity)."""
+    """$fill: value fill, last-observation-carried-forward, or
+    linear interpolation per partition/sort (locf = last(ignorenulls)
+    over unbounded-preceding; linear = surrounding known points via
+    the same window pair the as-of join uses)."""
     from pyspark.sql.window import Window as W
 
     part = spec.get("partitionBy")
