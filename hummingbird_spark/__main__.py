@@ -315,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
                      help="accepted languages (repeatable; omit to skip)")
     cur.add_argument("--classifier-threshold", type=float, default=None)
     cur.add_argument("--max-dup-segments", type=float, default=None)
+    cur.add_argument("--max-perplexity", type=float, default=None)
     cur.add_argument("--strip-boilerplate", action="store_true")
     cur.add_argument("--no-dedup", action="store_true")
     sim = sub.add_parser("sim")
@@ -425,6 +426,7 @@ def main(argv: list[str] | None = None) -> int:
             langs=tuple(args.lang) if args.lang else None,
             classifier_threshold=args.classifier_threshold,
             max_dup_segment_fraction=args.max_dup_segments,
+            max_perplexity=args.max_perplexity,
             strip_boilerplate=args.strip_boilerplate,
             dedup=not args.no_dedup,
         )

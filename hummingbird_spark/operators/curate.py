@@ -8,7 +8,8 @@ with).
 
 Drop-reason semantics follow the usual pipeline convention: each doc
 gets the FIRST reason that disqualifies it, checked in fixed order
-(empty -> quality -> language -> classifier -> dup_segments -> dup),
+(empty -> quality -> language -> classifier -> dup_segments ->
+perplexity -> dup),
 so the report's reasons partition the corpus and sum to its size.
 
 Plan shape at 100 TB (same discipline as corpus_curation):
@@ -73,6 +74,7 @@ def curate_corpus(
     langs: tuple[str, ...] | None = ("en",),
     classifier_threshold: float | None = None,
     max_dup_segment_fraction: float | None = None,
+    max_perplexity: float | None = None,
     strip_boilerplate: bool = False,
     dedup: bool = True,
     partition_cols: list[str] | None = None,
@@ -105,6 +107,15 @@ def curate_corpus(
         scored = scored.join(seg, id_col, "left") \
             .withColumn("__segdup", F.coalesce("dup_fraction", F.lit(0.0))) \
             .drop("dup_fraction")
+    if max_perplexity is not None:
+        from hummingbird_spark.operators.search import bigram_perplexity
+
+        ppl = bigram_perplexity(src, text_col, id_col) \
+            .select(id_col, "perplexity")
+        # docs with <2 tokens have no ppl row; they are already the
+        # "empty"/"quality" cut's problem, so null passes here
+        scored = scored.join(ppl, id_col, "left") \
+            .withColumnRenamed("perplexity", "__ppl")
     scored = scored.localCheckpoint(eager=False)
 
     # first-failing-reason, in fixed order. Null text must be caught
@@ -124,6 +135,9 @@ def curate_corpus(
     if max_dup_segment_fraction is not None:
         reason = reason.when(
             F.col("__segdup") > max_dup_segment_fraction, "dup_segments")
+    if max_perplexity is not None:
+        reason = reason.when(
+            F.col("__ppl") > max_perplexity, "perplexity")
     scored = scored.withColumn("__reason", reason)
 
     passing = scored.filter(F.col("__reason").isNull())
@@ -136,7 +150,7 @@ def curate_corpus(
         survivors = passing
 
     aux = ["__n_tokens", "__fp", "__quality", "__lang", "__cls",
-           "__segdup", "__reason"]
+           "__segdup", "__ppl", "__reason"]
     out = survivors.drop(*[c for c in aux if c in survivors.columns])
 
     from hummingbird_spark.sources.tables import read_source, write_sink

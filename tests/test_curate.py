@@ -95,3 +95,21 @@ def test_curate_jsonl_output(spark, tmp_path):
     import json as _json
     rows = [_json.loads(line) for p in shards for line in open(p)]
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_curate_perplexity_filter(spark, tmp_path):
+    """max_perplexity drops the gibberish doc (unique transitions score
+    far above the repeated-pattern docs under the corpus LM)."""
+    out = str(tmp_path / "curated")
+    df = spark.createDataFrame([
+        Row(doc_id=i, source="a", text=GOOD) for i in range(1, 5)
+    ] + [Row(doc_id=9, source="a",
+             text="zeta omega kappa lambda sigma phi chi psi "
+                  "upsilon tau rho pi omicron xi nu mu")])
+    base = curate_corpus(spark, df, out, langs=None, dedup=False)
+    assert base.n_kept == 5        # no perplexity screen: all pass
+    rep = curate_corpus(spark, df, out, langs=None, dedup=False,
+                        max_perplexity=4.0)
+    assert rep.dropped.get("perplexity") == 1
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 9 not in kept
