@@ -1629,9 +1629,10 @@ def run_pipeline(
         when_not = (spec.get("whenNotMatched", "insert")
                     if isinstance(spec, dict) else "insert")
         if not isinstance(when_matched, list) and \
-                when_matched not in ("replace", "merge", "keepExisting"):
+                when_matched not in ("replace", "merge", "keepExisting",
+                                     "fail"):
             raise ValueError(f"unsupported whenMatched: {when_matched!r}")
-        if when_not not in ("insert", "discard"):
+        if when_not not in ("insert", "discard", "fail"):
             raise ValueError(f"unsupported whenNotMatched: {when_not!r}")
         out = out.dropDuplicates(keys)
         let_spec = (spec.get("let") if isinstance(spec, dict) else None)
@@ -1662,6 +1663,10 @@ def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
     $replaceRoot/$replaceWith with an embedded-document newRoot.
     """
     if not os.path.exists(path):
+        if when_not == "fail" and out.limit(1).count() > 0:
+            raise RuntimeError(
+                "$merge whenNotMatched: fail — unmatched documents "
+                "exist (empty target)")
         return out if when_not == "insert" else out.limit(0)
     target = spark.read.parquet(path)
     # union schema: target fields (their established types win for
@@ -1693,6 +1698,23 @@ def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
             incoming = out_a.join(target_a, cond, "left_anti")
             result = result.unionByName(incoming, allowMissingColumns=True)
         return result
+    if when_matched == "fail" or when_not == "fail":
+        # Mongo aborts the whole stage on the first violation; one
+        # semi/anti count decides before anything is written
+        if when_matched == "fail":
+            n = out_a.join(target_a, cond, "left_semi").limit(1).count()
+            if n:
+                raise RuntimeError(
+                    "$merge whenMatched: fail — matching documents exist")
+        if when_not == "fail":
+            n = out_a.join(target_a, cond, "left_anti").limit(1).count()
+            if n:
+                raise RuntimeError(
+                    "$merge whenNotMatched: fail — unmatched documents "
+                    "exist")
+        if when_matched == "fail":
+            # no matches (or we'd have raised): all rows are inserts
+            return target_a.unionByName(out_a)
     if when_matched == "keepExisting":
         kept = target_a
         incoming = (out_a.join(target_a, cond, "left_anti")

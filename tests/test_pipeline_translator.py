@@ -1450,3 +1450,35 @@ def test_fill_linear_interpolation(spark):
         ("a", 4, 8.0), ("a", 6, None),     # trailing: no next point
         ("b", 0, None), ("b", 1, 5.0),     # leading: no prior point
     ]
+
+
+def test_merge_fail_modes(spark, tmp_path):
+    """whenMatched/whenNotMatched 'fail': abort before writing when the
+    forbidden class of document exists; succeed otherwise."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame([(1, 10)], "_id long, v long") \
+        .write.parquet(str(tmp_path / "ft.parquet"))
+
+    # whenMatched: fail — a matching _id aborts, target untouched
+    src_clash = spark.createDataFrame([(1, 99)], "_id long, v long")
+    with pytest.raises(RuntimeError, match="whenMatched: fail"):
+        run_pipeline(spark, src_clash, [
+            {"$merge": {"into": "ft", "whenMatched": "fail"}},
+        ], data_dir=str(tmp_path))
+    assert spark.read.parquet(str(tmp_path / "ft.parquet")).count() == 1
+
+    # no clash: pure insert path succeeds
+    src_new = spark.createDataFrame([(2, 20)], "_id long, v long")
+    got = run_pipeline(spark, src_new, [
+        {"$merge": {"into": "ft", "whenMatched": "fail"}},
+    ], data_dir=str(tmp_path))
+    assert {r._id for r in got.collect()} == {1, 2}
+
+    # whenNotMatched: fail — an unmatched _id aborts
+    src_unmatched = spark.createDataFrame([(9, 90)], "_id long, v long")
+    with pytest.raises(RuntimeError, match="whenNotMatched: fail"):
+        run_pipeline(spark, src_unmatched, [
+            {"$merge": {"into": "ft", "whenMatched": "replace",
+                        "whenNotMatched": "fail"}},
+        ], data_dir=str(tmp_path))
