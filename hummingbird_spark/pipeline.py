@@ -1156,9 +1156,18 @@ def _apply_lookup_pipeline(df: DataFrame, spec: dict,
     alias = spec["as"]
     let = spec.get("let", {})
     eq_pairs: list[tuple[Any, Any]] = []  # (local side, foreign side)
+    # combined form (Mongo 8): localField/foreignField equality joins
+    # ALONGSIDE the pipeline — seed it as the first join key (row-wise
+    # pipeline stages commute with the equality restriction)
+    if "localField" in spec and "foreignField" in spec:
+        eq_pairs.append(("$" + spec["localField"],
+                         "$" + spec["foreignField"]))
     pre_stages: list[dict] = []   # before the correlated $match
     post_stages: list[dict] = []  # after it (Mongo runs in order)
-    residual = pre_stages
+    # combined form: the field key binds on the RAW foreign frame, so
+    # every pipeline stage runs post-join-key (include-mode $projects
+    # carry the key through below); pure pipeline form starts pre
+    residual = post_stages if eq_pairs else pre_stages
 
     def _split_eq(e: dict) -> None:
         op, arg = next(iter(e.items()))

@@ -1482,3 +1482,24 @@ def test_merge_fail_modes(spark, tmp_path):
             {"$merge": {"into": "ft", "whenMatched": "replace",
                         "whenNotMatched": "fail"}},
         ], data_dir=str(tmp_path))
+
+
+def test_lookup_combined_field_and_pipeline(spark):
+    """Mongo 8 combined $lookup: localField/foreignField equality plus
+    a pipeline refining the matched docs."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, k string")
+    foreign = spark.createDataFrame(
+        [("a", 10, "keep"), ("a", 11, "drop"), ("b", 20, "keep")],
+        "fk string, v int, tag string")
+    out = mongo_pipeline_to_df(left, [
+        {"$lookup": {"from": "f", "localField": "k",
+                     "foreignField": "fk", "as": "m",
+                     "pipeline": [
+                         {"$match": {"tag": "keep"}},
+                         {"$project": {"v": 1}},
+                     ]}},
+        {"$sort": {"id": 1}},
+    ], tables={"f": foreign})
+    rows = out.collect()
+    assert [[m.v for m in r.m] for r in rows] == [[10], [20]]
