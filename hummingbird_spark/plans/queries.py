@@ -1501,18 +1501,20 @@ _VERIFY_FIRST = [
     "pipeline_window_fields", "pipeline_densify_fill",
     "pipeline_expressions", "doc_chunks", "keep_newest_orders",
     "profile_orders", "decontamination", "c4_filter_stats", "repetition_stats",
-    # least-recently-verified (r1 window, in r1 order) — keeps every
-    # green record fresh on a 2-round rotation; total stays <=50 so the
-    # tail doesn't fall off the driver's recording window
+    # queries added later in round 3 (each needs a FIRST record —
+    # first-proof beats re-verifying r1-recorded names, which keep
+    # their green r1 rows either way)
+    "embedding_dup_clusters", "segment_dup_stats",
+    "classifier_quality_mix", "mixture_temperature",
+    "quality_canonical_dedup", "vector_search_pipeline", "bm25_topk",
+    "hybrid_rrf", "perplexity_outliers", "asof_next_purchase",
+    "audio_windows", "bpe_fertility", "lm_data_prep",
+    "cross_source_dups", "rfm_segments", "weekly_active_users",
+    "basket_pairs",
+    # pad to the 50-slot window with the least-recently-verified r1
+    # names; the rest of the r1 set rotates in r4
     "pricing_summary", "filter_in", "filter_date_range", "filter_or",
-    "range_scan", "mask_default", "mask_partial", "mask_hex",
-    "status_counts", "event_type_counts", "topk_events",
-    "union_namespaces", "except_diff", "anti_join", "semi_join",
-    "revenue_by_nation", "shipping_priority", "returned_items",
-    "window_rank", "rollup_agg", "cdc_state_at",
-    # promo_revenue / custdist / small_qty_revenue / big_orders /
-    # idle_balance keep their r1 record; they rotate in r4 so the list
-    # stays at 50 (the driver's recording window)
+    "range_scan",
 ]
 
 QUERIES = {
