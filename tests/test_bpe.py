@@ -58,7 +58,9 @@ def _py_bpe(word_counts, n_merges, min_pair_count=2):
 def test_bpe_matches_reference(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
-    merges, seg = train_bpe(df, n_merges=12)
+    # local_vocab_threshold=0 forces the DISTRIBUTED loop — this is
+    # the differential test of the fold/aggregate path proper
+    merges, seg = train_bpe(df, n_merges=12, local_vocab_threshold=0)
 
     counts = collections.Counter()
     for t in CORPUS:
@@ -68,6 +70,13 @@ def test_bpe_matches_reference(spark):
     assert merges == ref_merges
     got_segs = {r.w: list(r.syms) for r in seg.collect()}
     assert got_segs == ref_segs
+
+    # the default (driver-local below threshold) path must be
+    # indistinguishable: same merges, same segmentations, same schema
+    merges_l, seg_l = train_bpe(df, n_merges=12)
+    assert merges_l == ref_merges
+    assert {r.w: list(r.syms) for r in seg_l.collect()} == ref_segs
+    assert dict(seg_l.dtypes) == dict(seg.dtypes)
 
     # encoding: per-doc subword counts match the reference segs
     enc = {r.doc_id: (r.n_bpe_tokens, r.n_words)

@@ -48,5 +48,10 @@ def _union_find_labels(edges):
 def test_cc_matches_union_find(spark, edges):
     expect = _union_find_labels(edges)
     df = spark.createDataFrame(edges, "a: long, b: long")
-    got = {r.node: r.label for r in connected_components(df).collect()}
+    # local_edge_threshold=0 forces the DISTRIBUTED min-label loop —
+    # the default path below the threshold is itself a union-find and
+    # is covered by test_connected_components_known_graph
+    got = {r.node: r.label
+           for r in connected_components(
+               df, local_edge_threshold=0).collect()}
     assert got == expect
