@@ -97,3 +97,14 @@ def test_bpe_learns_frequent_subwords(spark):
     # every word's symbols reassemble to word + END marker
     for r in seg.collect():
         assert "".join(r.syms) == r.w + END
+
+
+def test_bpe_empty_corpus(spark):
+    """No words -> no merges, empty segmentation table with the
+    standard (w, n, syms) schema."""
+    from pyspark.sql import Row as R
+    df = spark.createDataFrame([R(doc_id=0, text="")])
+    merges, seg = train_bpe(df, n_merges=5)
+    assert merges == []
+    assert seg.collect() == []
+    assert [f.name for f in seg.schema.fields] == ["w", "n", "syms"]

@@ -55,3 +55,24 @@ def test_cc_matches_union_find(spark, edges):
            for r in connected_components(
                df, local_edge_threshold=0).collect()}
     assert got == expect
+
+
+def test_cc_empty_edge_list_both_paths(spark):
+    """No edges -> no labeled nodes, on the driver-local default path
+    AND the distributed loop, with the same (node, label) schema."""
+    empty = spark.createDataFrame([], "a: long, b: long")
+    local = connected_components(empty)
+    dist = connected_components(empty, local_edge_threshold=0)
+    assert local.collect() == [] == dist.collect()
+    assert [f.name for f in local.schema.fields] == ["node", "label"]
+    assert dict(local.dtypes) == dict(dist.dtypes)
+
+
+def test_cc_string_node_ids_local_path(spark):
+    """The default path labels non-numeric ids too (min = lexicographic),
+    preserving the id type in the result schema."""
+    edges = spark.createDataFrame(
+        [("d2", "d7"), ("d7", "d1"), ("x9", "x3")], "a: string, b: string")
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d7": "d1",
+                   "x3": "x3", "x9": "x3"}
