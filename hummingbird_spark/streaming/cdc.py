@@ -192,11 +192,16 @@ class _KeyFold:
                     self.doc.pop(k, None)
             else:
                 self.sets.update(s)
-                self.unsets = [k for k in self.unsets if k not in s] + [
-                    k for k in u if k not in self.unsets
-                ]
+                # Prior unsets overridden by this event's sets; then this
+                # event's unsets apply LAST (within one event the declared
+                # order is sets-then-unsets, matching apply_cdc_batch and
+                # the ordered replayer), so a same-event set+unset of one
+                # field nets to the unset, not a cancel.
+                self.unsets = [k for k in self.unsets if k not in s]
                 for k in u:
                     self.sets.pop(k, None)
+                    if k not in self.unsets:
+                        self.unsets.append(k)
 
     def finish(self) -> tuple:
         if self.mode == "delete":

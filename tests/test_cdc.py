@@ -201,6 +201,22 @@ def test_fold_patch_only_accumulates(spark):
     assert json.loads(r.unset_json) == {"x": 1}
 
 
+def test_fold_same_event_set_and_unset_nets_to_unset(spark):
+    # Pinned r3-verdict regression: a single legacy {$set, $unset} event
+    # touching the same field applies sets-then-unsets, so the unset wins.
+    # Falsifying example from test_cdc_fold_properties:
+    # [patch({}, unset=[x]), patch({x:0}, unset=[x])] must leave x unset,
+    # not fold to a no-op patch.
+    red = _reduce(spark, [
+        _ev(1, "u", {"$unset": {"x": 1}}, {"_id": 9}),
+        _ev(2, "u", {"$set": {"x": 0}, "$unset": {"x": 1}}, {"_id": 9}),
+    ])
+    r = red["9"]
+    assert r.action == "patch"
+    assert r.set_json is None
+    assert json.loads(r.unset_json) == {"x": 1}
+
+
 def test_fold_delete_then_reinsert(spark):
     red = _reduce(spark, [
         _ev(1, "d", {"_id": 4}),
