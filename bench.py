@@ -85,6 +85,26 @@ def _warm_throughput_jobs(spark, work: str) -> None:
     )
 
 
+def _calibrate(spark) -> float:
+    """Fixed-slot machine-speed probe, timed FIRST every run: a pure
+    CPU-bound JVM aggregation with a data-independent, rotation-proof
+    plan. Successive VM boots differ in raw throughput by 1.3-1.5x;
+    dividing any query ratio by the calibration ratio separates machine
+    drift from plan regressions DIRECTLY instead of inferring drift
+    from the median across all queries (r3 verdict item 3). min of two
+    runs; the plan is warmed by the first."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 997).alias("s")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_spark(app_name="hummingbird_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,6 +117,8 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    calibration = _calibrate(spark)
 
     # Warm EVERY plan once at sf0.001 before timing at SF_DIR: the
     # generated whole-stage-codegen classes depend on plan structure,
@@ -246,7 +268,7 @@ def main() -> None:
     # overflowed its buffer. Keep fd 1 to one compact line (<200 bytes)
     # and persist the per-query detail to a committed repo file instead.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_r3.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
         json.dump({
@@ -255,6 +277,7 @@ def main() -> None:
             "unit": "sec",
             "sf": _sf_from_dir(SF_DIR),
             "n_queries": len(timings),
+            "calibration_sec": calibration,
             "queries": timings,
         }, f, indent=1, sort_keys=True)
     line = json.dumps({
@@ -262,7 +285,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": _sf_from_dir(SF_DIR),
-        "queries": {"n": len(timings), "detail": "BENCH_DETAIL_r3.json"},
+        "calibration_sec": calibration,
+        "queries": {"n": len(timings), "detail": "BENCH_DETAIL.json"},
     })
     os.write(_json_fd, (line + "\n").encode())
     os.close(_json_fd)

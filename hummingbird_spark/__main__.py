@@ -145,11 +145,16 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
         print(f"table {args.table!r} not found under {args.data}",
               file=sys.stderr)
         return 2
-    out = run_pipeline(spark, tables[args.table], stages, tables=tables,
-                       data_dir=args.data)
     if getattr(args, "explain", False):
+        # dry run: translate everything (incl. the $merge frame) but
+        # never execute the terminal $out/$merge write
+        out = run_pipeline(spark, tables[args.table], stages,
+                           tables=tables, data_dir=args.data,
+                           dry_run=True)
         out.explain(mode="formatted")
         return 0
+    out = run_pipeline(spark, tables[args.table], stages, tables=tables,
+                       data_dir=args.data)
     _print_rows(out, args.limit)
     return 0
 
@@ -404,9 +409,14 @@ def main(argv: list[str] | None = None) -> int:
         lex = bm25_topk(docs, args.terms.split(), k=args.k)
         if args.embeddings:
             emb = spark.read.parquet(args.embeddings)
-            qv = emb.filter(
+            qrow = emb.filter(
                 _F.col("vec_id") == args.query_vec_id
-            ).first().embedding
+            ).first()
+            if qrow is None:
+                print(f"vec_id {args.query_vec_id!r} not found in "
+                      f"{args.embeddings}", file=sys.stderr)
+                return 2
+            qv = qrow.embedding
             vec = cosine_topk(emb, list(qv), k=args.k).select(
                 _F.col("vec_id").alias("doc_id"), "score")
             result = rrf_fuse([lex, vec], k=args.k)

@@ -130,41 +130,53 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
         P(w2 | w1) = (B(w1,w2) + alpha) / (U(w1) + alpha * V)
         ppl(d)     = exp( mean over d's bigrams of -ln P )
 
-    Add-alpha smoothing keeps unseen bigrams finite. Two aggregation
-    passes over exploded bigrams (model counts, then per-doc scoring
-    via a join on the bigram key) — at 100 TB the model join is the
-    standard posting-style equi-join; the unigram table (vocab-sized)
-    joins on the context word. Docs with <2 tokens emit no row.
-    Rounded to 4 dp: the per-doc mean is a float sum whose order
-    differs across engines; 4 dp absorbs the drift at any doc length.
+    Add-alpha smoothing keeps unseen bigrams finite. Docs with <2
+    tokens emit no row. Rounded to 4 dp: the per-doc mean is a float
+    sum whose order differs across engines; 4 dp absorbs the drift at
+    any doc length.
+
+    Scale shape (r3-verdict skew item): everything downstream of the
+    explode runs over per-doc bigram COUNTS — one row per (doc,
+    bigram) — so the model equi-join's probe side carries a hot bigram
+    ("of the") at most once per document, not once per occurrence;
+    the per-doc mean is the d_cnt-weighted mean, which is identical.
+    The model tables derive from those counts without re-reading the
+    corpus: B(w1,w2) = sum of d_cnt per bigram, U(w1) = sum of B over
+    bigrams with context w1 (exact: every occurrence of w1 as a
+    context IS a bigram occurrence), V = count of distinct contexts.
     """
     from hummingbird_spark.functions.text import doc_bigrams
     from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 
-    # three consumers read the exploded bigrams (bigram counts, context
-    # counts, scoring) — stage them ONCE; without this each consumer
-    # re-tokenizes and re-explodes the corpus (measured 24s -> 4s at
-    # sf0.1), and a single-file scan would serialize the explode
     grams = ensure_kernel_parallelism(df).select(
         F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    )
+    # two consumers read the per-doc counts (model counts, scoring) —
+    # stage them once; the (doc, bigram) grain is also the skew cap
+    doc_bi = grams.groupBy(id_col, "bg").agg(
+        F.count(F.lit(1)).alias("d_cnt")
     ).localCheckpoint(eager=False)
     w1 = F.split(F.col("bg"), " ")[0]
-    bi = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("b_cnt"))
+    bi = doc_bi.groupBy("bg").agg(F.sum("d_cnt").alias("b_cnt"))
     uni = (
-        grams.select(w1.alias("w1"))
-        .groupBy("w1").agg(F.count(F.lit(1)).alias("u_cnt"))
+        bi.select(w1.alias("w1"), "b_cnt")
+        .groupBy("w1").agg(F.sum("b_cnt").alias("u_cnt"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log(
         (F.col("b_cnt") + alpha)
         / (F.col("u_cnt") + alpha * F.col("v")))
     return (
-        grams
+        doc_bi
         .join(bi, "bg")
         .withColumn("w1", w1)
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
-        .agg(F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
-             F.count(F.lit(1)).alias("n_bigrams"))
+        .agg(
+            F.round(
+                F.exp(F.sum(F.col("d_cnt") * nll) / F.sum("d_cnt")), 4
+            ).alias("perplexity"),
+            F.sum("d_cnt").alias("n_bigrams"),
+        )
     )

@@ -1590,6 +1590,7 @@ def run_pipeline(
     stages: list[dict],
     tables: dict[str, DataFrame] | None = None,
     data_dir: str | None = None,
+    dry_run: bool = False,
 ) -> DataFrame:
     """Run a pipeline that may end in a terminal write stage — `$out`
     (replace a collection with the results) or `$merge` (upsert into
@@ -1609,6 +1610,13 @@ def run_pipeline(
     contract as the CDC sink. Duplicate on-keys in the pipeline result
     collapse to one arbitrary-but-deterministic row first (Mongo
     serializes per-document writes, so a key can't end up duplicated).
+
+    `dry_run=True` builds the full result frame — including the merged
+    frame for `$merge` — but skips the terminal write, so `--explain`
+    can show the plan without mutating the target table. The
+    whenMatched/whenNotMatched "fail" pre-checks still run (they read,
+    never write), so a dry run also reports whether the merge would
+    abort.
     """
     body, terminal = stages, None
     if stages and next(iter(stages[-1])) in ("$out", "$merge"):
@@ -1649,6 +1657,8 @@ def run_pipeline(
                              os.path.join(data_dir, f"{coll}.parquet"),
                              keys, when_matched, when_not, let_spec)
 
+    if dry_run:
+        return result
     path = os.path.join(data_dir, f"{coll}.parquet")
     tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(tmp)
@@ -1722,8 +1732,12 @@ def _merge_into(spark, out: DataFrame, path: str, keys: list[str],
                     "$merge whenNotMatched: fail — unmatched documents "
                     "exist")
         if when_matched == "fail":
-            # no matches (or we'd have raised): all rows are inserts
-            return target_a.unionByName(out_a)
+            # no matches (or we'd have raised): every incoming row is
+            # unmatched, so they only land under whenNotMatched: insert;
+            # "discard" keeps the target untouched
+            if when_not == "insert":
+                return target_a.unionByName(out_a)
+            return target_a
     if when_matched == "keepExisting":
         kept = target_a
         incoming = (out_a.join(target_a, cond, "left_anti")
@@ -1794,8 +1808,12 @@ def _merge_matched_pipeline(target_a: DataFrame, out: DataFrame,
             names = [sarg] if isinstance(sarg, str) else list(sarg)
             m = m.drop(*names)
         elif op == "$project":
-            incl = {k: v for k, v in sarg.items()
-                    if not (v in (0, False) and k != "_id")}
+            # _id: 0 is the one allowed exclusion in include form; drop
+            # it from incl entirely so it never reaches _expr_v (which
+            # would project a literal 0 over the real merge key) —
+            # keep_keys below re-adds the actual key column, which $merge
+            # needs to survive the join-back regardless.
+            incl = {k: v for k, v in sarg.items() if v not in (0, False)}
             if any(v in (0, False) for k, v in sarg.items() if k != "_id"):
                 raise ValueError(
                     "whenMatched pipeline $project: exclude form "

@@ -1469,13 +1469,14 @@ QUERIES: dict[str, QuerySpec] = {
 from hummingbird_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r3 import R3_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_r4 import R4_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
-    **ANALYTICS_QUERIES, **R3_QUERIES,
+    **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1486,35 +1487,30 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r3 priority: the only registry queries with no driver CORRECTNESS
-    # record after r1+r2 (deferred from r2's 50-slot window), plus
-    # docgen_all_types (r2 driver-red: array column unhashable in the
-    # harness canonicalizer; now emitted as to_json on both sides)
-    "pipeline_bucket", "pack_sequences", "mixture_rebalance",
-    "media_pipeline", "docgen_all_types",
-    # queries added in round 3 (each needs a first green record)
-    "decile_stats", "first_order_gap", "order_price_bands",
-    "top_users", "supplier_fill_rate", "doc_pii_scrub",
-    "doc_fingerprint", "doc_outliers", "minhash_signature_probe",
-    "order_seasonality", "events_sessionized", "embedding_norms",
-    "ivf_recall_probe", "shingle_stats", "quality_mixture",
-    "pipeline_window_fields", "pipeline_densify_fill",
-    "pipeline_expressions", "doc_chunks", "keep_newest_orders",
-    "profile_orders", "decontamination", "c4_filter_stats", "repetition_stats",
-    # queries added later in round 3 (each needs a FIRST record —
-    # first-proof beats re-verifying r1-recorded names, which keep
-    # their green r1 rows either way)
-    "embedding_dup_clusters", "segment_dup_stats",
-    "classifier_quality_mix", "mixture_temperature",
-    "quality_canonical_dedup", "vector_search_pipeline", "bm25_topk",
-    "hybrid_rrf", "perplexity_outliers", "asof_next_purchase",
-    "audio_windows", "bpe_fertility", "lm_data_prep",
-    "cross_source_dups", "rfm_segments", "weekly_active_users",
-    "basket_pairs",
-    # pad to the 50-slot window with the least-recently-verified r1
-    # names; the rest of the r1 set rotates in r4
-    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
-    "range_scan",
+    # r4 rotation. After r3 every registry query has a driver record
+    # (r1∪r2∪r3), so this window is first-proof for the two NEW
+    # effectful-pipeline verification queries, then pure refresh:
+    # the 45 names whose latest green record is still round 1
+    # (least-recently-verified, exactly the set computed from
+    # CORRECTNESS_r01..r03), then the oldest r2-recorded names.
+    "migration_copy_verify", "cdc_apply_verify",
+    # r1-only set (latest record: round 1)
+    "range_scan", "mask_default", "mask_partial", "mask_hex",
+    "status_counts", "event_type_counts", "topk_events",
+    "union_namespaces", "except_diff", "anti_join", "semi_join",
+    "revenue_by_nation", "shipping_priority", "returned_items",
+    "window_rank", "rollup_agg", "cdc_state_at", "cdc_last_state",
+    "proj_sort", "count_pred", "parent_rollup", "promo_revenue",
+    "custdist", "small_qty_revenue", "big_orders", "idle_balance",
+    "forecast_revenue", "order_priority_check", "supplier_variety",
+    "local_supplier_volume", "nation_trade_flow", "top_supplier",
+    "disjunctive_revenue", "events_time_slice", "salted_status_counts",
+    "variant_props", "json_props", "mask_nested", "doc_stats",
+    "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
+    "dedup_exact", "exact_dup_groups",
+    # pad to the ~50-slot window with the head of the r2-recorded set
+    "pipeline_status_rollup", "priority_linestatus",
+    "dup_group_histogram",
 ]
 
 QUERIES = {

@@ -1,0 +1,201 @@
+"""Round-4 registry queries: oracle-grade proofs for the EFFECTFUL
+pipelines (bulk copy and CDC decode→fold→apply), closing the r3-verdict
+gap where `migration_copy_lineitem` / `cdc_apply_20k_events` were
+bench-only with no driver CORRECTNESS row.
+
+Shape: each query RUNS the effectful operator into a session-scoped
+temp dir, reads the produced table back, and returns a deterministic
+verification frame the driver can hash-match against a pure-SQL oracle
+over the SOURCE tables. The result frames are tiny (1 row / ≤499
+rows), so they are materialized with a bounded collect and re-created
+as a local DataFrame — the temp dir is then removed, keeping the query
+side-effect-free from the caller's perspective.
+
+Reference parity: the copy proof mirrors the reference's row-count
+verification after a migration (`task.go:88-105` counts written rows);
+the CDC proof exercises the full GetWriteModels→ordered-bulk path
+(`oplog_utils.go:88-281`) end-to-end against a SQL replay of the same
+event stream.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hummingbird_spark.sources.tables import load_table
+
+R4_QUERIES: dict = {}
+
+_CKSUM_MOD = 1_000_000_007  # keep the bigint sum far from 2^63 at any SF
+
+
+def q_migration_copy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real bulk-copy migration (range-partitioned
+    parquet→parquet, operators/copy.py::run_migration) on lineitem into
+    a temp target, then prove the TARGET content-equals the source:
+    row count, a per-row key checksum (md5 of the (orderkey, linenumber)
+    primary key, summed mod a prime), and decimal-exact value sums.
+    The oracle computes the same aggregates over the source directly —
+    a complete, content-exact copy is the only way they match."""
+    from hummingbird_spark.config import Include, MigrationConfig
+    from hummingbird_spark.operators.copy import run_migration
+
+    tmp = tempfile.mkdtemp(prefix="hb_copy_verify_")
+    try:
+        cfg = MigrationConfig(
+            command="data-only", source=sf_dir, target=tmp,
+            includes=[Include(namespace="lineitem")], key="l_orderkey",
+            drop=True,
+        )
+        report = run_migration(spark, cfg)
+        assert report.total_rows > 0
+        copied = spark.read.parquet(f"{tmp}/lineitem.parquet")
+        key_hash = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )), 1, 15),
+                16, 10,
+            ).cast("long") % _CKSUM_MOD
+        )
+        row = copied.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(key_hash).alias("key_checksum"),
+            # the value columns are doubles in the parquet — sum via
+            # decimal so the result is addition-order-independent and
+            # hash-exact across engines
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("qty_sum"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+        ).collect()[0]  # bounded: exactly one row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("key_checksum", T.LongType()),
+        T.StructField("qty_sum", T.DoubleType()),
+        T.StructField("price_sum", T.DoubleType()),
+    ])
+    return spark.createDataFrame([row], schema)
+
+
+ORACLE_MIGRATION_COPY_VERIFY = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(
+                CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                % {_CKSUM_MOD}) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS price_sum
+FROM lineitem
+"""
+
+
+R4_QUERIES["migration_copy_verify"] = (
+    q_migration_copy_verify, ORACLE_MIGRATION_COPY_VERIFY,
+    "bulk-copy migration proven content-exact vs source oracle")
+
+
+def q_cdc_apply_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the FULL CDC write path — decode_write_models (v4 legacy
+    {$set}/replace/delete) → reduce_write_models (per-key ordered fold)
+    → apply_cdc_batch (merge into a parquet target) — over a
+    deterministic event stream derived from the orders table, then
+    return the final target state. The oracle replays the same stream
+    in SQL: per key, the last replace-or-delete decides existence, and
+    the newest later $set (if any) decides the value. Patches on
+    never-inserted keys are no-ops (UpdateOne matches nothing), same as
+    `oplog_utils.go:110-197` ordered-bulk semantics.
+
+    Event mapping (one event per order, ts = seq = o_orderkey, key =
+    o_orderkey % 499): orderkey ≡ 3 (mod 7) → patch {$set {v}},
+    else ≡ 10 (mod 11) → delete, else → insert {_id, v=o_orderkey}."""
+    from hummingbird_spark.streaming.cdc import (
+        apply_cdc_batch, decode_write_models, reduce_write_models,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    k = (ok % 499).cast("string")
+    v = ok.cast("string")
+    ev = o.select(
+        F.timestamp_seconds(ok).alias("ts"),
+        ok.alias("seq"),
+        F.lit("db.t").alias("ns"),
+        F.when(ok % 7 == 3, F.lit("u"))
+        .when(ok % 11 == 10, F.lit("d"))
+        .otherwise(F.lit("i")).alias("op"),
+        F.when(
+            ok % 7 == 3,
+            F.concat(F.lit('{"$set": {"v": '), v, F.lit("}}")),
+        ).when(
+            ok % 11 == 10,
+            F.concat(F.lit('{"_id": '), k, F.lit("}")),
+        ).otherwise(
+            F.concat(F.lit('{"_id": '), k, F.lit(', "v": '), v,
+                     F.lit("}")),
+        ).alias("o"),
+        F.when(
+            ok % 7 == 3,
+            F.concat(F.lit('{"_id": '), k, F.lit("}")),
+        ).alias("o2"),
+    )
+    schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    tmp = tempfile.mkdtemp(prefix="hb_cdc_verify_")
+    try:
+        reduced = reduce_write_models(decode_write_models(ev))
+        apply_cdc_batch(spark, reduced, f"{tmp}/t.parquet", "_id", schema)
+        rows = (
+            spark.read.parquet(f"{tmp}/t.parquet")
+            .select("_id", "v").orderBy("_id")
+            .collect()  # bounded: key space is 499
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLE_CDC_APPLY_VERIFY = """
+WITH ev AS (
+  SELECT o_orderkey AS ts,
+         o_orderkey % 499 AS k,
+         CASE WHEN o_orderkey % 7 = 3 THEN 'p'
+              WHEN o_orderkey % 11 = 10 THEN 'd'
+              ELSE 'i' END AS op,
+         o_orderkey AS v
+  FROM orders),
+rd AS (
+  SELECT k, op, v, ts,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+  FROM ev WHERE op IN ('i', 'd')),
+last_rd AS (SELECT k, op, v, ts FROM rd WHERE rn = 1),
+late_patch AS (
+  SELECT e.k, e.v,
+         ROW_NUMBER() OVER (PARTITION BY e.k ORDER BY e.ts DESC) AS rn
+  FROM ev e JOIN last_rd l ON e.k = l.k AND e.ts > l.ts
+  WHERE e.op = 'p' AND l.op = 'i')
+SELECT CAST(l.k AS BIGINT) AS _id,
+       CAST(COALESCE(p.v, l.v) AS BIGINT) AS v
+FROM last_rd l
+LEFT JOIN (SELECT k, v FROM late_patch WHERE rn = 1) p ON l.k = p.k
+WHERE l.op = 'i'
+ORDER BY _id
+"""
+
+
+R4_QUERIES["cdc_apply_verify"] = (
+    q_cdc_apply_verify, ORACLE_CDC_APPLY_VERIFY,
+    "CDC decode+fold+apply proven vs SQL replay of the event stream")

@@ -75,9 +75,19 @@ def read_source(spark: SparkSession, path: str,
     statistics — schema inference alone costs a full read, so prefer
     an explicit schema= option on big row-format inputs."""
     if fmt is None:
-        base = path[:-3] if path.endswith(".gz") else path
-        fmt = os.path.splitext(base)[1].lstrip(".").lower()
+        if path.startswith(("mongodb://", "mongodb+srv://")):
+            fmt = "mongodb"
+        else:
+            base = path[:-3] if path.endswith(".gz") else path
+            fmt = os.path.splitext(base)[1].lstrip(".").lower()
     fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(fmt, fmt)
+    if fmt == "mongodb":
+        # live-Mongo seam (the reference's native I/O plane): options
+        # carry database/collection/partitioner (sources/mongodb.py
+        # maps MigrationConfig -> connector options)
+        from hummingbird_spark.sources.mongodb import read_mongodb
+
+        return read_mongodb(spark, path, **options)
     schema = options.pop("schema", None)
     reader = spark.read
     if schema is not None:

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Compare the latest BENCH_DETAIL_r3.json against the committed
+"""Compare the latest BENCH_DETAIL.json against the committed
 round-2 baseline (BENCH_BASELINE.json) and flag regressions.
 
 The baseline was captured on a different VM boot; successive boots of
@@ -35,17 +35,36 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        ROOT, "BENCH_DETAIL_r3.json")
+        ROOT, "BENCH_DETAIL.json")
     with open(os.path.join(ROOT, "BENCH_BASELINE.json")) as f:
-        baseline = json.load(f)["queries"]
+        base_doc = json.load(f)
     with open(detail_path) as f:
-        current = json.load(f)["queries"]
+        cur_doc = json.load(f)
+    baseline, current = base_doc["queries"], cur_doc["queries"]
 
     shared = sorted(set(baseline) & set(current))
-    drift = statistics.median(
-        current[n] / baseline[n] for n in shared
-        if baseline[n] >= MIN_BASELINE_SEC) or 1.0
-    print(f"machine drift (median ratio, n={len(shared)}): {drift:.2f}x")
+    ratios = [current[n] / baseline[n] for n in shared
+              if baseline[n] >= MIN_BASELINE_SEC]
+    # statistics.median raises on an empty list (e.g. disjoint query
+    # sets or all-sub-second baselines) — fall back to no-drift
+    median_drift = statistics.median(ratios) if ratios else 1.0
+    median_drift = median_drift or 1.0
+    # When both runs carry the fixed-slot calibration probe (bench.py::
+    # _calibrate, r4+), drift is MEASURED as the ratio of a
+    # data-independent CPU-bound job, not inferred from the query
+    # median — the median stays printed as a cross-check.
+    cal_b = base_doc.get("calibration_sec")
+    cal_c = cur_doc.get("calibration_sec")
+    if cal_b and cal_c:
+        drift = cal_c / cal_b
+        print(f"machine drift (calibration probe): {drift:.2f}x "
+              f"[query-median cross-check: {median_drift:.2f}x, "
+              f"n={len(ratios)}]")
+    else:
+        drift = median_drift
+        print(f"machine drift (median ratio, n={len(ratios)} of "
+              f"{len(shared)} shared; no calibration in baseline): "
+              f"{drift:.2f}x")
 
     rows, failures = [], []
     for name in shared:
@@ -59,6 +78,9 @@ def main() -> int:
                 failures.append(name)
         rows.append((name, base, cur, norm, flag))
 
+    if not rows:
+        print("\nOK: no shared queries to compare")
+        return 0
     width = max(len(r[0]) for r in rows)
     for name, base, cur, norm, flag in rows:
         if flag or name in HEADLINE:

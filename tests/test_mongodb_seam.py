@@ -1,0 +1,104 @@
+"""MongoDB connector seam tests (sources/mongodb.py).
+
+The sandbox has neither a MongoDB server nor the connector jar, so
+these tests pin the DISPATCH and CONFIG-MAPPING layers: MigrationConfig
+-> connector options round-trips, the doc-count block -> partition-MB
+conversion, Mongo-side $match pushdown, and the clear failure mode when
+the jar is absent. The reference surface being mirrored:
+client_pool.go:26-68 (URI plumbing), splitter.go:51-108 (key-range
+partitioning -> SamplePartitioner), task.go:88-101 (upsert writes ->
+replace/idFieldList), oplog streaming (S6 -> change-stream options).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hummingbird_spark.config import Include, MigrationConfig
+from hummingbird_spark.sources.mongodb import (
+    SAMPLE_PARTITIONER,
+    SHARDED_PARTITIONER,
+    block_to_partition_mb,
+    mongodb_read_options,
+    mongodb_stream_options,
+    mongodb_write_options,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        command="data-only",
+        source="mongodb://src:27017",
+        target="mongodb://dst:27017",
+        includes=[Include(namespace="shop.orders", to="shop.orders_v2")],
+    )
+    base.update(kw)
+    return MigrationConfig(**base)
+
+
+def test_read_options_map_namespace_key_and_block():
+    cfg = _cfg(key="_id", block=4096)
+    opts = mongodb_read_options(cfg, cfg.includes[0], avg_doc_bytes=2048)
+    assert opts["connection.uri"] == "mongodb://src:27017"
+    assert opts["database"] == "shop"
+    assert opts["collection"] == "orders"
+    assert opts["partitioner"] == SAMPLE_PARTITIONER
+    assert opts["partitioner.options.partition.field"] == "_id"
+    # 4096 docs * 2048 B = 8 MiB
+    assert opts["partitioner.options.partition.size"] == "8"
+
+
+def test_block_to_partition_mb_floors_at_one():
+    assert block_to_partition_mb(10, avg_doc_bytes=100) == 1
+    assert block_to_partition_mb(10_000, avg_doc_bytes=1024) == 9
+    assert block_to_partition_mb(10_000, avg_doc_bytes=2048) == 19
+
+
+def test_read_options_filter_becomes_match_pipeline():
+    inc = Include(namespace="shop.orders",
+                  filter={"status": {"$in": ["A", "B"]}})
+    cfg = _cfg(includes=[inc])
+    opts = mongodb_read_options(cfg, inc)
+    assert json.loads(opts["aggregation.pipeline"]) == [
+        {"$match": {"status": {"$in": ["A", "B"]}}}
+    ]
+
+
+def test_read_options_sharded_uses_chunk_partitioner():
+    cfg = _cfg()
+    opts = mongodb_read_options(cfg, cfg.includes[0], sharded=True)
+    assert opts["partitioner"] == SHARDED_PARTITIONER
+    assert "partitioner.options.partition.field" not in opts
+
+
+def test_write_options_use_target_namespace_and_upsert_key():
+    cfg = _cfg(key="order_id")
+    opts = mongodb_write_options(cfg, cfg.includes[0])
+    assert opts["connection.uri"] == "mongodb://dst:27017"
+    assert opts["database"] == "shop"
+    assert opts["collection"] == "orders_v2"  # the `to` rename
+    assert opts["operationType"] == "replace"
+    assert opts["idFieldList"] == "order_id"
+
+
+def test_stream_options_request_full_documents():
+    cfg = _cfg()
+    opts = mongodb_stream_options(cfg, cfg.includes[0])
+    assert opts["change.stream.lookup.full.document"] == "updateLookup"
+    assert opts["database"] == "shop" and opts["collection"] == "orders"
+
+
+def test_read_source_dispatches_mongodb_and_reports_missing_jar(spark):
+    """mongodb:// URIs route to the connector branch; without the jar
+    the error must say how to get it, not a raw ClassNotFound."""
+    from hummingbird_spark.sources.tables import read_source
+
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        read_source(spark, "mongodb://localhost:27017",
+                    database="db", collection="c")
+    # explicit fmt= works the same
+    with pytest.raises(RuntimeError, match="--packages"):
+        read_source(spark, "mongodb://localhost:27017", fmt="mongodb",
+                    database="db", collection="c")

@@ -404,6 +404,57 @@ def test_merge_pipeline_custom_let_and_discard(spark, tmp_path):
     assert got[1].v == 100 and got[2].v == 216   # 200 + 8*2
 
 
+def test_merge_fail_matched_with_discard_keeps_target(spark, tmp_path):
+    """whenMatched='fail' + whenNotMatched='discard': when no incoming
+    row matches (so no abort), the unmatched rows are DISCARDED — the
+    target must come back unchanged, not with the inserts (r3 advice)."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "_id long, v long"
+    ).write.parquet(str(tmp_path / "fd.parquet"))
+    src = spark.createDataFrame([(8, 80), (9, 90)], "_id long, v long")
+
+    got = {r._id: r.v for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "fd", "whenMatched": "fail",
+                    "whenNotMatched": "discard"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 2}
+
+    # and the insert form still inserts
+    got = {r._id: r.v for r in run_pipeline(spark, src, [
+        {"$merge": {"into": "fd", "whenMatched": "fail",
+                    "whenNotMatched": "insert"}},
+    ], data_dir=str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 2, 8: 80, 9: 90}
+
+
+def test_merge_pipeline_project_id_zero_keeps_real_key(spark, tmp_path):
+    """whenMatched pipeline $project with the {_id: 0} idiom: _id is an
+    exclusion, not a computed column — the real merge key must survive
+    (keep_keys re-adds it), not be replaced by a literal 0 (r3 advice)."""
+    from hummingbird_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "_id long, v long"
+    ).write.parquet(str(tmp_path / "pz.parquet"))
+    src = spark.createDataFrame([(2, 5)], "_id long, v long")
+
+    got = {r._id: r for r in run_pipeline(spark, src, [
+        {"$merge": {
+            "into": "pz", "on": "_id",
+            "whenMatched": [
+                {"$project": {"_id": 0,
+                              "v": {"$add": ["$v", "$$new.v"]}}},
+            ],
+            "whenNotMatched": "discard",
+        }},
+    ], data_dir=str(tmp_path)).collect()}
+    # key 2 keeps its REAL _id (not 0) with the accumulated value
+    assert set(got) == {1, 2}
+    assert got[2].v == 25 and got[1].v == 10
+
+
 def test_bucket_validation_and_string_default(spark):
     import pytest
     from hummingbird_spark.pipeline import mongo_pipeline_to_df
