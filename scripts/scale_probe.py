@@ -67,6 +67,9 @@ PROBES = [
     ("bm25_topk", ["documents"]),
     ("perplexity_outliers", ["documents"]),
     ("hybrid_rrf", ["documents", "embeddings"]),
+    # round-4 additions: the effectful pipelines under the same lens
+    ("migration_copy_verify", ["lineitem"]),
+    ("cdc_apply_verify", ["orders"]),
 ]
 
 EMB_COPIES = 4
