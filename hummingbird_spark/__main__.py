@@ -316,6 +316,8 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("src", help="source documents parquet")
     cur.add_argument("out", help="curated output parquet")
     cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--gopher-rules", action="store_true",
+                     help="apply the published Gopher A1 quality rules")
     cur.add_argument("--lang", action="append", default=None,
                      help="accepted languages (repeatable; omit to skip)")
     cur.add_argument("--classifier-threshold", type=float, default=None)
@@ -433,6 +435,7 @@ def main(argv: list[str] | None = None) -> int:
         rep = curate_corpus(
             spark, spark.read.parquet(args.src), args.out,
             min_quality=args.min_quality,
+            gopher_rules=args.gopher_rules,
             langs=tuple(args.lang) if args.lang else None,
             classifier_threshold=args.classifier_threshold,
             max_dup_segment_fraction=args.max_dup_segments,

@@ -317,6 +317,87 @@ def c4_quality_flags(col: Column) -> Column:
     )
 
 
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """Gopher quality-filter rules (Rae et al., 2021, Appendix A1 —
+    the published MassiveWeb heuristics), as one struct of statistics
+    and boolean flags, all pure Column expressions riding the scan
+    (same contract as c4_quality_flags):
+
+      too_few_words      word count < 50
+      too_many_words     word count > 100,000
+      bad_mean_word_len  mean word length outside [3, 10]
+      high_symbol_ratio  (# + ellipsis occurrences) / words > 0.1
+      bullet_heavy       > 90% of lines start with a bullet
+      ellipsis_heavy     > 30% of lines end with an ellipsis
+      low_alpha_words    < 80% of words contain an alphabetic char
+      missing_stopwords  < 2 of the 8 required stop words present
+      keep               none of the above tripped
+
+    Tokenization is the module's whitespace split; every rule is
+    constructed to evaluate identically in DuckDB SQL (regexes are
+    Java/RE2-common), so the per-source rule counts are oracle-provable
+    as pure integers — no float comparisons cross-engine."""
+    ws = tokens(col)
+    n_words = F.size(ws)
+    mwl = mean_word_length(col)
+    n_symbols = (
+        F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+        + F.size(F.regexp_extract_all(col, F.lit(r"\.{3}|…"), 0))
+    )
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_symbols.cast("double") / n_words.cast("double"))
+    lines = F.filter(
+        F.split(col, r"\n"), lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    bullet_ratio = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(
+            lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
+        )).cast("double") / n_lines.cast("double"))
+    ellipsis_ratio = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(
+            lines, lambda ln: F.trim(ln).rlike(r"(\.{3}|…)$")
+        )).cast("double") / n_lines.cast("double"))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike(r"[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        alpha_words.cast("double") / n_words.cast("double"))
+    n_stop = F.size(F.array_intersect(
+        F.transform(ws, F.lower),
+        F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+    ))
+    too_few = n_words < 50
+    too_many = n_words > 100_000
+    bad_mwl = (mwl < 3.0) | (mwl > 10.0)
+    high_symbol = symbol_ratio > 0.1
+    bullet_heavy = bullet_ratio > 0.9
+    ellipsis_heavy = ellipsis_ratio > 0.3
+    low_alpha = alpha_word_ratio < 0.8
+    missing_stop = n_stop < 2
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_required_stopwords"),
+        too_few.alias("too_few_words"),
+        too_many.alias("too_many_words"),
+        bad_mwl.alias("bad_mean_word_len"),
+        high_symbol.alias("high_symbol_ratio"),
+        bullet_heavy.alias("bullet_heavy"),
+        ellipsis_heavy.alias("ellipsis_heavy"),
+        low_alpha.alias("low_alpha_words"),
+        missing_stop.alias("missing_stopwords"),
+        (~too_few & ~too_many & ~bad_mwl & ~high_symbol & ~bullet_heavy
+         & ~ellipsis_heavy & ~low_alpha & ~missing_stop).alias("keep"),
+    )
+
+
 def strip_repeated_lines(col: Column) -> Column:
     """Remove duplicate lines WITHIN a document, keeping each line's
     first occurrence (nav menus / cookie banners / footer boilerplate

@@ -34,7 +34,7 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hummingbird_spark.functions.text import (
@@ -49,6 +49,12 @@ from hummingbird_spark.operators.dedup import (
     ensure_kernel_parallelism,
     segment_duplicate_stats,
 )
+
+
+def _gopher_keep(text: Column) -> Column:
+    from hummingbird_spark.functions.text import gopher_quality_flags
+
+    return gopher_quality_flags(text)["keep"]
 
 
 @dataclass
@@ -71,6 +77,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
+    gopher_rules: bool = False,
     langs: tuple[str, ...] | None = ("en",),
     classifier_threshold: float | None = None,
     max_dup_segment_fraction: float | None = None,
@@ -86,7 +93,10 @@ def curate_corpus(
 
     Filters are opt-out: langs=None skips language screening,
     classifier_threshold/max_dup_segment_fraction=None skip those
-    stages (and their plan cost) entirely.
+    stages (and their plan cost) entirely. gopher_rules=True adds the
+    published Gopher A1 screen (functions/text.py::
+    gopher_quality_flags) — pure Column expressions riding the same
+    scan, reason "gopher".
     """
     src = ensure_kernel_parallelism(df)
     text = F.col(text_col)
@@ -100,6 +110,8 @@ def curate_corpus(
         "__lang": lang_id(text),
         **({"__cls": hashed_classifier_score(text)}
            if classifier_threshold is not None else {}),
+        **({"__gopher_keep": _gopher_keep(text)} if gopher_rules
+           else {}),
     })
     if max_dup_segment_fraction is not None:
         seg = segment_duplicate_stats(src, text_col, id_col) \
@@ -127,6 +139,8 @@ def curate_corpus(
         F.col(text_col).isNull()
         | (F.coalesce(F.col("__n_tokens"), F.lit(0)) == 0), "empty") \
         .when(F.col("__quality") < min_quality, "quality")
+    if gopher_rules:
+        reason = reason.when(~F.col("__gopher_keep"), "gopher")
     if langs is not None:
         reason = reason.when(~F.col("__lang").isin(*langs), "language")
     if classifier_threshold is not None:
@@ -150,7 +164,7 @@ def curate_corpus(
         survivors = passing
 
     aux = ["__n_tokens", "__fp", "__quality", "__lang", "__cls",
-           "__segdup", "__ppl", "__reason"]
+           "__gopher_keep", "__segdup", "__ppl", "__reason"]
     out = survivors.drop(*[c for c in aux if c in survivors.columns])
 
     from hummingbird_spark.sources.tables import read_source, write_sink

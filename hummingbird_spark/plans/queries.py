@@ -1493,7 +1493,7 @@ _VERIFY_FIRST = [
     # the 45 names whose latest green record is still round 1
     # (least-recently-verified, exactly the set computed from
     # CORRECTNESS_r01..r03), then the oldest r2-recorded names.
-    "migration_copy_verify", "cdc_apply_verify",
+    "migration_copy_verify", "cdc_apply_verify", "gopher_rule_stats",
     # r1-only set (latest record: round 1)
     "range_scan", "mask_default", "mask_partial", "mask_hex",
     "status_counts", "event_type_counts", "topk_events",
@@ -1510,7 +1510,6 @@ _VERIFY_FIRST = [
     "dedup_exact", "exact_dup_groups",
     # pad to the ~50-slot window with the head of the r2-recorded set
     "pipeline_status_rollup", "priority_linestatus",
-    "dup_group_histogram",
 ]
 
 QUERIES = {

@@ -199,3 +199,112 @@ ORDER BY _id
 R4_QUERIES["cdc_apply_verify"] = (
     q_cdc_apply_verify, ORACLE_CDC_APPLY_VERIFY,
     "CDC decode+fold+apply proven vs SQL replay of the event stream")
+
+
+def q_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 A1) over the corpus,
+    aggregated to per-source INTEGER rule-failure counts — the flags are
+    pure Column expressions riding the scan (functions/text.py::
+    gopher_quality_flags); the integer aggregate makes the oracle
+    float-free."""
+    from hummingbird_spark.functions.text import gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("source", gopher_quality_flags(F.col("text")).alias("g"))
+
+    def cnt(flag):
+        return F.sum(F.col(f"g.{flag}").cast("long")).alias(f"n_{flag}")
+
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("keep"),
+            cnt("too_few_words"),
+            cnt("bad_mean_word_len"),
+            cnt("high_symbol_ratio"),
+            cnt("bullet_heavy"),
+            cnt("ellipsis_heavy"),
+            cnt("low_alpha_words"),
+            cnt("missing_stopwords"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_GOPHER_RULE_STATS = r"""
+WITH t AS (
+  SELECT source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws,
+         list_filter(string_split(text, chr(10)),
+                     ln -> length(trim(ln)) > 0) AS lines
+  FROM documents
+), m AS (
+  SELECT source,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(COALESCE(list_sum(
+                  list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+              / len(ws) END AS mwl,
+    (length(text) - length(regexp_replace(text, '#', '', 'g'))
+     + len(regexp_extract_all(text, '\.{3}|…'))) AS n_sym,
+    len(lines) AS n_lines,
+    len(list_filter(lines,
+        ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
+    len(list_filter(lines,
+        ln -> regexp_matches(trim(ln), '(\.{3}|…)$'))) AS n_ell,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+      AS n_stop
+  FROM t
+), f AS (
+  SELECT source,
+    (n_words < 50) AS too_few_words,
+    (n_words > 100000) AS too_many_words,
+    (mwl < 3.0 OR mwl > 10.0) AS bad_mean_word_len,
+    (CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(n_sym AS DOUBLE) / n_words END > 0.1)
+      AS high_symbol_ratio,
+    (CASE WHEN n_lines = 0 THEN 0.0
+          ELSE CAST(n_bullet AS DOUBLE) / n_lines END > 0.9)
+      AS bullet_heavy,
+    (CASE WHEN n_lines = 0 THEN 0.0
+          ELSE CAST(n_ell AS DOUBLE) / n_lines END > 0.3)
+      AS ellipsis_heavy,
+    (CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(n_alpha AS DOUBLE) / n_words END < 0.8)
+      AS low_alpha_words,
+    (n_stop < 2) AS missing_stopwords
+  FROM m
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN NOT (too_few_words OR too_many_words
+       OR bad_mean_word_len OR high_symbol_ratio OR bullet_heavy
+       OR ellipsis_heavy OR low_alpha_words OR missing_stopwords)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(SUM(CASE WHEN too_few_words THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_too_few_words,
+  CAST(SUM(CASE WHEN bad_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bad_mean_word_len,
+  CAST(SUM(CASE WHEN high_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_high_symbol_ratio,
+  CAST(SUM(CASE WHEN bullet_heavy THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bullet_heavy,
+  CAST(SUM(CASE WHEN ellipsis_heavy THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ellipsis_heavy,
+  CAST(SUM(CASE WHEN low_alpha_words THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low_alpha_words,
+  CAST(SUM(CASE WHEN missing_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing_stopwords
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+R4_QUERIES["gopher_rule_stats"] = (
+    q_gopher_rule_stats, ORACLE_GOPHER_RULE_STATS,
+    "Gopher A1 quality rules: per-source integer failure counts")

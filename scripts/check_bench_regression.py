@@ -1,17 +1,20 @@
 #!/usr/bin/env python
 """Compare the latest BENCH_DETAIL.json against the committed
-round-2 baseline (BENCH_BASELINE.json) and flag regressions.
+baselines and flag regressions.
 
-The baseline was captured on a different VM boot; successive boots of
-the harness differ in raw CPU throughput by 1.5x+ UNIFORMLY (measured:
-median ratio 1.5x across 67 untouched queries after a reboot, CPU idle,
-zero steal). Raw per-query ratios therefore conflate machine drift
-with plan regressions. Normalization: divide each query's ratio by the
-median ratio over ALL shared queries — a genuine plan regression shows
-up as an outlier against the fleet-wide drift, while a uniformly
-slower machine cancels out. A query "regresses" when its normalized
-ratio exceeds 1.5x. Sub-0.3 s baselines are exempt (timing noise).
-Exit 1 when any headline query regresses; print a table either way.
+Two baselines, two normalizations:
+  - BENCH_BASELINE.json (round-2): predates the calibration probe, so
+    drift is INFERRED as the median ratio across all shared queries
+    with baseline >= 0.3 s (measured: successive VM boots differ
+    1.3-1.5x uniformly in raw CPU throughput).
+  - BENCH_BASELINE_R4.json (round-4): carries `calibration_sec` — the
+    fixed-slot, data-independent CPU probe bench.py times first every
+    run — so drift is MEASURED as the calibration ratio; the query
+    median is printed as a cross-check.
+
+A query "regresses" when its drift-normalized ratio exceeds 1.5x.
+Sub-0.3 s baselines are exempt (timing noise). Exit 1 when any
+headline query regresses against ANY baseline; print tables either way.
 
 Usage: python scripts/check_bench_regression.py [detail_json]
 """
@@ -26,6 +29,8 @@ import sys
 HEADLINE = [
     "waiting_suppliers", "migration_copy_lineitem", "min_cost_supplier",
     "cdc_apply_20k_events", "revenue_by_nation", "important_stock",
+    # r4 additions: the oracle-proven effectful pipelines
+    "migration_copy_verify", "cdc_apply_verify",
 ]
 TOLERANCE = 1.5
 MIN_BASELINE_SEC = 0.3
@@ -33,13 +38,10 @@ MIN_BASELINE_SEC = 0.3
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
-    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        ROOT, "BENCH_DETAIL.json")
-    with open(os.path.join(ROOT, "BENCH_BASELINE.json")) as f:
+def compare(base_path: str, cur_doc: dict, label: str) -> list[str]:
+    """Run one baseline comparison; returns headline failure names."""
+    with open(base_path) as f:
         base_doc = json.load(f)
-    with open(detail_path) as f:
-        cur_doc = json.load(f)
     baseline, current = base_doc["queries"], cur_doc["queries"]
 
     shared = sorted(set(baseline) & set(current))
@@ -49,12 +51,9 @@ def main() -> int:
     # sets or all-sub-second baselines) — fall back to no-drift
     median_drift = statistics.median(ratios) if ratios else 1.0
     median_drift = median_drift or 1.0
-    # When both runs carry the fixed-slot calibration probe (bench.py::
-    # _calibrate, r4+), drift is MEASURED as the ratio of a
-    # data-independent CPU-bound job, not inferred from the query
-    # median — the median stays printed as a cross-check.
     cal_b = base_doc.get("calibration_sec")
     cal_c = cur_doc.get("calibration_sec")
+    print(f"== vs {label} ==")
     if cal_b and cal_c:
         drift = cal_c / cal_b
         print(f"machine drift (calibration probe): {drift:.2f}x "
@@ -79,19 +78,36 @@ def main() -> int:
         rows.append((name, base, cur, norm, flag))
 
     if not rows:
-        print("\nOK: no shared queries to compare")
-        return 0
+        print("no shared queries to compare\n")
+        return []
     width = max(len(r[0]) for r in rows)
     for name, base, cur, norm, flag in rows:
         if flag or name in HEADLINE:
             print(f"{name:<{width}}  {base:7.3f}s -> {cur:7.3f}s  "
                   f"({norm:4.2f}x normalized) {flag}")
     if failures:
-        print(f"\nFAIL: headline regressions: {failures}")
-        return 1
-    print("\nOK: no headline regression vs r2 baseline "
-          f"(drift-normalized at {drift:.2f}x)")
-    return 0
+        print(f"FAIL: headline regressions vs {label}: {failures}\n")
+    else:
+        print(f"OK: no headline regression vs {label} "
+              f"(drift-normalized at {drift:.2f}x)\n")
+    return failures
+
+
+def main() -> int:
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        cur_doc = json.load(f)
+
+    failures: list[str] = []
+    for fname, label in (
+        ("BENCH_BASELINE_R4.json", "r4 baseline (calibration-pinned)"),
+        ("BENCH_BASELINE.json", "r2 baseline (median-normalized)"),
+    ):
+        path = os.path.join(ROOT, fname)
+        if os.path.exists(path):
+            failures += compare(path, cur_doc, label)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -113,3 +113,26 @@ def test_curate_perplexity_filter(spark, tmp_path):
     assert rep.dropped.get("perplexity") == 1
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 9 not in kept
+
+
+def test_curate_gopher_rules_screen(spark, tmp_path):
+    """gopher_rules=True adds the published A1 screen as reason
+    'gopher', after quality and before language — a doc passing the
+    composite quality score but tripping a Gopher rule (here: < 50
+    words) is attributed to 'gopher'."""
+    out = str(tmp_path / "curated")
+    long_good = " ".join([GOOD] * 2)   # 80 words, all rules pass
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=long_good),
+        Row(doc_id=2, source="a", text=GOOD),   # 40 words: too few
+        Row(doc_id=3, source="a",
+            text=" ".join(["the and that have with to be of"] * 10)
+                 + " ..." * 20),                # ellipsis symbols
+    ])
+    base = curate_corpus(spark, df, out, langs=None, dedup=False)
+    assert base.n_kept == 3                     # screen off: all pass
+    rep = curate_corpus(spark, df, out, langs=None, dedup=False,
+                        gopher_rules=True)
+    assert rep.dropped.get("gopher") == 2
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1}

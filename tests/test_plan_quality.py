@@ -459,11 +459,21 @@ def test_bm25_shuffles_postings_not_corpus(spark):
 
 def test_perplexity_single_model_pass(spark):
     """perplexity_outliers: model counts and scoring share the same
-    exploded-bigram base; the vocab scalar broadcasts."""
+    staged per-doc bigram COUNTS (r4 skew fix: the model join's probe
+    side carries one row per (doc, bigram) with a d_cnt weight, never
+    one row per occurrence); the vocab scalar broadcasts."""
     df = QUERIES["perplexity_outliers"].spark(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab cross join
+    # the staged counts frame is the join base: localCheckpoint scan
+    # with the (doc_id, bg, d_cnt) grain
+    assert "d_cnt" in plan
+    import re
+
+    assert re.search(r"Scan ExistingRDD\[doc_id#\d+L?,bg#\d+,d_cnt", plan)
+    # per-doc mean is the d_cnt-weighted sum, not an occurrence avg
+    assert "sum(d_cnt" in plan
 
 
 def test_lm_data_prep_one_scan_one_exchange(spark):

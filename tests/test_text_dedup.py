@@ -497,6 +497,36 @@ def test_c4_quality_flags(spark):
     assert rows[1].terminal_punct_ratio == 1.0
 
 
+def test_gopher_quality_flags(spark):
+    from hummingbird_spark.functions.text import gopher_quality_flags
+
+    # a doc that passes every rule: 60+ words, sane word lengths,
+    # >= 2 required stopwords, alphabetic, no bullets/ellipses/symbols
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog again and"] * 6)
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "the cat sat with that dog"),             # < 50 words
+         (3, " ".join(["a b c d"] * 20)),              # mwl < 3
+         (4, good + " " + "#" * 40),                   # symbol ratio
+         (5, "\n".join(["- bullet item here"] * 10)),  # bullet heavy
+         (6, "\n".join([good] + ["trailing off..."] * 4)),  # ellipses
+         (7, " ".join(["12345 67890 #### $$$$"] * 20)),  # low alpha
+         (8, " ".join(["purple monkey dishwasher"] * 25))],  # no stops
+        "doc_id long, text string")
+    rows = {r.doc_id: r.g for r in docs.select(
+        "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+    ).collect()}
+    assert rows[1].keep is True and rows[1].n_required_stopwords >= 2
+    assert rows[2].too_few_words and not rows[2].keep
+    assert rows[3].bad_mean_word_len and not rows[3].keep
+    assert rows[4].high_symbol_ratio and not rows[4].keep
+    assert rows[5].bullet_heavy and not rows[5].keep
+    assert rows[6].ellipsis_heavy and not rows[6].keep
+    assert rows[7].low_alpha_words and not rows[7].keep
+    assert rows[8].missing_stopwords and not rows[8].keep
+
+
 def test_strip_repeated_lines(spark):
     from hummingbird_spark.functions.text import strip_repeated_lines
 
