@@ -1494,6 +1494,7 @@ _VERIFY_FIRST = [
     # (least-recently-verified, exactly the set computed from
     # CORRECTNESS_r01..r03), then the oldest r2-recorded names.
     "migration_copy_verify", "cdc_apply_verify", "gopher_rule_stats",
+    "rollup_verify", "zorder_verify",
     # r1-only set (latest record: round 1)
     "range_scan", "mask_default", "mask_partial", "mask_hex",
     "status_counts", "event_type_counts", "topk_events",
@@ -1508,8 +1509,6 @@ _VERIFY_FIRST = [
     "variant_props", "json_props", "mask_nested", "doc_stats",
     "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
     "dedup_exact", "exact_dup_groups",
-    # pad to the ~50-slot window with the head of the r2-recorded set
-    "pipeline_status_rollup", "priority_linestatus",
 ]
 
 QUERIES = {

@@ -201,6 +201,130 @@ R4_QUERIES["cdc_apply_verify"] = (
     "CDC decode+fold+apply proven vs SQL replay of the event stream")
 
 
+def q_rollup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prove the continuous rollup's incremental maintenance exact:
+    apply the events table as TWO micro-batches (split by event-id
+    parity) through window_rollup_partials -> merge_rollup_batch into a
+    temp rollup table, then return the final per-(hour, type) state.
+    The oracle is the one-shot SQL aggregate over events — merge
+    algebra (count/sum/min/max) is decomposable, so incremental ==
+    direct, byte-for-byte. sum rides a 4dp round: the rollup
+    accumulates doubles in batch order, the oracle in scan order
+    (accumulated error ~1e-9 of the rounding step, documented safe)."""
+    from hummingbird_spark.streaming.rollup import (
+        merge_rollup_batch, window_rollup_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "event_id")
+    half1 = ev.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = ev.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    tmp = tempfile.mkdtemp(prefix="hb_rollup_verify_")
+    try:
+        path = f"{tmp}/rollup.parquet"
+        merge_rollup_batch(spark, window_rollup_partials(half1), path,
+                           batch_id=0)
+        merge_rollup_batch(spark, window_rollup_partials(half2), path,
+                           batch_id=1)
+        final = (
+            spark.read.parquet(path)
+            .select(
+                "window_start",
+                F.col("key").alias("event_type"),
+                "n_events",
+                F.round("sum_value", 4).alias("sum_value"),
+                "min_value", "max_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+        rows = final.collect()  # bounded: hours x event types
+        schema = final.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLE_ROLLUP_VERIFY = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(CAST(value AS DOUBLE)), 4) AS sum_value,
+       MIN(CAST(value AS DOUBLE)) AS min_value,
+       MAX(CAST(value AS DOUBLE)) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+R4_QUERIES["rollup_verify"] = (
+    q_rollup_verify, ORACLE_ROLLUP_VERIFY,
+    "incremental 2-batch rollup state == one-shot SQL aggregate")
+
+
+def q_zorder_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prove the z-order clustering rewrite content-preserving: cluster
+    lineitem's (partkey, suppkey) projection along the z-curve, land it,
+    and checksum the landed table (row count, md5 key checksum,
+    decimal-exact quantity sum) against the same aggregates over the
+    source — reordering must move every row, lose none, change none.
+    The min/max-box tightness the rewrite exists for is plan/property
+    tested in test_zorder.py; content preservation is the part an
+    oracle can prove."""
+    from hummingbird_spark.operators.zorder import cluster_by_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity",
+    )
+    tmp = tempfile.mkdtemp(prefix="hb_zorder_verify_")
+    try:
+        cluster_by_zorder(li, ["l_partkey", "l_suppkey"], num_files=16) \
+            .write.mode("overwrite").parquet(f"{tmp}/z")
+        z = spark.read.parquet(f"{tmp}/z")
+        key_hash = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )), 1, 15),
+                16, 10,
+            ).cast("long") % _CKSUM_MOD
+        )
+        row = z.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(key_hash).alias("key_checksum"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("qty_sum"),
+        ).collect()[0]  # bounded: exactly one row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("key_checksum", T.LongType()),
+        T.StructField("qty_sum", T.DoubleType()),
+    ])
+    return spark.createDataFrame([row], schema)
+
+
+ORACLE_ZORDER_VERIFY = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(
+                CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                % {_CKSUM_MOD}) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+"""
+
+
+R4_QUERIES["zorder_verify"] = (
+    q_zorder_verify, ORACLE_ZORDER_VERIFY,
+    "z-order clustering rewrite proven content-preserving")
+
+
 def q_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021 A1) over the corpus,
     aggregated to per-source INTEGER rule-failure counts — the flags are
