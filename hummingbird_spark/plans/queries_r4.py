@@ -432,3 +432,120 @@ ORDER BY source
 R4_QUERIES["gopher_rule_stats"] = (
     q_gopher_rule_stats, ORACLE_GOPHER_RULE_STATS,
     "Gopher A1 quality rules: per-source integer failure counts")
+
+
+def _all_grams(ws, n: int):
+    """Non-deduplicated word n-grams from a MATERIALIZED token array
+    (counts matter here, unlike the shingle pipelines' distinct sets;
+    same bound-column performance contract as ngrams_from_tokens)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int"))
+                   for j in range(n)]),
+    )
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")) \
+        .otherwise(grams)
+
+
+def q_ngram_repetition_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The rest of Gopher's A1.1 repetition family (repetition_stats
+    covers the top-WORD fraction): per-doc top-2-GRAM fraction and
+    duplicate-5-gram occurrence fraction, rolled up per lang. Documented
+    deviation: Gopher weights the 5-gram metric by characters; this
+    uses occurrence fraction (the character weighting adds a
+    length join with no extra discrimination on this corpus).
+
+    Scale shape: both metrics shuffle (doc, md5(gram)) count pairs —
+    the gram itself never shuffles (16-hex key vs ~40-byte text), and
+    the per-doc rollup is the same two-level aggregation as
+    repetition_stats."""
+    from hummingbird_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("ws"))
+
+    def metric(n: int, agg_fn):
+        g = d.select(
+            "doc_id", "lang",
+            F.explode(_all_grams(F.col("ws"), n)).alias("__g"),
+        ).select(
+            "doc_id", "lang",
+            F.substring(F.md5("__g"), 1, 16).alias("g"),
+        )
+        per_gram = g.groupBy("doc_id", "lang", "g").agg(
+            F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id", "lang").agg(agg_fn)
+
+    d2 = metric(2, (F.max("c").cast("double") / F.sum("c"))
+                .alias("top2"))
+    d5 = metric(5, (F.sum(F.when(F.col("c") > 1, F.col("c"))
+                          .otherwise(F.lit(0))).cast("double")
+                    / F.sum("c")).alias("dup5"))
+    a2 = d2.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n2_docs"),
+        F.round(F.avg("top2"), 6).alias("avg_top2_frac"),
+        F.sum((F.col("top2") > 0.2).cast("long")).alias("n_top2_heavy"),
+    )
+    a5 = d5.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n5_docs"),
+        F.round(F.avg("dup5"), 6).alias("avg_dup5_frac"),
+        F.sum((F.col("dup5") > 0.3).cast("long")).alias("n_dup5_heavy"),
+    )
+    return a2.join(a5, "lang", "full").orderBy("lang")
+
+
+ORACLE_NGRAM_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), g2 AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1]))), 1, 16) AS g
+  FROM words WHERE len(ws) >= 2
+), c2 AS (
+  SELECT doc_id, lang, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3
+), d2 AS (
+  SELECT doc_id, lang, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2
+  FROM c2 GROUP BY 1, 2
+), a2 AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2_docs,
+         round(AVG(top2), 6) AS avg_top2_frac,
+         CAST(SUM(CASE WHEN top2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_top2_heavy
+  FROM d2 GROUP BY lang
+), g5 AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]))), 1, 16) AS g
+  FROM words WHERE len(ws) >= 5
+), c5 AS (
+  SELECT doc_id, lang, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3
+), d5 AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+           / SUM(c) AS dup5
+  FROM c5 GROUP BY 1, 2
+), a5 AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n5_docs,
+         round(AVG(dup5), 6) AS avg_dup5_frac,
+         CAST(SUM(CASE WHEN dup5 > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup5_heavy
+  FROM d5 GROUP BY lang
+)
+SELECT COALESCE(a2.lang, a5.lang) AS lang,
+       n2_docs, avg_top2_frac, n_top2_heavy,
+       n5_docs, avg_dup5_frac, n_dup5_heavy
+FROM a2 FULL JOIN a5 ON a2.lang = a5.lang
+ORDER BY lang
+"""
+
+
+R4_QUERIES["ngram_repetition_stats"] = (
+    q_ngram_repetition_stats, ORACLE_NGRAM_REPETITION,
+    "Gopher n-gram repetition: top-2-gram + dup-5-gram per lang")

@@ -613,3 +613,31 @@ def test_bigram_perplexity_fluency_ordering(spark):
     assert got[1].perplexity == got[2].perplexity == got[3].perplexity
     assert got[4].perplexity > got[1].perplexity
     assert got[1].n_bigrams == 5
+
+
+def test_ngram_repetition_detects_planted_dups(spark, tmp_path):
+    """The fixture corpus has no duplicated 5-grams, so the registry
+    MATCH alone can't show the dup5 metric fires — plant a degenerate
+    looping doc and a clean doc and check both metrics separate them."""
+    from hummingbird_spark.plans.queries import QUERIES
+
+    loop = " ".join(["the cat sat on the mat"] * 20)   # 6 distinct
+    # bigrams sharing the count (top2 ~0.17), but every 5-gram repeats
+    stutter = " ".join(["again"] * 40)   # one bigram IS the doc
+    clean = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu")
+    spark.createDataFrame(
+        [(1, loop, "en", "a", len(loop)),
+         (2, stutter, "en", "a", len(stutter)),
+         (3, clean, "fr", "a", len(clean))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.lang: r for r in QUERIES["ngram_repetition_stats"]
+            .spark(spark, str(tmp_path)).collect()}
+    assert rows["en"].n_top2_heavy == 1      # the stutter doc
+    assert rows["en"].avg_dup5_frac == 1.0   # every 5-gram repeats
+    assert rows["en"].n_dup5_heavy == 2      # both degenerate docs
+    assert rows["fr"].avg_dup5_frac == 0.0   # all distinct
+    assert rows["fr"].n_top2_heavy == 0
