@@ -324,6 +324,9 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--max-dup-segments", type=float, default=None)
     cur.add_argument("--max-perplexity", type=float, default=None)
     cur.add_argument("--strip-boilerplate", action="store_true")
+    cur.add_argument("--strip-cross-doc-boilerplate", type=int,
+                     default=None, metavar="MIN_DOCS",
+                     help="drop lines repeating across >= MIN_DOCS docs")
     cur.add_argument("--no-dedup", action="store_true")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
@@ -441,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_segment_fraction=args.max_dup_segments,
             max_perplexity=args.max_perplexity,
             strip_boilerplate=args.strip_boilerplate,
+            strip_cross_doc_boilerplate=args.strip_cross_doc_boilerplate,
             dedup=not args.no_dedup,
         )
         print(json.dumps({

@@ -83,6 +83,7 @@ def curate_corpus(
     max_dup_segment_fraction: float | None = None,
     max_perplexity: float | None = None,
     strip_boilerplate: bool = False,
+    strip_cross_doc_boilerplate: int | None = None,
     dedup: bool = True,
     partition_cols: list[str] | None = None,
     fmt: str = "parquet",
@@ -102,6 +103,17 @@ def curate_corpus(
     text = F.col(text_col)
     if strip_boilerplate:
         src = src.withColumn(text_col, strip_repeated_lines(text))
+    if strip_cross_doc_boilerplate is not None:
+        # corpus-level pre-pass: drop lines repeating across >= N docs
+        # (cookie banners / nav menus); within-doc repeats are the
+        # strip_boilerplate flag's job
+        from hummingbird_spark.operators.dedup import (
+            strip_boilerplate_lines,
+        )
+
+        src = strip_boilerplate_lines(
+            src, text_col, id_col,
+            min_docs=strip_cross_doc_boilerplate)
 
     scored = src.withColumns({
         "__n_tokens": token_count(text),

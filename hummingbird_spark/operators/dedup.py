@@ -677,3 +677,93 @@ def segment_duplicate_stats(df: DataFrame, text_col: str = "text",
                     / F.col("n_segments").cast("double"), 6),
         )
     )
+
+
+def boilerplate_line_stats(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_docs: int = 5) -> DataFrame:
+    """Cross-document boilerplate LINE profile (the RefinedWeb/CCNet
+    line-dedup step; strip_repeated_lines handles the WITHIN-doc case):
+    a line is boilerplate when its trimmed text occurs in >= min_docs
+    DISTINCT documents (cookie banners, nav menus, footers repeat
+    verbatim across a crawl). Returns per-doc
+    (id, n_lines, n_boilerplate_lines, boilerplate_fraction).
+
+    Scale shape: lines shuffle as md5 hashes (16 hex chars, never the
+    line text); the doc-frequency table is line-hash keyed and joins
+    back on the key the groupBy just produced (AQE plans it
+    shuffle-local). Same two-shuffle discipline as
+    segment_duplicate_stats."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.split(F.col(text_col), r"\n"),
+            lambda ln: F.length(F.trim(ln)) > 0,
+        )).alias("__ln"),
+    ).select(
+        id_col, F.substring(F.md5(F.trim(F.col("__ln"))), 1, 16)
+        .alias("__lh"),
+    )
+    line_docs = lines.groupBy("__lh").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd"))
+    return (
+        lines.join(line_docs, "__lh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__nd") >= min_docs, 1).otherwise(0))
+            .alias("n_boilerplate_lines"),
+        )
+        .withColumn(
+            "boilerplate_fraction",
+            F.round(F.col("n_boilerplate_lines")
+                    / F.col("n_lines").cast("double"), 6),
+        )
+    )
+
+
+def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            min_docs: int = 5) -> DataFrame:
+    """Remove cross-document boilerplate lines (doc frequency >=
+    min_docs, see boilerplate_line_stats) from every document, keeping
+    the surviving lines in their original order. Documents reduced to
+    nothing come back with empty text — dropping them is the quality
+    screen's decision, not this operator's.
+
+    The rebuild is explode-with-position -> hash anti-join -> re-group
+    ordered by position: the shuffled payload is the line TEXT once
+    (for the rebuild) plus hash keys; the boilerplate set itself is a
+    hash-only frame, broadcast by AQE when small (the usual case —
+    boilerplate is a tiny distinct set by definition)."""
+    others = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *others,
+        F.posexplode(F.filter(
+            F.split(F.col(text_col), r"\n"),
+            lambda ln: F.length(F.trim(ln)) > 0,
+        )).alias("__pos", "__ln"),
+    ).withColumn("__lh", F.substring(F.md5(F.trim(F.col("__ln"))), 1, 16))
+    common = (
+        lines.groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh")
+    )
+    kept = lines.join(common, "__lh", "left_anti")
+    rebuilt = (
+        kept.groupBy(*others)
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("__pos"), F.col("__ln")))).alias("__arr"))
+        .select(
+            *others,
+            F.array_join(F.transform(F.col("__arr"), lambda s: s["__ln"]),
+                         "\n").alias(text_col),
+        )
+    )
+    # docs whose every line was boilerplate (or had no lines) vanish
+    # from the explode — restore them with empty text
+    missing = df.select(*others).join(
+        rebuilt.select(*others), others, "left_anti"
+    ).withColumn(text_col, F.lit(""))
+    return rebuilt.unionByName(missing).select(*df.columns)

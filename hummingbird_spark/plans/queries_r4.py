@@ -549,3 +549,58 @@ ORDER BY lang
 R4_QUERIES["ngram_repetition_stats"] = (
     q_ngram_repetition_stats, ORACLE_NGRAM_REPETITION,
     "Gopher n-gram repetition: top-2-gram + dup-5-gram per lang")
+
+
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line profile per source
+    (operators/dedup.py::boilerplate_line_stats — the RefinedWeb/CCNet
+    line-dedup signal): lines whose trimmed text occurs in >= min_docs
+    distinct documents, rolled up per source as pure integers."""
+    from hummingbird_spark.operators.dedup import boilerplate_line_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = boilerplate_line_stats(d, min_docs=3)
+    return (
+        stats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_boilerplate_lines").alias("n_boilerplate_lines"),
+            F.sum((F.col("n_boilerplate_lines") > 0).cast("long"))
+            .alias("n_docs_affected"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BOILERPLATE_STATS = r"""
+WITH lines AS (
+  SELECT doc_id, source,
+         substr(md5(trim(l)), 1, 16) AS lh
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE length(trim(l)) > 0
+), freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY lh
+), per_doc AS (
+  SELECT l.doc_id, l.source,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS n_bp
+  FROM lines l JOIN freq f ON l.lh = f.lh
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_bp) AS BIGINT) AS n_boilerplate_lines,
+       CAST(SUM(CASE WHEN n_bp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_affected
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+R4_QUERIES["boilerplate_stats"] = (
+    q_boilerplate_stats, ORACLE_BOILERPLATE_STATS,
+    "cross-doc boilerplate line profile per source (line dedup)")

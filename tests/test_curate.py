@@ -136,3 +136,24 @@ def test_curate_gopher_rules_screen(spark, tmp_path):
     assert rep.dropped.get("gopher") == 2
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1}
+
+
+def test_curate_strips_cross_doc_boilerplate(spark, tmp_path):
+    """strip_cross_doc_boilerplate=N removes the banner line shared by
+    >= N docs BEFORE scoring; unique body lines survive (note: any line
+    shared by >= N docs is boilerplate by definition, bodies
+    included — hence the unique suffixes here)."""
+    out = str(tmp_path / "curated")
+    banner = "we use cookies on this site every day always"
+    df = spark.createDataFrame([
+        Row(doc_id=i, source="a",
+            text=f"{banner}\n{GOOD} unique tail {i}")
+        for i in range(1, 4)
+    ] + [Row(doc_id=9, source="a", text=GOOD + " unique tail nine")])
+    rep = curate_corpus(spark, df, out, langs=None,
+                        strip_cross_doc_boilerplate=3, dedup=False)
+    assert rep.n_kept == 4
+    kept = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert all(banner not in t for t in kept.values())
+    assert kept[1] == GOOD + " unique tail 1"    # body survives
+    assert kept[9] == GOOD + " unique tail nine"  # untouched doc

@@ -641,3 +641,36 @@ def test_ngram_repetition_detects_planted_dups(spark, tmp_path):
     assert rows["en"].n_dup5_heavy == 2      # both degenerate docs
     assert rows["fr"].avg_dup5_frac == 0.0   # all distinct
     assert rows["fr"].n_top2_heavy == 0
+
+
+def test_boilerplate_line_stats_and_strip(spark):
+    """Cross-doc boilerplate lines: a cookie banner planted in 5 docs
+    is flagged and stripped; within-doc repeats below the doc-frequency
+    threshold survive; line order is preserved; an all-boilerplate doc
+    comes back empty rather than vanishing."""
+    from hummingbird_spark.operators.dedup import (
+        boilerplate_line_stats,
+        strip_boilerplate_lines,
+    )
+
+    banner = "We use cookies to improve your experience."
+    docs = [(i, f"Unique opening line {i}.\n{banner}\n"
+                f"Unique closing line {i}.") for i in range(1, 6)]
+    docs.append((6, "Twice twice.\nTwice twice.\nUnique six."))  # intra
+    docs.append((7, banner))                       # only boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    stats = {r.doc_id: r for r in
+             boilerplate_line_stats(df, min_docs=5).collect()}
+    assert stats[1].n_lines == 3
+    assert stats[1].n_boilerplate_lines == 1      # just the banner
+    assert stats[6].n_boilerplate_lines == 0      # intra-doc repeat ok
+    assert stats[7].n_boilerplate_lines == 1
+    assert stats[7].boilerplate_fraction == 1.0
+
+    out = {r.doc_id: r.text for r in
+           strip_boilerplate_lines(df, min_docs=5).collect()}
+    assert out[1] == "Unique opening line 1.\nUnique closing line 1."
+    assert out[6] == "Twice twice.\nTwice twice.\nUnique six."
+    assert out[7] == ""                           # restored, empty
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
