@@ -70,6 +70,10 @@ PROBES = [
     # round-4 additions: the effectful pipelines under the same lens
     ("migration_copy_verify", ["lineitem"]),
     ("cdc_apply_verify", ["orders"]),
+    # round-4 text-quality family
+    ("gopher_rule_stats", ["documents"]),
+    ("ngram_repetition_stats", ["documents"]),
+    ("boilerplate_stats", ["documents"]),
 ]
 
 EMB_COPIES = 4
