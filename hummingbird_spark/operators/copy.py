@@ -143,9 +143,25 @@ def copy_table(
       - target exists, no drop: idempotent top-up — append only rows whose
         key is missing (dup-key reconciliation J1, task.go:88-101)
     """
-    src_path = _table_path(cfg.source, include.namespace, _SOURCE_EXTS)
+    if cfg.source.startswith(("mongodb://", "mongodb+srv://")):
+        # the reference's native source: dispatch through the
+        # connector seam (sources/mongodb.py maps the config onto the
+        # public Spark MongoDB Connector's partitioner options; the
+        # include filter pushes down as a server-side $match there, so
+        # transform_for_include's re-apply is a no-op on those rows)
+        from hummingbird_spark.sources.mongodb import (
+            mongodb_read_options,
+        )
+
+        src_df = read_source(spark, cfg.source, fmt="mongodb",
+                             **mongodb_read_options(cfg, include))
+        src_path = None   # no parquet footers to count from
+    else:
+        src_path = _table_path(cfg.source, include.namespace,
+                               _SOURCE_EXTS)
+        src_df = read_source(spark, src_path)
     dst_path = _table_path(cfg.target, include.target_namespace)
-    df = transform_for_include(read_source(spark, src_path), include)
+    df = transform_for_include(src_df, include)
 
     target_exists = os.path.exists(os.path.join(dst_path, "_SUCCESS"))
     if resume and target_exists:
@@ -167,7 +183,8 @@ def copy_table(
         # unfiltered copy: size partitions from parquet footers instead
         # of a count scan
         rows = None
-        if not include.filter and not include.limit and mode == "overwrite":
+        if src_path is not None and not include.filter \
+                and not include.limit and mode == "overwrite":
             rows = _parquet_row_count(src_path)
         df = partition_for_copy(df, cfg.key, rows=rows, block=cfg.block)
 

@@ -102,3 +102,20 @@ def test_read_source_dispatches_mongodb_and_reports_missing_jar(spark):
     with pytest.raises(RuntimeError, match="--packages"):
         read_source(spark, "mongodb://localhost:27017", fmt="mongodb",
                     database="db", collection="c")
+
+
+def test_run_migration_dispatches_mongodb_source(spark, tmp_path):
+    """A reference-shaped config with a mongodb:// source routes
+    copy_table through the connector seam; in the jar-less sandbox that
+    surfaces the actionable --packages error (proving the dispatch path
+    is wired end-to-end, not just in read_source)."""
+    from hummingbird_spark.operators.copy import run_migration
+
+    cfg = MigrationConfig(
+        command="data-only",
+        source="mongodb://localhost:27017",
+        target=str(tmp_path / "out"),
+        includes=[Include(namespace="shop.orders")],
+    )
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        run_migration(spark, cfg)
