@@ -604,3 +604,128 @@ FROM per_doc GROUP BY source ORDER BY source
 R4_QUERIES["boilerplate_stats"] = (
     q_boilerplate_stats, ORACLE_BOILERPLATE_STATS,
     "cross-doc boilerplate line profile per source (line dedup)")
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style curation funnel as ONE query: Gopher A1 rules ->
+    C4 rules -> exact dedup (corpus-global first-keeper per
+    fingerprint), reported as per-source survivor counts at each stage.
+    Both rule families are pure Column expressions riding a single
+    scan; the only shuffles are the dedup fingerprint window and the
+    rollup — the plan a 100 TB curation sweep wants."""
+    from pyspark.sql import Window
+
+    from hummingbird_spark.functions.text import (
+        c4_quality_flags,
+        fingerprint,
+        gopher_quality_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id", "source",
+        gopher_quality_flags(F.col("text"))["keep"].alias("gk"),
+        c4_quality_flags(F.col("text"))["keep"].alias("ck"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    survivors = flags.filter(F.col("gk") & F.col("ck"))
+    keepers = survivors.withColumn(
+        "__rn", F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("__rn") == 1)
+    base = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gk").cast("long")).alias("n_pass_gopher"),
+        F.sum((F.col("gk") & F.col("ck")).cast("long"))
+        .alias("n_pass_both"),
+    )
+    kept = keepers.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"))
+    return (
+        base.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "n_pass_gopher", "n_pass_both",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_FUNNEL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws,
+         list_filter(string_split(text, chr(10)),
+                     ln -> length(trim(ln)) > 0) AS lines
+  FROM documents
+), g AS (
+  SELECT doc_id, source, text, lines,
+    (len(ws) >= 50 AND len(ws) <= 100000
+     AND (CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(COALESCE(list_sum(list_transform(ws,
+               w -> length(w))), 0) AS DOUBLE) / len(ws) END)
+         BETWEEN 3.0 AND 10.0
+     AND (CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(length(text)
+               - length(regexp_replace(text, '#', '', 'g'))
+               + len(regexp_extract_all(text, '\.{3}|…')) AS DOUBLE)
+               / len(ws) END) <= 0.1
+     AND (CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines,
+               ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+               / len(lines) END) <= 0.9
+     AND (CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines,
+               ln -> regexp_matches(trim(ln), '(\.{3}|…)$')))
+               AS DOUBLE) / len(lines) END) <= 0.3
+     AND (CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / len(ws) END) >= 0.8
+     AND len(list_filter(
+            ['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+         >= 2) AS gk,
+    (len(lines) >= 3
+     AND (CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(list_sum(list_transform(lines,
+               l -> length(l))) AS DOUBLE) / len(lines) END) >= 20.0
+     AND (CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines,
+               l -> regexp_matches(trim(l), '[.!?"]$'))) AS DOUBLE)
+               / len(lines) END) >= 0.5
+     AND NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{')) AS ck
+  FROM t
+), p AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM g WHERE gk AND ck
+), k AS (
+  SELECT source FROM (
+    SELECT source,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM p) WHERE rn = 1
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_gopher,
+         CAST(SUM(CASE WHEN gk AND ck THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_both
+  FROM g GROUP BY source
+), kc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM k
+  GROUP BY source
+)
+SELECT agg.source, n_docs, n_pass_gopher, n_pass_both,
+       COALESCE(n_kept, 0) AS n_kept
+FROM agg LEFT JOIN kc ON agg.source = kc.source
+ORDER BY agg.source
+"""
+
+
+R4_QUERIES["quality_funnel"] = (
+    q_quality_funnel, ORACLE_QUALITY_FUNNEL,
+    "FineWeb-style funnel: gopher -> c4 -> exact dedup per source")

@@ -674,3 +674,35 @@ def test_boilerplate_line_stats_and_strip(spark):
     assert out[6] == "Twice twice.\nTwice twice.\nUnique six."
     assert out[7] == ""                           # restored, empty
     assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_quality_funnel_stages_with_crafted_docs(spark, tmp_path):
+    """The fixture corpus fails the Gopher stopword rule everywhere, so
+    the registry MATCH alone can't show the funnel's later stages —
+    craft docs that pass gopher, fail c4, and duplicate, and check the
+    per-stage counts."""
+    from hummingbird_spark.plans.queries import QUERIES
+
+    # 60+ words, stopwords present, 3+ prose lines ending in periods
+    line = ("the quick brown fox jumps over that lazy dog and it runs "
+            "to the river with great speed every single day of life.")
+    good = "\n".join([line] * 4)
+    one_line = " ".join([line] * 4)      # gopher-pass, c4-fail (1 line)
+    spark.createDataFrame(
+        [(1, good, "en", "a", len(good)),
+         (2, good, "en", "a", len(good)),          # exact dup of 1
+         (3, "  " + good + " ", "en", "b", 1),     # fp dup of 1
+         (4, one_line, "en", "b", len(one_line)),  # fails c4 only
+         (5, "too short", "en", "b", 9)],          # fails gopher
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in QUERIES["quality_funnel"]
+            .spark(spark, str(tmp_path)).collect()}
+    assert rows["a"].n_docs == 2
+    assert rows["a"].n_pass_gopher == 2
+    assert rows["a"].n_pass_both == 2
+    assert rows["a"].n_kept == 1          # doc 2 deduped against 1
+    assert rows["b"].n_pass_gopher == 2   # docs 3 and 4
+    assert rows["b"].n_pass_both == 1     # doc 4 fails c4
+    assert rows["b"].n_kept == 0          # doc 3 deduped against 1
