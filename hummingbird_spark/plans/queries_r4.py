@@ -452,38 +452,46 @@ def _all_grams(ws, n: int):
 def q_ngram_repetition_stats(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """The rest of Gopher's A1.1 repetition family (repetition_stats
-    covers the top-WORD fraction): per-doc top-2-GRAM fraction and
-    duplicate-5-gram occurrence fraction, rolled up per lang. Documented
-    deviation: Gopher weights the 5-gram metric by characters; this
-    uses occurrence fraction (the character weighting adds a
-    length join with no extra discrimination on this corpus).
+    covers the top-WORD fraction): per-doc top-2-GRAM fraction plus the
+    duplicate-5-gram fraction in BOTH weightings — occurrence fraction
+    and Gopher's character weighting (fraction of gram-characters that
+    sit inside duplicated 5-grams; denominator is total gram-chars,
+    the overlap-tolerant published variant).
 
-    Scale shape: both metrics shuffle (doc, md5(gram)) count pairs —
-    the gram itself never shuffles (16-hex key vs ~40-byte text), and
-    the per-doc rollup is the same two-level aggregation as
-    repetition_stats."""
+    Scale shape: both metrics shuffle (doc, md5(gram), len) count
+    tuples — the gram itself never shuffles (16-hex key + one int vs
+    ~40-byte text), and the per-doc rollup is the same two-level
+    aggregation as repetition_stats."""
     from hummingbird_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("ws"))
 
-    def metric(n: int, agg_fn):
+    def metric(n: int, *agg_fns):
         g = d.select(
             "doc_id", "lang",
             F.explode(_all_grams(F.col("ws"), n)).alias("__g"),
         ).select(
             "doc_id", "lang",
             F.substring(F.md5("__g"), 1, 16).alias("g"),
+            F.length("__g").alias("gl"),
         )
-        per_gram = g.groupBy("doc_id", "lang", "g").agg(
+        # gl is functionally dependent on g; grouping by both is free
+        per_gram = g.groupBy("doc_id", "lang", "g", "gl").agg(
             F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy("doc_id", "lang").agg(agg_fn)
+        return per_gram.groupBy("doc_id", "lang").agg(*agg_fns)
 
     d2 = metric(2, (F.max("c").cast("double") / F.sum("c"))
                 .alias("top2"))
-    d5 = metric(5, (F.sum(F.when(F.col("c") > 1, F.col("c"))
-                          .otherwise(F.lit(0))).cast("double")
-                    / F.sum("c")).alias("dup5"))
+    d5 = metric(
+        5,
+        (F.sum(F.when(F.col("c") > 1, F.col("c"))
+               .otherwise(F.lit(0))).cast("double")
+         / F.sum("c")).alias("dup5"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("gl"))
+               .otherwise(F.lit(0))).cast("double")
+         / F.sum(F.col("c") * F.col("gl"))).alias("dup5c"),
+    )
     a2 = d2.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n2_docs"),
         F.round(F.avg("top2"), 6).alias("avg_top2_frac"),
@@ -493,6 +501,9 @@ def q_ngram_repetition_stats(spark: SparkSession,
         F.count(F.lit(1)).alias("n5_docs"),
         F.round(F.avg("dup5"), 6).alias("avg_dup5_frac"),
         F.sum((F.col("dup5") > 0.3).cast("long")).alias("n_dup5_heavy"),
+        F.round(F.avg("dup5c"), 6).alias("avg_dup5_char_frac"),
+        F.sum((F.col("dup5c") > 0.3).cast("long"))
+        .alias("n_dup5_char_heavy"),
     )
     return a2.join(a5, "lang", "full").orderBy("lang")
 
@@ -520,27 +531,36 @@ WITH words AS (
   FROM d2 GROUP BY lang
 ), g5 AS (
   SELECT doc_id, lang,
-         substr(md5(unnest(list_transform(range(1, len(ws) - 3),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
-                  || ws[i+3] || ' ' || ws[i+4]))), 1, 16) AS g
-  FROM words WHERE len(ws) >= 5
+         substr(md5(gram), 1, 16) AS g, length(gram) AS gl
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4])) AS gram
+    FROM words WHERE len(ws) >= 5)
 ), c5 AS (
-  SELECT doc_id, lang, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3
+  SELECT doc_id, lang, g, gl, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3, 4
 ), d5 AS (
   SELECT doc_id, lang,
          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
-           / SUM(c) AS dup5
+           / SUM(c) AS dup5,
+         CAST(SUM(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS DOUBLE)
+           / SUM(c * gl) AS dup5c
   FROM c5 GROUP BY 1, 2
 ), a5 AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n5_docs,
          round(AVG(dup5), 6) AS avg_dup5_frac,
          CAST(SUM(CASE WHEN dup5 > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dup5_heavy
+           AS n_dup5_heavy,
+         round(AVG(dup5c), 6) AS avg_dup5_char_frac,
+         CAST(SUM(CASE WHEN dup5c > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup5_char_heavy
   FROM d5 GROUP BY lang
 )
 SELECT COALESCE(a2.lang, a5.lang) AS lang,
        n2_docs, avg_top2_frac, n_top2_heavy,
-       n5_docs, avg_dup5_frac, n_dup5_heavy
+       n5_docs, avg_dup5_frac, n_dup5_heavy,
+       avg_dup5_char_frac, n_dup5_char_heavy
 FROM a2 FULL JOIN a5 ON a2.lang = a5.lang
 ORDER BY lang
 """

@@ -641,6 +641,11 @@ def test_ngram_repetition_detects_planted_dups(spark, tmp_path):
     assert rows["en"].n_dup5_heavy == 2      # both degenerate docs
     assert rows["fr"].avg_dup5_frac == 0.0   # all distinct
     assert rows["fr"].n_top2_heavy == 0
+    # char-weighted (Gopher A1.1 exact weighting) agrees at the
+    # extremes: all-dup docs hit 1.0 either way, clean docs 0.0
+    assert rows["en"].avg_dup5_char_frac == 1.0
+    assert rows["en"].n_dup5_char_heavy == 2
+    assert rows["fr"].avg_dup5_char_frac == 0.0
 
 
 def test_boilerplate_line_stats_and_strip(spark):
