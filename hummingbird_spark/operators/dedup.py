@@ -767,3 +767,102 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
         rebuilt.select(*others), others, "left_anti"
     ).withColumn(text_col, F.lit(""))
     return rebuilt.unionByName(missing).select(*df.columns)
+
+
+def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              min_len: int = 50) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), token-level variant:
+    every duplicated `min_len`-token window keeps its globally-first
+    occurrence (min (id, start)) and marks every other occurrence for
+    removal; overlapping/adjacent marks are merged per document.
+
+    Returns (id, start, end): merged removal spans as 1-based INCLUSIVE
+    token positions. A doc absent from the result has nothing to
+    remove. The reference corpus-dedup analogue is `keyhole`-style
+    whole-doc comparison (compare.go); this is the finer-grained
+    published method LLM pipelines actually run.
+
+    Scale shape: the window hashing rides the scan JVM-side (md5 over
+    each length-L slice — L x corpus bytes hashed in-scan, zero extra
+    shuffle; at 100 TB swap in a Karp-Rabin rolling kernel via
+    mapInPandas, same plumbing). Only (id, start, 16-hex) rows shuffle
+    — about one row per token, the same order as any inverted-index
+    op. First-keeper + island-merge are window functions on (hash) and
+    (id) partitions respectively; nothing driver-side.
+    """
+    toks = ensure_kernel_parallelism(df).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__ws")
+    )
+    n = F.size("__ws")
+    starts = F.when(
+        n >= min_len, F.sequence(F.lit(1), n - min_len + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        "__id",
+        F.explode(F.transform(starts, lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.substring(
+                F.md5(F.concat_ws(
+                    " ", F.slice("__ws", s, F.lit(min_len)))),
+                1, 16).alias("h"),
+        ))).alias("w"),
+    ).select("__id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+
+    wseq = Window.partitionBy("h").orderBy("__id", "s")
+    removal = (
+        wins.withColumn("__rn", F.row_number().over(wseq))
+        .filter(F.col("__rn") > 1)
+        .select("__id", F.col("s").alias("start"),
+                (F.col("s") + min_len - 1).alias("end"))
+    )
+
+    # gaps-and-islands merge: a span opens a new island only when it
+    # starts past every earlier span's running-max end (+1: adjacent
+    # spans fuse too)
+    wprev = (Window.partitionBy("__id").orderBy("start")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy("__id").orderBy("start")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        removal
+        .withColumn("__pe", F.max("end").over(wprev))
+        .withColumn("__new", F.when(
+            F.col("__pe").isNull()
+            | (F.col("start") > F.col("__pe") + 1), 1).otherwise(0))
+        .withColumn("__isl", F.sum("__new").over(wrun))
+        .groupBy("__id", "__isl")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    return merged.select(F.col("__id").alias(id_col), "start", "end")
+
+
+def remove_duplicate_substrings(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                min_len: int = 50) -> DataFrame:
+    """Rebuild documents with their duplicate-substring spans removed
+    (all-but-first occurrence, see duplicate_substring_spans). Docs
+    with no spans keep their text byte-identical; trimmed docs are
+    rebuilt from surviving tokens joined by single spaces (token-level
+    variant — original inter-token whitespace is not preserved there).
+
+    The span list per doc is tiny (merged islands), so it travels as
+    one array column into an expression-level F.filter over token
+    positions — no second shuffle beyond the span build itself.
+    """
+    spans = duplicate_substring_spans(df, text_col, id_col, min_len)
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end")))
+        .alias("__spans"))
+    out = df.join(sp, id_col, "left")
+    ws = tokens(F.col(text_col))
+    kept = F.filter(
+        ws,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda p: (i + 1 >= p["start"]) & (i + 1 <= p["end"])),
+    )
+    rebuilt = F.when(F.col("__spans").isNull(), F.col(text_col)) \
+        .otherwise(F.concat_ws(" ", kept))
+    return out.withColumn(text_col, rebuilt).drop("__spans")

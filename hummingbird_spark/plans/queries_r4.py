@@ -749,3 +749,91 @@ ORDER BY agg.source
 R4_QUERIES["quality_funnel"] = (
     q_quality_funnel, ORACLE_QUALITY_FUNNEL,
     "FineWeb-style funnel: gopher -> c4 -> exact dedup per source")
+
+
+def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup profile (Lee et al. 2021) per source:
+    duplicated 20-token windows keep their globally-first occurrence,
+    every later occurrence is a removal span, spans merge per doc
+    (operators/dedup.py::duplicate_substring_spans). min_len=20 suits
+    the fixture's 10-99-token docs; production default is 50.
+
+    One windows shuffle (id, start, 16-hex) + two window functions +
+    the per-source rollup — the plan shape is inverted-index-sized at
+    any corpus scale."""
+    from hummingbird_spark.functions.text import tokens
+    from hummingbird_spark.operators.dedup import duplicate_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(d, min_len=20)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("rem"))
+    base = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("nt"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum((F.col("ns") > 0).cast("long")), F.lit(0))
+            .alias("n_docs_trimmed"),
+            F.sum("nt").cast("long").alias("tokens_total"),
+            F.coalesce(F.sum("rem"), F.lit(0)).alias("tokens_removed"),
+            F.coalesce(F.sum("ns"), F.lit(0)).alias("n_spans"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_EXACT_SUBSTRING = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, (u).s AS s, (u).h AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        s -> struct_pack(s := s,
+             h := substr(md5(array_to_string(ws[s:s+19], ' ')),
+                         1, 16)))) AS u
+    FROM t WHERE len(ws) >= 20)
+), r AS (
+  SELECT doc_id, s AS start_, s + 19 AS end_ FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+    FROM w)
+  WHERE rn > 1
+), m AS (
+  SELECT doc_id, isl, MIN(start_) AS start_, MAX(end_) AS end_ FROM (
+    SELECT doc_id, start_, end_,
+           SUM(CASE WHEN pe IS NULL OR start_ > pe + 1
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start_
+                   ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (SELECT doc_id, start_, end_,
+                 MAX(end_) OVER (PARTITION BY doc_id ORDER BY start_
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS pe
+          FROM r))
+  GROUP BY doc_id, isl
+), pd AS (
+  SELECT doc_id, COUNT(*) AS ns, SUM(end_ - start_ + 1) AS rem
+  FROM m GROUP BY doc_id
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(CASE WHEN pd.ns > 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_docs_trimmed,
+  CAST(SUM(len(ws)) AS BIGINT) AS tokens_total,
+  CAST(COALESCE(SUM(rem), 0) AS BIGINT) AS tokens_removed,
+  CAST(COALESCE(SUM(pd.ns), 0) AS BIGINT) AS n_spans
+FROM t LEFT JOIN pd USING (doc_id)
+GROUP BY t.source ORDER BY t.source
+"""
+
+
+R4_QUERIES["exact_substring_stats"] = (
+    q_exact_substring_stats, ORACLE_EXACT_SUBSTRING,
+    "Lee-et-al exact-substring dedup spans per source (20-token)")

@@ -711,3 +711,72 @@ def test_quality_funnel_stages_with_crafted_docs(spark, tmp_path):
     assert rows["b"].n_pass_gopher == 2   # docs 3 and 4
     assert rows["b"].n_pass_both == 1     # doc 4 fails c4
     assert rows["b"].n_kept == 0          # doc 3 deduped against 1
+
+
+def test_exact_substring_dedup_spans_and_rebuild(spark):
+    """Lee-et-al exact-substring dedup: a 6-token run planted in three
+    docs keeps its first occurrence (doc 1) and is cut from docs 2 and
+    3; overlapping duplicate windows merge to ONE span; untouched docs
+    come back byte-identical (whitespace preserved)."""
+    from hummingbird_spark.operators.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    dup = "one two three four five six"          # the planted run
+    ua = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliet kilo lima")                     # doc-1-only filler
+    ub = ("november oscar papa quebec romeo sierra tango uniform "
+          "victor whiskey xray yankee")           # doc-2-only filler
+    docs = spark.createDataFrame(
+        [(1, f"{dup} {ua}"),                      # first occurrence
+         (2, f"{ub} {dup}"),                      # cut at the tail
+         (3, f"zz yy {dup} xx ww vv uu tt ss"),   # cut mid-doc
+         (4, "totally  unrelated\twords here with   odd spacing")],
+        "doc_id long, text string")
+
+    spans = {r.doc_id: (r.start, r.end)
+             for r in duplicate_substring_spans(
+                 docs, min_len=6).collect()}
+    assert 1 not in spans                         # keeper untouched
+    assert spans[2] == (13, 18)                   # tail 6 tokens
+    assert spans[3] == (3, 8)                     # mid-doc 6 tokens
+    out = {r.doc_id: r.text
+           for r in remove_duplicate_substrings(
+               docs, min_len=6).collect()}
+    assert out[1] == f"{dup} {ua}"
+    assert out[2] == ub
+    assert out[3] == "zz yy xx ww vv uu tt ss"
+    # doc 4 had no spans: byte-identical, odd whitespace intact
+    assert out[4] == "totally  unrelated\twords here with   odd spacing"
+
+
+def test_exact_substring_within_doc_repeat_and_islands(spark):
+    """Self-repetition inside one doc is cut too (first copy kept),
+    and two separate duplicated regions produce two merged islands."""
+    from hummingbird_spark.operators.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    a = "p q r s t u"
+    b = "f g h i j k"
+    docs = spark.createDataFrame(
+        [(1, f"{a} mid1 mid2 {a}"),               # self-repeat
+         (2, f"{a} c1 c2 c3 {b}"),                # two donor regions
+         (3, f"{b} d1 d2 d3 {a}")],               # copies of both
+        "doc_id long, text string")
+    spans = [(r.doc_id, r.start, r.end)
+             for r in duplicate_substring_spans(docs, min_len=6)
+             .orderBy("doc_id", "start").collect()]
+    # doc 1: second copy of `a` cut; doc 3: both regions cut as two
+    # islands (b's first occurrence is doc 2's tail... doc 2 tail vs
+    # doc 3 head — first by (doc_id, start) is doc 2)
+    assert (1, 9, 14) in spans
+    assert [(d, s, e) for d, s, e in spans if d == 3] == [
+        (3, 1, 6), (3, 10, 15)]
+    out = {r.doc_id: r.text
+           for r in remove_duplicate_substrings(
+               docs, min_len=6).collect()}
+    assert out[1] == f"{a} mid1 mid2"
+    assert out[3] == "d1 d2 d3"
