@@ -58,6 +58,10 @@ PICKS = {
                            "join (skew cap); vocab 1-row broadcast",
     "segment_dup_stats": "segment dedup: only (id, md5) shuffles — "
                          "text never leaves the scan",
+    "exact_substring_stats": "Lee-et-al substring dedup: in-scan window "
+                             "hashes; first-keeper + island-merge reuse "
+                             "two exchanges; per-doc agg rides the "
+                             "second",
     "classifier_quality_mix": "hashed classifier rides the scan; one "
                               "rollup exchange total",
     "lm_data_prep": "filter -> chunk -> pack: one scan, one packing "

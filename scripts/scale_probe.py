@@ -74,6 +74,9 @@ PROBES = [
     ("gopher_rule_stats", ["documents"]),
     ("ngram_repetition_stats", ["documents"]),
     ("boilerplate_stats", ["documents"]),
+    # round-4 late additions
+    ("quality_funnel", ["documents"]),
+    ("exact_substring_stats", ["documents"]),
 ]
 
 EMB_COPIES = 4
