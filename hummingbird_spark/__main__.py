@@ -327,6 +327,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--strip-cross-doc-boilerplate", type=int,
                      default=None, metavar="MIN_DOCS",
                      help="drop lines repeating across >= MIN_DOCS docs")
+    cur.add_argument("--remove-dup-substrings", type=int, default=None,
+                     metavar="MIN_TOKENS",
+                     help="cut all-but-first occurrences of duplicated "
+                          ">= MIN_TOKENS-token substrings (Lee et al.)")
     cur.add_argument("--no-dedup", action="store_true")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
@@ -445,6 +449,7 @@ def main(argv: list[str] | None = None) -> int:
             max_perplexity=args.max_perplexity,
             strip_boilerplate=args.strip_boilerplate,
             strip_cross_doc_boilerplate=args.strip_cross_doc_boilerplate,
+            remove_dup_substrings=args.remove_dup_substrings,
             dedup=not args.no_dedup,
         )
         print(json.dumps({

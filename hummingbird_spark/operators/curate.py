@@ -84,6 +84,7 @@ def curate_corpus(
     max_perplexity: float | None = None,
     strip_boilerplate: bool = False,
     strip_cross_doc_boilerplate: int | None = None,
+    remove_dup_substrings: int | None = None,
     dedup: bool = True,
     partition_cols: list[str] | None = None,
     fmt: str = "parquet",
@@ -114,6 +115,16 @@ def curate_corpus(
         src = strip_boilerplate_lines(
             src, text_col, id_col,
             min_docs=strip_cross_doc_boilerplate)
+    if remove_dup_substrings is not None:
+        # corpus-level pre-pass: cut all-but-first occurrences of
+        # duplicated >= N-token substrings (Lee et al. 2021) BEFORE
+        # scoring, so quality/length screens judge the trimmed text
+        from hummingbird_spark.operators.dedup import (
+            remove_duplicate_substrings,
+        )
+
+        src = remove_duplicate_substrings(
+            src, text_col, id_col, min_len=remove_dup_substrings)
 
     scored = src.withColumns({
         "__n_tokens": token_count(text),

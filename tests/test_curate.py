@@ -157,3 +157,27 @@ def test_curate_strips_cross_doc_boilerplate(spark, tmp_path):
     assert all(banner not in t for t in kept.values())
     assert kept[1] == GOOD + " unique tail 1"    # body survives
     assert kept[9] == GOOD + " unique tail nine"  # untouched doc
+
+
+def test_curate_removes_dup_substrings(spark, tmp_path):
+    """remove_dup_substrings=N cuts all-but-first occurrences of
+    duplicated >= N-token runs BEFORE scoring (Lee et al. pre-pass);
+    the keeper doc and docs without duplicated runs are untouched."""
+    out = str(tmp_path / "curated")
+    dup = "copy me one two three four five six seven eight nine ten"
+    b2 = ("a completely different second document body whose words "
+          "never repeat anything from elsewhere at all")
+    b3 = ("yet another third body made of its own vocabulary so no "
+          "window is shared between documents here")
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text=f"{dup} {GOOD}"),
+        Row(doc_id=2, source="a", text=f"{b2} {dup}"),
+        Row(doc_id=3, source="a", text=b3),
+    ])
+    rep = curate_corpus(spark, df, out, langs=None, min_quality=0.0,
+                        remove_dup_substrings=12, dedup=False)
+    assert rep.n_kept == 3
+    kept = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert kept[1] == f"{dup} {GOOD}"   # first occurrence untouched
+    assert kept[2] == b2                # run cut at tail
+    assert kept[3] == b3                # untouched
