@@ -787,7 +787,7 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
     Scale shape: the window hashing rides the scan JVM-side (md5 over
     each length-L slice — L x corpus bytes hashed in-scan, zero extra
     shuffle; at 100 TB swap in a Karp-Rabin rolling kernel via
-    mapInPandas, same plumbing). Only (id, start, 16-hex) rows shuffle
+    mapInPandas, same plumbing). Only (id, start, 32-hex) rows shuffle
     — about one row per token, the same order as any inverted-index
     op. First-keeper + island-merge are window functions on (hash) and
     (id) partitions respectively; nothing driver-side.
@@ -799,14 +799,17 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
     starts = F.when(
         n >= min_len, F.sequence(F.lit(1), n - min_len + 1)
     ).otherwise(F.array().cast("array<int>"))
+    # full 128-bit md5, NOT truncated: unlike the stats queries (where
+    # a rare collision shifts a fraction in the 7th decimal), this key
+    # authorizes destructive text removal — at ~1e13 windows (100 TB)
+    # a 64-bit key expects millions of birthday collisions, i.e. false
+    # removals. 32-hex doubles the shuffle key; correctness is worth it.
     wins = toks.select(
         "__id",
         F.explode(F.transform(starts, lambda s: F.struct(
             s.cast("int").alias("s"),
-            F.substring(
-                F.md5(F.concat_ws(
-                    " ", F.slice("__ws", s, F.lit(min_len)))),
-                1, 16).alias("h"),
+            F.md5(F.concat_ws(
+                " ", F.slice("__ws", s, F.lit(min_len)))).alias("h"),
         ))).alias("w"),
     ).select("__id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
 

@@ -758,7 +758,7 @@ def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::duplicate_substring_spans). min_len=20 suits
     the fixture's 10-99-token docs; production default is 50.
 
-    One windows shuffle (id, start, 16-hex) + two window functions +
+    One windows shuffle (id, start, 32-hex md5) + two window functions +
     the per-source rollup — the plan shape is inverted-index-sized at
     any corpus scale."""
     from hummingbird_spark.functions.text import tokens
@@ -796,8 +796,7 @@ WITH t AS (
   SELECT doc_id, (u).s AS s, (u).h AS h FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
         s -> struct_pack(s := s,
-             h := substr(md5(array_to_string(ws[s:s+19], ' ')),
-                         1, 16)))) AS u
+             h := md5(array_to_string(ws[s:s+19], ' '))))) AS u
     FROM t WHERE len(ws) >= 20)
 ), r AS (
   SELECT doc_id, s AS start_, s + 19 AS end_ FROM (
