@@ -743,7 +743,12 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
             F.split(F.col(text_col), r"\n"),
             lambda ln: F.length(F.trim(ln)) > 0,
         )).alias("__pos", "__ln"),
-    ).withColumn("__lh", F.substring(F.md5(F.trim(F.col("__ln"))), 1, 16))
+    ).withColumn(
+        # full 128-bit md5 (vs the 16-hex stats key): this key decides
+        # line REMOVAL — a 64-bit collision merges two different lines'
+        # doc frequencies and can strip a legitimate line at 100 TB
+        # line counts; stats tolerate that, destruction doesn't
+        "__lh", F.md5(F.trim(F.col("__ln"))))
     common = (
         lines.groupBy("__lh")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
