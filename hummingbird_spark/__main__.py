@@ -303,6 +303,10 @@ def main(argv: list[str] | None = None) -> int:
     ana.add_argument("--source-col", default="source")
     ana.add_argument("--lang-col", default=None,
                      help="use this column instead of detecting language")
+    ana.add_argument("--dup-substrings", type=int, default=None,
+                     metavar="MIN_TOKENS",
+                     help="also report the token fraction a Lee-et-al "
+                          "exact-substring pass at this length removes")
     srch = sub.add_parser("search")
     srch.add_argument("terms", help="space-separated query terms")
     srch.add_argument("--data", required=True,
@@ -404,7 +408,8 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         report = corpus_report(
             spark.read.parquet(args.path),
-            source_col=args.source_col, lang_col=args.lang_col)
+            source_col=args.source_col, lang_col=args.lang_col,
+            dup_substring_min_len=args.dup_substrings)
         print(json.dumps({"command": "analyze", **report}))
         return 0
     if args.command == "search":

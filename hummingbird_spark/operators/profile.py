@@ -70,7 +70,9 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
 
 def corpus_report(df, text_col: str = "text",
                   source_col: str = "source",
-                  lang_col: str | None = None) -> dict:
+                  lang_col: str | None = None,
+                  id_col: str = "doc_id",
+                  dup_substring_min_len: int | None = None) -> dict:
     """One-shot corpus health report for a documents table — the
     numbers a curation run reads first: size, token budget, language
     mix, per-source shares, quality distribution, exact-dup rate.
@@ -78,6 +80,10 @@ def corpus_report(df, text_col: str = "text",
     Cost: ONE scored projection pass (staged) + three rollups over it
     (global, per-lang, per-source) + the dup-group aggregate. No text
     ever shuffles — only fingerprints, scores, and group keys.
+
+    dup_substring_min_len=N (opt-in: it adds the windows shuffle) also
+    reports `dup_substring_token_rate` — the fraction of tokens that a
+    Lee-et-al exact-substring pass at that length would remove.
     """
     from pyspark.sql import functions as F
 
@@ -117,7 +123,7 @@ def corpus_report(df, text_col: str = "text",
                for r in scored.groupBy("source")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum("n_tok").alias("t")).collect()}
-    return {
+    report = {
         "n_docs": g.n_docs,
         "total_tokens": g.total_tokens,
         "avg_tokens": g.avg_tokens,
@@ -129,3 +135,18 @@ def corpus_report(df, text_col: str = "text",
         "languages": langs,
         "sources": sources,
     }
+    if dup_substring_min_len is not None:
+        from hummingbird_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        removed = duplicate_substring_spans(
+            df, text_col, id_col, min_len=dup_substring_min_len
+        ).agg(
+            F.coalesce(
+                F.sum(F.col("end") - F.col("start") + 1), F.lit(0)
+            ).alias("rem")
+        ).first().rem
+        report["dup_substring_token_rate"] = (
+            round(removed / g.total_tokens, 6) if g.total_tokens else 0.0)
+    return report

@@ -307,3 +307,8 @@ def test_cli_analyze(spark, capsys):
     assert 0.0 <= rep["exact_dup_rate"] < 1.0
     assert sum(rep["languages"].values()) == n
     assert sum(s["n_docs"] for s in rep["sources"].values()) == n
+    assert "dup_substring_token_rate" not in rep   # opt-in stage
+    assert main(["analyze", f"{SF_SMOKE}/documents.parquet",
+                 "--dup-substrings", "10"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= rep2["dup_substring_token_rate"] < 1.0
