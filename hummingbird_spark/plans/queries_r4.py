@@ -836,3 +836,100 @@ GROUP BY t.source ORDER BY t.source
 R4_QUERIES["exact_substring_stats"] = (
     q_exact_substring_stats, ORACLE_EXACT_SUBSTRING,
     "Lee-et-al exact-substring dedup spans per source (20-token)")
+
+
+def q_exact_substring_rebuild_verify(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Oracle-grade proof of the exact-substring REBUILD itself (the
+    stats query proves the spans): run remove_duplicate_substrings
+    over documents and checksum the resulting text per source — md5 of
+    every rebuilt doc summed mod a prime, plus the post-cut token
+    count. The oracle replays span detection, island merge, AND the
+    positional rebuild in SQL (untouched docs byte-identical, trimmed
+    docs single-space re-joined), so any deviation in cut placement or
+    whitespace handling hash-mismatches."""
+    from hummingbird_spark.functions.text import tokens
+    from hummingbird_spark.operators.dedup import (
+        remove_duplicate_substrings,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    out = remove_duplicate_substrings(d, min_len=20)
+    cks = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long") % _CKSUM_MOD
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(cks).alias("text_checksum"),
+            F.sum(F.size(tokens(F.col("text")))).cast("long")
+            .alias("tokens_after"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_EXACT_SUBSTRING_REBUILD = rf"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, (u).s AS s, (u).h AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        s -> struct_pack(s := s,
+             h := md5(array_to_string(ws[s:s+19], ' '))))) AS u
+    FROM t WHERE len(ws) >= 20)
+), r AS (
+  SELECT doc_id, s AS start_, s + 19 AS end_ FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+    FROM w)
+  WHERE rn > 1
+), m AS (
+  SELECT doc_id, isl, MIN(start_) AS start_, MAX(end_) AS end_ FROM (
+    SELECT doc_id, start_, end_,
+           SUM(CASE WHEN pe IS NULL OR start_ > pe + 1
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start_
+                   ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (SELECT doc_id, start_, end_,
+                 MAX(end_) OVER (PARTITION BY doc_id ORDER BY start_
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS pe
+          FROM r))
+  GROUP BY doc_id, isl
+), sp AS (
+  SELECT doc_id, list(struct_pack(s := start_, e := end_)) AS spans
+  FROM m GROUP BY doc_id
+), rb AS (
+  SELECT t.doc_id, t.source,
+    CASE WHEN sp.spans IS NULL THEN t.text
+         -- array_to_string of an EMPTY list is NULL in DuckDB;
+         -- Spark's concat_ws gives '' (fully-cut doc)
+         ELSE COALESCE(array_to_string(
+            list_transform(
+              list_filter(range(1, len(ws) + 1),
+                i -> len(list_filter(sp.spans,
+                     p -> i >= p.s AND i <= p.e)) = 0),
+              i -> ws[i]), ' '), '')
+    END AS text
+  FROM t LEFT JOIN sp USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+           % {_CKSUM_MOD}) AS BIGINT) AS text_checksum,
+  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END)
+       AS BIGINT) AS tokens_after
+FROM rb GROUP BY source ORDER BY source
+"""
+
+
+R4_QUERIES["exact_substring_rebuild_verify"] = (
+    q_exact_substring_rebuild_verify, ORACLE_EXACT_SUBSTRING_REBUILD,
+    "substring-dedup rebuild proven content-exact vs SQL replay")
