@@ -1496,7 +1496,7 @@ _VERIFY_FIRST = [
     "migration_copy_verify", "cdc_apply_verify", "gopher_rule_stats",
     "rollup_verify", "zorder_verify", "ngram_repetition_stats",
     "boilerplate_stats", "quality_funnel", "exact_substring_stats",
-    "exact_substring_rebuild_verify",
+    "exact_substring_rebuild_verify", "boilerplate_strip_verify",
     # r1-only set (latest record: round 1)
     "range_scan", "mask_default", "mask_partial", "mask_hex",
     "status_counts", "event_type_counts", "topk_events",

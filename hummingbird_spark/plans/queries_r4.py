@@ -933,3 +933,70 @@ FROM rb GROUP BY source ORDER BY source
 R4_QUERIES["exact_substring_rebuild_verify"] = (
     q_exact_substring_rebuild_verify, ORACLE_EXACT_SUBSTRING_REBUILD,
     "substring-dedup rebuild proven content-exact vs SQL replay")
+
+
+def q_boilerplate_strip_verify(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Oracle-grade proof of the boilerplate line-strip REBUILD
+    (boilerplate_stats proves the profile): run strip_boilerplate_lines
+    over documents and checksum every rebuilt doc per source. The
+    fixture corpus has no cross-doc repeated lines at sf0.01, so the
+    strip stage itself is exercised by the crafted-docs pytest — what
+    this query pins against SQL is the rebuild normalization the
+    operator applies to EVERY doc (blank-line dropping, newline
+    re-join, empty-doc restoration), which is where a silent rebuild
+    bug would corrupt untouched documents."""
+    from hummingbird_spark.operators.dedup import strip_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    out = strip_boilerplate_lines(d, min_docs=3)
+    cks = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long") % _CKSUM_MOD
+    )
+    lines_after = F.size(F.filter(
+        F.split(F.col("text"), r"\n"),
+        lambda ln: F.length(F.trim(ln)) > 0))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(cks).alias("text_checksum"),
+            F.sum(lines_after).cast("long").alias("lines_after"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BOILERPLATE_STRIP = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS lf
+  FROM documents
+), freq AS (
+  SELECT trim(ln) AS ln, COUNT(DISTINCT doc_id) AS nd FROM (
+    SELECT doc_id, unnest(lf) AS ln FROM t)
+  GROUP BY trim(ln)
+), common AS (
+  SELECT COALESCE(list(ln), []) AS cl FROM freq WHERE nd >= 3
+), rb AS (
+  SELECT doc_id, source,
+         COALESCE(array_to_string(
+            list_filter(lf, x -> NOT list_contains(cl, trim(x))),
+            chr(10)), '') AS text
+  FROM t, common
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+           % {_CKSUM_MOD}) AS BIGINT) AS text_checksum,
+  CAST(SUM(len(list_filter(string_split(text, chr(10)),
+            x -> length(trim(x)) > 0))) AS BIGINT) AS lines_after
+FROM rb GROUP BY source ORDER BY source
+"""
+
+
+R4_QUERIES["boilerplate_strip_verify"] = (
+    q_boilerplate_strip_verify, ORACLE_BOILERPLATE_STRIP,
+    "line-strip rebuild proven content-exact vs SQL replay")
