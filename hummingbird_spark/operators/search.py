@@ -122,7 +122,8 @@ def rrf_fuse(ranked: list[DataFrame], id_col: str = "doc_id",
 
 def bigram_perplexity(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      alpha: float = 0.1) -> DataFrame:
+                      alpha: float = 0.1,
+                      vocab_top_k: int | None = None) -> DataFrame:
     """Per-doc bigram language-model perplexity, trained on the corpus
     itself — the CCNet-style quality filter (low perplexity under an
     in-domain LM = fluent text; gibberish scores high):
@@ -144,6 +145,16 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
     corpus: B(w1,w2) = sum of d_cnt per bigram, U(w1) = sum of B over
     bigrams with context w1 (exact: every occurrence of w1 as a
     context IS a bigram occurrence), V = count of distinct contexts.
+
+    vocab_top_k=K caps the BIGRAM table (the Heaps-law growth term at
+    100 TB) to the K globally most frequent bigrams, ties broken by
+    bigram text; pruned bigrams score as unseen (B=0 under the same
+    smoothing). U and V stay exact — the unigram/context table is
+    vocabulary-sized, not the memory driver. Documented accuracy
+    trade: capped perplexity >= exact perplexity (probabilities only
+    lose mass), approaching equality as K covers the corpus; with K
+    >= the distinct-bigram count the result is bit-identical to the
+    exact path.
     """
     from hummingbird_spark.functions.text import doc_bigrams
     from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
@@ -157,18 +168,27 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("d_cnt")
     ).localCheckpoint(eager=False)
     w1 = F.split(F.col("bg"), " ")[0]
-    bi = doc_bi.groupBy("bg").agg(F.sum("d_cnt").alias("b_cnt"))
+    bi_full = doc_bi.groupBy("bg").agg(F.sum("d_cnt").alias("b_cnt"))
     uni = (
-        bi.select(w1.alias("w1"), "b_cnt")
+        bi_full.select(w1.alias("w1"), "b_cnt")
         .groupBy("w1").agg(F.sum("b_cnt").alias("u_cnt"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    if vocab_top_k is not None:
+        # TakeOrdered, not a global sort; deterministic tie-break
+        bi = bi_full.orderBy(F.desc("b_cnt"), "bg").limit(vocab_top_k)
+    else:
+        bi = bi_full
     nll = -F.log(
         (F.col("b_cnt") + alpha)
         / (F.col("u_cnt") + alpha * F.col("v")))
     return (
         doc_bi
-        .join(bi, "bg")
+        # left + coalesce: pruned bigrams score as unseen (B=0); on
+        # the uncapped path every probe bigram is in bi, so this is
+        # value-identical to the previous inner join
+        .join(bi, "bg", "left")
+        .withColumn("b_cnt", F.coalesce("b_cnt", F.lit(0)))
         .withColumn("w1", w1)
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))

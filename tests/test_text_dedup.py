@@ -780,3 +780,34 @@ def test_exact_substring_within_doc_repeat_and_islands(spark):
                docs, min_len=6).collect()}
     assert out[1] == f"{a} mid1 mid2"
     assert out[3] == "d1 d2 d3"
+
+
+def test_bigram_perplexity_vocab_top_k_cap(spark):
+    """vocab_top_k: with K >= distinct bigrams the capped model is
+    bit-identical to the exact one; with a small K, pruned (rare)
+    bigrams score as unseen, so capped perplexity >= exact for every
+    doc and strictly greater for docs carrying pruned bigrams."""
+    from hummingbird_spark.operators.search import bigram_perplexity
+
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=common),
+        Row(doc_id=2, text=common),
+        Row(doc_id=3, text=common),
+        Row(doc_id=4, text="zeta omega kappa lambda sigma phi"),
+    ])
+    exact = {r.doc_id: r.perplexity
+             for r in bigram_perplexity(df).collect()}
+    same = {r.doc_id: r.perplexity
+            for r in bigram_perplexity(df, vocab_top_k=10_000).collect()}
+    assert same == exact
+    capped = {r.doc_id: r.perplexity
+              for r in bigram_perplexity(df, vocab_top_k=5).collect()}
+    assert all(capped[d] >= exact[d] for d in exact)
+    # doc 4's transitions are all count-1: pruned by top-5 (the common
+    # doc's 5 bigrams each have count 3), so its score must move up
+    assert capped[4] > exact[4]
+    assert capped[1] == exact[1]   # fully inside the kept top-5
+    assert {r.doc_id: r.n_bigrams
+            for r in bigram_perplexity(df, vocab_top_k=5).collect()} \
+        == {1: 5, 2: 5, 3: 5, 4: 5}
