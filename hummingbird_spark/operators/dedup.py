@@ -817,11 +817,21 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
                 " ", F.slice("__ws", s, F.lit(min_len)))).alias("h"),
         ))).alias("w"),
     ).select("__id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    # two consumers (firsts, probe side) — stage the windows once
+    # instead of re-running the scan + hashing per join side
+    wins = wins.localCheckpoint(eager=False)
 
-    wseq = Window.partitionBy("h").orderBy("__id", "s")
+    # first-keeper via min(struct) + join, NOT row_number over the
+    # hash partition: a universal boilerplate window (1e8 occurrences
+    # of one hash at 100 TB) would serialize a window function into a
+    # single sort task, while the groupBy shrinks map-side under
+    # partial aggregation and AQE can skew-split the join back
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("__id", "s")).alias("__f"))
     removal = (
-        wins.withColumn("__rn", F.row_number().over(wseq))
-        .filter(F.col("__rn") > 1)
+        wins.join(firsts, "h")
+        .filter((F.col("__id") != F.col("__f.__id"))
+                | (F.col("s") != F.col("__f.s")))
         .select("__id", F.col("s").alias("start"),
                 (F.col("s") + min_len - 1).alias("end"))
     )
