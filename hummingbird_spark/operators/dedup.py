@@ -165,12 +165,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     candidates. Returns distinct (a, b) with a < b."""
     banded = band_keys(sig_df, id_col, bands, rows_per_band)
 
-    # drop pathological buckets (boilerplate explosion guard)
-    sized = banded.withColumn(
-        "__bn", F.count(F.lit(1)).over(
-            Window.partitionBy("band", "bkey")
-        )
-    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    # drop pathological buckets (boilerplate explosion guard) via
+    # groupBy-count + join, not a count window: the window would have
+    # to SORT the pathological bucket in one task before dropping it,
+    # while partial aggregation absorbs the hot key map-side and AQE
+    # can skew-split the join
+    sizes = banded.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    sized = (
+        banded.join(sizes.filter(F.col("__bn") <= max_bucket_size),
+                    ["band", "bkey"])
+        .drop("__bn")
+    )
 
     a = sized.select(F.col(id_col).alias("a"), "band", "bkey")
     b = sized.select(F.col(id_col).alias("b"), "band", "bkey")

@@ -631,10 +631,11 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4 rules -> exact dedup (corpus-global first-keeper per
     fingerprint), reported as per-source survivor counts at each stage.
     Both rule families are pure Column expressions riding a single
-    scan; the only shuffles are the dedup fingerprint window and the
-    rollup — the plan a 100 TB curation sweep wants."""
-    from pyspark.sql import Window
-
+    scan; the only shuffles are the dedup fingerprint groupBy and the
+    rollup — the plan a 100 TB curation sweep wants. The keeper is
+    min(struct) per fingerprint, not a row_number window: partial
+    aggregation absorbs a 100k-copy boilerplate fingerprint map-side
+    where a window would sort it in one task."""
     from hummingbird_spark.functions.text import (
         c4_quality_flags,
         fingerprint,
@@ -649,17 +650,15 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
     )
     survivors = flags.filter(F.col("gk") & F.col("ck"))
-    keepers = survivors.withColumn(
-        "__rn", F.row_number().over(
-            Window.partitionBy("fp").orderBy("doc_id"))
-    ).filter(F.col("__rn") == 1)
+    keepers = survivors.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "source")).alias("k"))
     base = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("gk").cast("long")).alias("n_pass_gopher"),
         F.sum((F.col("gk") & F.col("ck")).cast("long"))
         .alias("n_pass_both"),
     )
-    kept = keepers.groupBy("source").agg(
+    kept = keepers.groupBy(F.col("k.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_kept"))
     return (
         base.join(kept, "source", "left")
