@@ -320,10 +320,14 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
     fps = winnow_fingerprint_df(df, text_col, id_col, k, window) \
         .localCheckpoint(eager=False)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    ok = fps.withColumn(
-        "__bn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("__bn") <= max_bucket_size).drop("__bn") \
-        .localCheckpoint(eager=False)
+    # bucket cap via groupBy-count + join (not a count window): the
+    # window would single-task-sort exactly the pathological bucket
+    # it is about to drop; partial agg absorbs it map-side
+    bucket_sizes = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    ok = fps.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), "fp"
+    ).drop("__bn").localCheckpoint(eager=False)
 
     a = ok.select(F.col(id_col).alias("a"), "fp")
     b = ok.select(F.col(id_col).alias("b"), "fp")
