@@ -786,7 +786,8 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
 
 def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
-                              min_len: int = 50) -> DataFrame:
+                              min_len: int = 50,
+                              first_keeper: str = "join") -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"), token-level variant:
     every duplicated `min_len`-token window keeps its globally-first
@@ -804,8 +805,21 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
     shuffle; at 100 TB swap in a Karp-Rabin rolling kernel via
     mapInPandas, same plumbing). Only (id, start, 32-hex) rows shuffle
     — about one row per token, the same order as any inverted-index
-    op. First-keeper + island-merge are window functions on (hash) and
-    (id) partitions respectively; nothing driver-side.
+    op. The island merge is a per-doc window (bounded partitions).
+
+    first_keeper picks the skew/cost trade, value-identical results
+    (A/B in scripts/skew_probe_substring.py, numbers in SCALE.md):
+      "join"   (default) — min(struct) groupBy + equi-join back.
+                Two shuffles of the windows frame, but a universal-
+                boilerplate window CANNOT straggle: partial agg
+                absorbs the hot key map-side and AQE skew-splits the
+                join. At 1e11 occurrences of one banner hash the
+                window variant is a single multi-TB sort task (OOM);
+                this one degrades linearly. The 100 TB default.
+      "window" — row_number over the hash partition. One shuffle,
+                cheaper when the corpus is known skew-free; the
+                largest single hash's occurrence count lands in ONE
+                task's sort.
     """
     toks = ensure_kernel_parallelism(df).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__ws")
@@ -827,24 +841,32 @@ def duplicate_substring_spans(df: DataFrame, text_col: str = "text",
                 " ", F.slice("__ws", s, F.lit(min_len)))).alias("h"),
         ))).alias("w"),
     ).select("__id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
-    # two consumers (firsts, probe side) — stage the windows once
-    # instead of re-running the scan + hashing per join side
-    wins = wins.localCheckpoint(eager=False)
 
-    # first-keeper via min(struct) + join, NOT row_number over the
-    # hash partition: a universal boilerplate window (1e8 occurrences
-    # of one hash at 100 TB) would serialize a window function into a
-    # single sort task, while the groupBy shrinks map-side under
-    # partial aggregation and AQE can skew-split the join back
-    firsts = wins.groupBy("h").agg(
-        F.min(F.struct("__id", "s")).alias("__f"))
-    removal = (
-        wins.join(firsts, "h")
-        .filter((F.col("__id") != F.col("__f.__id"))
-                | (F.col("s") != F.col("__f.s")))
-        .select("__id", F.col("s").alias("start"),
-                (F.col("s") + min_len - 1).alias("end"))
-    )
+    if first_keeper == "join":
+        # two consumers (firsts, probe side) — stage the windows once
+        # instead of re-running the scan + hashing per join side
+        wins = wins.localCheckpoint(eager=False)
+        firsts = wins.groupBy("h").agg(
+            F.min(F.struct("__id", "s")).alias("__f"))
+        removal = (
+            wins.join(firsts, "h")
+            .filter((F.col("__id") != F.col("__f.__id"))
+                    | (F.col("s") != F.col("__f.s")))
+            .select("__id", F.col("s").alias("start"),
+                    (F.col("s") + min_len - 1).alias("end"))
+        )
+    elif first_keeper == "window":
+        wseq = Window.partitionBy("h").orderBy("__id", "s")
+        removal = (
+            wins.withColumn("__rn", F.row_number().over(wseq))
+            .filter(F.col("__rn") > 1)
+            .select("__id", F.col("s").alias("start"),
+                    (F.col("s") + min_len - 1).alias("end"))
+        )
+    else:
+        raise ValueError(
+            f"first_keeper must be 'join' or 'window', got "
+            f"{first_keeper!r}")
 
     # gaps-and-islands merge: a span opens a new island only when it
     # starts past every earlier span's running-max end (+1: adjacent

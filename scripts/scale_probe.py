@@ -195,6 +195,8 @@ def main() -> int:
         print(rows_md[-1], file=sys.stderr)
 
     cdc_md = cdc_probe(spark)
+    from skew_probe_substring import probe_md as substring_skew_md
+    skew_md = substring_skew_md(spark)
 
     hdr = (
         "# SCALE — 10x probe (sf0.1 -> ~sf1 replica, local[32])\n\n"
@@ -215,7 +217,7 @@ def main() -> int:
         "|---|---|---|---|---|\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as fh:
-        fh.write(hdr + "\n".join(rows_md) + "\n" + cdc_md)
+        fh.write(hdr + "\n".join(rows_md) + "\n" + cdc_md + skew_md)
     print("wrote SCALE.md", file=sys.stderr)
     return 0
 

@@ -811,3 +811,27 @@ def test_bigram_perplexity_vocab_top_k_cap(spark):
     assert {r.doc_id: r.n_bigrams
             for r in bigram_perplexity(df, vocab_top_k=5).collect()} \
         == {1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_exact_substring_first_keeper_variants_agree(spark):
+    """first_keeper='join' (skew-safe default) and 'window' (cheaper,
+    single-shuffle) must produce identical spans; unknown values
+    raise."""
+    from hummingbird_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    a = "p q r s t u"
+    docs = spark.createDataFrame(
+        [(1, f"{a} mid1 mid2 {a}"),
+         (2, f"{a} c1 c2 c3 {a} {a}"),
+         (3, "nothing shared here at all today")],
+        "doc_id long, text string")
+    def spans(v):
+        return sorted(
+            (r.doc_id, r.start, r.end)
+            for r in duplicate_substring_spans(
+                docs, min_len=6, first_keeper=v).collect())
+    assert spans("join") == spans("window") != []
+    with pytest.raises(ValueError, match="first_keeper"):
+        duplicate_substring_spans(docs, first_keeper="nope")
