@@ -163,7 +163,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         max_bucket_size: int = 1000) -> DataFrame:
     """Band the signature, bucket-join: docs sharing any full band are
     candidates. Returns distinct (a, b) with a < b."""
-    banded = band_keys(sig_df, id_col, bands, rows_per_band)
+    # three consumers (sizes, both self-join sides) — stage the banded
+    # frame so the MinHash signature pipeline upstream runs once; it
+    # is (id, band, bkey) ≈ `bands` rows/doc, tiny at any scale
+    banded = band_keys(sig_df, id_col, bands, rows_per_band) \
+        .localCheckpoint(eager=False)
 
     # drop pathological buckets (boilerplate explosion guard) via
     # groupBy-count + join, not a count window: the window would have
