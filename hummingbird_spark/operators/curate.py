@@ -107,7 +107,9 @@ def curate_corpus(
     if strip_cross_doc_boilerplate is not None:
         # corpus-level pre-pass: drop lines repeating across >= N docs
         # (cookie banners / nav menus); within-doc repeats are the
-        # strip_boilerplate flag's job
+        # strip_boilerplate flag's job. Docs without boilerplate pass
+        # through byte-identical (same guarantee as
+        # remove_duplicate_substrings)
         from hummingbird_spark.operators.dedup import (
             strip_boilerplate_lines,
         )

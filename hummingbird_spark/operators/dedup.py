@@ -739,36 +739,59 @@ def boilerplate_line_stats(df: DataFrame, text_col: str = "text",
 def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             min_docs: int = 5) -> DataFrame:
-    """Remove cross-document boilerplate lines (doc frequency >=
-    min_docs, see boilerplate_line_stats) from every document, keeping
-    the surviving lines in their original order. Documents reduced to
-    nothing come back with empty text — dropping them is the quality
-    screen's decision, not this operator's.
+    """Remove cross-document boilerplate lines (non-blank trimmed text
+    with doc frequency >= min_docs, see boilerplate_line_stats),
+    keeping the surviving lines in their original order. Documents
+    that contain NO boilerplate line pass through BYTE-IDENTICAL
+    (blank lines, trailing newlines, and NULL text untouched) — the
+    same guarantee remove_duplicate_substrings gives. Documents that
+    DO contain boilerplate are rebuilt with only those lines removed:
+    their blank lines survive at their original positions. Documents
+    whose every line was boilerplate come back with empty text —
+    dropping them is the quality screen's decision, not this
+    operator's.
 
-    The rebuild is explode-with-position -> hash anti-join -> re-group
-    ordered by position: the shuffled payload is the line TEXT once
-    (for the rebuild) plus hash keys; the boilerplate set itself is a
-    hash-only frame, broadcast by AQE when small (the usual case —
-    boilerplate is a tiny distinct set by definition)."""
+    The rebuild is semi-join (which docs are touched at all) ->
+    posexplode ALL lines of touched docs -> hash anti-join -> re-group
+    ordered by position: only affected docs' line text shuffles; the
+    boilerplate set itself is a hash-only frame, broadcast by AQE when
+    small (the usual case — boilerplate is a tiny distinct set by
+    definition). Blank lines cannot be boilerplate (the frequency
+    profile is built from non-blank lines only), so md5('') never
+    lands in the common set and blank lines survive the anti-join."""
     others = [c for c in df.columns if c != text_col]
-    lines = df.select(
-        *others,
-        F.posexplode(F.filter(
+    # frequency profile over NON-BLANK trimmed lines only. Full
+    # 128-bit md5 (vs the 16-hex stats key): this key decides line
+    # REMOVAL — a 64-bit collision merges two different lines' doc
+    # frequencies and can strip a legitimate line at 100 TB line
+    # counts; stats tolerate that, destruction doesn't
+    nonblank = df.select(
+        F.col(id_col),
+        F.explode(F.filter(
             F.split(F.col(text_col), r"\n"),
             lambda ln: F.length(F.trim(ln)) > 0,
-        )).alias("__pos", "__ln"),
-    ).withColumn(
-        # full 128-bit md5 (vs the 16-hex stats key): this key decides
-        # line REMOVAL — a 64-bit collision merges two different lines'
-        # doc frequencies and can strip a legitimate line at 100 TB
-        # line counts; stats tolerate that, destruction doesn't
-        "__lh", F.md5(F.trim(F.col("__ln"))))
+        )).alias("__ln"),
+    ).select(id_col, F.md5(F.trim(F.col("__ln"))).alias("__lh"))
     common = (
-        lines.groupBy("__lh")
+        nonblank.groupBy("__lh")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__lh")
     )
+    affected_ids = (
+        nonblank.join(common, "__lh", "left_semi")
+        .select(id_col).distinct()
+    )
+    untouched = df.join(affected_ids, id_col, "left_anti")
+    affected = df.join(affected_ids, id_col, "left_semi")
+    # rebuild ONLY affected docs, exploding ALL their lines (blanks
+    # included) so removal is surgical: boilerplate lines out,
+    # everything else — blank lines included — at original positions
+    lines = affected.select(
+        *others,
+        F.posexplode(F.split(F.col(text_col), r"\n"))
+        .alias("__pos", "__ln"),
+    ).withColumn("__lh", F.md5(F.trim(F.col("__ln"))))
     kept = lines.join(common, "__lh", "left_anti")
     rebuilt = (
         kept.groupBy(*others)
@@ -780,12 +803,14 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
                          "\n").alias(text_col),
         )
     )
-    # docs whose every line was boilerplate (or had no lines) vanish
-    # from the explode — restore them with empty text
-    missing = df.select(*others).join(
+    # affected docs whose every line was boilerplate vanish from the
+    # anti-join — restore them with empty text
+    missing = affected.select(*others).join(
         rebuilt.select(*others), others, "left_anti"
     ).withColumn(text_col, F.lit(""))
-    return rebuilt.unionByName(missing).select(*df.columns)
+    return (rebuilt.unionByName(missing)
+            .unionByName(untouched.select(*rebuilt.columns))
+            .select(*df.columns))
 
 
 def duplicate_substring_spans(df: DataFrame, text_col: str = "text",

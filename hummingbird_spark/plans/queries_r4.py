@@ -938,13 +938,15 @@ def q_boilerplate_strip_verify(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Oracle-grade proof of the boilerplate line-strip REBUILD
     (boilerplate_stats proves the profile): run strip_boilerplate_lines
-    over documents and checksum every rebuilt doc per source. The
-    fixture corpus has no cross-doc repeated lines at sf0.01, so the
-    strip stage itself is exercised by the crafted-docs pytest — what
-    this query pins against SQL is the rebuild normalization the
-    operator applies to EVERY doc (blank-line dropping, newline
-    re-join, empty-doc restoration), which is where a silent rebuild
-    bug would corrupt untouched documents."""
+    over documents and checksum every output doc per source. The
+    operator guarantees docs WITHOUT boilerplate lines pass through
+    byte-identical and affected docs are rebuilt with only the
+    boilerplate lines removed (blank lines preserved); the oracle
+    replays both branches in SQL. The fixture corpus has few cross-doc
+    repeated lines at sf0.01 — the strip branch is additionally
+    exercised by the crafted-docs pytest — so what this query mainly
+    pins is the byte-identity of the untouched path, which is where a
+    silent rebuild bug would corrupt the corpus at scale."""
     from hummingbird_spark.operators.dedup import strip_boilerplate_lines
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -970,21 +972,26 @@ def q_boilerplate_strip_verify(spark: SparkSession,
 
 ORACLE_BOILERPLATE_STRIP = f"""
 WITH t AS (
-  SELECT doc_id, source,
-         list_filter(string_split(text, chr(10)),
-                     x -> length(trim(x)) > 0) AS lf
+  SELECT doc_id, source, text, string_split(text, chr(10)) AS ls
   FROM documents
 ), freq AS (
   SELECT trim(ln) AS ln, COUNT(DISTINCT doc_id) AS nd FROM (
-    SELECT doc_id, unnest(lf) AS ln FROM t)
+    SELECT doc_id, unnest(ls) AS ln FROM t)
+  WHERE length(trim(ln)) > 0
   GROUP BY trim(ln)
 ), common AS (
   SELECT COALESCE(list(ln), []) AS cl FROM freq WHERE nd >= 3
 ), rb AS (
+  -- untouched docs (no boilerplate line) pass through byte-identical;
+  -- affected docs keep every non-boilerplate line (blanks included)
   SELECT doc_id, source,
-         COALESCE(array_to_string(
-            list_filter(lf, x -> NOT list_contains(cl, trim(x))),
-            chr(10)), '') AS text
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(list_filter(ls, x -> list_contains(cl, trim(x))))
+                   = 0 THEN text
+              ELSE COALESCE(array_to_string(
+                 list_filter(ls, x -> NOT list_contains(cl, trim(x))),
+                 chr(10)), '')
+         END AS text
   FROM t, common
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -663,6 +663,12 @@ def test_boilerplate_line_stats_and_strip(spark):
                 f"Unique closing line {i}.") for i in range(1, 6)]
     docs.append((6, "Twice twice.\nTwice twice.\nUnique six."))  # intra
     docs.append((7, banner))                       # only boilerplate
+    # untouched docs must come back BYTE-IDENTICAL: blank lines,
+    # trailing newline, NULL text all preserved
+    docs.append((8, "para one.\n\npara two.\n"))
+    docs.append((9, None))
+    # affected doc keeps its blank line when the banner is cut
+    docs.append((10, f"{banner}\n\nbody ten."))
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
     stats = {r.doc_id: r for r in
@@ -678,7 +684,10 @@ def test_boilerplate_line_stats_and_strip(spark):
     assert out[1] == "Unique opening line 1.\nUnique closing line 1."
     assert out[6] == "Twice twice.\nTwice twice.\nUnique six."
     assert out[7] == ""                           # restored, empty
-    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert out[8] == "para one.\n\npara two.\n"   # byte-identical
+    assert out[9] is None                         # NULL preserved
+    assert out[10] == "\nbody ten."               # blank line survives
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10}
 
 
 def test_quality_funnel_stages_with_crafted_docs(spark, tmp_path):
