@@ -331,7 +331,10 @@ def gopher_quality_flags(col: Column) -> Column:
       too_few_words      word count < 50
       too_many_words     word count > 100,000
       bad_mean_word_len  mean word length outside [3, 10]
-      high_symbol_ratio  (# + ellipsis occurrences) / words > 0.1
+      high_symbol_ratio  EITHER #/words > 0.1 OR ellipses/words > 0.1
+                         (the paper applies the 0.1 threshold to each
+                         symbol class separately, "for either the hash
+                         symbol or the ellipsis" — not to their sum)
       bullet_heavy       > 90% of lines start with a bullet
       ellipsis_heavy     > 30% of lines end with an ellipsis
       low_alpha_words    < 80% of words contain an alphabetic char
@@ -345,12 +348,14 @@ def gopher_quality_flags(col: Column) -> Column:
     ws = tokens(col)
     n_words = F.size(ws)
     mwl = mean_word_length(col)
-    n_symbols = (
-        F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
-        + F.size(F.regexp_extract_all(col, F.lit(r"\.{3}|…"), 0))
-    )
-    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        n_symbols.cast("double") / n_words.cast("double"))
+    n_hash_sym = (
+        F.length(col) - F.length(F.regexp_replace(col, r"#", "")))
+    n_ellipsis_sym = F.size(
+        F.regexp_extract_all(col, F.lit(r"\.{3}|…"), 0))
+    hash_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_hash_sym.cast("double") / n_words.cast("double"))
+    ellipsis_sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_ellipsis_sym.cast("double") / n_words.cast("double"))
     lines = F.filter(
         F.split(col, r"\n"), lambda ln: F.length(F.trim(ln)) > 0)
     n_lines = F.size(lines)
@@ -372,7 +377,7 @@ def gopher_quality_flags(col: Column) -> Column:
     too_few = n_words < 50
     too_many = n_words > 100_000
     bad_mwl = (mwl < 3.0) | (mwl > 10.0)
-    high_symbol = symbol_ratio > 0.1
+    high_symbol = (hash_ratio > 0.1) | (ellipsis_sym_ratio > 0.1)
     bullet_heavy = bullet_ratio > 0.9
     ellipsis_heavy = ellipsis_ratio > 0.3
     low_alpha = alpha_word_ratio < 0.8
@@ -380,7 +385,8 @@ def gopher_quality_flags(col: Column) -> Column:
     return F.struct(
         n_words.alias("n_words"),
         F.round(mwl, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(hash_ratio, 6).alias("hash_word_ratio"),
+        F.round(ellipsis_sym_ratio, 6).alias("ellipsis_word_ratio"),
         F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
         F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
         F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),

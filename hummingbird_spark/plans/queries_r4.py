@@ -371,8 +371,9 @@ WITH t AS (
          ELSE CAST(COALESCE(list_sum(
                   list_transform(ws, w -> length(w))), 0) AS DOUBLE)
               / len(ws) END AS mwl,
-    (length(text) - length(regexp_replace(text, '#', '', 'g'))
-     + len(regexp_extract_all(text, '\.{3}|…'))) AS n_sym,
+    (length(text) - length(regexp_replace(text, '#', '', 'g')))
+      AS n_hash_sym,
+    len(regexp_extract_all(text, '\.{3}|…')) AS n_ell_sym,
     len(lines) AS n_lines,
     len(list_filter(lines,
         ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
@@ -388,8 +389,11 @@ WITH t AS (
     (n_words < 50) AS too_few_words,
     (n_words > 100000) AS too_many_words,
     (mwl < 3.0 OR mwl > 10.0) AS bad_mean_word_len,
+    -- Gopher applies 0.1 to EACH symbol class separately
     (CASE WHEN n_words = 0 THEN 0.0
-          ELSE CAST(n_sym AS DOUBLE) / n_words END > 0.1)
+          ELSE CAST(n_hash_sym AS DOUBLE) / n_words END > 0.1
+     OR CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(n_ell_sym AS DOUBLE) / n_words END > 0.1)
       AS high_symbol_ratio,
     (CASE WHEN n_lines = 0 THEN 0.0
           ELSE CAST(n_bullet AS DOUBLE) / n_lines END > 0.9)
@@ -687,8 +691,10 @@ WITH t AS (
          BETWEEN 3.0 AND 10.0
      AND (CASE WHEN len(ws) = 0 THEN 0.0
           ELSE CAST(length(text)
-               - length(regexp_replace(text, '#', '', 'g'))
-               + len(regexp_extract_all(text, '\.{3}|…')) AS DOUBLE)
+               - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+               / len(ws) END) <= 0.1
+     AND (CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text, '\.{3}|…')) AS DOUBLE)
                / len(ws) END) <= 0.1
      AND (CASE WHEN len(lines) = 0 THEN 0.0
           ELSE CAST(len(list_filter(lines,

@@ -512,7 +512,12 @@ def test_gopher_quality_flags(spark):
          (5, "\n".join(["- bullet item here"] * 10)),  # bullet heavy
          (6, "\n".join([good] + ["trailing off..."] * 4)),  # ellipses
          (7, " ".join(["12345 67890 #### $$$$"] * 20)),  # low alpha
-         (8, " ".join(["purple monkey dishwasher"] * 25))],  # no stops
+         (8, " ".join(["purple monkey dishwasher"] * 25)),  # no stops
+         # per-class thresholds (Rae et al. A1: "either the hash
+         # symbol or the ellipsis"): 81 words, 6 hashes + 6 ellipses
+         # = each class ~0.074 <= 0.1, though their sum is > 0.1
+         # (line must not END in an ellipsis — that's ellipsis_heavy)
+         (9, good + " " + "# " * 6 + "so... " * 6 + "to the end")],
         "doc_id long, text string")
     rows = {r.doc_id: r.g for r in docs.select(
         "doc_id", gopher_quality_flags(F.col("text")).alias("g")
@@ -525,6 +530,10 @@ def test_gopher_quality_flags(spark):
     assert rows[6].ellipsis_heavy and not rows[6].keep
     assert rows[7].low_alpha_words and not rows[7].keep
     assert rows[8].missing_stopwords and not rows[8].keep
+    assert not rows[9].high_symbol_ratio and rows[9].keep
+    assert rows[9].hash_word_ratio <= 0.1
+    assert rows[9].ellipsis_word_ratio <= 0.1
+    assert rows[9].hash_word_ratio + rows[9].ellipsis_word_ratio > 0.1
 
 
 def test_strip_repeated_lines(spark):
