@@ -1,20 +1,24 @@
 #!/usr/bin/env python
 """Compare the latest BENCH_DETAIL.json against the committed
-baselines and flag regressions.
+baseline and flag regressions.
 
-Two baselines, two normalizations:
-  - BENCH_BASELINE.json (round-2): predates the calibration probe, so
-    drift is INFERRED as the median ratio across all shared queries
-    with baseline >= 0.3 s (measured: successive VM boots differ
-    1.3-1.5x uniformly in raw CPU throughput).
-  - BENCH_BASELINE_R4.json (round-4): carries `calibration_sec` — the
-    fixed-slot, data-independent CPU probe bench.py times first every
-    run — so drift is MEASURED as the calibration ratio; the query
-    median is printed as a cross-check.
+The baseline (BENCH_BASELINE_R4.json, refrozen per round) carries
+`calibration_sec` — the fixed-slot, data-independent CPU probe
+bench.py times first every run. When both sides have it, the
+calibration ratio IS the drift estimate and is AUTHORITATIVE: a query
+is flagged on its calibration-normalized ratio alone. The query-median
+ratio is printed as a cross-check, and a loud DRIFT-DISAGREEMENT
+warning fires when the two estimates differ by more than 1.3x —
+requiring consensus instead would re-introduce median masking (a
+uniform plan regression across many queries inflates the median drift
+estimate, so ratio/median_drift stays ~1.0 and nothing flags, which is
+exactly the failure mode the calibration probe was added to catch).
+Median normalization is used only as a fallback for a baseline with no
+calibration record.
 
 A query "regresses" when its drift-normalized ratio exceeds 1.5x.
 Sub-0.3 s baselines are exempt (timing noise). Exit 1 when any
-headline query regresses against ANY baseline; print tables either way.
+headline query regresses; print tables either way.
 
 Usage: python scripts/check_bench_regression.py [detail_json]
 """
@@ -34,6 +38,7 @@ HEADLINE = [
 ]
 TOLERANCE = 1.5
 MIN_BASELINE_SEC = 0.3
+DRIFT_DISAGREE = 1.3  # calibration vs query-median: warn beyond this
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -55,10 +60,23 @@ def compare(base_path: str, cur_doc: dict, label: str) -> list[str]:
     cal_c = cur_doc.get("calibration_sec")
     print(f"== vs {label} ==")
     if cal_b and cal_c:
+        # the calibration probe is data-independent, so its ratio is
+        # the authoritative drift estimate; the query median is only a
+        # cross-check (it is contaminated by any uniform plan
+        # regression, which is the thing we're trying to detect)
         drift = cal_c / cal_b
-        print(f"machine drift (calibration probe): {drift:.2f}x "
-              f"[query-median cross-check: {median_drift:.2f}x, "
-              f"n={len(ratios)}]")
+        print(f"machine drift (calibration probe, authoritative): "
+              f"{drift:.2f}x [query-median cross-check: "
+              f"{median_drift:.2f}x, n={len(ratios)}]")
+        disagree = (max(drift, median_drift)
+                    / max(min(drift, median_drift), 1e-9))
+        if disagree > DRIFT_DISAGREE:
+            print(f"WARNING: DRIFT-DISAGREEMENT {disagree:.2f}x — the "
+                  f"CPU probe ({drift:.2f}x) and the query median "
+                  f"({median_drift:.2f}x) tell different stories; "
+                  f"either the boot changed character (I/O vs CPU) or "
+                  f"a uniform plan regression is inflating the "
+                  f"median. Inspect before trusting a green result.")
     else:
         drift = median_drift
         print(f"machine drift (median ratio, n={len(ratios)} of "
@@ -71,14 +89,7 @@ def compare(base_path: str, cur_doc: dict, label: str) -> list[str]:
         ratio = cur / base if base else float("inf")
         norm = ratio / drift
         flag = ""
-        # a true plan regression is slower under ANY drift estimate;
-        # an artifact of the normalization appears under only one —
-        # the CPU-bound probe and the mixed query workload can drift
-        # differently (measured: probe 0.71x vs query-median 0.93x in
-        # one boot), so require both estimates to agree before
-        # flagging
-        if (base >= MIN_BASELINE_SEC and norm > TOLERANCE
-                and ratio / median_drift > TOLERANCE):
+        if base >= MIN_BASELINE_SEC and norm > TOLERANCE:
             flag = "REGRESSED" if name in HEADLINE else "slower"
             if name in HEADLINE:
                 failures.append(name)
@@ -106,14 +117,14 @@ def main() -> int:
     with open(detail_path) as f:
         cur_doc = json.load(f)
 
-    failures: list[str] = []
-    for fname, label in (
-        ("BENCH_BASELINE_R4.json", "r4 baseline (calibration-pinned)"),
-        ("BENCH_BASELINE.json", "r2 baseline (median-normalized)"),
-    ):
-        path = os.path.join(ROOT, fname)
-        if os.path.exists(path):
-            failures += compare(path, cur_doc, label)
+    # single calibration-bearing baseline since r5: the r2
+    # median-normalized baseline was dropped once the calibration
+    # protocol was confirmed across a boot change (continuity note
+    # SURVEY $13.2) — two baselines with different normalizations gave
+    # two verdicts for one run
+    failures = compare(
+        os.path.join(ROOT, "BENCH_BASELINE_R4.json"), cur_doc,
+        "r4 baseline (calibration-pinned)")
     return 1 if failures else 0
 
 
