@@ -79,12 +79,25 @@ def mongodb_read_options(
     # Mongo-side $match pushdown: the connector accepts an aggregation
     # pipeline; the include filter IS a $match (F1), evaluated by the
     # server before rows reach Spark — the Mongo-source equivalent of
-    # parquet predicate pushdown.
+    # parquet predicate pushdown. The filter must be strict-JSON MQL:
+    # it originates from migration.json (already strict JSON on disk),
+    # and copy.py relies on this pushdown being equivalent to
+    # transform_for_include's re-apply, so a filter carrying non-JSON
+    # operand types (datetime/ObjectId/Decimal128) is rejected loudly
+    # here rather than silently diverging — use extended-JSON string
+    # forms ({"$date": ...}, {"$oid": ...}) in the config instead.
     if include.filter:
         import json
 
-        opts["aggregation.pipeline"] = json.dumps(
-            [{"$match": include.filter}])
+        try:
+            opts["aggregation.pipeline"] = json.dumps(
+                [{"$match": include.filter}])
+        except TypeError as e:
+            raise ValueError(
+                f"include.filter for {include.namespace!r} is not "
+                f"strict JSON ({e}); express non-JSON operands in "
+                "extended-JSON string form, e.g. "
+                '{"$date": "..."} or {"$oid": "..."}') from e
     return opts
 
 
@@ -103,20 +116,71 @@ def mongodb_write_options(cfg: MigrationConfig,
     }
 
 
-def mongodb_stream_options(cfg: MigrationConfig,
-                           include: Include) -> dict[str, str]:
+def mongodb_stream_options(
+    cfg: MigrationConfig,
+    include: Include,
+    start_at_operation_time: int | None = None,
+) -> dict[str, str]:
     """Structured-Streaming change-stream options (S6 tailable CDC
     source): full-document lookup so downstream decode sees complete
     replace docs, matching what `decode_write_models` expects from the
-    o/o2 surface."""
+    o/o2 surface.
+
+    `start_at_operation_time` (epoch seconds) maps the reference's
+    resume-from-timestamp tail (`oplog_utils.go:28-37` opens the oplog
+    cursor at `ts >= start`) onto the connector's startup mode: when
+    given, the stream starts at that cluster time instead of "latest".
+    Batch pacing (the reference's OplogBatchSize / 1 s max-await) is
+    Structured Streaming's trigger interval, not a connector option —
+    set it on the writeStream trigger."""
     db, coll = split_namespace(include.namespace)
-    return {
+    opts = {
         "connection.uri": cfg.source,
         "database": db,
         "collection": coll,
         "change.stream.publish.full.document.only": "true",
         "change.stream.lookup.full.document": "updateLookup",
     }
+    if start_at_operation_time is not None:
+        opts["change.stream.startup.mode"] = "timestamp"
+        opts["change.stream.startup.mode.timestamp.start.at."
+             "operation.time"] = str(int(start_at_operation_time))
+    else:
+        opts["change.stream.startup.mode"] = "latest"
+    return opts
+
+
+def _is_missing_datasource(e: Exception) -> bool:
+    """True when `e` means "the mongodb data source isn't registered"
+    (connector jar absent). Prefer the structured error class —
+    AnalysisException carries DATA_SOURCE_NOT_FOUND as its error
+    condition in Spark 3.4+/4.x — because the rendered message shape
+    varies across Spark versions and Py4J wrapping; the substring scan
+    is only the fallback for unstructured/older shapes."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            cond = None
+            for getter in ("getCondition", "getErrorClass"):
+                fn = getattr(e, getter, None)
+                if fn is None:
+                    continue
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+            if cond:
+                # structured verdict: trust it either way
+                return cond in ("DATA_SOURCE_NOT_FOUND",
+                                "FAILED_TO_LOAD_DATA_SOURCE")
+    except ImportError:
+        pass
+    s = str(e)
+    return ("ClassNotFound" in s or "Failed to find" in s
+            or "DATA_SOURCE_NOT_FOUND" in s)
 
 
 def read_mongodb(spark, uri: str, **options) -> Any:
@@ -126,8 +190,7 @@ def read_mongodb(spark, uri: str, **options) -> Any:
     try:
         return spark.read.format("mongodb").options(**opts).load()
     except Exception as e:  # connector jar absent -> ClassNotFound
-        if "ClassNotFound" in str(e) or "Failed to find" in str(e) \
-                or "DATA_SOURCE_NOT_FOUND" in str(e):
+        if _is_missing_datasource(e):
             raise RuntimeError(
                 "MongoDB Spark Connector not on the classpath; submit "
                 "with --packages org.mongodb.spark:mongo-spark-"

@@ -90,6 +90,92 @@ def test_stream_options_request_full_documents():
     assert opts["database"] == "shop" and opts["collection"] == "orders"
 
 
+def test_stream_options_startup_mode_matrix():
+    """Change-stream startup mapping (oplog_utils.go:28-37 opens the
+    oplog cursor at ts >= start): no timestamp -> latest; a timestamp
+    -> startup.mode=timestamp with the operation time pinned."""
+    cfg = _cfg()
+    latest = mongodb_stream_options(cfg, cfg.includes[0])
+    assert latest["change.stream.startup.mode"] == "latest"
+    assert "change.stream.startup.mode.timestamp.start.at." \
+           "operation.time" not in latest
+
+    at = mongodb_stream_options(cfg, cfg.includes[0],
+                                start_at_operation_time=1_700_000_000)
+    assert at["change.stream.startup.mode"] == "timestamp"
+    assert at["change.stream.startup.mode.timestamp.start.at."
+              "operation.time"] == "1700000000"
+    # the full-document contract holds in both modes
+    for opts in (latest, at):
+        assert opts["change.stream.publish.full.document.only"] == "true"
+        assert opts["change.stream.lookup.full.document"] == "updateLookup"
+
+
+def test_read_options_rejects_non_json_filter():
+    """include.filter must be strict-JSON MQL: a datetime operand
+    can't survive json.dumps into aggregation.pipeline, and silently
+    diverging from the re-apply path is worse than failing loudly."""
+    import datetime
+
+    inc = Include(namespace="shop.orders",
+                  filter={"ts": {"$gte": datetime.datetime(2024, 1, 1)}})
+    cfg = _cfg(includes=[inc])
+    with pytest.raises(ValueError, match="strict JSON"):
+        mongodb_read_options(cfg, inc)
+
+
+def test_missing_datasource_classifier_uses_error_condition():
+    """Classification prefers the structured AnalysisException error
+    condition over message-substring scanning: an unrelated error that
+    happens to MENTION 'Failed to find' must not be labeled as the
+    missing-jar case, and a genuine DATA_SOURCE_NOT_FOUND must be
+    caught regardless of message shape."""
+    from pyspark.errors import AnalysisException
+
+    from hummingbird_spark.sources.mongodb import _is_missing_datasource
+
+    missing = AnalysisException(
+        message="Failed to find the data source: mongodb",
+        errorClass="DATA_SOURCE_NOT_FOUND", messageParameters={})
+    assert _is_missing_datasource(missing)
+
+    unrelated = AnalysisException(
+        message="A column named `Failed to find` cannot be resolved",
+        errorClass="COLUMN_NOT_FOUND", messageParameters={})
+    assert not _is_missing_datasource(unrelated)
+
+    # unstructured fallback: plain exceptions still classify by text
+    assert _is_missing_datasource(
+        RuntimeError("java.lang.ClassNotFoundException: mongodb"))
+    assert not _is_missing_datasource(RuntimeError("connection refused"))
+
+
+def test_live_mongodb_roundtrip(spark):
+    """Guarded live integration: runs only when the environment
+    provides a reachable MongoDB and the connector jar
+    (HB_SPARK_MONGODB_URI set + format resolvable). Round-trips a tiny
+    frame through write->read and checks the upsert key contract —
+    ready for the day the sandbox gains a Mongo container."""
+    import os
+
+    uri = os.environ.get("HB_SPARK_MONGODB_URI")
+    if not uri:
+        pytest.skip("HB_SPARK_MONGODB_URI not set (no live MongoDB)")
+    cfg = MigrationConfig(
+        command="data-only", source=uri, target=uri,
+        includes=[Include(namespace="hbtest.roundtrip")])
+    inc = cfg.includes[0]
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "_id long, v string")
+    (df.write.format("mongodb")
+       .options(**mongodb_write_options(cfg, inc))
+       .mode("append").save())
+    back = (spark.read.format("mongodb")
+            .options(**mongodb_read_options(cfg, inc)).load())
+    got = {(r["_id"], r["v"]) for r in back.collect()}
+    assert {(1, "a"), (2, "b")} <= got
+
+
 def test_read_source_dispatches_mongodb_and_reports_missing_jar(spark):
     """mongodb:// URIs route to the connector branch; without the jar
     the error must say how to get it, not a raw ClassNotFound."""
