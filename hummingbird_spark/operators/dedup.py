@@ -362,17 +362,22 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     """(id, sh: bit-packed int64) — SimHash per document, computed
     shuffle-FREE in a vectorized Arrow kernel.
 
-    Each word-ngram shingle hashes to 64 bits (two crc32 streams —
-    deterministic across processes, unlike Python's salted hash());
+    Each word-ngram shingle hashes to 64 bits — the LOW 8 md5 digest
+    bytes, little-endian, which is exactly DuckDB's
+    md5_number_lower(shingle): the choice makes the whole pipeline
+    SQL-replicable, so simhash_dups carries a full hash-match oracle
+    (queries_text.py::ORACLE_SIMHASH_DUPS) instead of a rows-only
+    record. md5's avalanche also needs no post-mix (the crc32 variant
+    this replaces had to splitmix64-finalize because crc32 is linear
+    and correlated shingles degenerated SimHash to all-pairs).
     np.unpackbits tallies the per-bit votes for a whole doc at once.
     History: v1 did explode + 64 SUM aggregates (the codegen-friendly
     expression shape, still used by MinHash where the md5 oracle pins
     the hash function) — correct, but it shuffles ~220 rows/doc just to
-    vote; the kernel votes inside the scan and ships 1 row/doc. No
-    oracle constraint here (rows-only query), so the hash is free to be
-    crc32-based."""
+    vote; the kernel votes inside the scan and ships 1 row/doc."""
+    import hashlib
+
     import numpy as np
-    import zlib
 
     def kernel(batches):
         for pdf in batches:
@@ -386,19 +391,11 @@ def simhash_df(df: DataFrame, text_col: str = "text",
                     for i in range(len(ws) - ngram + 1)
                 }
                 h = np.fromiter(
-                    ((zlib.crc32(s.encode()) << 32)
-                     | zlib.crc32(s.encode(), 0x9E3779B9)
+                    (int.from_bytes(
+                        hashlib.md5(s.encode()).digest()[8:16], "little")
                      for s in shingles),
                     dtype=np.uint64, count=len(shingles),
                 )
-                # crc32 is linear (no avalanche) — similar shingles give
-                # correlated bits and SimHash degenerates to all-pairs.
-                # splitmix64's finalizer mixes it (vectorized, free).
-                h ^= h >> 30
-                h *= np.uint64(0xBF58476D1CE4E5B9)
-                h ^= h >> 27
-                h *= np.uint64(0x94D049BB133111EB)
-                h ^= h >> 31
                 bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
                                      axis=1, bitorder="little")
                 # signed! uint8 sums promote to uint64 and *2-n underflows

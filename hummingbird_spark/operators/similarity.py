@@ -7,8 +7,9 @@ Two paths over the `embeddings` fixture (vec_id, embedding[64], label):
                        baseline; O(n) per query, fine for one query or a
                        broadcast batch of queries.
   lsh_topk           — random-hyperplane LSH: 16 sign-bits bucket the
-                       vectors; the query probes its bucket plus
-                       hamming<=1 neighbors, exact-rescoring only those.
+                       vectors; the query probes every bucket within
+                       `probe_hamming` bits of its own,
+                       exact-rescoring only those.
                        The 100 TB path: the scan prunes to matching
                        buckets (partition the table by bucket at write
                        time to make it a partition-pruned read).
@@ -110,12 +111,24 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              seed: int = 42) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     `probe_hamming` bits of the query's bucket. With a bucket-partitioned
-    table this becomes a partition-pruned scan + tiny exact rescore."""
+    table this becomes a partition-pruned scan + tiny exact rescore.
+
+    The probe list enumerates EVERY bucket within the hamming radius
+    (sum of C(n_planes, d) for d <= probe_hamming — bounded driver-side
+    arithmetic, no data touched; 37 buckets at n_planes=8, h=2). An
+    earlier version only flipped single bits, silently downgrading
+    probe_hamming=2 to radius 1."""
+    import itertools
+
     planes = random_hyperplanes(len(query_vec), n_planes, seed)
     qb = _query_bucket(query_vec, planes)
     probe = [qb]
-    if probe_hamming >= 1:
-        probe += [qb ^ (1 << j) for j in range(n_planes)]
+    for d in range(1, min(probe_hamming, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            flip = 0
+            for j in bits:
+                flip |= 1 << j
+            probe.append(qb ^ flip)
 
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     return (

@@ -1487,30 +1487,37 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r4 rotation. After r3 every registry query has a driver record
-    # (r1∪r2∪r3), so this window is first-proof for the two NEW
-    # effectful-pipeline verification queries, then pure refresh:
-    # the 45 names whose latest green record is still round 1
-    # (least-recently-verified, exactly the set computed from
-    # CORRECTNESS_r01..r03), then the oldest r2-recorded names.
-    "migration_copy_verify", "cdc_apply_verify", "gopher_rule_stats",
-    "rollup_verify", "zorder_verify", "ngram_repetition_stats",
-    "boilerplate_stats", "quality_funnel", "exact_substring_stats",
-    "exact_substring_rebuild_verify", "boilerplate_strip_verify",
-    # r1-only set (latest record: round 1)
-    "range_scan", "mask_default", "mask_partial", "mask_hex",
-    "status_counts", "event_type_counts", "topk_events",
-    "union_namespaces", "except_diff", "anti_join", "semi_join",
-    "revenue_by_nation", "shipping_priority", "returned_items",
-    "window_rank", "rollup_agg", "cdc_state_at", "cdc_last_state",
-    "proj_sort", "count_pred", "parent_rollup", "promo_revenue",
-    "custdist", "small_qty_revenue", "big_orders", "idle_balance",
-    "forecast_revenue", "order_priority_check", "supplier_variety",
-    "local_supplier_volume", "nation_trade_flow", "top_supplier",
-    "disjunctive_revenue", "events_time_slice", "salted_status_counts",
-    "variant_props", "json_props", "mask_nested", "doc_stats",
+    # r5 rotation. Every registry query has a green record
+    # (r1∪r2∪r3∪r4; r4's window refreshed the r1-stale set), so this
+    # window is first HASH-proof for the two queries that gained full
+    # SQL oracles this round (simhash_dups: md5_number_lower bit-vote
+    # replica; knn_lsh: inlined-hyperplane replica), then refresh in
+    # least-recently-verified order: the 6 names whose latest record
+    # is still round 1, then the round-2-recorded set. Rows-only
+    # names sit last — their weaker rows-check record is the least
+    # valuable use of the driver's ~50 slots.
+    "simhash_dups", "knn_lsh",
+    # latest record: round 1
     "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
     "dedup_exact", "exact_dup_groups",
+    # latest record: round 2 (oracle-backed)
+    "priority_linestatus", "pipeline_status_rollup", "funnel_steps",
+    "cohort_retention", "session_stats", "running_revenue",
+    "moving_avg_revenue", "seg_first_last", "percent_rank_balance",
+    "region_nations_agg", "corr_price_qty", "histogram_price",
+    "top_orders_per_cust", "ntile_quartiles", "event_transitions",
+    "dow_activity", "stratified_sample", "dataset_split",
+    "dup_group_histogram", "minhash_dups", "dup_clusters",
+    "token_diversity", "hash_sample", "ngram_jaccard",
+    "corpus_curation", "tfidf_dup_pairs", "winnow_pairs",
+    "knn_exact", "embedding_top_pairs", "pivot_event_values",
+    "token_frequencies", "win_tumbling", "win_sliding", "win_session",
+    "asof_attribution", "range_join_week", "cube_agg",
+    "grouping_sets", "min_cost_supplier", "market_share",
+    "product_profit", "important_stock", "excess_suppliers",
+    "waiting_suppliers",
+    # latest record: round 2 (rows-only by design)
+    "knn_ivf", "approx_distinct", "sample_group",
 ]
 
 QUERIES = {

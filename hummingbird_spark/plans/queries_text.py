@@ -623,6 +623,69 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, max_hamming=3, ngram=3)
 
 
+def _simhash_oracle_sql() -> str:
+    """Full-algorithm DuckDB replica of the SimHash pipeline (same
+    strategy as ORACLE_WINNOW's rolling-hash replica): word 3-gram
+    shingles -> per-shingle 64-bit hash (md5_number_lower == the
+    kernel's low-8-md5-bytes little-endian) -> per-bit majority vote ->
+    packed signed 64-bit SimHash -> 4x16-bit banded candidate pairs ->
+    exact hamming via bit_count(xor). The 64 vote terms are generated
+    here rather than hand-written; the banded candidate join is
+    replicated too (not just hamming<=3 over all pairs) so the oracle
+    would catch a banding bug that loses a candidate pair.
+
+    Tokenization note: the kernel uses Python str.split() (Unicode
+    whitespace), the oracle RE2 '\\s+' (ASCII whitespace). They agree
+    on the fixture, which is verified to contain no exotic whitespace
+    — a corpus with U+00A0-style separators would need the kernel
+    pinned to ASCII splitting first."""
+    vote_terms = "\n      + ".join(
+        f"(CASE WHEN 2 * SUM(CAST((h >> {i}) & 1 AS BIGINT)) > COUNT(*) "
+        f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+             AS g
+    FROM toks WHERE len(ws) >= 3)
+), hashed AS (
+  SELECT doc_id, md5_number_lower(g) AS h FROM grams
+), sim AS (
+  SELECT doc_id,
+      {vote_terms} AS up
+  FROM hashed GROUP BY doc_id
+), signed_sim AS (
+  SELECT doc_id, up,
+         CAST(CASE WHEN up >= 9223372036854775808::HUGEINT
+              THEN up - 18446744073709551616::HUGEINT
+              ELSE up END AS BIGINT) AS sh
+  FROM sim
+), chunked AS (
+  SELECT doc_id, sh,
+         CAST((up >> (16 * c)) & 65535::HUGEINT AS BIGINT) AS ckey, c
+  FROM signed_sim, unnest([0, 1, 2, 3]) AS t(c)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+  FROM chunked x JOIN chunked y
+    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b
+"""
+
+
+ORACLE_SIMHASH_DUPS = _simhash_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -977,6 +1040,65 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     probe_hamming=2)
 
 
+def _knn_lsh_oracle_sql() -> str:
+    """Full-algorithm DuckDB replica of lsh_topk at the registry
+    parameters (n_planes=8, probe_hamming=2, seed=42, k=10): the
+    seeded Gaussian hyperplanes are a deterministic 8x64 matrix
+    (random.Random(42).gauss — data-independent), inlined as float
+    literals; each vector's sign-bit bucket and the query's bucket are
+    computed with the same expression, and the probe set 'every bucket
+    within hamming 2' is expressed directly as
+    bit_count(xor(bucket, qbucket)) <= 2 — equivalent to the Spark
+    side's driver-enumerated bucket list. Sign decisions are robust to
+    float fold-order differences (Gaussian dots are O(1), never within
+    1e-12 of zero on the fixture), and the final rescore reuses the
+    exact-cosine shape knn_exact's oracle already hash-matches."""
+    from hummingbird_spark.operators.similarity import random_hyperplanes
+
+    dim = 64  # embeddings fixture dimension (TESTDATA.md)
+    planes = random_hyperplanes(dim, n_planes=8, seed=42)
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for j, pl in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in pl)
+            dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                   f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i]))")
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} "
+                         f"ELSE 0 END)")
+        return "\n      + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT {bucket_expr('v')} AS b FROM q
+), bucketed AS (
+  SELECT vec_id, embedding,
+         {bucket_expr('embedding')} AS b
+  FROM embeddings
+), probed AS (
+  SELECT e.vec_id, e.embedding
+  FROM bucketed e, qb WHERE bit_count(xor(e.b, qb.b)) <= 2
+), scored AS (
+  SELECT e.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+                * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+           i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))))),
+      6) AS score
+  FROM probed e, q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_KNN_LSH = _knn_lsh_oracle_sql()
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed top-k: score only the nprobe nearest inverted lists
     (the partition-pruned ANN scale path; approximate, rows-only)."""
@@ -1247,12 +1369,13 @@ TEXT_QUERIES: dict[str, tuple] = {
                         "TF-IDF cosine near-dup (bag-of-words)"),
     "winnow_pairs": (q_winnow_pairs, ORACLE_WINNOW,
                      "winnowing rolling-hash copy detection (MOSS)"),
-    "simhash_dups": (q_simhash_dups, None,
-                     "SimHash near-dup (banded hamming; rows-only)"),
+    "simhash_dups": (q_simhash_dups, ORACLE_SIMHASH_DUPS,
+                     "SimHash near-dup (banded hamming, full SQL "
+                     "replica oracle)"),
     "knn_exact": (q_knn_exact, ORACLE_KNN,
                   "brute-force cosine top-k"),
-    "knn_lsh": (q_knn_lsh, None,
-                "LSH-pruned cosine top-k (approximate; rows-only)"),
+    "knn_lsh": (q_knn_lsh, ORACLE_KNN_LSH,
+                "LSH-pruned cosine top-k (full SQL replica oracle)"),
     "knn_ivf": (q_knn_ivf, None,
                 "IVF inverted-list cosine top-k (approximate; rows-only)"),
     "embedding_top_pairs": (q_embedding_top_pairs, ORACLE_EMB_NEAR_DUP,

@@ -251,14 +251,17 @@ def test_cli_profile(spark, capsys):
 def test_cli_verify_subset(spark, capsys):
     assert main(["verify", "--data", SF_SMOKE,
                  "--only", "status_counts",
-                 "--only", "simhash_dups",
+                 "--only", "knn_ivf",
                  "--only", "pricing_summary"]) == 0
     lines = [json.loads(line) for line in
              capsys.readouterr().out.strip().splitlines()]
     by_q = {l["query"]: l for l in lines if "query" in l}
     assert by_q["status_counts"]["status"] == "match"
     assert by_q["pricing_summary"]["status"] == "match"
-    assert by_q["simhash_dups"]["status"] == "rows_only"
+    # knn_ivf is genuinely probabilistic (sampled centroid training) —
+    # it stays the representative rows-only entry now that simhash has
+    # a full SQL oracle
+    assert by_q["knn_ivf"]["status"] == "rows_only"
     assert lines[-1]["failures"] == 0
 
 
