@@ -668,7 +668,7 @@ def q_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "lsh": lsh_topk(e, qv, k=10, n_planes=8, probe_hamming=2)
         .select("vec_id"),
-        "ivf": ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
+        "ivf": ivf_topk(e, qv, k=10, n_centroids=16, nprobe=6)
         .select("vec_id"),
     }
     parts = [
