@@ -334,6 +334,70 @@ def _retain_target_columns(
     return T.StructType(list(schema.fields) + extra) if extra else schema
 
 
+def _recover_swap(target_path: str) -> None:
+    """Crash-window recovery for the temp-write -> swap protocol (the
+    reference's resume guarantee, workspace.go:276-309 + resume.go:
+    13-82, transplanted to the parquet sink). Both apply variants
+    write the merged result to `<target>.__tmp_*` FIRST, then swap via
+    rename — so a kill at any instant leaves one of:
+
+      - target intact (crash before/during tmp write): nothing to do;
+        a partial tmp (no _SUCCESS) is garbage — remove it.
+      - target missing, complete tmp present (flat swap: crash between
+        moving target aside and renaming tmp in): ROLL FORWARD — the
+        tmp IS the post-batch state; checkpoint replay of the batch is
+        then an idempotent no-op (per-key fold replay, ST7).
+      - target missing, only `<target>.__old_*` present (flat swap
+        variant of the same window): ROLL BACK to the pre-batch state;
+        checkpoint replay re-applies the batch.
+      - bucketed: some `__bucket=N` dirs moved to the trash dir but
+        not yet replaced (crash between the two per-bucket renames):
+        restore each missing bucket from tmp (roll forward) or trash
+        (roll back) — see apply_cdc_batch_bucketed's swap loop.
+
+    Every path converges to the clean-run state after the streaming
+    engine replays the interrupted batch, because re-applying reduced
+    write models is idempotent (replace/delete/set/unset; patches on
+    absent keys are no-ops). Called at the top of both apply variants,
+    so recovery is part of normal restart, not an operator action."""
+    import glob
+
+    tmps = sorted(glob.glob(f"{target_path}.__tmp_*"))
+    olds = sorted(glob.glob(f"{target_path}.__old_*"))
+    complete = os.path.exists(os.path.join(target_path, "_SUCCESS"))
+
+    if not complete:
+        # flat-swap windows: roll forward to a COMPLETE tmp, else back
+        for t in tmps:
+            if os.path.exists(os.path.join(t, "_SUCCESS")):
+                if os.path.isdir(target_path):
+                    shutil.rmtree(target_path)
+                os.rename(t, target_path)
+                complete = True
+                break
+        if not complete:
+            for o in olds:
+                if os.path.exists(os.path.join(o, "_SUCCESS")):
+                    if os.path.isdir(target_path):
+                        shutil.rmtree(target_path)
+                    os.rename(o, target_path)
+                    break
+    else:
+        # bucketed mid-swap: restore any bucket that was moved aside
+        # (or already rewritten in tmp) but is missing from the target
+        for src_root in tmps + olds:
+            if not os.path.isdir(src_root):
+                continue
+            for entry in os.listdir(src_root):
+                if not entry.startswith("__bucket="):
+                    continue
+                dst = os.path.join(target_path, entry)
+                if not os.path.isdir(dst):
+                    os.rename(os.path.join(src_root, entry), dst)
+    for p in tmps + olds:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     reduced: DataFrame,
@@ -357,6 +421,7 @@ def apply_cdc_batch(
     already carries are always retained, whatever this batch mentions
     (see _retain_target_columns).
     """
+    _recover_swap(target_path)
     target = None
     if os.path.exists(os.path.join(target_path, "_SUCCESS")):
         target = spark.read.parquet(target_path)
@@ -382,9 +447,18 @@ def apply_cdc_batch(
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(tmp)
     stats = _stats_or_recompute(obs, m, target, key)  # pre-swap
+    # swap by rename-aside, never rmtree-then-rename: the target must
+    # stay recoverable at every instant (a kill between a destructive
+    # rmtree and the rename would orphan the whole table; here every
+    # window leaves either target, tmp, or old complete on disk —
+    # _recover_swap rolls forward/back on the next apply)
     if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
+        old = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, target_path)
     return stats
 
 
@@ -559,6 +633,7 @@ def apply_cdc_batch_bucketed(
     or not this batch mentions them (see _retain_target_columns); the
     evolve widening runs AFTER retention so a field's established
     target type wins over this batch's re-inference."""
+    _recover_swap(target_path)
     m = (
         reduced.withColumnRenamed("key", "__key")
         .withColumn("__bucket", _bucket_col(F.col("__key"), num_buckets))
@@ -615,14 +690,22 @@ def apply_cdc_batch_bucketed(
         result.repartition(max(len(touched), 1), "__bucket").write \
             .mode("overwrite").partitionBy("__bucket").parquet(tmp)
         stats = _stats_or_recompute(obs, m, target, key)  # pre-swap
+        # per-bucket swap by rename-aside: the old bucket dir moves to
+        # a trash sibling BEFORE the new one renames in, so a kill
+        # between the two renames leaves the bucket recoverable (old
+        # in trash, new in tmp) instead of destroyed — _recover_swap
+        # restores any bucket missing from the target on next apply
+        trash = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
+        os.makedirs(trash, exist_ok=True)
         for b in touched:
             dst = os.path.join(target_path, f"__bucket={b}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, os.path.join(trash, f"__bucket={b}"))
             src = os.path.join(tmp, f"__bucket={b}")
             if os.path.isdir(src):
                 os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         return stats
     finally:
         m.unpersist()
