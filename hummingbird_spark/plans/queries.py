@@ -1497,6 +1497,9 @@ _VERIFY_FIRST = [
     # names sit last — their weaker rows-check record is the least
     # valuable use of the driver's ~50 slots.
     "simhash_dups", "knn_lsh",
+    # changed semantics this round (capped headline) + its new exact
+    # companion — both need fresh hash proof
+    "perplexity_outliers", "perplexity_outliers_exact",
     # latest record: round 1
     "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
     "dedup_exact", "exact_dup_groups",

@@ -823,10 +823,36 @@ ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
 
+_PPL_CAP = 500  # binds at sf0.01 (916 distinct bigrams -> 416 pruned)
+
+
 def q_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: bigram perplexity under the
     corpus's own add-alpha LM; the 20 most-perplexed docs are the
-    gibberish/outlier cut surface."""
+    gibberish/outlier cut surface.
+
+    HEADLINE = the capped configuration (vocab_top_k, r4-verdict scale
+    item): the bigram table is the Heaps-law growth term at 100 TB, so
+    the deployable form bounds it to the top-K bigrams and broadcasts
+    the model — the probe side never shuffles for the join. The cap is
+    chosen to BIND at sf0.01 so the pruned-bigram scoring path is
+    under the oracle, not just the trivial K>=vocab case;
+    perplexity_outliers_exact keeps the uncapped model hash-proven."""
+    from hummingbird_spark.operators.search import bigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_perplexity(d, vocab_top_k=_PPL_CAP)
+        .orderBy(F.desc("perplexity"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_perplexity_outliers_exact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Uncapped bigram perplexity — the exact model the capped
+    headline approximates (capped ppl >= exact ppl; equality when K
+    covers the vocabulary)."""
     from hummingbird_spark.operators.search import bigram_perplexity
 
     d = load_table(spark, sf_dir, "documents")
@@ -837,7 +863,7 @@ def q_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PERPLEXITY = r"""
+_PPL_ORACLE_BODY = r"""
 WITH toks AS (
   SELECT doc_id,
          list_transform(
@@ -853,22 +879,30 @@ grams AS (
   FROM toks
 ),
 bi AS (SELECT bg, COUNT(*) AS b_cnt FROM grams GROUP BY bg),
+bik AS (SELECT bg, b_cnt FROM bi {cap_clause}),
 uni AS (
   SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS u_cnt
   FROM grams GROUP BY 1
 ),
 vv AS (SELECT COUNT(*) AS v FROM uni)
 SELECT doc_id,
-       round(exp(AVG(-ln((b.b_cnt + 0.1) / (u.u_cnt + 0.1 * vv.v)))), 4)
+       round(exp(AVG(-ln((COALESCE(k.b_cnt, 0) + 0.1)
+                          / (u.u_cnt + 0.1 * vv.v)))), 4)
          AS perplexity,
        COUNT(*) AS n_bigrams
 FROM grams g
-JOIN bi b USING (bg)
+LEFT JOIN bik k USING (bg)
 JOIN uni u ON u.w1 = string_split(g.bg, ' ')[1]
 CROSS JOIN vv
 GROUP BY doc_id
 ORDER BY perplexity DESC, doc_id LIMIT 20
 """
+
+# same deterministic top-K tie-break as the Spark side (desc count,
+# then bigram text); pruned bigrams score as unseen via COALESCE(...,0)
+ORACLE_PERPLEXITY = _PPL_ORACLE_BODY.format(
+    cap_clause=f"ORDER BY b_cnt DESC, bg LIMIT {_PPL_CAP}")
+ORACLE_PERPLEXITY_EXACT = _PPL_ORACLE_BODY.format(cap_clause="")
 
 
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,7 +1443,12 @@ TEXT_QUERIES: dict[str, tuple] = {
                    "hybrid BM25+vector reciprocal-rank fusion"),
     "perplexity_outliers": (q_perplexity_outliers, ORACLE_PERPLEXITY,
                             "bigram-LM perplexity quality filter "
-                            "(CCNet shape)"),
+                            "(CCNet shape; capped+broadcast model — "
+                            "the 100 TB configuration)"),
+    "perplexity_outliers_exact": (q_perplexity_outliers_exact,
+                                  ORACLE_PERPLEXITY_EXACT,
+                                  "uncapped bigram-LM perplexity "
+                                  "(exact model)"),
     "bpe_fertility": (q_bpe_fertility, None,
                       "trained-BPE subword fertility per source "
                       "(iterative; rows-only)"),

@@ -66,6 +66,8 @@ PROBES = [
     ("embedding_dup_clusters", ["embeddings"]),
     ("bm25_topk", ["documents"]),
     ("perplexity_outliers", ["documents"]),
+    # r5: capped+broadcast headline vs the uncapped exact model
+    ("perplexity_outliers_exact", ["documents"]),
     ("hybrid_rrf", ["documents", "embeddings"]),
     # round-4 additions: the effectful pipelines under the same lens
     ("migration_copy_verify", ["lineitem"]),

@@ -457,22 +457,35 @@ def test_bm25_shuffles_postings_not_corpus(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_perplexity_single_model_pass(spark):
-    """perplexity_outliers: model counts and scoring share the same
-    staged per-doc bigram COUNTS (r4 skew fix: the model join's probe
-    side carries one row per (doc, bigram) with a d_cnt weight, never
-    one row per occurrence); the vocab scalar broadcasts."""
+def test_perplexity_capped_model_broadcasts(spark):
+    """perplexity_outliers (capped headline, r5): the bounded model
+    and the per-context unseen table join the staged occurrence frame
+    as BROADCAST hash joins — the probe side never shuffles for the
+    model lookup (no SortMergeJoin anywhere in the plan; the only
+    wide shuffle is the final groupBy(doc_id))."""
     df = QUERIES["perplexity_outliers"].spark(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab cross join
-    # the staged counts frame is the join base: localCheckpoint scan
-    # with the (doc_id, bg, d_cnt) grain
-    assert "d_cnt" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # model + unseen
+    assert "SortMergeJoin" not in plan
+    # staged explode at occurrence grain feeds the scoring pass
+    import re
+
+    assert re.search(r"Scan ExistingRDD\[doc_id#\d+L?,bg#\d+\]", plan)
+
+
+def test_perplexity_exact_counts_grain_probe(spark):
+    """perplexity_outliers_exact (uncapped): the model join's probe
+    side stays at per-doc bigram COUNTS grain (r3/r4 skew fix — a hot
+    bigram hits the shuffle join once per doc, not once per
+    occurrence) and the per-doc mean is the d_cnt-weighted sum."""
+    df = QUERIES["perplexity_outliers_exact"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
     import re
 
     assert re.search(r"Scan ExistingRDD\[doc_id#\d+L?,bg#\d+,d_cnt", plan)
-    # per-doc mean is the d_cnt-weighted sum, not an occurrence avg
     assert "sum(d_cnt" in plan
 
 
