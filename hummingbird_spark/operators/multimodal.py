@@ -106,9 +106,13 @@ def _decode_payload(data: bytes) -> dict:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode + feature-extract: Arrow-batched mapInPandas over the
-    binary column. Output feature = 8 floats derived from the payload
-    sha256 (a stand-in for a real embedding model — deterministic, so
-    downstream similarity plumbing is testable)."""
+    binary column. Output feature = 8 floats derived from
+    sha256 of the payload's lowercase hex encoding (a stand-in for a
+    real embedding model — deterministic and collision-resistant
+    either way; hashing the hex rather than the raw bytes makes the
+    whole pipeline replicable in ANSI SQL, which is what lets the
+    `media_pipeline` registry query carry a full DuckDB oracle
+    instead of a rows-only check)."""
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -116,7 +120,8 @@ def decode_media(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 data = bytes(r["data"])
                 meta = _decode_payload(data)
-                digest = hashlib.sha256(data).digest()
+                hexdigest = hashlib.sha256(data.hex().encode()).hexdigest()
+                digest = bytes.fromhex(hexdigest)
                 feature = [
                     struct.unpack("<I", digest[i * 4:i * 4 + 4])[0]
                     / 2**32
@@ -125,7 +130,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 out.append({
                     "media_id": r["media_id"], "kind": r["kind"],
                     "byte_len": len(data),
-                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "sha256": hexdigest,
                     "width": meta["width"], "height": meta["height"],
                     "feature": feature,
                 })
@@ -238,11 +243,14 @@ def audio_window_features(df: DataFrame,
     Codec seam: with soundfile/librosa installed the kernel would
     decode PCM and compute real RMS/ZCR per window; the deterministic
     fallback derives per-window pseudo-samples from
-    sha256(payload || window_idx), so row counts, schema, and
-    determinism behave exactly like the real kernel. Bytes move as
-    Arrow record batches; the per-window rows carry no payload, so
-    the explosion shuffles features, never audio."""
-    import numpy as np
+    sha256(payload_hex || "|" || window_idx), so row counts, schema,
+    and determinism behave exactly like the real kernel — and because
+    the seed hashes the hex encoding and the RMS sum is a sequential
+    float64 left-fold, the surrogate is bit-replicable in DuckDB SQL
+    (the `audio_windows` oracle). Bytes move as Arrow record batches;
+    the per-window rows carry no payload, so the explosion shuffles
+    features, never audio."""
+    import math
 
     a = df.filter(F.col("kind") == "audio").select(
         "media_id", "data", F.col("meta.duration_ms").alias("dur"))
@@ -259,18 +267,19 @@ def audio_window_features(df: DataFrame,
                         "(soundfile/librosa not installed)")
                 dur = int(r["dur"] or 0)
                 n_win = max(1, -(-dur // window_ms))
+                hx = data.hex()
                 for w in range(n_win):
                     seed = hashlib.sha256(
-                        data + w.to_bytes(4, "little")).digest()
-                    samples = (np.frombuffer(seed, dtype=np.uint8)
-                               .astype(np.float32) - 127.5) / 127.5
+                        f"{hx}|{w}".encode()).digest()
+                    samples = [(b - 127.5) / 127.5 for b in seed]
                     out["media_id"].append(r["media_id"])
                     out["window_idx"].append(w)
                     out["start_ms"].append(w * window_ms)
-                    out["rms"].append(
-                        float(np.sqrt((samples ** 2).mean())))
-                    out["zero_crossings"].append(
-                        int((np.diff(np.sign(samples)) != 0).sum()))
+                    out["rms"].append(math.sqrt(
+                        sum(s * s for s in samples) / len(samples)))
+                    out["zero_crossings"].append(sum(
+                        1 for i in range(len(seed) - 1)
+                        if (seed[i] < 127.5) != (seed[i + 1] < 127.5)))
             yield pd.DataFrame(out)
 
     return a.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)

@@ -1497,6 +1497,9 @@ _VERIFY_FIRST = [
     # names sit last — their weaker rows-check record is the least
     # valuable use of the driver's ~50 slots.
     "simhash_dups", "knn_lsh",
+    # gained full SQL payload/DSP replicas this round (multimodal
+    # surrogate kernels are deterministic hash math) — first hash proof
+    "media_pipeline", "audio_windows",
     # changed semantics this round (capped headline) + its new exact
     # companion — both need fresh hash proof
     "perplexity_outliers", "perplexity_outliers_exact",

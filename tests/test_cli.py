@@ -128,7 +128,8 @@ def test_cli_query_list_and_run(spark, capsys):
     assert main(["query", "--list"]) == 0
     listing = capsys.readouterr().out
     assert "status_counts\toracle" in listing
-    assert "knn_lsh\trows-only" in listing
+    assert "knn_lsh\toracle" in listing  # gained a full SQL oracle in r5
+    assert "knn_ivf\trows-only" in listing
 
     assert main(["query", "status_counts", "--data", SF_SMOKE]) == 0
     rows = [json.loads(ln) for ln in
