@@ -44,15 +44,27 @@ from hummingbird_spark.session import get_spark  # noqa: E402
 
 def build_corpus(spark, n_docs: int, hot_frac: float):
     """n_docs docs; the first hot_frac share one boilerplate text (all
-    16 minhashes identical -> every band bucket holds n_hot docs), the
+    16 minhashes identical -> every band bucket holds n_hot docs); the
+    next 20% form exact-dup PAIRS (bucket size 2, well under the cap —
+    so the post-guard self-join still has real survivors to pair); the
     rest carry unique tails so their buckets stay singleton."""
     boiler = " ".join(f"boiler{i}" for i in range(30))
     n_hot = int(n_docs * hot_frac)
+    n_paired = int(n_docs * 0.2)
+    pair_id = ((F.col("id") - n_hot) / 2).cast("long")
     return (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
             F.when(F.col("id") < n_hot, F.lit(boiler))
+            .when(
+                F.col("id") < n_hot + n_paired,
+                F.concat_ws(
+                    " ",
+                    *(F.concat(F.lit(f"p{j}_"), pair_id.cast("string"))
+                      for j in range(12)),
+                ),
+            )
             .otherwise(
                 F.concat_ws(
                     " ",
@@ -110,18 +122,21 @@ def probe_md(spark, n_docs: int = 100_000, hot_frac: float = 0.3) -> str:
 
     (tw, nw), (tj, nj) = results["window"], results["join"]
     assert nw == nj, f"pair counts diverge: window {nw} vs join {nj}"
+    assert nj > 0, "probe corpus produced no surviving candidate pairs"
     n_hot = int(n_docs * hot_frac)
     return (
         "\n## LSH bucket guard: skew insurance premium\n\n"
         f"Boilerplate-heavy corpus ({n_hot:,} of {n_docs:,} docs share "
         "one text, so each of the 4 band buckets for it holds "
-        f"{n_hot:,} rows — {n_hot // 1000}x past the {1000}-doc cap). "
-        "Both guards drop the same buckets and return identical "
-        "candidate pairs. The join guard (shipped) lets partial "
-        "aggregation absorb the hot key map-side; the window guard "
-        "must hash-shuffle the full hot bucket into ONE task and sort "
-        "it before dropping it — survivable here, a multi-GB "
-        "single-task sort at corpus scale.\n\n"
+        f"{n_hot:,} rows — {n_hot // 1000}x past the {1000}-doc cap; "
+        "another 20% of docs form exact-dup pairs that survive the "
+        "guard, so the post-guard self-join does real work. Both "
+        "guards drop the same buckets and return identical candidate "
+        "pairs. The join guard (shipped) lets partial aggregation "
+        "absorb the hot key map-side; the window guard must "
+        "hash-shuffle the full hot bucket into ONE task and sort it "
+        "before dropping it — survivable here, a multi-GB single-task "
+        "sort at corpus scale.\n\n"
         "| corpus | pairs | window s | join s | join/window |\n"
         "|---|---|---|---|---|\n"
         f"| {n_hot:,} hot / {n_docs:,} docs | {nj:,} | {tw:.2f} | "
