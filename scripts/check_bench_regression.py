@@ -2,7 +2,7 @@
 """Compare the latest BENCH_DETAIL.json against the committed
 baseline and flag regressions.
 
-The baseline (BENCH_BASELINE_R4.json, refrozen per round) carries
+The baseline (BENCH_BASELINE_R5.json, refrozen per round) carries
 `calibration_sec` — the fixed-slot, data-independent CPU probe
 bench.py times first every run. When both sides have it, the
 calibration ratio IS the drift estimate and is AUTHORITATIVE: a query
@@ -121,10 +121,11 @@ def main() -> int:
     # median-normalized baseline was dropped once the calibration
     # protocol was confirmed across a boot change (continuity note
     # SURVEY $13.2) — two baselines with different normalizations gave
-    # two verdicts for one run
+    # two verdicts for one run. Refrozen per round from a clean
+    # BENCH_DETAIL.json so every current entry is baselined.
     failures = compare(
-        os.path.join(ROOT, "BENCH_BASELINE_R4.json"), cur_doc,
-        "r4 baseline (calibration-pinned)")
+        os.path.join(ROOT, "BENCH_BASELINE_R5.json"), cur_doc,
+        "r5 baseline (calibration-pinned)")
     return 1 if failures else 0
 
 

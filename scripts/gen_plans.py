@@ -54,8 +54,9 @@ PICKS = {
                             "one partial/final decimal agg",
     "bm25_topk": "BM25: query-term postings only; DF + corpus scalars "
                  "broadcast; TakeOrdered top-k",
-    "perplexity_outliers": "bigram LM: per-doc COUNTS probe the model "
-                           "join (skew cap); vocab 1-row broadcast",
+    "perplexity_outliers": "bigram LM: vocab_top_k-bounded model + "
+                           "unseen table broadcast; scoring at raw "
+                           "occurrence grain, one groupBy(id)",
     "segment_dup_stats": "segment dedup: only (id, md5) shuffles — "
                          "text never leaves the scan",
     "exact_substring_stats": "Lee-et-al substring dedup: in-scan window "
