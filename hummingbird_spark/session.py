@@ -49,7 +49,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB file splits: same order as the reference's 64 MB insert
         # batches (task.go:24), sized so a partition fits executor memory.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Both split knobs are env-overridable so the oracle sweep can be
+        # re-run under adversarial partitioning (tiny input splits, tiny
+        # Arrow batches) to prove results are partition- and
+        # batch-boundary-invariant — the local stand-in for "would this
+        # kernel produce the same answer on 1000 executors".
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(128 * 1024 * 1024)))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # The events fixture is written with nanosecond timestamps, which
         # Spark's parquet reader rejects by default; read them as longs and
