@@ -1,0 +1,176 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, "Data Selection for Language Models via Importance
+Resampling").
+
+Selects raw-corpus documents that look like a small TARGET corpus
+(the paper's motivating case: pick web pages that read like
+Wikipedia/books before pretraining). Method, exactly as published:
+
+  1. featurize every doc as a bag of HASHED n-grams (unigrams +
+     bigrams hashed into B buckets — the paper's 10k-bucket variant);
+  2. fit two bag-of-ngrams multinomials, p over the target docs and
+     q over the full raw corpus (add-alpha smoothed here so empty
+     buckets stay finite);
+  3. per-doc importance weight  log w_d = sum_b c_d[b]*(ln p_b - ln q_b);
+  4. sample k docs WITHOUT replacement ~ w via Gumbel top-k:
+     argtop-k( log w_d + g_d ), g_d standard Gumbel noise.
+
+Spark shape, sized for a 100 TB raw corpus:
+
+  - featurize rides the scan: tokens -> lowered unigram+bigram arrays
+    -> explode -> md5-bucket, then ONE groupBy (doc, bucket) whose
+    partial agg absorbs stopword buckets map-side. The (doc, bucket)
+    COUNT grain is the counts-grain lesson from bigram_perplexity: a
+    hot bucket ("of the" & friends) hits downstream joins once per
+    doc, not once per occurrence.
+  - both models come out of ONE groupBy(bucket) over that frame
+    (raw = sum, target = conditional sum) — B rows total, so the
+    model and its 1-row totals BROADCAST; scoring is a broadcast
+    equi-join + one groupBy(doc). Two shuffles end to end, both on
+    pre-aggregated count frames; nothing driver-side.
+  - Gumbel noise is derived, not drawn: u_d = (md5_60(seed:doc_id)+1)
+    / (2^60+2), g_d = -ln(-ln u_d). Deterministic given (seed, id) —
+    reproducible under retries/speculative execution (a real rand()
+    would make task retries non-idempotent) and SQL-replicable, so
+    the whole selection carries a full DuckDB oracle.
+
+Hashing: bucket = 60-bit md5 prefix mod B — the same
+conv(substring(md5,1,15)) idiom MinHash pins, chosen for exact
+DuckDB parity (('0x'||substr(md5(g),1,15))::BIGINT). Scores round
+to 6 dp before any ordering with a doc_id tie-break, the
+engine-stability discipline every float-bearing operator here uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.text import doc_bigrams, tokens
+
+#: 2^60 — the md5-prefix hash domain shared with MinHash/winnowing.
+DSIR_MOD = 1 << 60
+
+
+def _bucket(col: Column, buckets: int) -> Column:
+    """60-bit md5 prefix mod `buckets` (DuckDB-replicable)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def hashed_ngram_counts(df: DataFrame, is_target: Column,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        buckets: int = 4096) -> DataFrame:
+    """(doc_id, __tgt, bkt, cnt) — per-doc hashed-ngram bucket counts
+    (unigrams + bigrams, lowercased whitespace tokens). Docs with no
+    tokens contribute no rows; callers left-join them back."""
+    toks = df.select(
+        F.col(id_col), is_target.alias("__tgt"),
+        F.transform(tokens(F.col(text_col)),
+                    lambda w: F.lower(w)).alias("__ws"),
+        doc_bigrams(F.col(text_col)).alias("__bg"),
+    )
+    grams = toks.select(
+        id_col, "__tgt",
+        F.explode(F.concat("__ws", "__bg")).alias("__g"),
+    )
+    return (
+        grams
+        .select(id_col, "__tgt", _bucket(F.col("__g"), buckets).alias("bkt"))
+        .groupBy(id_col, "__tgt", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(df: DataFrame, is_target: Column,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 4096,
+                     alpha: float = 0.5) -> DataFrame:
+    """One row per input doc: (doc_id, log_w) — the DSIR importance
+    log-weight of every raw doc toward the `is_target` slice, rounded
+    to 6 dp. Docs with no n-grams (only empty text — a 1-token doc
+    still yields its unigram) score 0.0.
+
+    `is_target` is any boolean Column over df's columns (e.g.
+    F.col("lang") == "en"); the target model is fit on that slice of
+    the same frame, so one scan feeds both multinomials.
+    """
+    db = hashed_ngram_counts(df, is_target, text_col, id_col, buckets)
+    # three consumers (model, model totals, scoring probe) — stage the
+    # tokenize+explode+count once instead of re-scanning the corpus
+    # per consumer (same staging discipline as the LSH banded frame)
+    db = db.localCheckpoint(eager=False)
+
+    model = db.groupBy("bkt").agg(
+        F.sum("cnt").alias("raw_cnt"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("tgt_cnt"),
+    )
+    totals = model.agg(
+        F.sum("raw_cnt").alias("raw_tot"),
+        F.sum("tgt_cnt").alias("tgt_tot"),
+    )
+    a, ab = float(alpha), float(alpha) * buckets
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (F.log((F.col("tgt_cnt") + a) / (F.col("tgt_tot") + ab))
+             - F.log((F.col("raw_cnt") + a) / (F.col("raw_tot") + ab))
+             ).alias("__lw"),
+        )
+    )
+    scores = (
+        db.join(F.broadcast(lr), "bkt")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("cnt") * F.col("__lw")), 6)
+             .alias("log_w"))
+    )
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .select(id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w"))
+    )
+
+
+def gumbel_key(id_col: Column, seed: str) -> Column:
+    """Deterministic standard-Gumbel noise from (seed, id):
+    g = -ln(-ln u), u = (md5_60(seed || ':' || id) + 1) / (2^60 + 2).
+    u is strictly inside (0,1), so g is always finite."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))),
+            1, 15),
+        16, 10).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(DSIR_MOD) + 2.0)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(df: DataFrame, is_target: Column, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 4096, alpha: float = 0.5,
+                seed: str = "dsir") -> DataFrame:
+    """Gumbel top-k importance resampling: k docs sampled without
+    replacement with probability proportional to their importance
+    weight (the Gumbel-max trick makes top-k(log w + Gumbel) exactly
+    that sample). Deterministic given `seed`. Returns
+    (doc_id, log_w, gumbel_score) sorted by score desc.
+
+    Scale: log-weights is the two-shuffle pipeline above; the
+    selection itself is one TakeOrdered over doc-grain rows — no
+    extra shuffle, any k that fits the driver (training-data curation
+    uses k ~ corpus fraction; for huge k switch the limit to a
+    per-partition threshold filter on the same score column).
+    """
+    w = dsir_log_weights(df, is_target, text_col, id_col, buckets, alpha)
+    return (
+        w.select(
+            id_col, "log_w",
+            F.round(F.col("log_w") + gumbel_key(F.col(id_col), seed), 6)
+            .alias("gumbel_score"),
+        )
+        .orderBy(F.desc("gumbel_score"), id_col)
+        .limit(k)
+    )

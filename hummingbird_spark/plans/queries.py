@@ -1470,13 +1470,14 @@ from hummingbird_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa:
 from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r3 import R3_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r4 import R4_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_r5 import R5_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
-    **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES,
+    **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES, **R5_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1496,6 +1497,8 @@ _VERIFY_FIRST = [
     # is still round 1, then the round-2-recorded set. Rows-only
     # names sit last — their weaker rows-check record is the least
     # valuable use of the driver's ~50 slots.
+    # new this round (DSIR importance resampling) — never recorded
+    "dsir_logweights", "dsir_selection",
     "simhash_dups", "knn_lsh",
     # gained full SQL payload/DSP replicas this round (multimodal
     # surrogate kernels are deterministic hash math) — first hash proof
