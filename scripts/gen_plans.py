@@ -76,6 +76,9 @@ PICKS = {
                               "gram text never leaves the explode",
     "boilerplate_stats": "cross-doc line dedup: lines shuffle as "
                          "16-hex hashes; doc-freq joins on its own key",
+    # r5: DSIR targeted selection
+    "dsir_logweights": "DSIR: staged gram counts feed model + scoring; "
+                       "B-row model and totals broadcast",
 }
 
 out = ["# PLANS — executed-plan snapshots at sf0.1",

@@ -79,6 +79,9 @@ PROBES = [
     # round-4 late additions
     ("quality_funnel", ["documents"]),
     ("exact_substring_stats", ["documents"]),
+    # r5: DSIR targeted selection (model fit + score + Gumbel top-k)
+    ("dsir_logweights", ["documents"]),
+    ("dsir_selection", ["documents"]),
 ]
 
 EMB_COPIES = 4

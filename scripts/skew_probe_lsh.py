@@ -100,9 +100,7 @@ def _window_guard_pairs(sig_df, bands: int, rows_per_band: int,
     )
 
 
-def probe_md(spark, n_docs: int = 100_000, hot_frac: float = 0.3) -> str:
-    """Run the A/B and return the SCALE.md section (called by
-    scripts/scale_probe.py so the numbers survive regeneration)."""
+def _ab_row(spark, n_docs: int, hot_frac: float) -> str:
     df = build_corpus(spark, n_docs, hot_frac)
     df.count()
     bands, rpb, cap = 4, 4, 1000
@@ -124,29 +122,38 @@ def probe_md(spark, n_docs: int = 100_000, hot_frac: float = 0.3) -> str:
     assert nw == nj, f"pair counts diverge: window {nw} vs join {nj}"
     assert nj > 0, "probe corpus produced no surviving candidate pairs"
     n_hot = int(n_docs * hot_frac)
+    return (f"| {n_hot:,} hot / {n_docs:,} docs | {nj:,} | {tw:.2f} | "
+            f"{tj:.2f} | {tj / tw:.1f}x |\n")
+
+
+def probe_md(spark, n_docs_list=(100_000, 1_000_000),
+             hot_frac: float = 0.3) -> str:
+    """Run the A/B at each corpus size and return the SCALE.md section
+    (called by scripts/scale_probe.py so the numbers survive
+    regeneration). The 10x entry tracks the premium as the hot bucket
+    grows 10x past the cap."""
+    rows = "".join(_ab_row(spark, n, hot_frac) for n in n_docs_list)
     return (
         "\n## LSH bucket guard: skew insurance premium\n\n"
-        f"Boilerplate-heavy corpus ({n_hot:,} of {n_docs:,} docs share "
-        "one text, so each of the 4 band buckets for it holds "
-        f"{n_hot:,} rows — {n_hot // 1000}x past the {1000}-doc cap; "
-        "another 20% of docs form exact-dup pairs that survive the "
-        "guard, so the post-guard self-join does real work. Both "
-        "guards drop the same buckets and return identical candidate "
-        "pairs. The join guard (shipped) lets partial aggregation "
-        "absorb the hot key map-side; the window guard must "
-        "hash-shuffle the full hot bucket into ONE task and sort it "
-        "before dropping it — survivable here, a multi-GB single-task "
-        "sort at corpus scale.\n\n"
+        f"Boilerplate-heavy corpus ({hot_frac:.0%} of docs share one "
+        "text, so each of its 4 band buckets holds that whole slice — "
+        "far past the 1000-doc cap; another 20% of docs form exact-dup "
+        "pairs that survive the guard, so the post-guard self-join "
+        "does real work. Both guards drop the same buckets and return "
+        "identical candidate pairs. The join guard (shipped) lets "
+        "partial aggregation absorb the hot key map-side; the window "
+        "guard must hash-shuffle the full hot bucket into ONE task "
+        "and sort it before dropping it — survivable here, a multi-GB "
+        "single-task sort at corpus scale.\n\n"
         "| corpus | pairs | window s | join s | join/window |\n"
         "|---|---|---|---|---|\n"
-        f"| {n_hot:,} hot / {n_docs:,} docs | {nj:,} | {tw:.2f} | "
-        f"{tj:.2f} | {tj / tw:.1f}x |\n"
+        + rows
     )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--docs", type=int, nargs="+", default=[100_000])
     ap.add_argument("--hot-frac", type=float, default=0.3)
     args = ap.parse_args()
 

@@ -53,9 +53,7 @@ def build_corpus(spark, n_docs: int):
     )
 
 
-def probe_md(spark, n_docs: int = 60_000) -> str:
-    """Run the A/B and return the SCALE.md section (called by
-    scripts/scale_probe.py so the numbers survive regeneration)."""
+def _ab_row(spark, n_docs: int) -> str:
     df = build_corpus(spark, n_docs)
     df.count()
 
@@ -68,6 +66,16 @@ def probe_md(spark, n_docs: int = 60_000) -> str:
 
     (tw, nw), (tj, nj) = results["window"], results["join"]
     assert nw == nj, f"span counts diverge: window {nw} vs join {nj}"
+    return (f"| hot-banner x{n_docs:,} docs | {nj:,} | {tw:.2f} | "
+            f"{tj:.2f} | {tj / tw:.1f}x |\n")
+
+
+def probe_md(spark, n_docs_list=(60_000, 600_000)) -> str:
+    """Run the A/B at each corpus size and return the SCALE.md section
+    (called by scripts/scale_probe.py so the numbers survive
+    regeneration). The second, 10x entry shows the premium's growth as
+    the hot hashes fatten — the regime the guard exists for."""
+    rows = "".join(_ab_row(spark, n) for n in n_docs_list)
     return (
         "\n## Substring dedup first-keeper: skew insurance premium\n\n"
         "Hot-banner corpus (every doc opens with the same banner "
@@ -83,14 +91,13 @@ def probe_md(spark, n_docs: int = 60_000) -> str:
         "not a win.\n\n"
         "| corpus | spans | window s | join s | premium |\n"
         "|---|---|---|---|---|\n"
-        f"| hot-banner x{n_docs:,} docs | {nj:,} | {tw:.2f} | "
-        f"{tj:.2f} | {tj / tw:.1f}x |\n"
+        + rows
     )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=60_000)
+    ap.add_argument("--docs", type=int, nargs="+", default=[60_000])
     args = ap.parse_args()
 
     spark = get_spark(app_name="hb_skew_probe")

@@ -497,3 +497,17 @@ def test_lm_data_prep_one_scan_one_exchange(spark):
     plan = _executed_plan(df)
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange") <= 2   # window sort + final rollup
+
+
+def test_dsir_model_joins_broadcast_and_scan_staged(spark):
+    """dsir_logweights: the B-row model and its 1-row totals arrive
+    broadcast (no sort-merge anywhere near the model), and the staged
+    gram frame feeds all three consumers — the only parquet scan left
+    in the visible plan is the doc_id spine of the final left join."""
+    df = QUERIES["dsir_logweights"].spark(spark, SF_SMOKE)
+    df.count()  # materialize the lazy checkpoint + finalize AQE
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan       # model join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+    assert plan.count("Scan parquet") <= 1   # grams staged, not re-scanned
+    assert "BatchEvalPython" not in plan     # pure built-ins, no UDFs
