@@ -451,14 +451,21 @@ def hashed_classifier_score(col: Column, n_buckets: int = 1024,
 
 def doc_bigrams(col: Column) -> Column:
     """Adjacent lowercase token pairs as 'w1 w2' strings; docs with
-    fewer than 2 tokens yield an empty array."""
+    fewer than 2 tokens yield an empty array.
+
+    Built as zip_with over two slices of the token array, NOT as
+    element_at(ws, i) inside a transform lambda: Catalyst inlines the
+    `ws` expression subtree at every reference, and a reference
+    INSIDE the lambda re-tokenizes the text once per bigram position
+    (O(words²) per doc — exactly the trap ngrams_from_tokens'
+    performance contract documents). zip_with takes the arrays by
+    value, so the inline tokenize runs a constant number of times per
+    doc and the function is safe to call directly on a text column."""
     ws = F.transform(tokens(col), lambda w: F.lower(w))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, (i + 1).cast("int")),
-            F.element_at(ws, (i + 2).cast("int"))),
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n1), F.slice(ws, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.when(F.size(ws) < 2, F.array().cast("array<string>")) \
-        .otherwise(grams)
+        .otherwise(pairs)

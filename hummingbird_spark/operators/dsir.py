@@ -66,7 +66,12 @@ def hashed_ngram_counts(df: DataFrame, is_target: Column,
     """(doc_id, __tgt, bkt, cnt) — per-doc hashed-ngram bucket counts
     (unigrams + bigrams, lowercased whitespace tokens). Docs with no
     tokens contribute no rows; callers left-join them back."""
-    toks = df.select(
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    # tokenize+explode+hash rides the scan stage: spread a small
+    # single-file corpus across the session's cores first (no-op at
+    # scale — see ensure_kernel_parallelism)
+    toks = ensure_kernel_parallelism(df).select(
         F.col(id_col), is_target.alias("__tgt"),
         F.transform(tokens(F.col(text_col)),
                     lambda w: F.lower(w)).alias("__ws"),
@@ -166,11 +171,77 @@ def dsir_select(df: DataFrame, is_target: Column, k: int,
     """
     w = dsir_log_weights(df, is_target, text_col, id_col, buckets, alpha)
     return (
-        w.select(
-            id_col, "log_w",
-            F.round(F.col("log_w") + gumbel_key(F.col(id_col), seed), 6)
-            .alias("gumbel_score"),
-        )
+        _gumbel_scored(w, id_col, seed)
         .orderBy(F.desc("gumbel_score"), id_col)
         .limit(k)
     )
+
+
+def _gumbel_scored(w: DataFrame, id_col: str, seed: str) -> DataFrame:
+    return w.select(
+        id_col, "log_w",
+        F.round(F.col("log_w") + gumbel_key(F.col(id_col), seed), 6)
+        .alias("gumbel_score"),
+    )
+
+
+def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            buckets: int = 4096, alpha: float = 0.5,
+                            seed: str = "dsir",
+                            relative_error: float = 1e-4,
+                            trim_cap: int = 100_000) -> DataFrame:
+    """`dsir_select` for huge k — EXACTLY the same k rows (same
+    tie-break: score desc, id asc), but the result never funnels
+    through a driver-side top-k merge, so k can be a corpus fraction
+    (10^9 docs of a 100 TB corpus) instead of "fits the driver".
+
+    How: quantile-cutoff refinement. approxQuantile (Greenwald-Khanna,
+    one pass, distributed) finds a score cutoff whose rank-from-top is
+    deliberately OVERSHOT by ~2*relative_error*n, so after the error
+    bound (+-relative_error*n) the cutoff is still at-or-below the
+    k-th score and `score >= cutoff` provably keeps every top-k row.
+    The excess above k (~3*relative_error*n rows) is re-trimmed by the
+    same cutoff trick until it is under `trim_cap` — each pass shrinks
+    it by ~3*relative_error, so two passes handle n = 10^12 — and the
+    final sliver is removed with a TakeOrdered-bottom anti-join
+    (ascending score, descending id: the exact mirror of the keep
+    order). Driver traffic is bounded by trim_cap + the quantile
+    sketch regardless of k and n; the returned frame stays
+    distributed and is NOT globally sorted (ordering a billion-row
+    selection is the caller's presentation choice, not the sampler's
+    job).
+
+    Equality with the `orderBy().limit(k)` path is pinned by test and
+    by the registry oracle (`dsir_selection_distributed` hash-matches
+    the same LIMIT-k SQL as `dsir_selection`).
+    """
+    w = dsir_log_weights(df, is_target, text_col, id_col, buckets, alpha)
+    scored = _gumbel_scored(w, id_col, seed).localCheckpoint(eager=False)
+
+    surv, m = scored, scored.count()
+    if k >= m:
+        return surv
+    # Refine: overshoot the cutoff rank by 2*eps*n so the sketch's
+    # +-eps*n rank error can never push it above the k-th score.
+    for _ in range(4):
+        if m - k <= trim_cap:
+            break
+        margin = int(2 * relative_error * m) + 1
+        q = 1.0 - min(1.0, (k + margin) / m)
+        cutoff = surv.approxQuantile("gumbel_score", [q], relative_error)[0]
+        cand = surv.filter(F.col("gumbel_score") >= cutoff)
+        cand = cand.localCheckpoint(eager=False)
+        c = cand.count()
+        if c < k:  # sketch guarantee violated — keep the wider frame
+            break
+        surv, m = cand, c
+    excess = m - k
+    if excess > 0:
+        bottom = (
+            surv.orderBy(F.asc("gumbel_score"), F.desc(id_col))
+            .limit(excess)
+            .select(id_col)
+        )
+        surv = surv.join(F.broadcast(bottom), id_col, "left_anti")
+    return surv

@@ -1498,7 +1498,7 @@ _VERIFY_FIRST = [
     # names sit last — their weaker rows-check record is the least
     # valuable use of the driver's ~50 slots.
     # new this round (DSIR importance resampling) — never recorded
-    "dsir_logweights", "dsir_selection",
+    "dsir_logweights", "dsir_selection", "dsir_selection_distributed",
     "simhash_dups", "knn_lsh",
     # gained full SQL payload/DSP replicas this round (multimodal
     # surrogate kernels are deterministic hash math) — first hash proof

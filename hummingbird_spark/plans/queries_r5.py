@@ -8,7 +8,11 @@ and the derived Gumbel noise bit-for-bit:
   dsir_logweights — every doc's importance log-weight toward the
       lang='en' target slice (the model math, full-corpus coverage);
   dsir_selection  — Gumbel top-k sample without replacement
-      proportional to those weights (the published selection rule).
+      proportional to those weights (the published selection rule);
+  dsir_selection_distributed — the SAME k rows through the huge-k
+      quantile-cutoff path (no driver-side top-k merge), hash-matched
+      against the identical LIMIT-k oracle: the proof that the
+      deployable 10^9-doc selection path computes the published rule.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from hummingbird_spark.operators.dsir import (
     DSIR_MOD,
     dsir_log_weights,
     dsir_select,
+    dsir_select_distributed,
 )
 from hummingbird_spark.sources.tables import load_table
 
@@ -42,6 +47,20 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dsir_select(d, F.col("lang") == "en", k=_K, buckets=_B,
                        alpha=_ALPHA, seed=_SEED)
+
+
+def q_dsir_selection_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trim_cap=10 forces the quantile-refinement loop to run even on
+    # the fixture corpus (otherwise excess <= cap short-circuits it);
+    # the final orderBy is presentation for the hash compare — the
+    # operator itself returns an unsorted distributed frame.
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_select_distributed(d, F.col("lang") == "en", k=_K,
+                                buckets=_B, alpha=_ALPHA, seed=_SEED,
+                                relative_error=0.01, trim_cap=10)
+        .orderBy(F.desc("gumbel_score"), "doc_id")
+    )
 
 
 # Replicates the Spark pipeline exactly: lowercase whitespace tokens,
@@ -124,4 +143,7 @@ R5_QUERIES: dict = {
     "dsir_selection": (
         q_dsir_selection, ORACLE_DSIR_SELECTION,
         "DSIR Gumbel top-k importance resampling, derived noise"),
+    "dsir_selection_distributed": (
+        q_dsir_selection_distributed, ORACLE_DSIR_SELECTION,
+        "DSIR huge-k quantile-cutoff selection == LIMIT-k oracle"),
 }

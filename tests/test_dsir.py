@@ -143,3 +143,34 @@ def test_weights_match_local_reference(spark):
                                      buckets=B).collect()}
     for did, exp in expected.items():
         assert got[did] == pytest.approx(exp, abs=1e-6), did
+
+
+def _paths_equal(spark, corpus, k, **kw):
+    from hummingbird_spark.operators.dsir import dsir_select_distributed
+
+    tgt = F.col("grp") == "tgt"
+    exact = dsir_select(corpus, tgt, k=k, buckets=512,
+                        seed="eq").collect()
+    dist = (dsir_select_distributed(corpus, tgt, k=k, buckets=512,
+                                    seed="eq", **kw)
+            .orderBy(F.desc("gumbel_score"), "doc_id").collect())
+    assert [tuple(r) for r in dist] == [tuple(r) for r in exact]
+
+
+def test_distributed_selection_equals_limit_path(spark):
+    """The huge-k quantile-cutoff path returns EXACTLY the limit-k
+    rows — trim_cap=0 forces the refinement loop + bottom anti-join
+    even on a tiny corpus; a second run with a coarse sketch exercises
+    the m<k guarantee-violated guard without changing the answer."""
+    d = _corpus(spark).localCheckpoint()
+    _paths_equal(spark, d, k=8, relative_error=0.05, trim_cap=0)
+    _paths_equal(spark, d, k=8, relative_error=0.4, trim_cap=3)
+
+
+def test_distributed_selection_k_ge_n(spark):
+    from hummingbird_spark.operators.dsir import dsir_select_distributed
+
+    d = _corpus(spark)
+    out = dsir_select_distributed(d, F.col("grp") == "tgt", k=10_000,
+                                  buckets=512, seed="eq")
+    assert out.count() == d.count()  # whole corpus, no trim
