@@ -336,6 +336,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="cut all-but-first occurrences of duplicated "
                           ">= MIN_TOKENS-token substrings (Lee et al.)")
     cur.add_argument("--no-dedup", action="store_true")
+    dsr = sub.add_parser("dsir")
+    dsr.add_argument("src", help="source documents parquet")
+    dsr.add_argument("out", help="selected-docs output parquet")
+    dsr.add_argument("-k", type=int, required=True,
+                     help="number of docs to sample")
+    dsr.add_argument("--target-filter", required=True,
+                     help="Spark SQL boolean expr defining the target "
+                          "slice, e.g. \"lang = 'en'\"")
+    dsr.add_argument("--buckets", type=int, default=4096)
+    dsr.add_argument("--alpha", type=float, default=0.5)
+    dsr.add_argument("--seed", default="dsir")
+    dsr.add_argument("--distributed", action="store_true",
+                     help="huge-k quantile-cutoff path (no driver-side "
+                          "top-k merge); same rows as the default path")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -462,6 +476,31 @@ def main(argv: list[str] | None = None) -> int:
             "n_kept": rep.n_kept,
             "keep_rate": round(rep.keep_rate, 6),
             "dropped": rep.dropped, "out": rep.out_path,
+        }))
+        return 0
+    if args.command == "dsir":
+        from pyspark.sql import functions as _F
+        from hummingbird_spark.operators.dsir import (
+            dsir_select, dsir_select_distributed)
+
+        spark = get_spark(app_name="hummingbird_dsir")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(args.src)
+        fn = dsir_select_distributed if args.distributed else dsir_select
+        picked = fn(docs, _F.expr(args.target_filter), k=args.k,
+                    buckets=args.buckets, alpha=args.alpha,
+                    seed=args.seed)
+        # selection carries (doc_id, log_w, gumbel_score); rejoin the
+        # full rows so the output parquet is a usable corpus slice
+        out = docs.join(
+            picked.select("doc_id", "log_w", "gumbel_score"), "doc_id")
+        out.write.mode("overwrite").parquet(args.out)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "command": "dsir", "n_input": n_in, "k": args.k,
+            "n_selected": n_out, "distributed": bool(args.distributed),
+            "out": args.out,
         }))
         return 0
     if args.command == "profile":

@@ -82,6 +82,9 @@ PROBES = [
     # r5: DSIR targeted selection (model fit + score + Gumbel top-k)
     ("dsir_logweights", ["documents"]),
     ("dsir_selection", ["documents"]),
+    # the huge-k quantile-cutoff path: the growth curve that matters is
+    # that the refinement loop's extra passes stay bounded as n grows
+    ("dsir_selection_distributed", ["documents"]),
 ]
 
 EMB_COPIES = 4

@@ -316,3 +316,26 @@ def test_cli_analyze(spark, capsys):
                  "--dup-substrings", "10"]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= rep2["dup_substring_token_rate"] < 1.0
+
+
+def test_cli_dsir(spark, tmp_path, capsys):
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "picked.parquet")
+    assert main(["dsir", f"{SF_SMOKE}/documents.parquet", out,
+                 "-k", "20", "--target-filter", "lang = 'en'",
+                 "--seed", "cli"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_selected"] == 20
+    picked = spark.read.parquet(out)
+    assert {"doc_id", "text", "log_w", "gumbel_score"} <= set(picked.columns)
+
+    # the distributed path must pick the identical docs
+    out2 = str(tmp_path / "picked2.parquet")
+    assert main(["dsir", f"{SF_SMOKE}/documents.parquet", out2,
+                 "-k", "20", "--target-filter", "lang = 'en'",
+                 "--seed", "cli", "--distributed"]) == 0
+    ids = {r["doc_id"] for r in picked.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            spark.read.parquet(out2).select("doc_id").collect()}
+    assert ids == ids2
