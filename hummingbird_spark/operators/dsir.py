@@ -198,19 +198,23 @@ def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
 
     How: quantile-cutoff refinement. approxQuantile (Greenwald-Khanna,
     one pass, distributed) finds a score cutoff whose rank-from-top is
-    deliberately OVERSHOT by ~2*relative_error*n, so after the error
-    bound (+-relative_error*n) the cutoff is still at-or-below the
-    k-th score and `score >= cutoff` provably keeps every top-k row.
-    The excess above k (~3*relative_error*n rows) is re-trimmed by the
-    same cutoff trick until it is under `trim_cap` — each pass shrinks
-    it by ~3*relative_error, so two passes handle n = 10^12 — and the
-    final sliver is removed with a TakeOrdered-bottom anti-join
-    (ascending score, descending id: the exact mirror of the keep
-    order). Driver traffic is bounded by trim_cap + the quantile
-    sketch regardless of k and n; the returned frame stays
-    distributed and is NOT globally sorted (ordering a billion-row
-    selection is the caller's presentation choice, not the sampler's
-    job).
+    deliberately OVERSHOT by ~2*eps*n, so after the error bound
+    (+-eps*n) the cutoff is still at-or-below the k-th score and
+    `score >= cutoff` provably keeps every top-k row. The excess above
+    k (~3*eps*n rows) is re-trimmed by the same cutoff trick until it
+    is under `trim_cap`, and the final sliver is removed with a
+    TakeOrdered-bottom anti-join (ascending score, descending id: the
+    exact mirror of the keep order). Each pass's eps is the COARSER of
+    `relative_error` and trim_cap/(6*m): a fixed eps would floor the
+    excess at ~3*eps*k (over the cap once k > cap/(3*eps)), while the
+    adaptive pass aims the expected excess at ~cap/2 directly — the
+    first pass runs coarse and cheap over all n, later passes sharpen
+    only as the frame shrinks (GK sketch cost ~1/eps, floored at 1e-7),
+    so 2-3 passes cover any (n, k) up to 10^12. Driver traffic is
+    bounded by trim_cap + the quantile sketch regardless of k and n;
+    the returned frame stays distributed and is NOT globally sorted
+    (ordering a billion-row selection is the caller's presentation
+    choice, not the sampler's job).
 
     Equality with the `orderBy().limit(k)` path is pinned by test and
     by the registry oracle (`dsir_selection_distributed` hash-matches
@@ -227,9 +231,10 @@ def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
     for _ in range(4):
         if m - k <= trim_cap:
             break
-        margin = int(2 * relative_error * m) + 1
+        eps = min(relative_error, max(trim_cap / (6.0 * m), 1e-7))
+        margin = int(2 * eps * m) + 1
         q = 1.0 - min(1.0, (k + margin) / m)
-        cutoff = surv.approxQuantile("gumbel_score", [q], relative_error)[0]
+        cutoff = surv.approxQuantile("gumbel_score", [q], eps)[0]
         cand = surv.filter(F.col("gumbel_score") >= cutoff)
         cand = cand.localCheckpoint(eager=False)
         c = cand.count()

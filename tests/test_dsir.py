@@ -160,8 +160,9 @@ def _paths_equal(spark, corpus, k, **kw):
 def test_distributed_selection_equals_limit_path(spark):
     """The huge-k quantile-cutoff path returns EXACTLY the limit-k
     rows — trim_cap=0 forces the refinement loop + bottom anti-join
-    even on a tiny corpus; a second run with a coarse sketch exercises
-    the m<k guarantee-violated guard without changing the answer."""
+    even on a tiny corpus; the second run's coarse relative_error is
+    clamped by the adaptive per-pass eps (trim_cap/(6m)), pinning that
+    the clamp itself preserves the answer."""
     d = _corpus(spark).localCheckpoint()
     _paths_equal(spark, d, k=8, relative_error=0.05, trim_cap=0)
     _paths_equal(spark, d, k=8, relative_error=0.4, trim_cap=3)
