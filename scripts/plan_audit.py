@@ -13,6 +13,11 @@ that fell back to Python. Each query's fingerprint is:
     pyeval      — BatchEvalPython / row-at-a-time Python (must stay 0)
     arrow       — Arrow-batched Python ops (mapInPandas etc.; the
                   sanctioned kernel seams — should only move by design)
+    nlj         — BroadcastNestedLoopJoin + CartesianProduct: the
+                  classic fatal-at-scale drift (a join predicate that
+                  silently stopped being an equi-join). Pinned per
+                  query: by-design cross joins (all-pairs kernels,
+                  range joins) keep their count; any CHANGE flags
 
 Fingerprints come from the INITIAL physical plan (pre-AQE, nothing
 materialized) at sf0.001, so the audit is fast and deterministic:
@@ -53,6 +58,8 @@ def fingerprint(df) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "pyeval": plan.count("BatchEvalPython"),
         "arrow": sum(plan.count(op) for op in _ARROW_OPS),
+        "nlj": (plan.count("BroadcastNestedLoopJoin")
+                + plan.count("CartesianProduct")),
     }
 
 
