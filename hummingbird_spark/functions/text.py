@@ -469,3 +469,23 @@ def doc_bigrams(col: Column) -> Column:
     )
     return F.when(F.size(ws) < 2, F.array().cast("array<string>")) \
         .otherwise(pairs)
+
+
+def doc_trigrams(col: Column) -> Column:
+    """Adjacent lowercase token triples as 'w1 w2 w3' strings; docs
+    with fewer than 3 tokens yield an empty array. Same zip_with-over-
+    slices shape as doc_bigrams (arrays pass by value, so the inline
+    tokenize runs a constant number of times per doc — NOT once per
+    position, the element_at-in-lambda trap)."""
+    ws = F.transform(tokens(col), lambda w: F.lower(w))
+    n2 = F.greatest(F.size(ws) - 2, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n2), F.slice(ws, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    triples = F.zip_with(
+        pairs, F.slice(ws, 3, n2),
+        lambda p, c: F.concat_ws(" ", p, c),
+    )
+    return F.when(F.size(ws) < 3, F.array().cast("array<string>")) \
+        .otherwise(triples)

@@ -259,3 +259,107 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
             F.sum("d_cnt").alias("n_bigrams"),
         )
     )
+
+
+def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          discount: float = 0.75) -> DataFrame:
+    """Per-doc perplexity under an interpolated Kneser-Ney trigram LM
+    trained on the corpus itself (Chen & Goodman 1998 — the smoothing
+    KenLM implements and CCNet's quality filter relies on; the add-
+    alpha `bigram_perplexity` is the cheap sibling, this is the
+    published-standard one):
+
+        P(w|u,v) = max(c3(uvw)-D, 0)/c2(uv)
+                   + D*N1+(uv.)/c2(uv) * P(w|v)
+        P(w|v)   = max(N1+(.vw)-D, 0)/N1+(.v.)
+                   + D*N1+(v.)/N1+(.v.) * Pcont(w)
+        Pcont(w) = N1+(.w) / |distinct (v,w) types|
+
+    with a single fixed discount D at both levels and KN continuation
+    counts (distinct-context types, not raw counts) below the top
+    order. The whole count hierarchy derives from the trigram-type
+    table (bigram types = trigram-interior (v,w) types), so the model
+    build reads the corpus exactly once; boundary pairs outside any
+    trigram are excluded by construction — documented, deterministic.
+    Every scored trigram is in-model (same corpus), so no zero
+    denominators and no out-of-vocabulary branch.
+
+    Scale shape: scoring joins at (doc, trigram) COUNTS grain (the r3
+    skew cap: "of the people" hits the model join once per doc, not
+    once per occurrence; the per-doc d_cnt-weighted mean equals the
+    occurrence-grain mean). The model build is joins among TYPE-grain
+    tables (the Heaps term) keyed on progressively shorter contexts;
+    each probe row matches exactly one build row, so hot words fan
+    out only on the probe side, which AQE skew-splits. The NLL is
+    precomputed at model grain — the big frame joins ONE table.
+    `bigram_perplexity(vocab_top_k=...)`'s broadcast-cap lever applies
+    the same way here if the trigram-type table ever needs bounding.
+
+    Docs with <3 tokens emit no row. Perplexity rounds to 4 dp (the
+    per-doc weighted mean is the only order-dependent float sum; every
+    model probability is a fixed expression tree over exact integer
+    counts, mirrored verbatim in the DuckDB oracle).
+    """
+    from hummingbird_spark.functions.text import doc_trigrams
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    D = float(discount)
+    grams = ensure_kernel_parallelism(df).select(
+        F.col(id_col),
+        F.explode(doc_trigrams(F.col(text_col))).alias("tg"),
+    )
+    doc_tg = grams.groupBy(id_col, "tg").agg(
+        F.count(F.lit(1)).alias("d_cnt")
+    ).localCheckpoint(eager=False)
+
+    parts = F.split(F.col("tg"), " ")
+    c3 = (
+        doc_tg.groupBy("tg").agg(F.sum("d_cnt").alias("c3"))
+        .select(
+            "tg", "c3",
+            parts[0].alias("u"), parts[1].alias("v"), parts[2].alias("w"),
+        )
+        .localCheckpoint(eager=False)  # four consumers below
+    )
+    # context totals + N1+(uv.) at (u,v) grain — c3 rows ARE distinct
+    # trigram types, so count(*) is the continuation-type count
+    ctx2 = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c2uv"), F.count(F.lit(1)).alias("n1p_uv"))
+    # bigram-level KN continuation table: N1+(.vw) = distinct u per (v,w)
+    cont = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("ncont")) \
+        .localCheckpoint(eager=False)  # three consumers below
+    midv = cont.groupBy("v").agg(
+        F.sum("ncont").alias("n1p_v_mid"),    # N1+(.v.)
+        F.count(F.lit(1)).alias("n1p_v"))     # N1+(v.)
+    unic = cont.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    ntypes = cont.agg(F.count(F.lit(1)).alias("nt2"))
+
+    p_cont = F.col("n1p_w") / F.col("nt2")
+    p2 = (
+        F.greatest(F.col("ncont") - D, F.lit(0.0)) / F.col("n1p_v_mid")
+        + F.lit(D) * F.col("n1p_v") / F.col("n1p_v_mid") * p_cont
+    )
+    p3 = (
+        F.greatest(F.col("c3") - D, F.lit(0.0)) / F.col("c2uv")
+        + F.lit(D) * F.col("n1p_uv") / F.col("c2uv") * p2
+    )
+    model = (
+        c3.join(ctx2, ["u", "v"])
+        .join(cont, ["v", "w"])
+        .join(midv, "v")
+        .join(unic, "w")
+        .crossJoin(F.broadcast(ntypes))
+        .select("tg", (-F.log(p3)).alias("__nll"))
+    )
+    return (
+        doc_tg.join(model, "tg")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.exp(F.sum(F.col("d_cnt") * F.col("__nll"))
+                      / F.sum("d_cnt")), 4
+            ).alias("kn_perplexity"),
+            F.sum("d_cnt").alias("n_trigrams"),
+        )
+    )

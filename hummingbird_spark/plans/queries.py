@@ -1497,7 +1497,9 @@ _VERIFY_FIRST = [
     # is still round 1, then the round-2-recorded set. Rows-only
     # names sit last — their weaker rows-check record is the least
     # valuable use of the driver's ~50 slots.
-    # new this round (DSIR importance resampling) — never recorded
+    # new this round (distributed k-means; Kneser-Ney trigram LM;
+    # SCD2 history; DSIR importance resampling) — never recorded
+    "kmeans_assign", "kmeans_sizes", "kn_perplexity", "scd2_history",
     "dsir_logweights", "dsir_selection", "dsir_selection_distributed",
     "simhash_dups", "knn_lsh",
     # gained full SQL payload/DSP replicas this round (multimodal

@@ -136,6 +136,231 @@ FROM noisy ORDER BY gumbel_score DESC, doc_id LIMIT {_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means (late r5): full-corpus Lloyd's over the embeddings
+# table — semantic bucketing for cluster-balanced sampling / per-cluster
+# curation. The integer-quantized discipline (operators/cluster.py) makes
+# the whole T-iteration trajectory EXACT in both engines, so the oracle
+# unrolls the iterations as CTEs and hash-matches bit-for-bit.
+_KM_K = 8
+_KM_T = 3
+_KM_DIM = 64
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.cluster import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=_KM_K, iterations=_KM_T).orderBy("vec_id")
+
+
+def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.cluster import kmeans_sizes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_sizes(e, k=_KM_K, iterations=_KM_T).orderBy("cluster")
+
+
+def _kmeans_cte(k: int, t: int, dim: int) -> str:
+    """Unrolled-iteration replica of operators/cluster.py: quantize ->
+    md5-seed init -> T x (integer-distance assign, integer-mean update
+    with empty-cluster carry) -> final assign. All-integer, so the
+    replay is exact, not approximate."""
+    parts = [f"""
+q AS (
+  SELECT e.vec_id, r.i AS dim,
+         round(e.embedding[r.i]::DOUBLE * 1000000.0)::BIGINT AS x
+  FROM embeddings e, (SELECT unnest(range(1, {dim + 1})) AS i) r
+),
+seeds AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cluster
+  FROM embeddings
+  QUALIFY cluster < {k}
+),
+cent0 AS (
+  SELECT s.cluster, q.dim, q.x AS c
+  FROM seeds s JOIN q USING (vec_id)
+)"""]
+    for i in range(1, t + 2):
+        parts.append(f"""
+d{i} AS (
+  SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM q JOIN cent{i - 1} c USING (dim)
+  GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rn
+  FROM d{i}
+  QUALIFY rn = 1
+)""")
+        if i <= t:  # the (t+1)-th assignment is final — no update
+            parts.append(f"""
+u{i} AS (
+  SELECT a.cluster, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM a{i} a JOIN q USING (vec_id)
+  GROUP BY 1, 2
+),
+cent{i} AS (
+  SELECT p.cluster, p.dim,
+         CASE WHEN u.s IS NULL THEN p.c
+              ELSE round(u.s / u.n)::BIGINT END AS c
+  FROM cent{i - 1} p LEFT JOIN u{i} u USING (cluster, dim)
+)""")
+    return ",".join(parts)
+
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH {_kmeans_cte(_KM_K, _KM_T, _KM_DIM)}
+SELECT vec_id, cluster, d2::BIGINT AS dist2
+FROM a{_KM_T + 1}
+ORDER BY vec_id
+"""
+
+ORACLE_KMEANS_SIZES = f"""
+WITH {_kmeans_cte(_KM_K, _KM_T, _KM_DIM)}
+SELECT cluster, COUNT(*) AS n,
+       round(AVG(d2), 2) AS mean_dist2
+FROM a{_KM_T + 1}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram perplexity (late r5): the published-
+# standard LM smoothing (Chen & Goodman 1998, the KenLM/CCNet filter).
+# The oracle mirrors the count hierarchy and the probability expression
+# tree verbatim; only the per-doc weighted mean is order-dependent and
+# it rounds to 4 dp (same discipline as perplexity_outliers).
+_KN_D = 0.75
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.search import kn_trigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return kn_trigram_perplexity(d, discount=_KN_D).orderBy("doc_id")
+
+
+ORACLE_KN_PERPLEXITY = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END,
+           w -> lower(w)) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+  FROM toks
+  WHERE len(ws) >= 3
+),
+doc_tg AS MATERIALIZED (
+  SELECT doc_id, tg, COUNT(*) AS d_cnt FROM occ GROUP BY 1, 2
+),
+c3 AS MATERIALIZED (
+  SELECT tg, SUM(d_cnt) AS c3,
+         string_split(tg, ' ')[1] AS u,
+         string_split(tg, ' ')[2] AS v,
+         string_split(tg, ' ')[3] AS w
+  FROM doc_tg GROUP BY tg
+),
+ctx2 AS (
+  SELECT u, v, SUM(c3) AS c2uv, COUNT(*) AS n1p_uv
+  FROM c3 GROUP BY 1, 2
+),
+cont AS MATERIALIZED (
+  SELECT v, w, COUNT(*) AS ncont FROM c3 GROUP BY 1, 2
+),
+midv AS (
+  SELECT v, SUM(ncont) AS n1p_v_mid, COUNT(*) AS n1p_v
+  FROM cont GROUP BY 1
+),
+unic AS (
+  SELECT w, COUNT(*) AS n1p_w FROM cont GROUP BY 1
+),
+ntypes AS (
+  SELECT COUNT(*) AS nt2 FROM cont
+),
+model AS (
+  SELECT c3.tg,
+         -ln(
+           greatest(c3.c3 - {_KN_D}, 0.0) / ctx2.c2uv
+           + {_KN_D} * ctx2.n1p_uv / ctx2.c2uv
+             * (greatest(cont.ncont - {_KN_D}, 0.0) / midv.n1p_v_mid
+                + {_KN_D} * midv.n1p_v / midv.n1p_v_mid
+                  * (unic.n1p_w / ntypes.nt2))
+         ) AS nll
+  FROM c3
+  JOIN ctx2 USING (u, v)
+  JOIN cont USING (v, w)
+  JOIN midv USING (v)
+  JOIN unic USING (w)
+  CROSS JOIN ntypes
+)
+SELECT d.doc_id,
+       round(exp(SUM(d.d_cnt * m.nll) / SUM(d.d_cnt)), 4)
+         AS kn_perplexity,
+       SUM(d.d_cnt)::BIGINT AS n_trigrams
+FROM doc_tg d JOIN model m USING (tg)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (late r5): the validity-interval dimension table built
+# from the CDC log — completes the CDC state family (cdc_last_state =
+# current, cdc_state_at = point-in-time, this = full history with
+# unchanged-state collapse). One shuffle, windows only.
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.scd import scd2_history
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        e, key_cols=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], order_cols=["event_id"],
+    ).orderBy("user_id", "valid_from")
+
+
+ORACLE_SCD2_HISTORY = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1
+                   OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS new_ver
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT *, SUM(new_ver) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS ver
+  FROM marked
+),
+grouped AS (
+  SELECT user_id, ver, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM ver GROUP BY 1, 2
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       (lead(valid_from) OVER wv IS NULL) AS is_current,
+       n_events
+FROM grouped
+WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+ORDER BY user_id, valid_from
+"""
+
+
 R5_QUERIES: dict = {
     "dsir_logweights": (
         q_dsir_logweights, ORACLE_DSIR_LOGWEIGHTS,
@@ -146,4 +371,16 @@ R5_QUERIES: dict = {
     "dsir_selection_distributed": (
         q_dsir_selection_distributed, ORACLE_DSIR_SELECTION,
         "DSIR huge-k quantile-cutoff selection == LIMIT-k oracle"),
+    "kmeans_assign": (
+        q_kmeans_assign, ORACLE_KMEANS_ASSIGN,
+        "distributed Lloyd's k-means, exact integer trajectory"),
+    "kmeans_sizes": (
+        q_kmeans_sizes, ORACLE_KMEANS_SIZES,
+        "k-means cluster profile (size, mean dist2)"),
+    "kn_perplexity": (
+        q_kn_perplexity, ORACLE_KN_PERPLEXITY,
+        "interpolated Kneser-Ney trigram perplexity (Chen & Goodman)"),
+    "scd2_history": (
+        q_scd2_history, ORACLE_SCD2_HISTORY,
+        "SCD2 validity intervals from the CDC log, change-collapsed"),
 }
