@@ -149,6 +149,26 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 3,
         id_col, "cluster", "dist2")
 
 
+def kmeans_ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                         iterations: int = 3,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id"):
+    """Full-corpus k-means as the IVF coarse quantizer: returns the
+    fitted centroids de-quantized and unit-normalized, the shape
+    `similarity.ivf_topk(centroids=...)` / `ivf_assign` accept. The
+    sample-trained `train_ivf_centroids` is the FAISS-style default
+    (bounded driver work); this trades T extra corpus scans for
+    centroids fitted on everything — worth it when the clustering is
+    reused across many probes of the same corpus."""
+    import numpy as np
+
+    cent = np.asarray(kmeans_fit(df, n_centroids, iterations,
+                                 vec_col, id_col),
+                      dtype=np.float64) / SCALE
+    return cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+
 def kmeans_sizes(df: DataFrame, k: int = 8, iterations: int = 3,
                  vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
@@ -157,4 +177,62 @@ def kmeans_sizes(df: DataFrame, k: int = 8, iterations: int = 3,
     return a.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("dist2"), 2).alias("mean_dist2"),
+    )
+
+
+def cluster_balanced_sample(df: DataFrame, k: int = 8,
+                            n_per_cluster: int = 100,
+                            iterations: int = 3,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Uniform n-per-cluster draw over the k-means partition — the
+    cluster-balanced sampling step of semantic curation (SemDeDup /
+    cluster-pruning pipelines rebalance a skewed topic mix by sampling
+    evenly across semantic buckets instead of uniformly over docs,
+    which over-represents the dominant topic).
+
+    The draw is the seedless md5-order idiom (rank by md5(id) within
+    cluster). Scale shape — the naive form is a per-cluster window
+    sort, and a 100 TB corpus with k=1000 makes that k sorts of n/k
+    rows each, the exact hot-partition shape the r4 skew audit
+    removed everywhere else. So: two-phase, the train_ivf_centroids
+    trick at cluster grain — per-cluster counts (a k-row collect)
+    size an md5-prefix cutoff targeting ~4x n_per survivors, the
+    cutoff FILTER rides the assignment scan, and only the ~4x n_per*k
+    survivors enter the window sort. The 4x margin makes undershoot
+    astronomically unlikely; if a cutoff does undershoot, both this
+    and the SQL oracle compute the same (smaller) sample — the
+    selection stays engine-exact, deterministic, and documented
+    rather than silently re-scanned.
+
+    Clusters with count <= 4x n_per skip the filter (cutoff = full
+    range), so small clusters always yield min(n, n_per) rows
+    exactly."""
+    a = kmeans_assign(df, k, iterations, vec_col, id_col) \
+        .localCheckpoint(eager=False)  # counts + sample share the pass
+    counts = {r["cluster"]: r["n"]
+              for r in a.groupBy("cluster").count()
+              .withColumnRenamed("count", "n").collect()}
+    cutoffs = []
+    for c in range(k):
+        n = counts.get(c, 0)
+        frac = 1.0 if n <= 4 * n_per_cluster \
+            else (4.0 * n_per_cluster) / n
+        cutoffs.append(
+            "ffffffff" if frac >= 1.0
+            else format(int(frac * 0xFFFFFFFF), "08x"))
+    cutoff_col = F.element_at(
+        F.array(*[F.lit(x) for x in cutoffs]),
+        (F.col("cluster") + 1).cast("int"))
+
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        a.withColumn("__h", h)
+        .filter(F.substring("__h", 1, 8) <= cutoff_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_cluster)
+        .select(id_col, "cluster", "dist2")
     )

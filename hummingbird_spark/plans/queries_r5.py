@@ -229,6 +229,51 @@ GROUP BY cluster
 ORDER BY cluster
 """
 
+# Cluster-balanced sampling: uniform n-per-cluster md5-order draw with
+# the two-phase (cutoff filter -> survivor-only window) skew guard; the
+# oracle replicates the cutoff arithmetic double-for-double.
+_KM_NPER = 25
+
+ORACLE_CLUSTER_SAMPLE = f"""
+WITH {_kmeans_cte(_KM_K, _KM_T, _KM_DIM)},
+counts AS (
+  SELECT cluster, COUNT(*) AS n FROM a{_KM_T + 1} GROUP BY 1
+),
+cut AS (
+  SELECT cluster,
+         CASE WHEN n <= 4 * {_KM_NPER} THEN 'ffffffff'
+              ELSE printf('%08x',
+                     CAST(trunc(((4.0 * {_KM_NPER}) / n) * 4294967295)
+                          AS BIGINT))
+         END AS cutoff
+  FROM counts
+),
+surv AS (
+  SELECT a.vec_id, a.cluster, a.d2,
+         md5(CAST(a.vec_id AS VARCHAR)) AS h
+  FROM a{_KM_T + 1} a JOIN cut USING (cluster)
+  WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <= cut.cutoff
+),
+ranked AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY h, vec_id) AS rn
+  FROM surv
+)
+SELECT vec_id, cluster, d2::BIGINT AS dist2
+FROM ranked WHERE rn <= {_KM_NPER}
+ORDER BY cluster, vec_id
+"""
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.cluster import cluster_balanced_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        e, k=_KM_K, n_per_cluster=_KM_NPER, iterations=_KM_T,
+    ).orderBy("cluster", "vec_id")
+
 
 # ---------------------------------------------------------------------------
 # Interpolated Kneser-Ney trigram perplexity (late r5): the published-
@@ -383,4 +428,7 @@ R5_QUERIES: dict = {
     "scd2_history": (
         q_scd2_history, ORACLE_SCD2_HISTORY,
         "SCD2 validity intervals from the CDC log, change-collapsed"),
+    "cluster_sample": (
+        q_cluster_sample, ORACLE_CLUSTER_SAMPLE,
+        "cluster-balanced uniform sample, skew-guarded two-phase draw"),
 }

@@ -152,3 +152,74 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance: closed validity intervals as they close
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT = (
+    "user_id long, state_value string, valid_from timestamp, "
+    "valid_to timestamp, n_events long"
+)
+SCD2_STATE = "cur string, valid_from timestamp, n long"
+
+
+def _scd2_update(key, batches, state: GroupState):
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    cur = list(state.get) if state.exists else None
+    closed = []
+    for ts, val in zip(events["ts"], events["state_value"]):
+        val = None if pd.isna(val) else val
+        if cur is None:
+            cur = [val, ts, 0]
+        elif (val is None) != (cur[0] is None) or val != cur[0]:
+            closed.append({
+                "user_id": user_id, "state_value": cur[0],
+                "valid_from": cur[1], "valid_to": ts,
+                "n_events": int(cur[2]),
+            })
+            cur = [val, ts, 0]
+        cur[2] += 1
+    state.update(tuple(cur))
+    yield pd.DataFrame(closed) if closed else pd.DataFrame(
+        [], columns=["user_id", "state_value", "valid_from",
+                     "valid_to", "n_events"])
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts, state_value) stream -> CLOSED SCD2
+    versions, emitted the moment a key's tracked value changes — the
+    streaming maintenance of `operators/scd.py::scd2_history` (whose
+    batch form builds the full table; this keeps it current without
+    re-reading the log). The union of this stream's output with the
+    per-key open state IS the SCD2 table at any instant.
+
+    State per key is one open version (value, valid_from, n) — three
+    scalars, not buffered events, so the store is bounded by live-key
+    cardinality exactly like `running_user_state`. Events sort by
+    (ts, event_id) within a micro-batch; ACROSS batches arrival order
+    is the processing contract (the CDC source replays the oplog in
+    order — ST6's per-key fold guarantee feeds this operator ordered
+    input). NULL state values are versioned NULL-safely, matching the
+    batch operator's eqNullSafe discipline.
+
+    Output is append-shaped: each version emits exactly once, on
+    close. Replaying a checkpointed batch re-emits the same closed
+    versions (same sort, same state trajectory) — idempotent under
+    the sink's batch-id ledger like every other CDC sink here."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_update,
+            outputStructType=SCD2_OUTPUT,
+            stateStructType=SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -85,6 +85,13 @@ PROBES = [
     # the huge-k quantile-cutoff path: the growth curve that matters is
     # that the refinement loop's extra passes stay bounded as n grows
     ("dsir_selection_distributed", ["documents"]),
+    # late r5: distributed k-means (embeddings replicate 4x like the
+    # pair probes, but k-means is O(n*k*T) — growth should track the
+    # 4x row count, not the 16x pair count), KN trigram LM (the
+    # type-table joins are the Heaps term), SCD2 (one shuffle+windows)
+    ("kmeans_assign", ["embeddings"]),
+    ("kn_perplexity", ["documents"]),
+    ("scd2_history", ["events"]),
 ]
 
 EMB_COPIES = 4

@@ -158,3 +158,32 @@ def test_sizes_rollup_consistent(spark, emb):
     s = kmeans_sizes(emb, k=4, iterations=2)
     total = s.agg(F.sum("n")).collect()[0][0]
     assert total == emb.count()
+
+
+def test_cluster_balanced_sample(spark, emb):
+    """Exactly min(n_per, cluster size) rows per cluster; the sample
+    is a subset of the assignment with matching clusters; the draw is
+    deterministic. n_per=10 forces the cutoff FILTER path on the
+    ~125-row clusters (n > 4*n_per), so the two-phase selection — not
+    just the trivial full-range branch — is what's under test."""
+    from hummingbird_spark.operators.cluster import cluster_balanced_sample
+
+    n_per = 10
+    assign = {r["vec_id"]: r["cluster"]
+              for r in kmeans_assign(emb, k=4, iterations=2).collect()}
+    sizes = {}
+    for c in assign.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) > 4 * n_per  # filter path is active
+
+    s = cluster_balanced_sample(emb, k=4, n_per_cluster=n_per,
+                                iterations=2).collect()
+    per = {}
+    for r in s:
+        assert assign[r["vec_id"]] == r["cluster"]
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+    assert per == {c: min(n_per, n) for c, n in sizes.items()}
+
+    s2 = cluster_balanced_sample(emb, k=4, n_per_cluster=n_per,
+                                 iterations=2).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, s2))

@@ -84,6 +84,103 @@ def test_state_carries_across_batches(spark, tmp_path):
     assert 2 not in s2  # untouched key emits nothing in update mode
 
 
+SCD2_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("state_value", T.StringType()),
+])
+
+
+def _write_scd2(d, name, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for sec, uid, eid, val in rows:
+            f.write(json.dumps({
+                "ts": (T0 + dt.timedelta(seconds=sec)).strftime(
+                    "%Y-%m-%dT%H:%M:%S.000Z"),
+                "user_id": uid, "event_id": eid, "state_value": val,
+            }) + "\n")
+
+
+def test_scd2_stream_closes_versions_across_batches(spark, tmp_path):
+    """scd2_stream emits a closed validity interval the moment a key's
+    tracked value changes, with the open version carried in state
+    across micro-batches (the streaming maintenance of scd2_history)."""
+    from hummingbird_spark.streaming.stateful import scd2_stream
+
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run():
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            scd2_stream(spark.readStream.schema(SCD2_SCHEMA).json(src))
+            .writeStream.foreachBatch(write)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # batch 1: user 1 goes X X Y -> version X(2) closes at the Y event
+    _write_scd2(src, "0.json",
+                [(0, 1, 0, "X"), (1, 1, 1, "X"), (2, 1, 2, "Y")])
+    run()
+    closed = spark.read.parquet(sink).collect()
+    assert len(closed) == 1
+    v = closed[0]
+    assert (v.state_value, v.n_events) == ("X", 2)
+    assert v.valid_from == T0 and v.valid_to == T0 + dt.timedelta(seconds=2)
+
+    # batch 2: user 1 flips back to X -> the OPEN Y version (carried in
+    # checkpointed state) closes; user 2 opens its first version
+    # (nothing closed for it yet)
+    _write_scd2(src, "1.json", [(10, 1, 3, "X"), (11, 2, 4, "A")])
+    run()
+    closed = sorted(spark.read.parquet(sink).collect(),
+                    key=lambda r: r.valid_from)
+    assert [(r.state_value, r.n_events) for r in closed] == \
+        [("X", 2), ("Y", 1)]
+    assert closed[1].valid_to == T0 + dt.timedelta(seconds=10)
+    assert all(r.user_id == 1 for r in closed)
+
+
+def test_scd2_stream_null_safe_versions(spark, tmp_path):
+    """NULL state values version NULL-safely: NULL->NULL extends the
+    open version, NULL->value and value->NULL close it (the batch
+    operator's eqNullSafe contract)."""
+    from hummingbird_spark.streaming.stateful import scd2_stream
+
+    src = str(tmp_path / "cdcn")
+    ckpt = str(tmp_path / "ckptn")
+    sink = str(tmp_path / "sinkn")
+    _write_scd2(src, "0.json",
+                [(0, 1, 0, None), (1, 1, 1, None), (2, 1, 2, "A"),
+                 (3, 1, 3, None)])
+
+    def write(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        scd2_stream(spark.readStream.schema(SCD2_SCHEMA).json(src))
+        .writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    closed = sorted(spark.read.parquet(sink).collect(),
+                    key=lambda r: r.valid_from)
+    assert [(r.state_value, r.n_events) for r in closed] == \
+        [(None, 2), ("A", 1)]
+
+
 def test_event_time_sessionization(spark, tmp_path):
     """sessionize_stream closes sessions when the WATERMARK (event
     time) passes last_ts + gap: intra-batch gaps split immediately;
