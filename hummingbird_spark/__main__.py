@@ -350,6 +350,16 @@ def main(argv: list[str] | None = None) -> int:
     dsr.add_argument("--distributed", action="store_true",
                      help="huge-k quantile-cutoff path (no driver-side "
                           "top-k merge); same rows as the default path")
+    clu = sub.add_parser("cluster")
+    clu.add_argument("src", help="source embeddings parquet")
+    clu.add_argument("out", help="clustered output parquet")
+    clu.add_argument("-k", type=int, default=16, help="clusters")
+    clu.add_argument("--iterations", type=int, default=3)
+    clu.add_argument("--sample", type=int, default=None,
+                     help="write a cluster-balanced sample of N rows "
+                          "per cluster instead of the full assignment")
+    clu.add_argument("--vec-col", default="embedding")
+    clu.add_argument("--id-col", default="vec_id")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -500,6 +510,40 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "command": "dsir", "n_input": n_in, "k": args.k,
             "n_selected": n_out, "distributed": bool(args.distributed),
+            "out": args.out,
+        }))
+        return 0
+    if args.command == "cluster":
+        from hummingbird_spark.operators.cluster import (
+            cluster_balanced_sample, kmeans_assign)
+
+        spark = get_spark(app_name="hummingbird_cluster")
+        spark.sparkContext.setLogLevel("ERROR")
+        vecs = spark.read.parquet(args.src)
+        if args.sample is not None:
+            picked = cluster_balanced_sample(
+                vecs, k=args.k, n_per_cluster=args.sample,
+                iterations=args.iterations,
+                vec_col=args.vec_col, id_col=args.id_col)
+        else:
+            picked = kmeans_assign(
+                vecs, k=args.k, iterations=args.iterations,
+                vec_col=args.vec_col, id_col=args.id_col)
+        # rejoin full rows so the output is a usable corpus slice with
+        # (cluster, dist2) attached (same contract as the dsir CLI)
+        out = vecs.join(picked, args.id_col)
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        sizes = {
+            int(r["cluster"]): r["count"]
+            for r in written.groupBy("cluster").count().collect()
+        }
+        print(json.dumps({
+            "command": "cluster", "n_input": vecs.count(), "k": args.k,
+            "iterations": args.iterations,
+            "sample_per_cluster": args.sample,
+            "n_output": written.count(),
+            "cluster_sizes": dict(sorted(sizes.items())),
             "out": args.out,
         }))
         return 0

@@ -263,7 +263,8 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
 
 def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          discount: float = 0.75) -> DataFrame:
+                          discount: float = 0.75,
+                          model_top_k: int | None = None) -> DataFrame:
     """Per-doc perplexity under an interpolated Kneser-Ney trigram LM
     trained on the corpus itself (Chen & Goodman 1998 — the smoothing
     KenLM implements and CCNet's quality filter relies on; the add-
@@ -300,6 +301,20 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
     per-doc weighted mean is the only order-dependent float sum; every
     model probability is a fixed expression tree over exact integer
     counts, mirrored verbatim in the DuckDB oracle).
+
+    model_top_k=K caps the TRIGRAM table (the top Heaps-law term) to
+    the K most frequent trigram types (ties by trigram text); capped
+    trigrams' NLLs BROADCAST. Pruned trigrams score through the SAME
+    published formula with c3=0 — max(c3-D,0) vanishes and what
+    remains is the interpolation weight times the bigram-level KN
+    term, i.e. the natural backoff — via shuffle joins to the exact
+    lower-order tables at (u,v) and (v,w) grain. The cap removes
+    precisely the HOT keys from those joins (a frequent trigram is in
+    the kept set by definition), so the pruned-tail joins have no
+    skewable key; lower-order tables stay exact, as in
+    bigram_perplexity's cap. Capped perplexity >= exact (mass only
+    moves to the backoff term); K >= the trigram-type count is
+    bit-identical to the exact path.
     """
     from hummingbird_spark.functions.text import doc_trigrams
     from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
@@ -344,6 +359,60 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
         F.greatest(F.col("c3") - D, F.lit(0.0)) / F.col("c2uv")
         + F.lit(D) * F.col("n1p_uv") / F.col("c2uv") * p2
     )
+    def _finish(per_occurrence: DataFrame) -> DataFrame:
+        return (
+            per_occurrence.groupBy(id_col)
+            .agg(
+                F.round(
+                    F.exp(F.sum(F.col("d_cnt") * F.col("__nll"))
+                          / F.sum("d_cnt")), 4
+                ).alias("kn_perplexity"),
+                F.sum("d_cnt").alias("n_trigrams"),
+            )
+        )
+
+    if model_top_k is not None:
+        # TakeOrdered, not a global sort; deterministic tie-break
+        kept = c3.orderBy(F.desc("c3"), "tg").limit(model_top_k)
+        model_kept = (
+            kept.join(ctx2, ["u", "v"])
+            .join(cont, ["v", "w"])
+            .join(midv, "v")
+            .join(unic, "w")
+            .crossJoin(F.broadcast(ntypes))
+            .select("tg", (-F.log(p3)).alias("__nll"))
+        )
+        scored = doc_tg.join(F.broadcast(model_kept), "tg", "left") \
+            .localCheckpoint(eager=False)  # kept + pruned consumers
+        # pruned: the published formula with c3=0 — max(c3-D,0)
+        # vanishes, leaving lambda(uv) * P_KN(w|v); joins to the exact
+        # lower-order tables carry no hot keys (those are all kept)
+        pruned_nll = -F.log(
+            F.lit(D) * F.col("n1p_uv") / F.col("c2uv")
+            * (F.greatest(F.col("ncont") - D, F.lit(0.0))
+               / F.col("n1p_v_mid")
+               + F.lit(D) * F.col("n1p_v") / F.col("n1p_v_mid")
+               * p_cont)
+        )
+        dparts = F.split(F.col("tg"), " ")
+        pruned = (
+            scored.filter(F.col("__nll").isNull())
+            .select(
+                id_col, "d_cnt",
+                dparts[0].alias("u"), dparts[1].alias("v"),
+                dparts[2].alias("w"),
+            )
+            .join(ctx2, ["u", "v"])
+            .join(cont, ["v", "w"])
+            .join(midv, "v")
+            .join(unic, "w")
+            .crossJoin(F.broadcast(ntypes))
+            .select(id_col, "d_cnt", pruned_nll.alias("__nll"))
+        )
+        kept_rows = scored.filter(F.col("__nll").isNotNull()) \
+            .select(id_col, "d_cnt", "__nll")
+        return _finish(kept_rows.unionByName(pruned))
+
     model = (
         c3.join(ctx2, ["u", "v"])
         .join(cont, ["v", "w"])
@@ -352,14 +421,4 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
         .crossJoin(F.broadcast(ntypes))
         .select("tg", (-F.log(p3)).alias("__nll"))
     )
-    return (
-        doc_tg.join(model, "tg")
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.exp(F.sum(F.col("d_cnt") * F.col("__nll"))
-                      / F.sum("d_cnt")), 4
-            ).alias("kn_perplexity"),
-            F.sum("d_cnt").alias("n_trigrams"),
-        )
-    )
+    return _finish(doc_tg.join(model, "tg"))

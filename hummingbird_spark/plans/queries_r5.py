@@ -360,6 +360,46 @@ ORDER BY d.doc_id
 """
 
 
+# Capped (deployable) KN variant: top-K trigram NLLs broadcast; pruned
+# trigrams score through the same formula with c3=0 (the natural
+# backoff) via the exact lower-order tables. The cap removes exactly
+# the hot keys from the pruned-tail joins. K binds at every fixture
+# scale (sf0.001 already has ~16.5k trigram types).
+_KN_TOPK = 2000
+
+
+def q_kn_perplexity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.search import kn_trigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return kn_trigram_perplexity(
+        d, discount=_KN_D, model_top_k=_KN_TOPK).orderBy("doc_id")
+
+
+ORACLE_KN_PERPLEXITY_CAPPED = ORACLE_KN_PERPLEXITY.replace(
+    """model AS (
+  SELECT c3.tg,
+         -ln(""",
+    f"""kept AS (
+  SELECT tg FROM c3 ORDER BY c3 DESC, tg LIMIT {_KN_TOPK}
+),
+model AS (
+  SELECT c3.tg,
+         CASE WHEN kept.tg IS NULL THEN
+           -ln(
+             {_KN_D} * ctx2.n1p_uv / ctx2.c2uv
+             * (greatest(cont.ncont - {_KN_D}, 0.0) / midv.n1p_v_mid
+                + {_KN_D} * midv.n1p_v / midv.n1p_v_mid
+                  * (unic.n1p_w / ntypes.nt2))
+           )
+         ELSE -ln(""").replace(
+    """         ) AS nll
+  FROM c3""",
+    """         ) END AS nll
+  FROM c3
+  LEFT JOIN kept ON c3.tg = kept.tg""")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 history (late r5): the validity-interval dimension table built
 # from the CDC log — completes the CDC state family (cdc_last_state =
@@ -431,4 +471,7 @@ R5_QUERIES: dict = {
     "cluster_sample": (
         q_cluster_sample, ORACLE_CLUSTER_SAMPLE,
         "cluster-balanced uniform sample, skew-guarded two-phase draw"),
+    "kn_perplexity_capped": (
+        q_kn_perplexity_capped, ORACLE_KN_PERPLEXITY_CAPPED,
+        "KN trigram perplexity, top-K broadcast model + c3=0 backoff"),
 }

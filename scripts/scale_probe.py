@@ -91,6 +91,9 @@ PROBES = [
     # type-table joins are the Heaps term), SCD2 (one shuffle+windows)
     ("kmeans_assign", ["embeddings"]),
     ("kn_perplexity", ["documents"]),
+    # capped (deployable) variant: broadcast top-K model, pruned tail
+    # through the c3=0 backoff — the growth curve that should flatten
+    ("kn_perplexity_capped", ["documents"]),
     ("scd2_history", ["events"]),
 ]
 

@@ -339,3 +339,27 @@ def test_cli_dsir(spark, tmp_path, capsys):
     ids2 = {r["doc_id"] for r in
             spark.read.parquet(out2).select("doc_id").collect()}
     assert ids == ids2
+
+
+def test_cli_cluster(spark, tmp_path, capsys):
+    out = str(tmp_path / "clustered.parquet")
+    assert main(["cluster", f"{SF_SMOKE}/embeddings.parquet", out,
+                 "-k", "4", "--iterations", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_output"] == rep["n_input"] > 0
+    assert set(rep["cluster_sizes"]) == {str(c) for c in range(4)} or \
+        set(rep["cluster_sizes"]) == set(range(4))
+    full = spark.read.parquet(out)
+    assert {"vec_id", "embedding", "cluster", "dist2"} <= set(full.columns)
+
+    # balanced sample: exactly min(n_per, cluster size) per cluster
+    out2 = str(tmp_path / "sampled.parquet")
+    assert main(["cluster", f"{SF_SMOKE}/embeddings.parquet", out2,
+                 "-k", "4", "--iterations", "2", "--sample", "10"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sizes = {int(c): n for c, n in rep["cluster_sizes"].items()} \
+        if isinstance(next(iter(rep["cluster_sizes"])), str) \
+        else rep["cluster_sizes"]
+    expect = {c: min(10, n) for c, n in sizes.items()}
+    got = {int(c): n for c, n in rep2["cluster_sizes"].items()}
+    assert got == expect

@@ -105,6 +105,72 @@ def test_in_domain_text_scores_below_gibberish(spark, corpus):
     assert got[0] < got[4]
 
 
+def _ref_kn_capped(docs, top_k):
+    """Reference with the trigram cap: kept = top_k types by
+    (count desc, text); pruned types score with c3 treated as 0."""
+    c3 = Counter()
+    tri_occ = defaultdict(Counter)
+    for i, text in docs.items():
+        ws = [w.lower() for w in text.split()]
+        for tg in zip(ws, ws[1:], ws[2:]):
+            tri_occ[i][tg] += 1
+            c3[tg] += 1
+    kept = set(sorted(c3, key=lambda t: (-c3[t], " ".join(t)))[:top_k])
+    ctx_tot, ctx_types, cont = Counter(), Counter(), Counter()
+    for (u, v, w), c in c3.items():
+        ctx_tot[(u, v)] += c
+        ctx_types[(u, v)] += 1
+        cont[(v, w)] += 1
+    mid_tot, mid_types, unic = Counter(), Counter(), Counter()
+    for (v, w), n in cont.items():
+        mid_tot[v] += n
+        mid_types[v] += 1
+        unic[w] += 1
+    nt2 = len(cont)
+    out = {}
+    for i, grams in tri_occ.items():
+        tot, n = 0.0, 0
+        for (u, v, w), cnt in grams.items():
+            p2 = (max(cont[(v, w)] - D, 0.0) / mid_tot[v]
+                  + D * mid_types[v] / mid_tot[v] * (unic[w] / nt2))
+            if (u, v, w) in kept:
+                p3 = (max(c3[(u, v, w)] - D, 0.0) / ctx_tot[(u, v)]
+                      + D * ctx_types[(u, v)] / ctx_tot[(u, v)] * p2)
+            else:
+                p3 = D * ctx_types[(u, v)] / ctx_tot[(u, v)] * p2
+            tot += cnt * -math.log(p3)
+            n += cnt
+        out[i] = (round(math.exp(tot / n), 4), n)
+    return out
+
+
+def test_capped_differential_and_dominance(spark, corpus):
+    """top_k=5 forces real pruning: the capped path must match the
+    capped reference equations, and capped perplexity >= exact for
+    every doc (mass only moves to the backoff term)."""
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["kn_perplexity"], r["n_trigrams"])
+           for r in kn_trigram_perplexity(
+               df, discount=D, model_top_k=5).collect()}
+    assert got == _ref_kn_capped(corpus, 5)
+    exact = {r["doc_id"]: r["kn_perplexity"]
+             for r in kn_trigram_perplexity(df, discount=D).collect()}
+    assert all(got[i][0] >= exact[i] for i in exact)
+
+
+def test_cap_covering_all_types_equals_exact(spark, corpus):
+    """K >= the trigram-type count must be bit-identical to the
+    uncapped path (the cap's no-op contract)."""
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    capped = sorted(map(tuple, kn_trigram_perplexity(
+        df, discount=D, model_top_k=10_000).collect()))
+    exact = sorted(map(tuple, kn_trigram_perplexity(
+        df, discount=D).collect()))
+    assert capped == exact
+
+
 def test_probabilities_are_subunit(spark, corpus):
     """Every trigram probability < 1 => perplexity > 1 (a smoothed
     model never assigns certainty)."""
