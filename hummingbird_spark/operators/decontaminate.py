@@ -24,6 +24,58 @@ from pyspark.sql import functions as F
 from hummingbird_spark.operators.dedup import _shingle_rows
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level decontamination — the semantic complement of
+    the n-gram `contamination_report` (paraphrased or lightly-edited
+    benchmark text slips past exact shingles; recent curation
+    pipelines add an embedding-similarity screen for exactly that
+    leak). -> (id, max_sim, contaminated) for EVERY corpus row:
+    max_sim is the row's highest cosine against any benchmark vector,
+    contaminated = max_sim >= threshold.
+
+    Scale shape: the benchmark matrix BROADCASTS (benchmarks are MBs;
+    the corpus is the 100 TB side) into the same blocked-BLAS Arrow
+    kernel as `ivf_assign` — one corpus scan, no shuffle, no skewable
+    key; the output aggregates nothing, so it pipelines into a filter
+    or a join. Determinism: per-pair cosines round to 6 dp BEFORE the
+    max (round-then-max is order-free), so the result is engine-exact
+    against a SQL cross-join replica at any partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bench = benchmark.select(vec_col).collect()
+    bm = np.array([list(r[0]) for r in bench], dtype=np.float64)
+    bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    b_bench = spark.sparkContext.broadcast(bm)
+
+    def kernel(it):
+        bmat = b_bench.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xm /= np.maximum(
+                np.sqrt((xm * xm).sum(axis=1, keepdims=True)), 1e-12)
+            sims = np.round(xm @ bmat.T, 6)
+            mx = sims.max(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "max_sim": mx,
+                "contaminated": mx >= threshold,
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, max_sim double, contaminated boolean")
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1500,7 +1500,7 @@ _VERIFY_FIRST = [
     # new this round (distributed k-means; Kneser-Ney trigram LM;
     # SCD2 history; DSIR importance resampling) — never recorded
     "kmeans_assign", "kmeans_sizes", "kn_perplexity", "scd2_history",
-    "cluster_sample", "kn_perplexity_capped",
+    "cluster_sample", "kn_perplexity_capped", "semantic_decontamination",
     "dsir_logweights", "dsir_selection", "dsir_selection_distributed",
     "simhash_dups", "knn_lsh",
     # gained full SQL payload/DSP replicas this round (multimodal

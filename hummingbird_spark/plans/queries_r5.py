@@ -401,6 +401,50 @@ model AS (
 
 
 # ---------------------------------------------------------------------------
+# Semantic decontamination (late r5): embedding-similarity screen vs a
+# benchmark slice (label=0 plays the benchmark; the rest is corpus) —
+# the paraphrase-leak complement of the n-gram contamination_report.
+# Round-then-max makes the result engine-exact under the 6-dp
+# discipline; threshold 0.5 bites on the fixture (max pair ~0.61).
+_SD_THRESH = 0.5
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        e.filter(F.col("label") != 0),
+        e.filter(F.col("label") == 0),
+        threshold=_SD_THRESH,
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DECON = f"""
+WITH corp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE label <> 0
+),
+bench AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE label = 0
+),
+sims AS (
+  SELECT c.vec_id,
+         round(list_cosine_similarity(c.v, b.v), 6) AS s
+  FROM corp c CROSS JOIN bench b
+),
+mx AS (
+  SELECT vec_id, MAX(s) AS max_sim FROM sims GROUP BY vec_id
+)
+SELECT vec_id, max_sim, (max_sim >= {_SD_THRESH}) AS contaminated
+FROM mx
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history (late r5): the validity-interval dimension table built
 # from the CDC log — completes the CDC state family (cdc_last_state =
 # current, cdc_state_at = point-in-time, this = full history with
@@ -474,4 +518,7 @@ R5_QUERIES: dict = {
     "kn_perplexity_capped": (
         q_kn_perplexity_capped, ORACLE_KN_PERPLEXITY_CAPPED,
         "KN trigram perplexity, top-K broadcast model + c3=0 backoff"),
+    "semantic_decontamination": (
+        q_semantic_decontamination, ORACLE_SEMANTIC_DECON,
+        "embedding-similarity benchmark screen, broadcast + blocked BLAS"),
 }

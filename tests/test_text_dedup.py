@@ -853,3 +853,41 @@ def test_exact_substring_first_keeper_variants_agree(spark):
     assert spans("join") == spans("window") != []
     with pytest.raises(ValueError, match="first_keeper"):
         duplicate_substring_spans(docs, first_keeper="nope")
+
+
+def test_semantic_contamination(spark):
+    """Embedding screen: an exact copy of a benchmark vector flags at
+    sim 1.0, a scaled copy flags too (cosine is scale-invariant), an
+    orthogonal vector does not; every corpus row gets a verdict and
+    max_sim matches a numpy brute force."""
+    import numpy as np
+
+    from hummingbird_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    bench_vecs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    corpus_vecs = {
+        1: [1.0, 0.0, 0.0],     # exact benchmark copy
+        2: [5.0, 0.0, 0.0],     # scaled copy: cosine 1.0
+        3: [0.0, 0.0, 1.0],     # orthogonal to both
+        4: [1.0, 1.0, 0.0],     # cos = 1/sqrt(2) ~ 0.7071
+    }
+    bench = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(bench_vecs)],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        list(corpus_vecs.items()), "vec_id long, embedding array<double>")
+
+    got = {r["vec_id"]: (r["max_sim"], r["contaminated"])
+           for r in semantic_contamination(
+               corpus, bench, threshold=0.9).collect()}
+    bm = np.array(bench_vecs)
+    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    for i, v in corpus_vecs.items():
+        x = np.array(v) / np.linalg.norm(v)
+        expect = float(np.round(x @ bm.T, 6).max())
+        assert got[i][0] == expect
+        assert got[i][1] == (expect >= 0.9)
+    assert got[1][1] and got[2][1]
+    assert not got[3][1] and not got[4][1]
