@@ -29,11 +29,15 @@ the DuckDB oracle) with zero float-order risk. Magnitudes: |x| <= ~1
 => xq <= ~2e6, dist2 <= dim * (4e6)^2 ~ 1e15 << 2^63.
 
 Ties: argmin picks the lowest cluster id (numpy argmin first-index ==
-SQL ORDER BY d2, cluster LIMIT 1). The half-up rounding of the
-centroid mean matches DuckDB's round() (both half-away-from-zero);
-the mean sum/n is a ratio of exact integers, so the double division
-is the same IEEE value on both engines. Empty clusters keep their
-previous centroid (documented; the oracle replicates via left join).
+SQL ORDER BY d2, cluster LIMIT 1). The centroid mean is rounded
+half-away-from-zero in PURE INTEGER arithmetic — (2s + n) // (2n)
+with the sign factored out — on both engines, so exactness needs no
+"s fits in a double" caveat (a double round(s/n) drifts from the
+exact rational once s > 2^53, i.e. ~4e9 rows/cluster at |xq|~2e6;
+the integer form is exact until 2s overflows int64 at ~1e12
+rows/cluster, and the oracle uses the same integer expression).
+Empty clusters keep their previous centroid (documented; the oracle
+replicates via left join).
 
 Init is seedless-deterministic: the k rows with the smallest
 md5(id) — the same uniform-draw idiom as `train_ivf_centroids`.
@@ -97,9 +101,17 @@ def _assign(quant: DataFrame, centroids: list[list[int]],
                 "dist2": d2[np.arange(len(best)), best],
             })
 
-    return quant.mapInPandas(
-        block, f"{id_col} long, __xq array<long>, cluster long, dist2 long"
-    )
+    from pyspark.sql import types as T
+
+    # the id column keeps its incoming type (string/int32/long ids all
+    # work); hardcoding `long` here broke non-long ids at runtime
+    schema = T.StructType([
+        quant.schema[id_col],
+        T.StructField("__xq", T.ArrayType(T.LongType())),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("dist2", T.LongType()),
+    ])
+    return quant.mapInPandas(block, schema)
 
 
 def _update(assigned: DataFrame,
@@ -113,15 +125,15 @@ def _update(assigned: DataFrame,
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    import math
-
     out = [list(c) for c in centroids]
     for r in upd:
-        # half-away-from-zero, matching DuckDB round(); s/n is a ratio
-        # of exact integers so the double is engine-identical
-        v = r["s"] / r["n"]
+        # half-away-from-zero in exact integer arithmetic: no float
+        # anywhere, so the value is engine-identical at any magnitude
+        # (a double round(s/n) diverges from the exact rational once
+        # s > 2^53; this form is exact until 2s overflows int64)
+        s, n = r["s"], r["n"]
         out[r["cluster"]][r["dim"]] = (
-            math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5))
+            (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n)))
     return out
 
 

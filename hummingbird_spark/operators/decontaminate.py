@@ -51,6 +51,15 @@ def semantic_contamination(
     import pandas as pd
 
     bench = benchmark.select(vec_col).collect()
+    if not bench:
+        # an empty benchmark means nothing can be contaminated; without
+        # this guard the executor kernel builds a 0-row 1-D array and
+        # `xm @ bmat.T` / `max(axis=1)` raise at runtime
+        return corpus.select(
+            id_col,
+            F.lit(0.0).alias("max_sim"),
+            F.lit(False).alias("contaminated"),
+        )
     bm = np.array([list(r[0]) for r in bench], dtype=np.float64)
     bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
     spark = corpus.sparkSession
@@ -72,8 +81,15 @@ def semantic_contamination(
                 "contaminated": mx >= threshold,
             })
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        kernel, f"{id_col} long, max_sim double, contaminated boolean")
+    from pyspark.sql import types as T
+
+    # keep the id column's incoming type (string/int32/long all work)
+    schema = T.StructType([
+        corpus.schema[id_col],
+        T.StructField("max_sim", T.DoubleType()),
+        T.StructField("contaminated", T.BooleanType()),
+    ])
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def contamination_report(

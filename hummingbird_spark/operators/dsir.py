@@ -228,7 +228,8 @@ def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
         return surv
     # Refine: overshoot the cutoff rank by 2*eps*n so the sketch's
     # +-eps*n rank error can never push it above the k-th score.
-    for _ in range(4):
+    sketch_violated = False
+    for _ in range(8):
         if m - k <= trim_cap:
             break
         eps = min(relative_error, max(trim_cap / (6.0 * m), 1e-7))
@@ -239,9 +240,31 @@ def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
         cand = cand.localCheckpoint(eager=False)
         c = cand.count()
         if c < k:  # sketch guarantee violated — keep the wider frame
+            sketch_violated = True
             break
         surv, m = cand, c
     excess = m - k
+    # Driver-bounded contract: the final trim funnels `excess` rows
+    # through a TakeOrdered + broadcast. The loop aims for
+    # excess <= trim_cap; a small overshoot (the last pass's sliver)
+    # is fine, but if refinement exited early (sketch violation or
+    # non-converging cutoffs) excess can be arbitrarily large —
+    # refusing loudly beats silently collecting an unbounded bottom
+    # set on the driver.
+    if excess > max(10 * trim_cap, 1000):
+        raise RuntimeError(
+            f"dsir_select_distributed: refinement left excess={excess:,} "
+            f"rows to trim (trim_cap={trim_cap:,}) after "
+            f"{'a sketch-guarantee violation' if sketch_violated else '8 passes'}"
+            " — raise trim_cap, loosen relative_error, or use dsir_select"
+        )
+    if excess > trim_cap:
+        import warnings
+
+        warnings.warn(
+            f"dsir_select_distributed: final trim of {excess:,} rows "
+            f"exceeds trim_cap={trim_cap:,}; driver traffic is bounded "
+            "but above target", RuntimeWarning, stacklevel=2)
     if excess > 0:
         bottom = (
             surv.orderBy(F.asc("gumbel_score"), F.desc(id_col))

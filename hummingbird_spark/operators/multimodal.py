@@ -106,13 +106,15 @@ def _decode_payload(data: bytes) -> dict:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode + feature-extract: Arrow-batched mapInPandas over the
-    binary column. Output feature = 8 floats derived from
-    sha256 of the payload's lowercase hex encoding (a stand-in for a
-    real embedding model — deterministic and collision-resistant
-    either way; hashing the hex rather than the raw bytes makes the
-    whole pipeline replicable in ANSI SQL, which is what lets the
-    `media_pipeline` registry query carry a full DuckDB oracle
-    instead of a rows-only check)."""
+    binary column. The `sha256` column is the true content digest
+    (sha256 of the payload BYTES — usable as an integrity checksum
+    downstream). The 8 feature floats are derived from a separate
+    surrogate digest, sha256 of the payload's lowercase HEX encoding
+    (a stand-in for a real embedding model — deterministic and
+    collision-resistant either way; hashing the hex rather than the
+    raw bytes makes the feature kernel replicable in ANSI SQL, which
+    is what lets the `media_pipeline` registry query carry a full
+    DuckDB oracle instead of a rows-only check)."""
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -120,8 +122,8 @@ def decode_media(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 data = bytes(r["data"])
                 meta = _decode_payload(data)
-                hexdigest = hashlib.sha256(data.hex().encode()).hexdigest()
-                digest = bytes.fromhex(hexdigest)
+                surrogate = hashlib.sha256(data.hex().encode()).hexdigest()
+                digest = bytes.fromhex(surrogate)
                 feature = [
                     struct.unpack("<I", digest[i * 4:i * 4 + 4])[0]
                     / 2**32
@@ -130,7 +132,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 out.append({
                     "media_id": r["media_id"], "kind": r["kind"],
                     "byte_len": len(data),
-                    "sha256": hexdigest,
+                    "sha256": hashlib.sha256(data).hexdigest(),
                     "width": meta["width"], "height": meta["height"],
                     "feature": feature,
                 })

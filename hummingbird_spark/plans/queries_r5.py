@@ -207,7 +207,8 @@ u{i} AS (
 cent{i} AS (
   SELECT p.cluster, p.dim,
          CASE WHEN u.s IS NULL THEN p.c
-              ELSE round(u.s / u.n)::BIGINT END AS c
+              WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+              ELSE -((-2 * u.s + u.n) // (2 * u.n)) END AS c
   FROM cent{i - 1} p LEFT JOIN u{i} u USING (cluster, dim)
 )""")
     return ",".join(parts)

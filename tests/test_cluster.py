@@ -187,3 +187,33 @@ def test_cluster_balanced_sample(spark, emb):
     s2 = cluster_balanced_sample(emb, k=4, n_per_cluster=n_per,
                                  iterations=2).collect()
     assert sorted(map(tuple, s)) == sorted(map(tuple, s2))
+
+
+def test_string_id_column(spark):
+    """The mapInPandas output schema derives the id field's type from
+    the input frame (r5 advice: a hardcoded `long` broke string/int32
+    ids at runtime despite the API accepting any id_col)."""
+    rows = [(f"doc-{i}", [float(i % 3), float(i % 5)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = kmeans_assign(df, k=2, iterations=1).collect()
+    assert len(out) == 12
+    assert all(isinstance(r["vec_id"], str) for r in out)
+    assert all(0 <= r["cluster"] < 2 for r in out)
+
+
+def test_centroid_mean_is_integer_exact_half_away(spark):
+    """The Lloyd update rounds the centroid mean half-away-from-zero
+    in pure integer arithmetic. Pin the rounding at .5 boundaries for
+    both signs (s=+3,n=2 -> 2; s=-3,n=2 -> -2), where a naive
+    floor(s/n + 0.5) on doubles agrees but the integer form is what
+    both engines now evaluate."""
+    from hummingbird_spark.operators.cluster import _update
+
+    # one cluster, dims engineered so per-dim sums hit .5 ratios:
+    # dim0 values {1, 2} -> s=3, n=2 -> mean 1.5 -> 2
+    # dim1 values {-1, -2} -> s=-3, n=2 -> mean -1.5 -> -2
+    assigned = spark.createDataFrame(
+        [(1, [1, -1], 0, 0), (2, [2, -2], 0, 0)],
+        "vec_id long, __xq array<long>, cluster long, dist2 long")
+    out = _update(assigned, [[0, 0]])
+    assert out == [[2, -2]]

@@ -188,3 +188,16 @@ def test_audio_window_features(spark):
              for r in audio_window_features(media, window_ms=250)
              .collect()}
     assert again == {(r.media_id, r.window_idx): r.rms for r in rows}
+
+
+def test_decode_sha256_is_content_digest(spark):
+    """The `sha256` column is the digest of the payload BYTES — an
+    integrity checksum a downstream consumer can re-verify — while the
+    feature floats come from the separate hex-encoded surrogate digest
+    (r5 advice: the column previously held sha256 of the hex string)."""
+    import hashlib
+
+    media = synth_media(spark, 6)
+    payloads = {r.media_id: bytes(r.data) for r in media.collect()}
+    for r in decode_media(media).collect():
+        assert r.sha256 == hashlib.sha256(payloads[r.media_id]).hexdigest()

@@ -891,3 +891,37 @@ def test_semantic_contamination(spark):
         assert got[i][1] == (expect >= 0.9)
     assert got[1][1] and got[2][1]
     assert not got[3][1] and not got[4][1]
+
+
+def test_semantic_contamination_empty_benchmark(spark):
+    """An empty benchmark frame must yield max_sim=0 / contaminated
+    False for every corpus row (r5 advice: the kernel previously built
+    a 0-row 1-D matrix and raised inside the executor)."""
+    from hummingbird_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = semantic_contamination(corpus, bench).collect()
+    assert sorted((r["vec_id"], r["max_sim"], r["contaminated"])
+                  for r in got) == [(1, 0.0, False), (2, 0.0, False)]
+
+
+def test_semantic_contamination_string_ids(spark):
+    """Output schema derives the id type from the corpus frame."""
+    from hummingbird_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc string, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = {r["doc"]: r["contaminated"]
+           for r in semantic_contamination(
+               corpus, bench, threshold=0.9, id_col="doc").collect()}
+    assert got == {"a": True, "b": False}
