@@ -357,50 +357,109 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+# SimHash shingle hashing (shared constants with the DuckDB oracle,
+# queries_text.py::_simhash_oracle_sql): per-word polynomial hash over
+# Unicode CODEPOINTS with the FNV64 prime as base (products stay under
+# 2^104, so the SQL replica needs no wrap-mul decomposition), word
+# hashes poly-combined per n-gram in the same base, distinct combined
+# values, then a splitmix64 finalizer (Steele et al., OOPSLA 2014) for
+# the avalanche the linear poly hash lacks. splitmix64's two 64x64-bit
+# wrap multiplies DO exceed HUGEINT in SQL — the oracle splits the
+# operand into 32-bit halves (see _wrapmul_sql).
+SIMHASH_B = 1_099_511_628_211            # FNV-1a 64 prime (2^40ish)
+SIMHASH_BINV = pow(SIMHASH_B, -1, 1 << 64)
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _splitmix64_np(z):
+    """Vectorized splitmix64 over a uint64 ndarray (wraps mod 2^64)."""
+    import numpy as np
+
+    z = z + np.uint64(_SM_GAMMA)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_M1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_M2)
+    return z ^ (z >> np.uint64(31))
+
+
+# every codepoint str.split() treats as whitespace; the byte-mask word
+# scan below reproduces str.split() exactly (the oracle's RE2 '\s+' is
+# ASCII-only — same documented fixture caveat as before)
+_UNICODE_WS = (
+    list(range(0x09, 0x0E)) + list(range(0x1C, 0x20)) + [0x20, 0x85, 0xA0,
+    0x1680] + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F,
+    0x205F, 0x3000]
+)
+
+
 def simhash_df(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
     """(id, sh: bit-packed int64) — SimHash per document, computed
     shuffle-FREE in a vectorized Arrow kernel.
 
-    Each word-ngram shingle hashes to 64 bits — the LOW 8 md5 digest
-    bytes, little-endian, which is exactly DuckDB's
-    md5_number_lower(shingle): the choice makes the whole pipeline
-    SQL-replicable, so simhash_dups carries a full hash-match oracle
-    (queries_text.py::ORACLE_SIMHASH_DUPS) instead of a rows-only
-    record. md5's avalanche also needs no post-mix (the crc32 variant
-    this replaces had to splitmix64-finalize because crc32 is linear
-    and correlated shingles degenerated SimHash to all-pairs).
-    np.unpackbits tallies the per-bit votes for a whole doc at once.
-    History: v1 did explode + 64 SUM aggregates (the codegen-friendly
-    expression shape, still used by MinHash where the md5 oracle pins
-    the hash function) — correct, but it shuffles ~220 rows/doc just to
-    vote; the kernel votes inside the scan and ships 1 row/doc."""
-    import hashlib
-
+    Shingle hashing is fully vectorized — no per-shingle Python or
+    hashlib calls. Per doc: codepoints (utf-32 view) -> whitespace
+    mask -> word spans -> every word's poly hash at once via the
+    prefix-hash trick (mod-2^64 arithmetic is a ring, and the odd base
+    has a modular inverse, so hash[a,b) = B^(b-1) * (S[b]-S[a]) where
+    S is one wrapping cumsum over codepoint*B^-i — two O(len) numpy
+    passes replace O(words*len) folding) -> n-gram poly combine ->
+    np.unique -> splitmix64 finalize. History: v1 exploded shingles
+    into 64 SUM aggregates (shuffled ~220 rows/doc); v2 voted in-scan
+    but paid an interpreted md5 per shingle for oracle provability
+    (~1.3x vs the crc32 it replaced); v3 keeps the oracle (poly hash
+    and splitmix64 replay exactly in DuckDB HUGEINT ops, the same
+    strategy as the winnowing rolling hash) and removes the per-shingle
+    Python loop. np.unpackbits tallies the per-bit votes for a whole
+    doc at once."""
     import numpy as np
 
+    B, BINV = np.uint64(SIMHASH_B), np.uint64(SIMHASH_BINV)
+    ws_set = np.array(_UNICODE_WS, dtype=np.uint32)
+
     def kernel(batches):
+        powB = np.ones(1, dtype=np.uint64)
+        powBINV = np.ones(1, dtype=np.uint64)
         for pdf in batches:
             ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                ws = str(text).split()
-                if len(ws) < ngram:
+            texts = [str(t) for t in pdf[text_col]]
+            maxlen = max((len(t) for t in texts), default=0)
+            if maxlen + 1 > len(powB):
+                powB = np.ones(maxlen + 1, dtype=np.uint64)
+                np.multiply.accumulate(
+                    np.full(maxlen, B, dtype=np.uint64), out=powB[1:])
+                powBINV = np.ones(maxlen + 1, dtype=np.uint64)
+                np.multiply.accumulate(
+                    np.full(maxlen, BINV, dtype=np.uint64), out=powBINV[1:])
+            for doc_id, text in zip(pdf[id_col], texts):
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32)
+                m = ~np.isin(cp, ws_set)
+                d = np.diff(m.astype(np.int8))
+                starts = np.flatnonzero(d == 1) + 1
+                ends = np.flatnonzero(d == -1) + 1
+                if len(m) and m[0]:
+                    starts = np.concatenate(([0], starts))
+                if len(m) and m[-1]:
+                    ends = np.concatenate((ends, [len(m)]))
+                if len(starts) < ngram:
                     continue
-                shingles = {
-                    " ".join(ws[i:i + ngram])
-                    for i in range(len(ws) - ngram + 1)
-                }
-                h = np.fromiter(
-                    (int.from_bytes(
-                        hashlib.md5(s.encode()).digest()[8:16], "little")
-                     for s in shingles),
-                    dtype=np.uint64, count=len(shingles),
-                )
+                codes = cp.astype(np.uint64)
+                s0 = np.concatenate(
+                    ([np.uint64(0)],
+                     np.cumsum(codes * powBINV[:len(codes)],
+                               dtype=np.uint64)))
+                hw = powB[ends - 1] * (s0[ends] - s0[starts])
+                g = hw[:len(hw) - ngram + 1].copy()
+                for j in range(1, ngram):
+                    g = g * B + hw[j:len(hw) - ngram + 1 + j]
+                u = np.unique(g)
+                h = _splitmix64_np(u)
                 bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
                                      axis=1, bitorder="little")
                 # signed! uint8 sums promote to uint64 and *2-n underflows
-                votes = bits.sum(axis=0).astype(np.int64) * 2 \
-                    - len(shingles)
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(u)
                 packed = np.packbits(
                     (votes > 0).astype(np.uint8), bitorder="little"
                 ).view(np.int64)[0]  # int64 view keeps the bit pattern
@@ -499,15 +558,28 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
 
     Adaptive execution (same shape as a broadcast-join threshold): the
     gate input is the EDGE-LIST size — near-dup pair lists are a tiny
-    fraction of corpus rows — never the corpus. One probe job fetches
-    up to threshold+1 edges; at or under the threshold that probe IS
-    the edge list and a driver-local union-find (the property test's
-    own oracle algorithm) labels it with zero per-round jobs. Over the
-    threshold the probe is discarded (bounded read) and the distributed
-    loop runs unchanged; 0 forces it (used by the property test).
+    fraction of corpus rows — never the corpus. The edge list is
+    checkpointed EAGERLY first (one fully-parallel job; every upstream
+    pair-pipeline partition runs exactly once), then a bounded probe
+    reads up to threshold+1 edges from the checkpoint; at or under the
+    threshold a driver-local union-find (the property test's own oracle
+    algorithm) labels them with zero per-round jobs, otherwise the
+    distributed loop re-joins the same checkpoint every round. History:
+    the probe used to run limit().collect() directly on the LAZY pair
+    pipeline — executeTake's serial partition ramp-up (1, 4, 16, ...
+    waves) ran the expensive matmul/minhash partitions one wave at a
+    time with run-dependent wave counts, measured 1.3-5.5s run-to-run
+    on embedding_dup_clusters; the eager checkpoint pinned it (and the
+    distributed path no longer evaluates the upstream twice for the
+    swapped union — it reuses the checkpoint). Total work is never
+    worse: the over-threshold regime recomputed the full edge list for
+    the loop anyway. 0 forces the distributed loop (property test).
     Both paths yield label = min node id per component.
     """
-    edge_list = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edge_list = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .localCheckpoint(eager=True)
+    )
     if local_edge_threshold:
         probe = edge_list.limit(local_edge_threshold + 1).collect()
         if len(probe) <= local_edge_threshold:
@@ -518,12 +590,10 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                 T.StructType([T.StructField("node", dt),
                               T.StructField("label", dt)]),
             )
-    # Materialize the edge list ONCE: it is re-joined every round, and
-    # without this each iteration re-evaluates the full upstream pair
-    # pipeline (MinHash/SimHash lineage) — measured 12s -> ~5s at sf0.1.
     sym = (
         edge_list
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(edge_list.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
         .localCheckpoint(eager=False)
     )
     labels = (

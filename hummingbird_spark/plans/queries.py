@@ -1488,48 +1488,43 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r5 rotation. Every registry query has a green record
-    # (r1∪r2∪r3∪r4; r4's window refreshed the r1-stale set), so this
-    # window is first HASH-proof for the two queries that gained full
-    # SQL oracles this round (simhash_dups: md5_number_lower bit-vote
-    # replica; knn_lsh: inlined-hyperplane replica), then refresh in
-    # least-recently-verified order: the 6 names whose latest record
-    # is still round 1, then the round-2-recorded set. Rows-only
-    # names sit last — their weaker rows-check record is the least
-    # valuable use of the driver's ~50 slots.
-    # new this round (distributed k-means; Kneser-Ney trigram LM;
-    # SCD2 history; DSIR importance resampling) — never recorded
-    "kmeans_assign", "kmeans_sizes", "kn_perplexity", "scd2_history",
-    "cluster_sample", "kn_perplexity_capped", "semantic_decontamination",
-    "dsir_logweights", "dsir_selection", "dsir_selection_distributed",
-    "simhash_dups", "knn_lsh",
-    # gained full SQL payload/DSP replicas this round (multimodal
-    # surrogate kernels are deterministic hash math) — first hash proof
-    "media_pipeline", "audio_windows",
-    # changed semantics this round (capped headline) + its new exact
-    # companion — both need fresh hash proof
-    "perplexity_outliers", "perplexity_outliers_exact",
-    # latest record: round 1
-    "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
-    "dedup_exact", "exact_dup_groups",
+    # r6 rotation. Every registry query is latest-green; refresh in
+    # least-recently-verified order so no name's latest record ages
+    # past round 3. Window budget ~50: queries whose values CHANGED
+    # this round lead (they need fresh hash proof against the new
+    # algorithm), then the 16 oracle-backed names whose latest record
+    # is round 2, then the oldest round-3 names. The 3 rows-only
+    # round-2 names close the window — their weaker rows-check is
+    # cheap and keeps them inside the no-older-than-r3 invariant.
+    # changed this round: vectorized poly-hash + splitmix64 shingle
+    # hashing (new hash values, oracle updated in lockstep)
+    "simhash_dups",
     # latest record: round 2 (oracle-backed)
-    "priority_linestatus", "pipeline_status_rollup", "funnel_steps",
-    "cohort_retention", "session_stats", "running_revenue",
-    "moving_avg_revenue", "seg_first_last", "percent_rank_balance",
-    "region_nations_agg", "corr_price_qty", "histogram_price",
-    "top_orders_per_cust", "ntile_quartiles", "event_transitions",
-    "dow_activity", "stratified_sample", "dataset_split",
-    "dup_group_histogram", "minhash_dups", "dup_clusters",
-    "token_diversity", "hash_sample", "ngram_jaccard",
-    "corpus_curation", "tfidf_dup_pairs", "winnow_pairs",
-    "knn_exact", "embedding_top_pairs", "pivot_event_values",
-    "token_frequencies", "win_tumbling", "win_sliding", "win_session",
-    "asof_attribution", "range_join_week", "cube_agg",
-    "grouping_sets", "min_cost_supplier", "market_share",
-    "product_profit", "important_stock", "excess_suppliers",
-    "waiting_suppliers",
+    "embedding_top_pairs", "pivot_event_values", "token_frequencies",
+    "win_tumbling", "win_sliding", "win_session", "asof_attribution",
+    "range_join_week", "cube_agg", "grouping_sets",
+    "min_cost_supplier", "market_share", "product_profit",
+    "important_stock", "excess_suppliers", "waiting_suppliers",
+    # latest record: round 3 (oldest hash proofs after the r2 set)
+    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
+    "pipeline_bucket", "embedding_dup_clusters", "segment_dup_stats",
+    "classifier_quality_mix", "quality_canonical_dedup",
+    "vector_search_pipeline", "bm25_topk", "hybrid_rrf",
+    "lm_data_prep", "cross_source_dups", "asof_next_purchase",
+    "docgen_all_types", "pack_sequences", "mixture_rebalance",
+    "mixture_temperature", "rfm_segments", "weekly_active_users",
+    "basket_pairs", "decile_stats", "first_order_gap",
+    "order_price_bands", "supplier_fill_rate", "order_seasonality",
+    "events_sessionized", "top_users", "doc_pii_scrub",
     # latest record: round 2 (rows-only by design)
     "knn_ivf", "approx_distinct", "sample_group",
+    # remaining round-3 names, in case the window runs deeper than 50
+    "doc_fingerprint", "doc_outliers", "shingle_stats",
+    "quality_mixture", "minhash_signature_probe", "embedding_norms",
+    "ivf_recall_probe", "pipeline_window_fields",
+    "pipeline_densify_fill", "pipeline_expressions", "doc_chunks",
+    "keep_newest_orders", "profile_orders", "decontamination",
+    "c4_filter_stats", "repetition_stats", "bpe_fertility",
 ]
 
 QUERIES = {

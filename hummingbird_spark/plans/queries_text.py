@@ -623,42 +623,78 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, max_hamming=3, ngram=3)
 
 
+_SIMHASH_M64 = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _wrapmul_sql(z: str, k: int) -> str:
+    """SQL for (z * k) mod 2^64 with z < 2^64 and k a 64-bit constant.
+    The direct HUGEINT product of two near-2^64 operands overflows
+    int128, so split z into 32-bit halves: z*k = zl*k + (zh*k mod 2^32)
+    * 2^32 (mod 2^64) — every intermediate stays under 2^96."""
+    return (f"((({z}) % 4294967296) * {k}::HUGEINT"
+            f" + ((({z}) // 4294967296) * {k}::HUGEINT % 4294967296)"
+            f" * 4294967296) % {_SIMHASH_M64}")
+
+
+def _splitmix64_sql(z: str) -> str:
+    """SQL replica of the splitmix64 finalizer (validated term-by-term
+    against the numpy kernel over random 64-bit inputs)."""
+    s1 = f"(({z}) + 11400714819323198485::HUGEINT) % {_SIMHASH_M64}"
+    s2 = _wrapmul_sql(f"xor(({s1}), ({s1}) >> 30)", 0xBF58476D1CE4E5B9)
+    s3 = _wrapmul_sql(f"xor(({s2}), ({s2}) >> 27)", 0x94D049BB133111EB)
+    return f"xor(({s3}), ({s3}) >> 31)"
+
+
 def _simhash_oracle_sql() -> str:
     """Full-algorithm DuckDB replica of the SimHash pipeline (same
-    strategy as ORACLE_WINNOW's rolling-hash replica): word 3-gram
-    shingles -> per-shingle 64-bit hash (md5_number_lower == the
-    kernel's low-8-md5-bytes little-endian) -> per-bit majority vote ->
-    packed signed 64-bit SimHash -> 4x16-bit banded candidate pairs ->
-    exact hamming via bit_count(xor). The 64 vote terms are generated
-    here rather than hand-written; the banded candidate join is
-    replicated too (not just hamming<=3 over all pairs) so the oracle
-    would catch a banding bug that loses a candidate pair.
+    strategy as ORACLE_WINNOW's rolling-hash replica): per-word
+    codepoint poly hash (FNV64-prime base, mod 2^64 via list_reduce —
+    products stay under 2^104 so plain HUGEINT arithmetic suffices) ->
+    per-3-gram poly combine -> DISTINCT combined values -> splitmix64
+    finalize (the two 64x64 wrap multiplies via _wrapmul_sql's 32-bit
+    split) -> per-bit majority vote -> packed signed 64-bit SimHash ->
+    4x16-bit banded candidate pairs -> exact hamming via
+    bit_count(xor). The 64 vote terms are generated here rather than
+    hand-written; the banded candidate join is replicated too (not
+    just hamming<=3 over all pairs) so the oracle would catch a
+    banding bug that loses a candidate pair.
 
-    Tokenization note: the kernel uses Python str.split() (Unicode
-    whitespace), the oracle RE2 '\\s+' (ASCII whitespace). They agree
-    on the fixture, which is verified to contain no exotic whitespace
-    — a corpus with U+00A0-style separators would need the kernel
-    pinned to ASCII splitting first."""
+    Tokenization note: the kernel splits on the exact str.split()
+    Unicode-whitespace set, the oracle RE2 '\\s+' (ASCII whitespace).
+    They agree on the fixture, which is verified to contain no exotic
+    whitespace — a corpus with U+00A0-style separators would need the
+    kernel pinned to ASCII splitting first."""
+    from hummingbird_spark.operators.dedup import SIMHASH_B
+
     vote_terms = "\n      + ".join(
         f"(CASE WHEN 2 * SUM(CAST((h >> {i}) & 1 AS BIGINT)) > COUNT(*) "
         f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
         for i in range(64)
     )
+    wh = ("list_reduce(list_prepend(0::HUGEINT, "
+          "list_transform(string_split(w, ''), c -> unicode(c)::HUGEINT)), "
+          f"(a, c) -> (a * {SIMHASH_B}::HUGEINT + c) % {_SIMHASH_M64})")
     return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'),
                      w -> w <> '') AS ws
   FROM documents WHERE text IS NOT NULL
+), wh AS (
+  SELECT doc_id,
+         list_transform(ws, w -> {wh}) AS hs
+  FROM toks WHERE len(ws) >= 3
 ), grams AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, len(ws) - 1),
-                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+           unnest(list_transform(range(1, len(hs) - 1),
+                  i -> ((hs[i] * {SIMHASH_B}::HUGEINT + hs[i + 1])
+                        % {_SIMHASH_M64} * {SIMHASH_B}::HUGEINT
+                        + hs[i + 2]) % {_SIMHASH_M64}))
              AS g
-    FROM toks WHERE len(ws) >= 3)
+    FROM wh)
 ), hashed AS (
-  SELECT doc_id, md5_number_lower(g) AS h FROM grams
+  SELECT doc_id, {_splitmix64_sql('g')} AS h FROM grams
 ), sim AS (
   SELECT doc_id,
       {vote_terms} AS up
