@@ -222,6 +222,17 @@ def cluster_balanced_sample(df: DataFrame, k: int = 8,
     exactly."""
     a = kmeans_assign(df, k, iterations, vec_col, id_col) \
         .localCheckpoint(eager=False)  # counts + sample share the pass
+    return balanced_sample_from_assignment(a, k, n_per_cluster, id_col)
+
+
+def balanced_sample_from_assignment(a: DataFrame, k: int,
+                                    n_per_cluster: int,
+                                    id_col: str = "vec_id") -> DataFrame:
+    """The sampling phase of `cluster_balanced_sample`, split out so it
+    composes with any (id, cluster, dist2) assignment frame and so the
+    skew probe (scripts/skew_probe_cluster_sample.py) can A/B the
+    shipped two-phase cutoff against the naive full window sort on an
+    adversarial hot-cluster assignment without re-fitting k-means."""
     counts = {r["cluster"]: r["n"]
               for r in a.groupBy("cluster").count()
               .withColumnRenamed("count", "n").collect()}

@@ -249,7 +249,13 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
         .select("bg", nll.alias("__nll"))
     )
     return (
-        doc_bi.join(model, "bg")
+        # shuffle_hash, pinned: the uncapped model is the Heaps term —
+        # Catalyst would broadcast it at mid scale (estimate under the
+        # 64 MB threshold) and that build grows without bound with the
+        # corpus; the shuffle join is the only plan that survives
+        # every scale (same rationale as kn_trigram_perplexity's
+        # type-grain pins)
+        doc_bi.join(model.hint("shuffle_hash"), "bg")
         .groupBy(id_col)
         .agg(
             F.round(
@@ -374,11 +380,19 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
     if model_top_k is not None:
         # TakeOrdered, not a global sort; deterministic tie-break
         kept = c3.orderBy(F.desc("c3"), "tg").limit(model_top_k)
+        # the accumulating left side is <= K rows at every step —
+        # broadcast IT explicitly; without the hints Catalyst would
+        # pick the type-grain tables as build sides whenever their
+        # estimate clears the 64 MB threshold (see shuffle_hash note
+        # below — four near-threshold HashedRelations OOMed the driver
+        # at 200k adversarial docs)
         model_kept = (
-            kept.join(ctx2, ["u", "v"])
-            .join(cont, ["v", "w"])
-            .join(midv, "v")
-            .join(unic, "w")
+            F.broadcast(kept).join(ctx2, ["u", "v"])
+        )
+        model_kept = F.broadcast(model_kept).join(cont, ["v", "w"])
+        model_kept = F.broadcast(model_kept).join(midv, "v")
+        model_kept = (
+            F.broadcast(model_kept).join(unic, "w")
             .crossJoin(F.broadcast(ntypes))
             .select("tg", (-F.log(p3)).alias("__nll"))
         )
@@ -395,6 +409,16 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
                * p_cont)
         )
         dparts = F.split(F.col("tg"), " ")
+        # shuffle_hash, pinned: ctx2/cont/midv/unic are TYPE-grain
+        # tables — they grow with the corpus (the Heaps term) and must
+        # never be broadcast at scale. Left to Catalyst, each one gets
+        # broadcast whenever its estimate clears the 64 MB session
+        # threshold; at mid scale (200k adversarial docs,
+        # scripts/skew_probe_kn.py) building four near-threshold
+        # HashedRelations concurrently OOMed the 8 GB driver. The
+        # shuffle join is the right plan at every scale: keys
+        # co-partition, the build side is one row per key, and a hot
+        # probe-side context fans out into AQE's skew split.
         pruned = (
             scored.filter(F.col("__nll").isNull())
             .select(
@@ -402,10 +426,10 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
                 dparts[0].alias("u"), dparts[1].alias("v"),
                 dparts[2].alias("w"),
             )
-            .join(ctx2, ["u", "v"])
-            .join(cont, ["v", "w"])
-            .join(midv, "v")
-            .join(unic, "w")
+            .join(ctx2.hint("shuffle_hash"), ["u", "v"])
+            .join(cont.hint("shuffle_hash"), ["v", "w"])
+            .join(midv.hint("shuffle_hash"), "v")
+            .join(unic.hint("shuffle_hash"), "w")
             .crossJoin(F.broadcast(ntypes))
             .select(id_col, "d_cnt", pruned_nll.alias("__nll"))
         )
@@ -413,12 +437,14 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
             .select(id_col, "d_cnt", "__nll")
         return _finish(kept_rows.unionByName(pruned))
 
+    # same shuffle_hash pins as the pruned path above: every build
+    # side here is a corpus-growing type-grain table
     model = (
-        c3.join(ctx2, ["u", "v"])
-        .join(cont, ["v", "w"])
-        .join(midv, "v")
-        .join(unic, "w")
+        c3.join(ctx2.hint("shuffle_hash"), ["u", "v"])
+        .join(cont.hint("shuffle_hash"), ["v", "w"])
+        .join(midv.hint("shuffle_hash"), "v")
+        .join(unic.hint("shuffle_hash"), "w")
         .crossJoin(F.broadcast(ntypes))
         .select("tg", (-F.log(p3)).alias("__nll"))
     )
-    return _finish(doc_tg.join(model, "tg"))
+    return _finish(doc_tg.join(model.hint("shuffle_hash"), "tg"))
