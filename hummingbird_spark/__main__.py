@@ -360,6 +360,14 @@ def main(argv: list[str] | None = None) -> int:
                           "per cluster instead of the full assignment")
     clu.add_argument("--vec-col", default="embedding")
     clu.add_argument("--id-col", default="vec_id")
+    mix = sub.add_parser("mixture")
+    mix.add_argument("src", help="source documents parquet")
+    mix.add_argument("--budget", type=float, required=True,
+                     help="total training-token budget to allocate")
+    mix.add_argument("--epoch-cap", type=float, default=4.0,
+                     help="max repeats of any source (UniMax N)")
+    mix.add_argument("--source-col", default="source")
+    mix.add_argument("--text-col", default="text")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -511,6 +519,35 @@ def main(argv: list[str] | None = None) -> int:
             "command": "dsir", "n_input": n_in, "k": args.k,
             "n_selected": n_out, "distributed": bool(args.distributed),
             "out": args.out,
+        }))
+        return 0
+    if args.command == "mixture":
+        from pyspark.sql import functions as _F
+
+        from hummingbird_spark.functions.text import token_count
+        from hummingbird_spark.operators.mixture import unimax_allocation
+
+        spark = get_spark(app_name="hummingbird_mixture")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(args.src)
+        counts = docs.groupBy(args.source_col).agg(
+            _F.sum(token_count(_F.col(args.text_col))).alias("n_tokens"))
+        rows = unimax_allocation(
+            counts, budget=args.budget, epoch_cap=args.epoch_cap,
+            source_col=args.source_col,
+        ).orderBy(args.source_col).collect()
+        print(json.dumps({
+            "command": "mixture", "budget": args.budget,
+            "epoch_cap": args.epoch_cap,
+            "n_sources": len(rows),
+            "allocated": round(sum(r["allocation"] for r in rows), 4),
+            "sources": [
+                {"source": r[args.source_col],
+                 "n_tokens": r["n_tokens"],
+                 "allocation": r["allocation"],
+                 "epochs": r["epochs"], "weight": r["weight"]}
+                for r in rows
+            ],
         }))
         return 0
     if args.command == "cluster":

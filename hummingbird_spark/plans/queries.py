@@ -1471,6 +1471,7 @@ from hummingbird_spark.plans.queries_gen import GEN_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r3 import R3_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r4 import R4_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r5 import R5_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_r6 import R6_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
@@ -1478,6 +1479,7 @@ from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
     **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES, **R5_QUERIES,
+    **R6_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1496,6 +1498,9 @@ _VERIFY_FIRST = [
     # is round 2, then the oldest round-3 names. The 3 rows-only
     # round-2 names close the window — their weaker rows-check is
     # cheap and keeps them inside the no-older-than-r3 invariant.
+    # new this round (UniMax waterfill; count-min sketch; trigram
+    # novelty) — never recorded
+    "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
     # changed this round: vectorized poly-hash + splitmix64 shingle
     # hashing (new hash values, oracle updated in lockstep)
     "simhash_dups",

@@ -1,0 +1,241 @@
+"""Round-6 registry queries — three additions to the training-data
+operator family, each with a full DuckDB oracle:
+
+  unimax_mixture   — UniMax epoch-capped budget allocation (Chung et
+      al., ICLR 2023): the waterfill closed form as two window
+      expressions over the per-source token counts;
+  cms_heavy_hitters — count-min sketch (Cormode & Muthukrishnan 2005)
+      built at token grain, probed with the corpus's true top-k; the
+      one-sided error (overshoot >= 0) is visible in the result and
+      the oracle replays the hashing bit-for-bit;
+  doc_novelty      — per-doc fraction of distinct word trigrams that
+      appear in NO other document (the n-gram diversity contribution
+      score a curation pass uses to protect rare content from
+      aggressive dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbird_spark.sources.tables import load_table
+
+# tokens(text) in DuckDB, the idiom every text oracle here pins
+_TOKS = (r"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+         r"ELSE string_split_regex(trim(text), '\s+') END")
+
+# --------------------------------------------------------------------------
+# UniMax mixture allocation
+_UM_EPOCHS = 2.0
+_UM_BUDGET = 52_000.0    # just under the sf0.01 corpus capacity
+                         # (54,330): the fixture lands 9 sources on the
+                         # capped side of the crossover and 11 on the
+                         # equal-share side
+
+
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.functions.text import token_count
+    from hummingbird_spark.operators.mixture import unimax_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    return unimax_allocation(
+        counts, budget=_UM_BUDGET, epoch_cap=_UM_EPOCHS
+    ).orderBy("source")
+
+
+ORACLE_UNIMAX = rf"""
+WITH c AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+m AS (
+  -- CAST: a bare 2.0 literal parses as DECIMAL and would type the
+  -- capacity column (and every window sum over it) as DECIMAL, not
+  -- the DOUBLE the Spark side carries
+  SELECT source, n_tokens,
+         CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens AS capacity,
+         row_number() OVER w AS k,
+         COUNT(*) OVER () AS n,
+         COALESCE(SUM(CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens) OVER (
+           ORDER BY CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS prev
+  FROM c
+  WINDOW w AS (ORDER BY CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens, source)
+),
+f AS (
+  SELECT *, capacity * (n - k + 1) <= {_UM_BUDGET} - prev AS capped
+  FROM m
+),
+g AS (
+  SELECT *,
+         SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+         COALESCE(SUM(CASE WHEN capped THEN capacity END) OVER (), 0.0)
+           AS s_capped
+  FROM f
+),
+alloc AS (
+  SELECT source, n_tokens, capacity,
+         round(CASE WHEN capped THEN capacity
+                    WHEN n > n_capped
+                      THEN ({_UM_BUDGET} - s_capped)
+                           / CAST(n - n_capped AS DOUBLE)
+                    ELSE 0.0 END, 4) AS allocation
+  FROM g
+)
+SELECT source, n_tokens, capacity, allocation,
+       CASE WHEN n_tokens > 0 THEN round(allocation / n_tokens, 6)
+            ELSE 0.0 END AS epochs,
+       round(allocation / {_UM_BUDGET}, 6) AS weight
+FROM alloc ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_K = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trigram grain: ~16k types at sf0.01 against 4x1024 counters, so
+    # bucket collisions are real and the one-sided error is visibly
+    # nonzero in the result (a unigram sketch over this fixture's
+    # 31-token vocabulary would be trivially collision-free)
+    from hummingbird_spark.operators.sketch import cms_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, top_k=_CMS_K, depth=_CMS_D,
+                             width=_CMS_W, gram="trigram")
+
+
+ORACLE_CMS = rf"""
+WITH ws AS (
+  SELECT list_transform({_TOKS}, w -> lower(w)) AS ws FROM documents
+),
+toks AS (
+  SELECT unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+           AS tok
+  FROM ws WHERE len(ws) >= 3
+),
+tc AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT {_CMS_K}
+),
+hashed AS (
+  SELECT r.i AS row,
+         ('0x' || substr(md5(r.i::VARCHAR || ':' || tok), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket,
+         cnt
+  FROM tc, (SELECT unnest(range(0, {_CMS_D})) AS i) r
+),
+sk AS (
+  SELECT row, bucket, SUM(cnt) AS scnt FROM hashed GROUP BY 1, 2
+),
+est AS (
+  SELECT t.tok, MIN(COALESCE(s.scnt, 0)) AS cms_est
+  FROM top t
+  CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i) r
+  LEFT JOIN sk s
+    ON s.row = r.i
+   AND s.bucket = ('0x' || substr(md5(r.i::VARCHAR || ':' || t.tok),
+                                  1, 15))::BIGINT % {_CMS_W}
+  GROUP BY t.tok
+)
+SELECT top.tok, top.cnt, est.cms_est,
+       est.cms_est - top.cnt AS overshoot
+FROM top JOIN est USING (tok)
+ORDER BY top.cnt DESC, top.tok
+"""
+
+# --------------------------------------------------------------------------
+# Per-doc n-gram novelty
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc's distinct word-trigram set, scored by how much of it
+    is corpus-unique. One explode at DISTINCT-per-doc grain, one
+    trigram-grain aggregate (doc-frequency), one join back — all
+    equi-keyed on the trigram, partial-aggregated map-side. Docs with
+    <3 tokens score 0 novelty over 0 trigrams (kept in the output so
+    the score is total over the corpus)."""
+    from hummingbird_spark.functions.text import doc_trigrams
+
+    d = load_table(spark, sf_dir, "documents")
+    tg = (
+        d.select("doc_id",
+                 F.explode(F.array_distinct(doc_trigrams(F.col("text"))))
+                 .alias("tg"))
+        .localCheckpoint(eager=False)  # df-count + per-doc join share it
+    )
+    df_counts = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        tg.join(df_counts, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg((F.col("df") == 1).cast("double")), 6)
+            .alias("novelty"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_NOVELTY = rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_transform({_TOKS}, w -> lower(w)) AS ws
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+             AS g
+    FROM ws WHERE len(ws) >= 3)
+),
+dfreq AS (
+  SELECT g, COUNT(*) AS df FROM tg GROUP BY g
+),
+per_doc AS (
+  SELECT tg.doc_id, COUNT(*) AS n_trigrams,
+         round(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6)
+           AS novelty
+  FROM tg JOIN dfreq USING (g) GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_trigrams, 0) AS n_trigrams,
+       COALESCE(p.novelty, 0.0) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+R6_QUERIES: dict = {
+    "unimax_mixture": (
+        q_unimax_mixture, ORACLE_UNIMAX,
+        "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),
+    "cms_heavy_hitters": (
+        q_cms_heavy_hitters, ORACLE_CMS,
+        "count-min sketch top-k probe, one-sided error visible"),
+    "doc_novelty": (
+        q_doc_novelty, ORACLE_DOC_NOVELTY,
+        "per-doc corpus-unique trigram fraction (diversity score)"),
+}

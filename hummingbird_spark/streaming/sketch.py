@@ -1,0 +1,117 @@
+"""Continuous count-min sketch maintenance — the streaming twin of
+`operators/sketch.py`, shaped exactly like the continuous rollup
+(streaming/rollup.py): per-batch partial counters merged additively
+into a persistent depth x width counter table, idempotent on
+checkpoint-replay via the same batch-id ledger discipline.
+
+Why this composes perfectly: a CMS is a PURELY ADDITIVE sketch — the
+merge of two sketches over disjoint data is element-wise counter
+addition, with no min/max/absorbing terms — so incremental maintenance
+is exact by algebra: the continuously-maintained sketch is
+bit-identical to one built from scratch over everything ingested
+(asserted in tests/test_streaming_sketch.py). The table is bounded at
+depth*width rows FOREVER, which makes this the one streaming state
+whose size is independent of stream length — the frequency monitor an
+always-on ingest pipeline can afford at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    partial: DataFrame,
+    sketch_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Add a batch's (row, bucket, cnt) partial counters into the
+    persistent sketch. Same ledger + double-rename swap discipline as
+    merge_rollup_batch (streaming/rollup.py), same caveat: the
+    non-atomic window is two adjacent renames; Delta/Iceberg would
+    close it for real."""
+    ledger = sketch_path + ".ledger"
+    applied: list[str] = []
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            applied = fh.read().split()
+    if batch_id is not None and str(batch_id) in applied:
+        return
+
+    p = (
+        partial
+        .withColumnRenamed("row", "__r")
+        .withColumnRenamed("bucket", "__b")
+        .withColumnRenamed("cnt", "__c")
+    )
+    if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
+        cur = spark.read.parquet(sketch_path)
+        merged = cur.join(
+            p, (cur.row == p.__r) & (cur.bucket == p.__b), "full_outer"
+        ).select(
+            F.coalesce(cur.row, p.__r).alias("row"),
+            F.coalesce(cur.bucket, p.__b).alias("bucket"),
+            (F.coalesce(cur.cnt, F.lit(0))
+             + F.coalesce(p.__c, F.lit(0))).alias("cnt"),
+        )
+    else:
+        merged = p.select(F.col("__r").alias("row"),
+                          F.col("__b").alias("bucket"),
+                          F.col("__c").alias("cnt"))
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{sketch_path}.__tmp_{token}"
+    merged.write.mode("overwrite").parquet(tmp)
+    ledger_tmp = None
+    if batch_id is not None:
+        ledger_tmp = f"{ledger}.__tmp_{token}"
+        with open(ledger_tmp, "w") as fh:
+            fh.write(" ".join([*applied, str(batch_id)]) + " ")
+    if os.path.exists(sketch_path):
+        shutil.rmtree(sketch_path)
+    os.rename(tmp, sketch_path)
+    if ledger_tmp is not None:
+        os.rename(ledger_tmp, ledger)
+
+
+def start_continuous_cms(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    schema,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    gram: str = "token",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source JSON stream -> per-batch CMS partials -> additive
+    merge. The sketch is queryable (read_cms / cms_estimate) while the
+    stream runs."""
+    from hummingbird_spark.operators.sketch import cms_build, token_counts
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        partial = cms_build(
+            token_counts(batch_df, text_col, gram), depth, width)
+        merge_cms_batch(spark, partial, sketch_path, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or sketch_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    return spark.read.parquet(sketch_path)

@@ -34,12 +34,18 @@ def _canon(v):
         return "\x00"
     if isinstance(v, bool):
         return "1" if v else "0"
+    # repr-strict on numerics, mirroring the driver's compare: a
+    # Decimal on one side and a float on the other MUST mismatch (the
+    # r6 unimax oracle typed capacity as DECIMAL via a bare 2.0
+    # literal — the old 6-sig-fig coercion hid it here while the
+    # driver-shaped harness caught it), and 6-sig-fig rounding would
+    # similarly mask sub-ppm float divergence the driver flags
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
+        return repr(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
