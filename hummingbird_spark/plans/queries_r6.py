@@ -137,10 +137,13 @@ hashed AS (
   FROM tc, (SELECT unnest(range(0, {_CMS_D})) AS i) r
 ),
 sk AS (
-  SELECT row, bucket, SUM(cnt) AS scnt FROM hashed GROUP BY 1, 2
+  -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, which pandas fetches as
+  -- float64 and would type-mismatch Spark's long
+  SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS scnt
+  FROM hashed GROUP BY 1, 2
 ),
 est AS (
-  SELECT t.tok, MIN(COALESCE(s.scnt, 0)) AS cms_est
+  SELECT t.tok, CAST(MIN(COALESCE(s.scnt, 0)) AS BIGINT) AS cms_est
   FROM top t
   CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i) r
   LEFT JOIN sk s
@@ -149,10 +152,10 @@ est AS (
                                   1, 15))::BIGINT % {_CMS_W}
   GROUP BY t.tok
 )
-SELECT top.tok, top.cnt, est.cms_est,
-       est.cms_est - top.cnt AS overshoot
+SELECT top.tok, CAST(top.cnt AS BIGINT) AS cnt, est.cms_est,
+       CAST(est.cms_est - top.cnt AS BIGINT) AS overshoot
 FROM top JOIN est USING (tok)
-ORDER BY top.cnt DESC, top.tok
+ORDER BY cnt DESC, top.tok
 """
 
 # --------------------------------------------------------------------------
