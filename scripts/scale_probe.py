@@ -95,6 +95,13 @@ PROBES = [
     # through the c3=0 backoff — the growth curve that should flatten
     ("kn_perplexity_capped", ["documents"]),
     ("scd2_history", ["events"]),
+    # r6: UniMax waterfill (corpus scan + tiny window frame), CMS at
+    # trigram grain (sketch build is the Heaps-term aggregation the
+    # counter table bounds), trigram novelty (distinct-grain explode +
+    # type-grain aggregate + equi-join)
+    ("unimax_mixture", ["documents"]),
+    ("cms_heavy_hitters", ["documents"]),
+    ("doc_novelty", ["documents"]),
 ]
 
 EMB_COPIES = 4
