@@ -360,6 +360,18 @@ def main(argv: list[str] | None = None) -> int:
                           "per cluster instead of the full assignment")
     clu.add_argument("--vec-col", default="embedding")
     clu.add_argument("--id-col", default="vec_id")
+    qcls = sub.add_parser("classifier")
+    qcls.add_argument("src", help="source documents parquet")
+    qcls.add_argument("out", help="scored output parquet")
+    qcls.add_argument("--label", required=True,
+                      help="Spark SQL boolean expr defining the seed "
+                           "positives, e.g. \"lang = 'en'\"")
+    qcls.add_argument("--buckets", type=int, default=1024)
+    qcls.add_argument("--iterations", type=int, default=8)
+    qcls.add_argument("--lr", type=float, default=0.5)
+    qcls.add_argument("--threshold", type=float, default=None,
+                      help="if set, write only rows with score >= T "
+                           "(the quality-filter cut)")
     mix = sub.add_parser("mixture")
     mix.add_argument("src", help="source documents parquet")
     mix.add_argument("--budget", type=float, required=True,
@@ -518,6 +530,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "command": "dsir", "n_input": n_in, "k": args.k,
             "n_selected": n_out, "distributed": bool(args.distributed),
+            "out": args.out,
+        }))
+        return 0
+    if args.command == "classifier":
+        from pyspark.sql import functions as _F
+
+        from hummingbird_spark.operators.classifier import (
+            score_hashed_logreg, train_hashed_logreg)
+
+        spark = get_spark(app_name="hummingbird_classifier")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(args.src)
+        w = train_hashed_logreg(
+            docs, _F.expr(args.label), buckets=args.buckets,
+            iterations=args.iterations, lr=args.lr)
+        scored = score_hashed_logreg(docs, w, buckets=args.buckets)
+        out = docs.join(scored, "doc_id")
+        if args.threshold is not None:
+            out = out.filter(_F.col("score") >= args.threshold)
+        out.write.mode("overwrite").parquet(args.out)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "command": "classifier", "n_input": n_in,
+            "n_output": n_out, "buckets": args.buckets,
+            "iterations": args.iterations,
+            "threshold": args.threshold,
+            "nonzero_weights": sum(1 for x in w if x != 0),
             "out": args.out,
         }))
         return 0

@@ -11,7 +11,14 @@ operator family, each with a full DuckDB oracle:
   doc_novelty      — per-doc fraction of distinct word trigrams that
       appear in NO other document (the n-gram diversity contribution
       score a curation pass uses to protect rare content from
-      aggressive dedup).
+      aggressive dedup);
+  classifier_scores / classifier_eval — the TRAINED hashed-bag
+      quality classifier (quantized-GD logistic regression,
+      operators/classifier.py): per-doc scores under weights fitted
+      on the corpus's own seed labels, and its exact rank-sum
+      AUC/accuracy; the oracle replays all T training iterations as
+      unrolled CTEs (the k-means discipline applied to gradient
+      descent).
 """
 
 from __future__ import annotations
@@ -231,7 +238,199 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Trained hashed-bag quality classifier (quantized-GD logistic regression)
+_QC_B = 64
+_QC_T = 3
+_QC_LR = 0.5
+_QC_SALT = "qcls-v1"
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.classifier import train_and_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_and_score(
+        d, F.col("lang") == "en", buckets=_QC_B, iterations=_QC_T,
+        lr=_QC_LR, salt=_QC_SALT,
+    ).orderBy("doc_id")
+
+
+def _logreg_cte(buckets: int, iters: int, lr: float, salt: str) -> str:
+    """Unrolled-iteration replica of operators/classifier.py: hashed
+    counts -> T x (integer dot-product z, 6-dp sigmoid, integer
+    residual, per-cell-rounded integer gradient, half-away weight
+    update) -> final scores. All cross-row sums are integer sums, so
+    the replay is exact. AS MATERIALIZED: DuckDB's default CTE
+    inlining would re-derive the token pipeline inside every
+    iteration's joins (the kn_perplexity lesson)."""
+    parts = [f"""
+ctoks AS MATERIALIZED (
+  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+         lower(unnest({_TOKS})) AS w
+  FROM documents
+),
+ccnts AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5('{salt}' || w), 1, 15))::BIGINT
+           % {buckets} AS bucket,
+         COUNT(*) AS cnt
+  FROM ctoks GROUP BY 1, 2
+),
+cdocs AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, MIN(y) AS y
+  FROM ctoks GROUP BY 1
+),
+cn AS (SELECT COUNT(*) AS n FROM cdocs),
+w0 AS (SELECT unnest(range(0, {buckets + 1})) AS b, 0::BIGINT AS w)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+z{i} AS (
+  SELECT d.doc_id, d.len, d.y,
+         CAST(SUM(c.cnt * w.w)
+              + d.len * (SELECT w FROM w{i - 1} WHERE b = {buckets})
+              AS DOUBLE) / (d.len * {SCALE_QC}.0) AS z
+  FROM cdocs d JOIN ccnts c USING (doc_id)
+  JOIN w{i - 1} w ON w.b = c.bucket
+  GROUP BY d.doc_id, d.len, d.y
+),
+r{i} AS (
+  SELECT doc_id, len,
+         CAST(round((y - round(1.0 / (1.0 + exp(-z)), 6))
+                    * {SCALE_QC}) AS BIGINT) AS R
+  FROM z{i}
+),
+g{i} AS (
+  SELECT c.bucket AS b,
+         CAST(SUM(CAST(round(c.cnt * r.R / r.len) AS BIGINT))
+              AS BIGINT) AS g
+  FROM ccnts c JOIN r{i} r USING (doc_id) GROUP BY 1
+  UNION ALL
+  SELECT {buckets} AS b, CAST(SUM(R) AS BIGINT) AS g FROM r{i}
+),
+w{i} AS (
+  SELECT w.b,
+         w.w + CAST(round({lr} * COALESCE(g.g, 0) / cn.n) AS BIGINT)
+           AS w
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b) CROSS JOIN cn
+)""")
+    return "".join(parts)
+
+
+SCALE_QC = 1_000_000
+
+ORACLE_CLASSIFIER = rf"""
+WITH {_logreg_cte(_QC_B, _QC_T, _QC_LR, _QC_SALT)},
+sc AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(
+           CAST(SUM(c.cnt * w.w)
+                + d.len * (SELECT w FROM w{_QC_T} WHERE b = {_QC_B})
+                AS DOUBLE) / (d.len * {SCALE_QC}.0)))), 6) AS score
+  FROM cdocs d JOIN ccnts c USING (doc_id)
+  JOIN w{_QC_T} w ON w.b = c.bucket
+  GROUP BY d.doc_id, d.len
+)
+SELECT d.doc_id, COALESCE(s.score, 0.5) AS score,
+       CAST(d.lang = 'en' AS BIGINT) AS label
+FROM documents d LEFT JOIN sc s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact evaluation of the trained classifier against its own seed
+    labels: AUC by tie-averaged rank-sum (Mann-Whitney), accuracy at
+    the 0.5 cut, and the base rate — one row. Every term is exact
+    integer/rational arithmetic over the 6-dp scores, so the oracle
+    hash-matches; the ranking runs over the distinct-score aggregate
+    (bounded by score cardinality), not the corpus."""
+    from pyspark.sql.window import Window
+
+    from hummingbird_spark.operators.classifier import train_and_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = train_and_score(
+        d, F.col("lang") == "en", buckets=_QC_B, iterations=_QC_T,
+        lr=_QC_LR, salt=_QC_SALT)
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("label").alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    # avg rank of a tie group = below + (c+1)/2; rank-sum of positives
+    # = sum over groups of pos * avg_rank
+    agg = ranked.agg(
+        F.sum(F.col("pos")
+              * (F.col("below") + (F.col("c") + 1) / 2.0)).alias("rs"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).alias("nneg"),
+        F.sum(F.when(F.col("score") > 0.5, F.col("pos"))
+              .otherwise(F.col("c") - F.col("pos"))).alias("correct"),
+        F.sum("c").alias("n"),
+    )
+    return agg.select(
+        F.round((F.col("rs") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+                / (F.col("npos") * F.col("nneg")), 6).alias("auc"),
+        F.round(F.col("correct") / F.col("n"), 6).alias("accuracy"),
+        F.round(F.col("npos") / F.col("n"), 6).alias("base_rate"),
+        F.col("n").alias("n_docs"),
+    )
+
+
+ORACLE_CLASSIFIER_EVAL = rf"""
+WITH {_logreg_cte(_QC_B, _QC_T, _QC_LR, _QC_SALT)},
+sc AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(
+           CAST(SUM(c.cnt * w.w)
+                + d.len * (SELECT w FROM w{_QC_T} WHERE b = {_QC_B})
+                AS DOUBLE) / (d.len * {SCALE_QC}.0)))), 6) AS score
+  FROM cdocs d JOIN ccnts c USING (doc_id)
+  JOIN w{_QC_T} w ON w.b = c.bucket
+  GROUP BY d.doc_id, d.len
+),
+scored AS (
+  SELECT COALESCE(s.score, 0.5) AS score,
+         CAST(d.lang = 'en' AS BIGINT) AS label
+  FROM documents d LEFT JOIN sc s USING (doc_id)
+),
+by_score AS (
+  SELECT score, COUNT(*) AS c, SUM(label) AS pos
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT *, COALESCE(SUM(c) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM by_score
+),
+agg AS (
+  SELECT SUM(pos * (below + (c + 1) / 2.0)) AS rs,
+         SUM(pos) AS npos, SUM(c - pos) AS nneg,
+         SUM(CASE WHEN score > 0.5 THEN pos ELSE c - pos END)
+           AS correct,
+         SUM(c) AS n
+  FROM ranked
+)
+SELECT round((rs - npos * (npos + 1) / 2.0) / (npos * nneg), 6) AS auc,
+       round(CAST(correct AS DOUBLE) / n, 6) AS accuracy,
+       round(CAST(npos AS DOUBLE) / n, 6) AS base_rate,
+       CAST(n AS BIGINT) AS n_docs
+FROM agg
+"""
+
+
 R6_QUERIES: dict = {
+    "classifier_scores": (
+        q_classifier_scores, ORACLE_CLASSIFIER,
+        "trained hashed-bag quality classifier (quantized-GD logreg)"),
+    "classifier_eval": (
+        q_classifier_eval, ORACLE_CLASSIFIER_EVAL,
+        "exact AUC / accuracy of the trained classifier (rank-sum)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -102,6 +102,9 @@ PROBES = [
     ("unimax_mixture", ["documents"]),
     ("cms_heavy_hitters", ["documents"]),
     ("doc_novelty", ["documents"]),
+    # quantized-GD training: T iterations x 2 scans of the hashed
+    # counts frame — growth should track rows, not vocabulary
+    ("classifier_scores", ["documents"]),
 ]
 
 EMB_COPIES = 4
