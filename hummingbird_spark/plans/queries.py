@@ -1501,7 +1501,7 @@ _VERIFY_FIRST = [
     # new this round (UniMax waterfill; count-min sketch; trigram
     # novelty) — never recorded
     "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
-    "classifier_scores", "classifier_eval",
+    "classifier_scores", "classifier_eval", "unimax_curated_sample",
     # changed this round: vectorized poly-hash + splitmix64 shingle
     # hashing (new hash values, oracle updated in lockstep)
     "simhash_dups",

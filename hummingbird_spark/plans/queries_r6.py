@@ -1,5 +1,5 @@
-"""Round-6 registry queries — three additions to the training-data
-operator family, each with a full DuckDB oracle:
+"""Round-6 registry queries — additions to the training-data operator
+family, each with a full DuckDB oracle:
 
   unimax_mixture   — UniMax epoch-capped budget allocation (Chung et
       al., ICLR 2023): the waterfill closed form as two window
@@ -18,7 +18,11 @@ operator family, each with a full DuckDB oracle:
       on the corpus's own seed labels, and its exact rank-sum
       AUC/accuracy; the oracle replays all T training iterations as
       unrolled CTEs (the k-means discipline applied to gradient
-      descent).
+      descent);
+  unimax_curated_sample — the UniMax allocation MATERIALIZED: keep
+      rate min(1, allocation/n_tokens) per source, md5-mod doc
+      membership, realized per-source doc/token counts — mixture
+      design driving an actual shuffle-free downsample.
 """
 
 from __future__ import annotations
@@ -53,29 +57,31 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-ORACLE_UNIMAX = rf"""
-WITH c AS (
+def _unimax_cte(budget: float, epochs: float) -> str:
+    """c -> alloc CTE chain replicating operators/mixture.py; shared
+    by ORACLE_UNIMAX and ORACLE_UNIMAX_CURATED."""
+    return rf"""c AS (
   SELECT source,
          CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 m AS (
-  -- CAST: a bare 2.0 literal parses as DECIMAL and would type the
+  -- CAST: a bare float literal parses as DECIMAL and would type the
   -- capacity column (and every window sum over it) as DECIMAL, not
   -- the DOUBLE the Spark side carries
   SELECT source, n_tokens,
-         CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens AS capacity,
+         CAST({epochs} AS DOUBLE) * n_tokens AS capacity,
          row_number() OVER w AS k,
          COUNT(*) OVER () AS n,
-         COALESCE(SUM(CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens) OVER (
-           ORDER BY CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens, source
+         COALESCE(SUM(CAST({epochs} AS DOUBLE) * n_tokens) OVER (
+           ORDER BY CAST({epochs} AS DOUBLE) * n_tokens, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
            AS prev
   FROM c
-  WINDOW w AS (ORDER BY CAST({_UM_EPOCHS} AS DOUBLE) * n_tokens, source)
+  WINDOW w AS (ORDER BY CAST({epochs} AS DOUBLE) * n_tokens, source)
 ),
 f AS (
-  SELECT *, capacity * (n - k + 1) <= {_UM_BUDGET} - prev AS capped
+  SELECT *, capacity * (n - k + 1) <= {budget} - prev AS capped
   FROM m
 ),
 g AS (
@@ -89,17 +95,111 @@ alloc AS (
   SELECT source, n_tokens, capacity,
          round(CASE WHEN capped THEN capacity
                     WHEN n > n_capped
-                      THEN ({_UM_BUDGET} - s_capped)
+                      THEN ({budget} - s_capped)
                            / CAST(n - n_capped AS DOUBLE)
                     ELSE 0.0 END, 4) AS allocation
   FROM g
-)
+)"""
+
+
+ORACLE_UNIMAX = rf"""
+WITH {_unimax_cte(_UM_BUDGET, _UM_EPOCHS)}
 SELECT source, n_tokens, capacity, allocation,
        CASE WHEN n_tokens > 0 THEN round(allocation / n_tokens, 6)
             ELSE 0.0 END AS epochs,
        round(allocation / {_UM_BUDGET}, 6) AS weight
 FROM alloc ORDER BY source
 """
+
+# --------------------------------------------------------------------------
+# UniMax-driven curation: the allocation actually materializing a
+# deterministic per-source downsample (allocation -> md5-mod keep rate
+# -> realized mixture). Constants tuned so the sf0.01 fixture exercises
+# BOTH regimes with VARIED rates: epoch_cap=0.5, budget=12,800 lands 6
+# sources capped (keep rate 0.5) and 14 equal-share (rates 0.42-0.48).
+_UMC_EPOCHS = 0.5
+_UMC_BUDGET = 12_800.0
+
+
+def q_unimax_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass: per-source counts -> UniMax allocation -> keep rate
+    r_s = min(1, allocation/n_tokens) -> md5-mod doc membership (the
+    mixture_rebalance idiom: reproducible, no rand()) -> realized
+    per-source doc/token counts. The tiny allocation frame broadcasts
+    into the corpus scan, so the sample is one shuffle-free filter."""
+    from hummingbird_spark.functions.text import token_count
+    from hummingbird_spark.operators.mixture import unimax_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    alloc = unimax_allocation(counts, budget=_UMC_BUDGET,
+                              epoch_cap=_UMC_EPOCHS)
+    rates = alloc.select(
+        "source", "n_tokens", "allocation",
+        F.floor(
+            F.least(F.lit(1.0),
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("allocation") / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)))
+            * 10000).cast("long").alias("thr"),
+    ).localCheckpoint(eager=False)  # broadcast probe + final join share
+    # it; without staging, both consumers replay the full corpus
+    # token-count aggregation — one extra 100 TB scan for a 20-row frame
+    keep = (
+        F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000 < F.col("thr")
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+    )
+    return (
+        # kept is <= one row per source by construction; hint it (the
+        # checkpointed rates frame has no size stats, so Catalyst
+        # would otherwise pick a sort-merge join here)
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source", "n_tokens", "allocation",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_UNIMAX_CURATED = rf"""
+WITH {_unimax_cte(_UMC_BUDGET, _UMC_EPOCHS)},
+rates AS (
+  SELECT source, n_tokens, allocation,
+         CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                          CASE WHEN n_tokens > 0
+                               THEN allocation / n_tokens
+                               ELSE 0.0 END) * 10000) AS BIGINT) AS thr
+  FROM alloc
+),
+kept AS (
+  SELECT d.source, len({_TOKS}) AS toks
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < r.thr
+),
+ka AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(toks) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+)
+SELECT r.source, r.n_tokens, r.allocation,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN ka k USING (source)
+ORDER BY r.source
+"""
+
 
 # --------------------------------------------------------------------------
 # Count-min sketch heavy hitters
@@ -431,6 +531,9 @@ R6_QUERIES: dict = {
     "classifier_eval": (
         q_classifier_eval, ORACLE_CLASSIFIER_EVAL,
         "exact AUC / accuracy of the trained classifier (rank-sum)"),
+    "unimax_curated_sample": (
+        q_unimax_curated_sample, ORACLE_UNIMAX_CURATED,
+        "UniMax allocation materialized as an md5-mod downsample"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

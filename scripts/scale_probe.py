@@ -105,6 +105,7 @@ PROBES = [
     # quantized-GD training: T iterations x 2 scans of the hashed
     # counts frame — growth should track rows, not vocabulary
     ("classifier_scores", ["documents"]),
+    ("unimax_curated_sample", ["documents"]),
 ]
 
 EMB_COPIES = 4
