@@ -90,6 +90,106 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, depth: int,
     )
 
 
+def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
+                  gram: str = "token") -> DataFrame:
+    """Misra-Gries candidate pruning (Misra & Gries, Sci. Comput.
+    Program. 1982; mergeable form per Agarwal et al., PODS 2012): each
+    partition folds its token stream through k counters — on overflow,
+    subtract the (k+1)-th largest counter value from all and drop the
+    non-positive — and emits its <= k surviving tokens. State is k
+    counters per partition FOREVER, independent of vocabulary size:
+    this is the candidate generator a 100 TB corpus uses where the
+    exact token-count table is itself a Heaps-sized shuffle.
+
+    Guarantee (the reason the two-pass composition below is exact):
+    a partition's total subtracted offset D_p <= n_p/(k+1), so a token
+    absent from the partition summary has local count <= n_p/(k+1);
+    absent from EVERY summary implies global count <= n/(k+1). Hence
+    the union of summaries is a superset of all tokens with count >
+    n/(k+1), under ANY partitioning. The summaries themselves are
+    partition-dependent (rows-only territory); only the downstream
+    exact recount is deterministic.
+
+    Returns (tok, wt): candidate rows carry wt=0 and one tok=NULL
+    sentinel per partition carries the partition's stream weight, so
+    the caller gets the exact global n from the same single scan.
+    Tokenization stays JVM-side (functions/text.py) so token semantics
+    are shared with every other text operator; the exploded stream
+    crosses the Arrow seam scan-parallel with no shuffle, and the fold
+    is vectorized per batch (value_counts + groupby-sum merge)."""
+    import pandas as pd
+
+    from hummingbird_spark.functions.text import doc_trigrams, tokens
+
+    if gram == "trigram":
+        toks = df.select(
+            F.explode(doc_trigrams(F.col(text_col))).alias("tok"))
+    else:
+        toks = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .select(F.lower(F.col("w")).alias("tok"))
+        )
+
+    def fold(batches):
+        state = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            vc = pdf["tok"].value_counts()
+            state = pd.concat([state, vc]).groupby(level=0).sum()
+            if len(state) > k:
+                d = state.nlargest(k + 1).iloc[-1]
+                state = state[state > d] - d
+        # one sentinel row carries the partition's stream weight (the
+        # fold already saw every token, so the global n costs no extra
+        # scan downstream); candidate rows carry wt=0
+        yield pd.DataFrame({
+            "tok": [None, *state.index.astype(str)],
+            "wt": [n_part] + [0] * len(state),
+        })
+
+    return toks.mapInPandas(fold, "tok string, wt long")
+
+
+def mg_heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 40,
+                     gram: str = "token") -> DataFrame:
+    """Two-pass EXACT heavy hitters: (1) Misra-Gries candidate pruning
+    — bounded state, no vocabulary-grain shuffle, with the global
+    stream weight n folded out of the same scan; (2) exact recount of
+    the candidate set only (the groupBy shuffles <= partitions*k keys,
+    not the Heaps-term vocabulary), filtered to cnt*(k+1) > n in
+    integer arithmetic. The MG superset guarantee makes the OUTPUT
+    deterministic and partition-invariant even though the candidate
+    set is not: any spurious candidate is removed by its exact count,
+    and no qualifying token can be missing. Two corpus scans total;
+    the P*k-row summary stages via localCheckpoint for its two tiny
+    consumers, and n rides into the filter as a 1-row broadcast cross
+    join (nlj=1 by design), keeping everything off the driver."""
+    from hummingbird_spark.functions.text import doc_trigrams, tokens
+
+    if gram == "trigram":
+        toks = df.select(
+            F.explode(doc_trigrams(F.col(text_col))).alias("tok"))
+    else:
+        toks = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .select(F.lower(F.col("w")).alias("tok"))
+        )
+    summary = mg_candidates(df, text_col, k, gram) \
+        .localCheckpoint(eager=False)
+    cand = summary.filter(F.col("tok").isNotNull()) \
+        .select("tok").distinct()
+    total = summary.agg(F.sum("wt").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )
+
+
 def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
                       top_k: int = 20, depth: int = 4,
                       width: int = 1024,

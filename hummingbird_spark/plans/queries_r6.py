@@ -22,7 +22,11 @@ family, each with a full DuckDB oracle:
   unimax_curated_sample — the UniMax allocation MATERIALIZED: keep
       rate min(1, allocation/n_tokens) per source, md5-mod doc
       membership, realized per-source doc/token counts — mixture
-      design driving an actual shuffle-free downsample.
+      design driving an actual shuffle-free downsample;
+  mg_heavy_hitters — Misra-Gries two-pass exact heavy hitters: the
+      bounded-state candidate pass is partition-dependent, but its
+      superset guarantee makes the exact-recount output deterministic,
+      so a sketch-pruned plan carries a full SQL oracle.
 """
 
 from __future__ import annotations
@@ -198,6 +202,44 @@ SELECT r.source, r.n_tokens, r.allocation,
        COALESCE(k.kept_tokens, 0) AS kept_tokens
 FROM rates r LEFT JOIN ka k USING (source)
 ORDER BY r.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries two-pass exact heavy hitters
+_MG_K = 40
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters (every token with cnt*(k+1) > n):
+    Misra-Gries candidate pruning in k=40 bounded counters per
+    partition, then an exact recount of candidates only. The candidate
+    SET is partition-dependent, but the MG superset guarantee makes
+    the filtered OUTPUT deterministic under any partitioning — which
+    is what lets a sketch-pruned query carry a full SQL oracle (the
+    oracle computes the same answer the slow way: vocabulary-grain
+    counts + HAVING). At sf0.01 the flat 31-type unigram fixture keeps
+    all types under k (pruning never fires here; the overflow path is
+    exercised by tests/test_mg_topk.py's skewed corpora), so this
+    entry proves the cross-engine parity of the full two-pass
+    plumbing: Arrow fold -> sentinel weights -> broadcast recount."""
+    from hummingbird_spark.operators.sketch import mg_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    return mg_heavy_hitters(d, k=_MG_K, gram="token")
+
+
+ORACLE_MG = rf"""
+WITH toks AS (
+  SELECT lower(unnest({_TOKS})) AS tok FROM documents
+),
+tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tc)
+SELECT tok, cnt FROM tc, n
+WHERE cnt * {_MG_K + 1} > n
+ORDER BY cnt DESC, tok
 """
 
 
@@ -534,6 +576,10 @@ R6_QUERIES: dict = {
     "unimax_curated_sample": (
         q_unimax_curated_sample, ORACLE_UNIMAX_CURATED,
         "UniMax allocation materialized as an md5-mod downsample"),
+    "mg_heavy_hitters": (
+        q_mg_heavy_hitters, ORACLE_MG,
+        "Misra-Gries two-pass exact heavy hitters (bounded-state "
+        "candidate pruning, deterministic output)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -115,3 +115,131 @@ def start_continuous_cms(
 
 def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
     return spark.read.parquet(sketch_path)
+
+
+# --------------------------------------------------------------------------
+# Continuous Misra-Gries top-k: the bounded-state streaming twin of
+# operators/sketch.py::mg_candidates. Unlike the CMS, the MG merge is
+# NOT purely additive — merging two summaries adds counters, then
+# subtracts the (k+1)-th largest value and drops the non-positive
+# (Agarwal et al., PODS 2012) — so the maintained state depends on
+# batch boundaries (rows-only territory, like the batch summaries).
+# What IS invariant is the guarantee: after any merge sequence over
+# total weight n, every token's stored count undershoots its true
+# count by at most n/(k+1), and any token with true count > n/(k+1)
+# is present. The state is <= k rows forever.
+
+
+def merge_topk_batch(
+    spark: SparkSession,
+    batch_tc: DataFrame,
+    summary_path: str,
+    k: int,
+    batch_id: int | None = None,
+) -> None:
+    """Merge a batch's (tok, cnt) vocabulary-grain counts into the
+    persistent <= k-row MG summary. Same ledger + double-rename swap
+    discipline as merge_cms_batch; the meta sidecar accumulates the
+    total stream weight n that interprets the n/(k+1) guarantee."""
+    import json
+
+    from pyspark.sql import Window
+
+    ledger = summary_path + ".ledger"
+    meta_path = summary_path + ".meta"
+    applied: list[str] = []
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            applied = fh.read().split()
+    if batch_id is not None and str(batch_id) in applied:
+        return
+
+    batch_tc = batch_tc.select("tok", "cnt")
+    n_batch = batch_tc.agg(F.sum("cnt")).collect()[0][0] or 0
+    if os.path.exists(os.path.join(summary_path, "_SUCCESS")):
+        merged = (
+            spark.read.parquet(summary_path).unionByName(batch_tc)
+            .groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_tc
+    # the merged frame is <= k + batch-vocabulary rows (small by
+    # construction), so one single-partition ranking window is fine;
+    # d = the (k+1)-th largest counter, 0 when nothing overflows
+    ranked = merged.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")))
+    d_frame = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))),
+                   F.lit(0)).alias("d"))
+    pruned = (
+        ranked.crossJoin(F.broadcast(d_frame))
+        .filter(F.col("cnt") > F.col("d"))
+        .select("tok", (F.col("cnt") - F.col("d")).alias("cnt"))
+    )
+
+    meta = {"n": 0, "k": k}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    meta["n"] = int(meta["n"]) + int(n_batch)
+    meta["k"] = k
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{summary_path}.__tmp_{token}"
+    pruned.write.mode("overwrite").parquet(tmp)
+    ledger_tmp = None
+    if batch_id is not None:
+        ledger_tmp = f"{ledger}.__tmp_{token}"
+        with open(ledger_tmp, "w") as fh:
+            fh.write(" ".join([*applied, str(batch_id)]) + " ")
+    meta_tmp = f"{meta_path}.__tmp_{token}"
+    with open(meta_tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(summary_path):
+        shutil.rmtree(summary_path)
+    os.rename(tmp, summary_path)
+    os.rename(meta_tmp, meta_path)
+    if ledger_tmp is not None:
+        os.rename(ledger_tmp, ledger)
+
+
+def start_continuous_topk(
+    spark: SparkSession,
+    source_dir: str,
+    summary_path: str,
+    schema,
+    text_col: str = "text",
+    k: int = 64,
+    gram: str = "token",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source JSON stream -> per-batch vocabulary counts ->
+    MG merge. The summary is queryable (read_topk / topk_meta) while
+    the stream runs; pair a stored count c with meta['n'] to bound the
+    true count in [c, c + n/(k+1)]."""
+    from hummingbird_spark.operators.sketch import token_counts
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_topk_batch(spark, token_counts(batch_df, text_col, gram),
+                         summary_path, k, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or summary_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_topk(spark: SparkSession, summary_path: str) -> DataFrame:
+    return spark.read.parquet(summary_path)
+
+
+def topk_meta(summary_path: str) -> dict:
+    import json
+
+    with open(summary_path + ".meta") as fh:
+        return json.load(fh)

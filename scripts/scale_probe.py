@@ -106,6 +106,9 @@ PROBES = [
     # counts frame — growth should track rows, not vocabulary
     ("classifier_scores", ["documents"]),
     ("unimax_curated_sample", ["documents"]),
+    # two-pass MG: both passes are corpus-linear scans; the candidate
+    # set and recount shuffle are bounded by partitions*k, not vocab
+    ("mg_heavy_hitters", ["documents"]),
 ]
 
 EMB_COPIES = 4

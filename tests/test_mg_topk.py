@@ -1,0 +1,153 @@
+"""Misra-Gries heavy hitters: the two-pass exact operator's guarantee
+and determinism under adversarial partitioning and skew (where the
+bounded counters actually overflow), a pure-Python differential for
+the per-partition fold's mergeable-summaries semantics, and the
+continuous streaming summary's invariants + replay idempotency."""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hummingbird_spark.functions.text import tokens
+from hummingbird_spark.operators.sketch import mg_candidates, mg_heavy_hitters
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _zipf_corpus(n_docs: int = 300, vocab: int = 500) -> list[tuple[int, str]]:
+    """Deterministic skewed corpus: doc i repeats hot tokens with
+    frequency ~ 1/rank plus a long unique tail, so the vocabulary far
+    exceeds any reasonable k and the MG overflow path really runs."""
+    docs = []
+    for i in range(n_docs):
+        words = []
+        for rank in range(1, 12):
+            if i % rank == 0:
+                words += [f"hot{rank:02d}"] * (12 - rank)
+        words += [f"tail{(i * 7 + j) % vocab}" for j in range(20)]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+def _exact_hitters(rows, k):
+    c = Counter()
+    for _, text in rows:
+        c.update(w.lower() for w in text.split())
+    n = sum(c.values())
+    return sorted(((t, v) for t, v in c.items() if v * (k + 1) > n),
+                  key=lambda tv: (-tv[1], tv[0])), n
+
+
+def test_two_pass_exact_and_partition_invariant(spark):
+    rows = _zipf_corpus()
+    exact, n = _exact_hitters(rows, k=12)
+    assert exact, "fixture must produce non-trivial heavy hitters"
+    df = spark.createDataFrame(rows, SCHEMA)
+    results = []
+    for parts in (1, 7, 32):
+        got = [(r.tok, r.cnt)
+               for r in mg_heavy_hitters(df.repartition(parts),
+                                         k=12).collect()]
+        results.append(got)
+    assert results[0] == results[1] == results[2] == exact
+
+
+def test_candidates_superset_and_bounded(spark):
+    rows = _zipf_corpus()
+    exact, n = _exact_hitters(rows, k=12)
+    df = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    summary = mg_candidates(df, k=12).collect()
+    cands = {r.tok for r in summary if r.tok is not None}
+    # bounded state: <= k survivors per partition
+    assert len(cands) <= 8 * 12
+    # overflow really fired: the 500+-type vocabulary was pruned
+    assert len(cands) < 200
+    # superset guarantee under skew
+    assert {t for t, _ in exact} <= cands
+    # sentinel weights recover the exact stream length
+    assert sum(r.wt for r in summary) == n
+
+
+def test_fold_matches_pure_python_mg(spark):
+    """One partition, known order: the Arrow fold's surviving counters
+    equal a literal weighted Misra-Gries over the same token stream
+    (merge form: add, subtract the (k+1)-th largest, drop <= 0)."""
+    rows = _zipf_corpus(n_docs=60)
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    got = {r.tok for r in mg_candidates(df, k=10).collect()
+           if r.tok is not None}
+
+    stream = []
+    for r in (df.select(F.explode(tokens(F.col("text"))).alias("w"))
+              .select(F.lower("w").alias("tok")).collect()):
+        stream.append(r.tok)
+    state: Counter = Counter()
+    # the fold merges per Arrow batch; with one partition and default
+    # batch size the whole stream is a handful of batches — replicate
+    # at whole-stream grain, which the merge algebra makes equivalent
+    # only in guarantee, so compare against the batch grain directly
+    from hummingbird_spark.session import get_spark
+
+    batch = int(get_spark().conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+    for i in range(0, len(stream), batch):
+        state.update(stream[i:i + batch])
+        if len(state) > 10:
+            d = sorted(state.values(), reverse=True)[10]
+            state = Counter({t: v - d for t, v in state.items()
+                             if v > d})
+    assert got == set(state)
+
+
+def test_streaming_summary_guarantees_and_replay(spark, tmp_path):
+    from hummingbird_spark.streaming.sketch import (
+        read_topk,
+        start_continuous_topk,
+        topk_meta,
+    )
+
+    rows = _zipf_corpus(n_docs=240)
+    src = str(tmp_path / "in")
+    summ = str(tmp_path / "topk")
+    os.makedirs(src)
+    for b in range(3):
+        with open(os.path.join(src, f"{b}.json"), "w") as fh:
+            for doc_id, text in rows[b * 80:(b + 1) * 80]:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text})
+                         + "\n")
+
+    q = start_continuous_topk(spark, src, summ, SCHEMA, k=12)
+    q.awaitTermination(180)
+
+    true = Counter()
+    for _, text in rows:
+        true.update(w.lower() for w in text.split())
+    n = sum(true.values())
+
+    state = {r.tok: r.cnt for r in read_topk(spark, summ).collect()}
+    meta = topk_meta(summ)
+    assert meta["n"] == n
+    assert len(state) <= 12
+    for tok, cnt in state.items():
+        # one-sided: stored count never exceeds the true count, and
+        # undershoots by at most n/(k+1)
+        assert cnt <= true[tok]
+        assert true[tok] - cnt <= n / 13
+    for tok, cnt in true.items():
+        if cnt * 13 > n:
+            assert tok in state, f"heavy hitter {tok} evicted"
+
+    # replay: restarting over the same source is a no-op (ledger)
+    q = start_continuous_topk(spark, src, summ, SCHEMA, k=12)
+    q.awaitTermination(180)
+    state2 = {r.tok: r.cnt for r in read_topk(spark, summ).collect()}
+    assert state2 == state
+    assert topk_meta(summ)["n"] == n
