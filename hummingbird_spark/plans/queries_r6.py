@@ -26,7 +26,10 @@ family, each with a full DuckDB oracle:
   mg_heavy_hitters — Misra-Gries two-pass exact heavy hitters: the
       bounded-state candidate pass is partition-dependent, but its
       superset guarantee makes the exact-recount output deterministic,
-      so a sketch-pruned plan carries a full SQL oracle.
+      so a sketch-pruned plan carries a full SQL oracle;
+  unimax_packed_pipeline — the full curation chain as ONE plan:
+      UniMax mixture -> md5-mod downsample -> 256-token sequence
+      packing, with per-chunk source-mixing stats.
 """
 
 from __future__ import annotations
@@ -125,21 +128,20 @@ _UMC_EPOCHS = 0.5
 _UMC_BUDGET = 12_800.0
 
 
-def q_unimax_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One pass: per-source counts -> UniMax allocation -> keep rate
-    r_s = min(1, allocation/n_tokens) -> md5-mod doc membership (the
-    mixture_rebalance idiom: reproducible, no rand()) -> realized
-    per-source doc/token counts. The tiny allocation frame broadcasts
-    into the corpus scan, so the sample is one shuffle-free filter."""
+def _unimax_rates(d: DataFrame) -> DataFrame:
+    """documents -> (source, n_tokens, allocation, thr): per-source
+    UniMax keep thresholds in basis points, staged via localCheckpoint
+    because every caller consumes it at least twice — without staging,
+    each consumer replays the full corpus token-count aggregation (one
+    extra 100 TB scan for a 20-row frame)."""
     from hummingbird_spark.functions.text import token_count
     from hummingbird_spark.operators.mixture import unimax_allocation
 
-    d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).alias("n_tokens"))
     alloc = unimax_allocation(counts, budget=_UMC_BUDGET,
                               epoch_cap=_UMC_EPOCHS)
-    rates = alloc.select(
+    return alloc.select(
         "source", "n_tokens", "allocation",
         F.floor(
             F.least(F.lit(1.0),
@@ -147,17 +149,34 @@ def q_unimax_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("allocation") / F.col("n_tokens"))
                     .otherwise(F.lit(0.0)))
             * 10000).cast("long").alias("thr"),
-    ).localCheckpoint(eager=False)  # broadcast probe + final join share
-    # it; without staging, both consumers replay the full corpus
-    # token-count aggregation — one extra 100 TB scan for a 20-row frame
-    keep = (
+    ).localCheckpoint(eager=False)
+
+
+def _umc_keep():
+    """md5-mod doc membership (the mixture_rebalance idiom:
+    reproducible, no rand()) against the broadcast per-source
+    threshold. A function, not a module-level Column — Column
+    construction needs an active SparkContext."""
+    return (
         F.conv(F.substring(
             F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 10000 < F.col("thr")
     )
+
+
+def q_unimax_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass: per-source counts -> UniMax allocation -> keep rate
+    r_s = min(1, allocation/n_tokens) -> md5-mod doc membership ->
+    realized per-source doc/token counts. The tiny allocation frame
+    broadcasts into the corpus scan, so the sample is one shuffle-free
+    filter."""
+    from hummingbird_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = _unimax_rates(d)
     kept = (
         d.join(F.broadcast(rates.select("source", "thr")), "source")
-        .filter(keep)
+        .filter(_umc_keep())
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("kept_docs"),
              F.sum(token_count(F.col("text"))).alias("kept_tokens"))
@@ -176,16 +195,20 @@ def q_unimax_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_UNIMAX_CURATED = rf"""
-WITH {_unimax_cte(_UMC_BUDGET, _UMC_EPOCHS)},
-rates AS (
+# rates CTE (alloc -> per-source md5-mod keep threshold in basis
+# points), shared by the curated-sample and packed-pipeline oracles
+_RATES_CTE = r"""rates AS (
   SELECT source, n_tokens, allocation,
          CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
                           CASE WHEN n_tokens > 0
                                THEN allocation / n_tokens
                                ELSE 0.0 END) * 10000) AS BIGINT) AS thr
   FROM alloc
-),
+)"""
+
+ORACLE_UNIMAX_CURATED = rf"""
+WITH {_unimax_cte(_UMC_BUDGET, _UMC_EPOCHS)},
+{_RATES_CTE},
 kept AS (
   SELECT d.source, len({_TOKS}) AS toks
   FROM documents d JOIN rates r USING (source)
@@ -202,6 +225,82 @@ SELECT r.source, r.n_tokens, r.allocation,
        COALESCE(k.kept_tokens, 0) AS kept_tokens
 FROM rates r LEFT JOIN ka k USING (source)
 ORDER BY r.source
+"""
+
+
+# --------------------------------------------------------------------------
+# The full curation pipeline in one query: UniMax mixture design ->
+# deterministic per-source downsample -> sequence packing of the kept
+# docs into fixed token budgets (the pack_sequences discipline from
+# queries_analytics.py applied to the SAMPLED sub-corpus). Per-chunk
+# n_sources exposes how well packing interleaves the mixture.
+_UPP_BUDGET = 256
+
+
+def q_unimax_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture -> sampling -> packing chained as one plan: the UniMax
+    rates broadcast into the corpus scan (shuffle-free keep filter),
+    then the kept docs concat-then-chunk into 256-token sequences in
+    deterministic md5 order. One corpus scan for rates, one for the
+    kept stream; the only shuffle after the filter is the global
+    ordering window that packing is BY DEFINITION (documented in
+    q_pack_sequences: a 100 TB deployment packs per-shard by hashing
+    ord_key ranges; the global order here is the oracle-checkable
+    spec)."""
+    from pyspark.sql import Window
+
+    from hummingbird_spark.functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = _unimax_rates(d)
+    kept = (
+        d.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(_umc_keep())
+        .select(
+            "doc_id", "source",
+            F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+            bpe_ish_token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    w = Window.orderBy("ord_key", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    chunk = F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                    / F.lit(_UPP_BUDGET))
+    return (
+        kept.withColumn("chunk_id", chunk)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+ORACLE_UNIMAX_PACKED = rf"""
+WITH {_unimax_cte(_UMC_BUDGET, _UMC_EPOCHS)},
+{_RATES_CTE},
+kept AS (
+  SELECT d.doc_id, d.source,
+         md5(CAST(d.doc_id AS VARCHAR)) AS ord_key,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+           AS n_tok
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < r.thr
+),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (ORDER BY ord_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {_UPP_BUDGET}) AS BIGINT) AS chunk_id
+  FROM kept
+)
+SELECT chunk_id, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY chunk_id ORDER BY chunk_id
 """
 
 
@@ -580,6 +679,10 @@ R6_QUERIES: dict = {
         q_mg_heavy_hitters, ORACLE_MG,
         "Misra-Gries two-pass exact heavy hitters (bounded-state "
         "candidate pruning, deterministic output)"),
+    "unimax_packed_pipeline": (
+        q_unimax_packed_pipeline, ORACLE_UNIMAX_PACKED,
+        "UniMax mixture -> md5-mod downsample -> 256-token sequence "
+        "packing, chained as one plan"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -109,6 +109,7 @@ PROBES = [
     # two-pass MG: both passes are corpus-linear scans; the candidate
     # set and recount shuffle are bounded by partitions*k, not vocab
     ("mg_heavy_hitters", ["documents"]),
+    ("unimax_packed_pipeline", ["documents"]),
 ]
 
 EMB_COPIES = 4
