@@ -90,6 +90,84 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, depth: int,
     )
 
 
+def hdr_bucket(col, s: int = 5):
+    """HDR-style log-linear bucket index for a NON-NEGATIVE integer
+    column (HdrHistogram, Tene; the integer-exact cousin of DDSketch's
+    log buckets, Masson et al. VLDB 2019): values below 2^s map to
+    themselves (exact); above, the exponent e = floor(log2 v) selects
+    a 2^s-wide sub-bucket row, so the relative error of any bucket's
+    bounds is <= 2^-s. Every step is integer string-length/shift
+    arithmetic — floor(log2 v) comes from the length of the base-2
+    string (conv here, bin() in DuckDB), NOT floating log2 — so the
+    bucket of a value is BIT-IDENTICAL across engines, partitionings,
+    and merges; there is no libm in the mapping at all."""
+    e = F.length(F.conv(col.cast("string"), 10, 2)) - 1
+    lin = col.cast("long")
+    # call_function: the Python shiftright wrapper rejects Column
+    # shift amounts; the SQL function takes them fine
+    log = ((e.cast("long") - s + 1) * (1 << s)
+           + F.call_function("shiftright", col.cast("long"),
+                             (e - s).cast("int")) - (1 << s))
+    return F.when(col < (1 << s), lin).otherwise(log).alias("bucket")
+
+
+def hdr_bounds(bucket, s: int = 5):
+    """Inverse mapping: bucket index -> inclusive [lo, hi] value
+    bounds. Linear buckets are exact (lo == hi)."""
+    b = bucket.cast("long")
+    j = F.shiftright(b, s)
+    sub = b % (1 << s)
+    e = j + s - 1
+    lo = F.call_function("shiftleft", (F.lit(1 << s) + sub).cast("long"),
+                         (e - s).cast("int"))
+    hi = lo + F.call_function("shiftleft", F.lit(1).cast("long"),
+                              (e - s).cast("int")) - 1
+    return (F.when(b < (1 << s), b).otherwise(lo).alias("lo"),
+            F.when(b < (1 << s), b).otherwise(hi).alias("hi"))
+
+
+def hdr_build(df: DataFrame, value_col: str, s: int = 5) -> DataFrame:
+    """(bucket, cnt): the bounded histogram — at most 2^s * 64 rows
+    regardless of data size, purely additive under merge (like the
+    CMS, unlike Misra-Gries), so partial aggregation, cross-shard
+    union, and continuous maintenance are all exact by algebra."""
+    return (
+        df.select(hdr_bucket(F.col(value_col), s))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(df: DataFrame, value_col: str,
+                  qs: tuple = (0.5, 0.9, 0.99),
+                  s: int = 5) -> DataFrame:
+    """(q, bucket, lo, hi): for each requested quantile, the first
+    bucket whose cumulative count reaches ceil(q*n), with its value
+    bounds — true quantile in [lo, hi], relative error <= 2^-s. The
+    histogram is tiny, so the rank scan is one single-partition
+    window; the corpus contributes exactly one scan (the build)."""
+    from pyspark.sql import Window
+
+    hist = hdr_build(df, value_col, s)
+    c = hist.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy()).alias("n"),
+    )
+    qf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    lo, hi = hdr_bounds(F.col("bucket"), s)
+    return (
+        qf.join(c, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select("q", "bucket", lo, hi)
+        .orderBy("q")
+    )
+
+
 def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
                   gram: str = "token") -> DataFrame:
     """Misra-Gries candidate pruning (Misra & Gries, Sci. Comput.

@@ -1502,7 +1502,7 @@ _VERIFY_FIRST = [
     # novelty) — never recorded
     "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
     "classifier_scores", "classifier_eval", "unimax_curated_sample",
-    "mg_heavy_hitters", "unimax_packed_pipeline",
+    "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
     # changed this round: vectorized poly-hash + splitmix64 shingle
     # hashing (new hash values, oracle updated in lockstep)
     "simhash_dups",

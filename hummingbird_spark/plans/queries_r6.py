@@ -29,7 +29,11 @@ family, each with a full DuckDB oracle:
       so a sketch-pruned plan carries a full SQL oracle;
   unimax_packed_pipeline — the full curation chain as ONE plan:
       UniMax mixture -> md5-mod downsample -> 256-token sequence
-      packing, with per-chunk source-mixing stats.
+      packing, with per-chunk source-mixing stats;
+  hdr_quantiles — quantile bounds from a bounded log-linear histogram
+      (HdrHistogram-style): integer-exact bucketing makes an
+      approximate-quantile sketch deterministic enough for a full
+      SQL oracle.
 """
 
 from __future__ import annotations
@@ -301,6 +305,60 @@ SELECT chunk_id, COUNT(*) AS n_docs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM packed GROUP BY chunk_id ORDER BY chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# HDR log-linear quantile histogram
+_HDR_S = 5
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of doc length from a bounded mergeable histogram
+    (HdrHistogram-style log-linear buckets; see operators/sketch.py::
+    hdr_bucket): one corpus scan builds <= 64*2^s counter rows, then a
+    tiny rank window selects the first bucket covering ceil(q*n).
+    Every step is integer shift arithmetic — no libm in the mapping —
+    so unlike a t-digest/KLL the structure is deterministic and
+    bit-identical across engines AND merges, which is why an
+    approximate-quantile sketch can carry a full SQL oracle. True
+    quantile lies in [lo, hi] with relative error <= 2^-s."""
+    from hummingbird_spark.operators.sketch import hdr_quantiles
+
+    d = load_table(spark, sf_dir, "documents")
+    return hdr_quantiles(d, "n_chars", (0.5, 0.9, 0.99), _HDR_S)
+
+
+ORACLE_HDR = rf"""
+WITH b AS (
+  SELECT CASE WHEN n_chars < 32 THEN CAST(n_chars AS BIGINT)
+         ELSE (CAST(length(bin(n_chars)) AS BIGINT) - {_HDR_S}) * 32
+              + (CAST(n_chars AS BIGINT)
+                 >> (length(bin(n_chars)) - 1 - {_HDR_S})) - 32
+         END AS bucket
+  FROM documents
+),
+h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket,
+         CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM h
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+sel AS (
+  SELECT qs.q, MIN(c.bucket) AS bucket
+  FROM qs JOIN c ON c.cum >= CAST(CEIL(qs.q * c.n) AS BIGINT)
+  GROUP BY qs.q
+)
+SELECT q, bucket,
+       CASE WHEN bucket < 32 THEN bucket
+            ELSE (32 + (bucket % 32)) << ((bucket >> 5) - 1) END AS lo,
+       CASE WHEN bucket < 32 THEN bucket
+            ELSE ((32 + (bucket % 32)) << ((bucket >> 5) - 1))
+                 + (1 << ((bucket >> 5) - 1)) - 1 END AS hi
+FROM sel ORDER BY q
 """
 
 
@@ -683,6 +741,10 @@ R6_QUERIES: dict = {
         q_unimax_packed_pipeline, ORACLE_UNIMAX_PACKED,
         "UniMax mixture -> md5-mod downsample -> 256-token sequence "
         "packing, chained as one plan"),
+    "hdr_quantiles": (
+        q_hdr_quantiles, ORACLE_HDR,
+        "doc-length quantile bounds from a bounded log-linear "
+        "histogram (integer-exact, mergeable)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -26,18 +26,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def merge_cms_batch(
+def _merge_additive(
     spark: SparkSession,
     partial: DataFrame,
-    sketch_path: str,
+    path: str,
+    keys: tuple,
     batch_id: int | None = None,
 ) -> None:
-    """Add a batch's (row, bucket, cnt) partial counters into the
-    persistent sketch. Same ledger + double-rename swap discipline as
-    merge_rollup_batch (streaming/rollup.py), same caveat: the
-    non-atomic window is two adjacent renames; Delta/Iceberg would
-    close it for real."""
-    ledger = sketch_path + ".ledger"
+    """Add a batch's (*keys, cnt) partial counters into a persistent
+    counter table — the shared merge of every purely-additive sketch
+    (CMS counters, HDR histogram buckets). Same ledger + double-rename
+    swap discipline as merge_rollup_batch (streaming/rollup.py), same
+    caveat: the non-atomic window is two adjacent renames;
+    Delta/Iceberg would close it for real."""
+    ledger = path + ".ledger"
     applied: list[str] = []
     if os.path.exists(ledger):
         with open(ledger) as fh:
@@ -45,40 +47,49 @@ def merge_cms_batch(
     if batch_id is not None and str(batch_id) in applied:
         return
 
-    p = (
-        partial
-        .withColumnRenamed("row", "__r")
-        .withColumnRenamed("bucket", "__b")
-        .withColumnRenamed("cnt", "__c")
-    )
-    if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
-        cur = spark.read.parquet(sketch_path)
-        merged = cur.join(
-            p, (cur.row == p.__r) & (cur.bucket == p.__b), "full_outer"
-        ).select(
-            F.coalesce(cur.row, p.__r).alias("row"),
-            F.coalesce(cur.bucket, p.__b).alias("bucket"),
-            (F.coalesce(cur.cnt, F.lit(0))
-             + F.coalesce(p.__c, F.lit(0))).alias("cnt"),
+    p = partial.select(*keys, "cnt")
+    for c in [*keys, "cnt"]:
+        p = p.withColumnRenamed(c, f"__{c}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        cur = spark.read.parquet(path)
+        cond = None
+        for c in keys:
+            eq = cur[c] == p[f"__{c}"]
+            cond = eq if cond is None else (cond & eq)
+        merged = cur.join(p, cond, "full_outer").select(
+            *[F.coalesce(cur[c], p[f"__{c}"]).alias(c) for c in keys],
+            (F.coalesce(cur["cnt"], F.lit(0))
+             + F.coalesce(p["__cnt"], F.lit(0))).alias("cnt"),
         )
     else:
-        merged = p.select(F.col("__r").alias("row"),
-                          F.col("__b").alias("bucket"),
-                          F.col("__c").alias("cnt"))
+        merged = p.select(
+            *[F.col(f"__{c}").alias(c) for c in [*keys, "cnt"]])
 
     token = uuid.uuid4().hex[:8]
-    tmp = f"{sketch_path}.__tmp_{token}"
+    tmp = f"{path}.__tmp_{token}"
     merged.write.mode("overwrite").parquet(tmp)
     ledger_tmp = None
     if batch_id is not None:
         ledger_tmp = f"{ledger}.__tmp_{token}"
         with open(ledger_tmp, "w") as fh:
             fh.write(" ".join([*applied, str(batch_id)]) + " ")
-    if os.path.exists(sketch_path):
-        shutil.rmtree(sketch_path)
-    os.rename(tmp, sketch_path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     if ledger_tmp is not None:
         os.rename(ledger_tmp, ledger)
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    partial: DataFrame,
+    sketch_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Add a batch's (row, bucket, cnt) partial counters into the
+    persistent sketch (see _merge_additive)."""
+    _merge_additive(spark, partial, sketch_path, ("row", "bucket"),
+                    batch_id=batch_id)
 
 
 def start_continuous_cms(
@@ -115,6 +126,61 @@ def start_continuous_cms(
 
 def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
     return spark.read.parquet(sketch_path)
+
+
+# --------------------------------------------------------------------------
+# Continuous HDR histogram: like the CMS, the log-linear histogram is
+# PURELY ADDITIVE (bucketing is a pure integer function of the value),
+# so continuous maintenance is exact by algebra — the maintained
+# histogram is bit-identical to a from-scratch build over everything
+# ingested, and quantile queries against it carry the same 2^-s
+# relative-error bounds at any point in the stream's life. State is
+# bounded at <= 64 * 2^s rows forever.
+
+
+def merge_hist_batch(
+    spark: SparkSession,
+    partial: DataFrame,
+    hist_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Add a batch's (bucket, cnt) histogram partial into the
+    persistent histogram (see _merge_additive)."""
+    _merge_additive(spark, partial, hist_path, ("bucket",),
+                    batch_id=batch_id)
+
+
+def start_continuous_hdr(
+    spark: SparkSession,
+    source_dir: str,
+    hist_path: str,
+    schema,
+    value_col: str,
+    s: int = 5,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source JSON stream -> per-batch HDR partials -> additive
+    merge. Quantiles are queryable mid-stream via read_hist +
+    operators/sketch.py::hdr_bounds."""
+    from hummingbird_spark.operators.sketch import hdr_build
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_hist_batch(spark, hdr_build(batch_df, value_col, s),
+                         hist_path, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or hist_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hist(spark: SparkSession, hist_path: str) -> DataFrame:
+    return spark.read.parquet(hist_path)
 
 
 # --------------------------------------------------------------------------

@@ -110,6 +110,7 @@ PROBES = [
     # set and recount shuffle are bounded by partitions*k, not vocab
     ("mg_heavy_hitters", ["documents"]),
     ("unimax_packed_pipeline", ["documents"]),
+    ("hdr_quantiles", ["documents"]),
 ]
 
 EMB_COPIES = 4
