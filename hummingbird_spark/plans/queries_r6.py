@@ -33,7 +33,11 @@ family, each with a full DuckDB oracle:
   hdr_quantiles — quantile bounds from a bounded log-linear histogram
       (HdrHistogram-style): integer-exact bucketing makes an
       approximate-quantile sketch deterministic enough for a full
-      SQL oracle.
+      SQL oracle;
+  curation_pipeline_verify — the EFFECTFUL end-to-end: gate -> dedup
+      -> UniMax sample -> pack -> WRITE the manifest -> read back,
+      the written artifact proven against a SQL replay of the chain
+      (migration_copy_verify's discipline on the training-data path).
 """
 
 from __future__ import annotations
@@ -68,13 +72,17 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def _unimax_cte(budget: float, epochs: float) -> str:
+def _unimax_cte(budget: float, epochs: float,
+                src: str = "documents") -> str:
     """c -> alloc CTE chain replicating operators/mixture.py; shared
-    by ORACLE_UNIMAX and ORACLE_UNIMAX_CURATED."""
+    by the unimax_mixture / curated-sample / packed-pipeline /
+    curation_pipeline_verify oracles. `src` is the relation the
+    per-source token counts aggregate over (the raw table, or a
+    curated CTE defined upstream in the caller's WITH chain)."""
     return rf"""c AS (
   SELECT source,
          CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM {src} GROUP BY source
 ),
 m AS (
   -- CAST: a bare float literal parses as DECIMAL and would type the
@@ -132,7 +140,8 @@ _UMC_EPOCHS = 0.5
 _UMC_BUDGET = 12_800.0
 
 
-def _unimax_rates(d: DataFrame) -> DataFrame:
+def _unimax_rates(d: DataFrame, budget: float = _UMC_BUDGET,
+                  epochs: float = _UMC_EPOCHS) -> DataFrame:
     """documents -> (source, n_tokens, allocation, thr): per-source
     UniMax keep thresholds in basis points, staged via localCheckpoint
     because every caller consumes it at least twice — without staging,
@@ -143,8 +152,7 @@ def _unimax_rates(d: DataFrame) -> DataFrame:
 
     counts = d.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).alias("n_tokens"))
-    alloc = unimax_allocation(counts, budget=_UMC_BUDGET,
-                              epoch_cap=_UMC_EPOCHS)
+    alloc = unimax_allocation(counts, budget=budget, epoch_cap=epochs)
     return alloc.select(
         "source", "n_tokens", "allocation",
         F.floor(
@@ -305,6 +313,163 @@ SELECT chunk_id, COUNT(*) AS n_docs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM packed GROUP BY chunk_id ORDER BY chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# The effectful curation pipeline verify: the migration_copy_verify
+# discipline (queries_r4.py) applied to the training-data path. RUN
+# quality filter -> prefix-fingerprint dedup -> UniMax sample ->
+# sequence packing, WRITE the packed manifest to a temp target, read
+# it back, and prove the written artifact content-matches a pure-SQL
+# replay of the whole chain over the source table. Constants tuned so
+# every stage cuts at sf0.01: filter 500 -> 394 docs, dedup -> 297,
+# UniMax budget 9,000 of ~18.9k curated tokens (cap 0.6 splits the
+# sources across both waterfill regimes).
+_CPV_MIN_TOK = 30
+_CPV_EPOCHS = 0.6
+_CPV_BUDGET = 9_000.0
+_CPV_PACK = 256
+_CPV_MOD = 1_000_000_007
+
+
+def q_curation_pipeline_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end effectful proof of the curation chain: every stage
+    a real deployment runs (gate, dedup, mixture-weighted downsample,
+    packing) executes, the packed manifest is WRITTEN to parquet and
+    READ BACK, and the returned 1-row frame fingerprints the artifact
+    (chunk count, doc/token totals, md5-mod membership checksum,
+    max chunk fill). The oracle replays the chain in SQL over the
+    source — a faithfully written, complete, correctly-ordered
+    manifest is the only way the hashes match. Dedup here is
+    first-2-token prefix fingerprinting (keep the lowest doc_id per
+    fingerprint) — the fixture has no exact-text dups, so exact dedup
+    would be a dead stage; prefix collisions are real (97 docs cut)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from hummingbird_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(token_count(F.col("text")) >= _CPV_MIN_TOK)
+    fpr = F.md5(F.concat_ws(
+        " ",
+        F.lower(F.element_at(tokens(F.col("text")), 1)),
+        F.lower(F.element_at(tokens(F.col("text")), 2)),
+    ))
+    dedup_w = Window.partitionBy(fpr).orderBy("doc_id")
+    curated = (
+        gated.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    rates = _unimax_rates(curated, _CPV_BUDGET, _CPV_EPOCHS)
+    kept = (
+        curated.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(_umc_keep())
+        .select(
+            "doc_id", "source",
+            F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+            bpe_ish_token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    w = Window.orderBy("ord_key", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    doc_ck = (
+        F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % _CPV_MOD
+    )
+    manifest = (
+        kept.withColumn(
+            "chunk_id",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                    / F.lit(_CPV_PACK)))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(doc_ck).alias("doc_ck"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="hb_curation_verify_")
+    try:
+        # THE effectful step: persist the packed manifest, then verify
+        # the artifact that was actually written, not the plan
+        manifest.write.mode("overwrite").parquet(f"{tmp}/packed.parquet")
+        back = spark.read.parquet(f"{tmp}/packed.parquet")
+        row = back.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.sum("doc_ck") % _CPV_MOD).alias("docs_ck"),
+            F.max("n_docs").alias("max_chunk_docs"),
+        ).collect()[0]  # bounded: exactly one row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("docs_ck", T.LongType()),
+        T.StructField("max_chunk_docs", T.LongType()),
+    ])
+    return spark.createDataFrame([row], schema)
+
+
+ORACLE_CURATION_VERIFY = rf"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         list_transform({_TOKS}, w -> lower(w)) AS ws
+  FROM documents
+  WHERE len({_TOKS}) >= {_CPV_MIN_TOK}
+),
+curated AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY md5(ws[1] || ' ' || ws[2])
+                              ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+{_unimax_cte(_CPV_BUDGET, _CPV_EPOCHS, src="curated")},
+{_RATES_CTE},
+kept AS (
+  SELECT d.doc_id,
+         md5(CAST(d.doc_id AS VARCHAR)) AS ord_key,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+           AS n_tok,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_CPV_MOD} AS doc_ck
+  FROM curated d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < r.thr
+),
+packed AS (
+  SELECT doc_id, n_tok, doc_ck,
+         CAST(FLOOR((SUM(n_tok) OVER (ORDER BY ord_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {_CPV_PACK}) AS BIGINT) AS chunk_id
+  FROM kept
+),
+chunks AS (
+  SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(doc_ck) AS BIGINT) AS doc_ck
+  FROM packed GROUP BY chunk_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_ck) % {_CPV_MOD} AS BIGINT) AS docs_ck,
+       CAST(MAX(n_docs) AS BIGINT) AS max_chunk_docs
+FROM chunks
 """
 
 
@@ -745,6 +910,10 @@ R6_QUERIES: dict = {
         q_hdr_quantiles, ORACLE_HDR,
         "doc-length quantile bounds from a bounded log-linear "
         "histogram (integer-exact, mergeable)"),
+    "curation_pipeline_verify": (
+        q_curation_pipeline_verify, ORACLE_CURATION_VERIFY,
+        "effectful gate -> dedup -> UniMax sample -> pack -> WRITE, "
+        "written manifest proven vs a SQL replay"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

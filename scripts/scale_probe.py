@@ -111,6 +111,8 @@ PROBES = [
     ("mg_heavy_hitters", ["documents"]),
     ("unimax_packed_pipeline", ["documents"]),
     ("hdr_quantiles", ["documents"]),
+    # effectful: runs the whole curate->pack->write chain under proof
+    ("curation_pipeline_verify", ["documents"]),
 ]
 
 EMB_COPIES = 4
