@@ -273,3 +273,56 @@ def dsir_select_distributed(df: DataFrame, is_target: Column, k: int,
         )
         surv = surv.join(F.broadcast(bottom), id_col, "left_anti")
     return surv
+
+
+def aes_key(id_col: Column, weight: Column, seed: str) -> Column:
+    """Efraimidis-Spirakis weighted-reservoir priority (Inf. Process.
+    Lett. 2006): rank by u^(1/w), realized as the monotone-equivalent
+    ln(u)/w with the SAME derived uniform the Gumbel draw uses
+    (u = (md5_60(seed:id)+1)/(2^60+2) — retry-idempotent, no rand(),
+    SQL-replicable). Rounded to 6 dp per the engine-stability
+    discipline; callers tie-break on id."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))),
+            1, 15),
+        16, 10).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(DSIR_MOD) + 2.0)
+    return F.round(F.log(u) / F.greatest(weight.cast("double"),
+                                         F.lit(1.0)), 6)
+
+
+def stratified_reservoir(df: DataFrame, strata_col: str, k: int,
+                         weight_col: str | None = None,
+                         id_col: str = "doc_id",
+                         seed: str = "rsv") -> DataFrame:
+    """k-per-stratum weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis reservoir with derived priorities. Because the
+    priority is a pure function of (seed, id, weight) — not of arrival
+    order — the top-k is the same under ANY partitioning, any merge
+    order, and any stream/batch split: the streaming twin
+    (streaming/reservoir.py) maintains the identical sample by
+    construction, and the whole operator carries a full SQL oracle
+    (classic reservoir sampling has neither property).
+
+    Returns (strata, id, weight?, rk), rk = 1..k by priority desc.
+    Scale: one scan + one per-stratum window sort; a dominant stratum
+    makes that window a hot single task — at that regime switch to the
+    two-phase cutoff filter cluster.py::cluster_balanced_sample pins
+    (same shape, measured in SCALE.md)."""
+    from pyspark.sql import Window
+
+    w = (F.col(weight_col) if weight_col is not None
+         else F.lit(1.0))
+    keyed = df.select(
+        strata_col, id_col,
+        *([weight_col] if weight_col is not None else []),
+        aes_key(F.col(id_col), w, seed).alias("__key"),
+    )
+    win = Window.partitionBy(strata_col) \
+        .orderBy(F.desc("__key"), id_col)
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .drop("__key")
+    )

@@ -37,7 +37,11 @@ family, each with a full DuckDB oracle:
   curation_pipeline_verify — the EFFECTFUL end-to-end: gate -> dedup
       -> UniMax sample -> pack -> WRITE the manifest -> read back,
       the written artifact proven against a SQL replay of the chain
-      (migration_copy_verify's discipline on the training-data path).
+      (migration_copy_verify's discipline on the training-data path);
+  reservoir_sample — per-source weighted reservoir (Efraimidis-
+      Spirakis) with derived retry-idempotent priorities: the sample
+      is partition-invariant, equal to its streaming twin by
+      construction, and SQL-replicable.
 """
 
 from __future__ import annotations
@@ -528,6 +532,51 @@ FROM sel ORDER BY q
 
 
 # --------------------------------------------------------------------------
+# Stratified weighted reservoir (Efraimidis-Spirakis, derived keys)
+_RSV_K = 5
+_RSV_SEED = "rsv"
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 docs per source, sampled without replacement with
+    probability ~ doc length (Efraimidis-Spirakis keys over the DSIR
+    derived-uniform idiom — no rand(), so the sample is
+    retry-idempotent, partition-invariant, equal to its streaming twin
+    by construction, and SQL-replicable). The oracle replays
+    u = (md5_60(seed:id)+1)/(2^60+2), key = round(ln(u)/w, 6), and
+    the per-source rank window bit-for-bit."""
+    from hummingbird_spark.operators.dsir import stratified_reservoir
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_reservoir(d, "source", _RSV_K,
+                             weight_col="n_chars", seed=_RSV_SEED)
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_RESERVOIR = rf"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((('0x' || substr(md5('{_RSV_SEED}:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 1.0) / {float((1 << 60) + 2)!r})
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS key
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= {_RSV_K}
+ORDER BY source, rk
+"""
+
+
+# --------------------------------------------------------------------------
 # Misra-Gries two-pass exact heavy hitters
 _MG_K = 40
 
@@ -914,6 +963,10 @@ R6_QUERIES: dict = {
         q_curation_pipeline_verify, ORACLE_CURATION_VERIFY,
         "effectful gate -> dedup -> UniMax sample -> pack -> WRITE, "
         "written manifest proven vs a SQL replay"),
+    "reservoir_sample": (
+        q_reservoir_sample, ORACLE_RESERVOIR,
+        "per-source weighted reservoir (Efraimidis-Spirakis, derived "
+        "retry-idempotent keys)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

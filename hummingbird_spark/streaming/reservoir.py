@@ -1,0 +1,116 @@
+"""Continuous stratified reservoir — the streaming twin of
+operators/dsir.py::stratified_reservoir, and the best-behaved of the
+three continuous summaries here: because the Efraimidis-Spirakis
+priority is a pure function of (seed, id, weight) rather than arrival
+order, per-batch top-k merged with the stored top-k IS the global
+top-k — the maintained sample is EXACTLY the batch operator's output
+over everything ingested, not an approximation of it (asserted in
+tests/test_reservoir.py). Classic reservoir sampling has neither the
+replay-idempotency (task retries would re-draw) nor this merge
+exactness. State is <= strata * k rows forever."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def merge_reservoir_batch(
+    spark: SparkSession,
+    batch_keyed: DataFrame,
+    store_path: str,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    batch_id: int | None = None,
+) -> None:
+    """Merge a batch's (strata, id, __key) candidates into the
+    persistent per-stratum top-k. Union + one window over <= strata *
+    2k rows; same ledger + double-rename swap discipline as the
+    continuous sketches (streaming/sketch.py)."""
+    from pyspark.sql import Window
+
+    ledger = store_path + ".ledger"
+    applied: list[str] = []
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            applied = fh.read().split()
+    if batch_id is not None and str(batch_id) in applied:
+        return
+
+    cols = batch_keyed.columns
+    if os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        merged = spark.read.parquet(store_path).select(*cols) \
+            .unionByName(batch_keyed)
+    else:
+        merged = batch_keyed
+    win = Window.partitionBy(strata_col).orderBy(
+        F.desc("__key"), id_col)
+    topk = (
+        merged.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{store_path}.__tmp_{token}"
+    topk.write.mode("overwrite").parquet(tmp)
+    ledger_tmp = None
+    if batch_id is not None:
+        ledger_tmp = f"{ledger}.__tmp_{token}"
+        with open(ledger_tmp, "w") as fh:
+            fh.write(" ".join([*applied, str(batch_id)]) + " ")
+    if os.path.exists(store_path):
+        shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
+    if ledger_tmp is not None:
+        os.rename(ledger_tmp, ledger)
+
+
+def start_continuous_reservoir(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    schema,
+    strata_col: str,
+    k: int,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "rsv",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source JSON stream -> per-batch derived priorities ->
+    top-k merge. The maintained sample equals the batch
+    stratified_reservoir over everything ingested, at every point in
+    the stream's life."""
+    from hummingbird_spark.operators.dsir import aes_key
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        w = (F.col(weight_col) if weight_col is not None
+             else F.lit(1.0))
+        keyed = batch_df.select(
+            strata_col, id_col,
+            *([weight_col] if weight_col is not None else []),
+            aes_key(F.col(id_col), w, seed).alias("__key"),
+        )
+        merge_reservoir_batch(spark, keyed, store_path, strata_col,
+                              id_col, k, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or store_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_reservoir(spark: SparkSession, store_path: str) -> DataFrame:
+    return spark.read.parquet(store_path)

@@ -113,6 +113,7 @@ PROBES = [
     ("hdr_quantiles", ["documents"]),
     # effectful: runs the whole curate->pack->write chain under proof
     ("curation_pipeline_verify", ["documents"]),
+    ("reservoir_sample", ["documents"]),
 ]
 
 EMB_COPIES = 4

@@ -1,0 +1,98 @@
+"""Stratified weighted reservoir: partition invariance of the sample,
+statistical sanity of the weighting (heavier items sampled more), the
+without-replacement/per-stratum contracts, and the streaming twin's
+EXACT batch equivalence + replay idempotency (the property derived
+priorities buy that classic reservoir sampling cannot have)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from hummingbird_spark.operators.dsir import stratified_reservoir
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("w", T.LongType()),
+])
+
+ROWS = [(i, f"s{i % 4}", 1 + (i * 13) % 50 + (9000 if i % 37 == 0 else 0))
+        for i in range(400)]
+
+
+def test_partition_invariant_and_contracts(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    base = [(r.source, r.doc_id, r.rk)
+            for r in stratified_reservoir(df, "source", 6, "w")
+            .orderBy("source", "rk").collect()]
+    for parts in (1, 7, 32):
+        got = [(r.source, r.doc_id, r.rk)
+               for r in stratified_reservoir(df.repartition(parts),
+                                             "source", 6, "w")
+               .orderBy("source", "rk").collect()]
+        assert got == base
+    # contracts: 6 per stratum, no duplicate ids, ranks 1..6
+    per = {}
+    seen = set()
+    for src, doc, rk in base:
+        per.setdefault(src, []).append(rk)
+        assert doc not in seen
+        seen.add(doc)
+    assert all(sorted(v) == [1, 2, 3, 4, 5, 6] for v in per.values())
+
+
+def test_weighting_favors_heavy_items(spark):
+    # 4 strata x ~3 huge-weight items each (w ~ 9000 vs <= 50):
+    # E-S keys put nearly all of them in a k=6 sample
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = stratified_reservoir(df, "source", 6, "w").collect()
+    heavy_sampled = sum(1 for r in got if r.w > 8000)
+    heavy_total = sum(1 for _, _, w in ROWS if w > 8000)
+    assert heavy_sampled >= heavy_total - 1
+
+
+def test_seed_changes_sample(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = {r.doc_id for r in stratified_reservoir(df, "source", 6, "w",
+                                                seed="a").collect()}
+    b = {r.doc_id for r in stratified_reservoir(df, "source", 6, "w",
+                                                seed="b").collect()}
+    assert a != b
+
+
+def test_streaming_equals_batch_and_replay(spark, tmp_path):
+    from hummingbird_spark.streaming.reservoir import (
+        read_reservoir,
+        start_continuous_reservoir,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "rsv")
+    os.makedirs(src)
+    for b in range(4):
+        with open(os.path.join(src, f"{b}.json"), "w") as fh:
+            for doc_id, source, w in ROWS[b * 100:(b + 1) * 100]:
+                fh.write(json.dumps(
+                    {"doc_id": doc_id, "source": source, "w": w}) + "\n")
+
+    q = start_continuous_reservoir(spark, src, store, SCHEMA,
+                                   "source", 6, weight_col="w")
+    q.awaitTermination(180)
+
+    batch = {(r.source, r.doc_id)
+             for r in stratified_reservoir(
+                 spark.createDataFrame(ROWS, SCHEMA),
+                 "source", 6, "w").collect()}
+    streamed = {(r.source, r.doc_id)
+                for r in read_reservoir(spark, store).collect()}
+    assert streamed == batch  # EXACT equivalence, not statistical
+
+    q = start_continuous_reservoir(spark, src, store, SCHEMA,
+                                   "source", 6, weight_col="w")
+    q.awaitTermination(180)
+    again = {(r.source, r.doc_id)
+             for r in read_reservoir(spark, store).collect()}
+    assert again == batch  # ledger: replay is a no-op
