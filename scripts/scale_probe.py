@@ -114,6 +114,7 @@ PROBES = [
     # effectful: runs the whole curate->pack->write chain under proof
     ("curation_pipeline_verify", ["documents"]),
     ("reservoir_sample", ["documents"]),
+    ("packed_interleaved", ["documents"]),
 ]
 
 EMB_COPIES = 4
