@@ -137,17 +137,15 @@ def hdr_build(df: DataFrame, value_col: str, s: int = 5) -> DataFrame:
     )
 
 
-def hdr_quantiles(df: DataFrame, value_col: str,
-                  qs: tuple = (0.5, 0.9, 0.99),
-                  s: int = 5) -> DataFrame:
-    """(q, bucket, lo, hi): for each requested quantile, the first
-    bucket whose cumulative count reaches ceil(q*n), with its value
-    bounds — true quantile in [lo, hi], relative error <= 2^-s. The
-    histogram is tiny, so the rank scan is one single-partition
-    window; the corpus contributes exactly one scan (the build)."""
+def hdr_quantiles_from_hist(hist: DataFrame,
+                            qs: tuple = (0.5, 0.9, 0.99),
+                            s: int = 5) -> DataFrame:
+    """Quantile extraction over an EXISTING (bucket, cnt) histogram —
+    a fresh build, a merged cross-shard union, or the continuously
+    maintained one (streaming/sketch.py::read_hist): the additive
+    algebra makes them interchangeable here."""
     from pyspark.sql import Window
 
-    hist = hdr_build(df, value_col, s)
     c = hist.select(
         "bucket", "cnt",
         F.sum("cnt").over(
@@ -156,7 +154,7 @@ def hdr_quantiles(df: DataFrame, value_col: str,
         F.sum("cnt").over(
             Window.partitionBy()).alias("n"),
     )
-    qf = df.sparkSession.createDataFrame(
+    qf = hist.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double")
     lo, hi = hdr_bounds(F.col("bucket"), s)
     return (
@@ -166,6 +164,17 @@ def hdr_quantiles(df: DataFrame, value_col: str,
         .select("q", "bucket", lo, hi)
         .orderBy("q")
     )
+
+
+def hdr_quantiles(df: DataFrame, value_col: str,
+                  qs: tuple = (0.5, 0.9, 0.99),
+                  s: int = 5) -> DataFrame:
+    """(q, bucket, lo, hi): for each requested quantile, the first
+    bucket whose cumulative count reaches ceil(q*n), with its value
+    bounds — true quantile in [lo, hi], relative error <= 2^-s. The
+    histogram is tiny, so the rank scan is one single-partition
+    window; the corpus contributes exactly one scan (the build)."""
+    return hdr_quantiles_from_hist(hdr_build(df, value_col, s), qs, s)
 
 
 def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
