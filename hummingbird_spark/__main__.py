@@ -380,6 +380,25 @@ def main(argv: list[str] | None = None) -> int:
                      help="max repeats of any source (UniMax N)")
     mix.add_argument("--source-col", default="source")
     mix.add_argument("--text-col", default="text")
+    smp = sub.add_parser("sample")
+    smp.add_argument("src", help="source documents parquet")
+    smp.add_argument("out", help="sampled output parquet")
+    smp.add_argument("-k", type=int, required=True,
+                     help="docs to keep per stratum")
+    smp.add_argument("--strata-col", default="source")
+    smp.add_argument("--weight-col", default=None,
+                     help="optional weight column (sampling probability "
+                          "~ weight, Efraimidis-Spirakis)")
+    smp.add_argument("--id-col", default="doc_id")
+    smp.add_argument("--seed", default="rsv")
+    qnt = sub.add_parser("quantiles")
+    qnt.add_argument("src", help="source parquet")
+    qnt.add_argument("value_col", help="non-negative integer column")
+    qnt.add_argument("-q", type=float, action="append", default=None,
+                     help="quantile in (0,1); repeatable "
+                          "(default: 0.5 0.9 0.99)")
+    qnt.add_argument("-s", type=int, default=5,
+                     help="sub-bucket bits: relative error <= 2^-s")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -622,6 +641,51 @@ def main(argv: list[str] | None = None) -> int:
             "n_output": written.count(),
             "cluster_sizes": dict(sorted(sizes.items())),
             "out": args.out,
+        }))
+        return 0
+    if args.command == "sample":
+        from hummingbird_spark.operators.dsir import stratified_reservoir
+
+        spark = get_spark(app_name="hummingbird_sample")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(args.src)
+        picked = stratified_reservoir(
+            docs, args.strata_col, args.k,
+            weight_col=args.weight_col, id_col=args.id_col,
+            seed=args.seed)
+        # rejoin full rows so the output is a usable corpus slice with
+        # the per-stratum rank attached (same contract as dsir/cluster)
+        out = docs.join(picked.select(args.id_col, "rk"), args.id_col)
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        per = {
+            str(r[args.strata_col]): r["count"]
+            for r in written.groupBy(args.strata_col).count().collect()
+        }
+        print(json.dumps({
+            "command": "sample", "k": args.k,
+            "strata_col": args.strata_col,
+            "weight_col": args.weight_col, "seed": args.seed,
+            "n_input": docs.count(), "n_output": written.count(),
+            "per_stratum": dict(sorted(per.items())),
+            "out": args.out,
+        }))
+        return 0
+    if args.command == "quantiles":
+        from hummingbird_spark.operators.sketch import hdr_quantiles
+
+        spark = get_spark(app_name="hummingbird_quantiles")
+        spark.sparkContext.setLogLevel("ERROR")
+        src = spark.read.parquet(args.src)
+        qs = tuple(args.q) if args.q else (0.5, 0.9, 0.99)
+        rows = hdr_quantiles(src, args.value_col, qs, args.s).collect()
+        print(json.dumps({
+            "command": "quantiles", "value_col": args.value_col,
+            "s": args.s, "rel_error_bound": 2.0 ** -args.s,
+            "quantiles": [
+                {"q": r["q"], "lo": r["lo"], "hi": r["hi"]}
+                for r in rows
+            ],
         }))
         return 0
     if args.command == "profile":

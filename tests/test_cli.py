@@ -363,3 +363,35 @@ def test_cli_cluster(spark, tmp_path, capsys):
     expect = {c: min(10, n) for c, n in sizes.items()}
     got = {int(c): n for c, n in rep2["cluster_sizes"].items()}
     assert got == expect
+
+
+def test_cli_sample(spark, tmp_path, capsys):
+    out = str(tmp_path / "sampled")
+    assert main(["sample", f"{SF_SMOKE}/documents.parquet", out,
+                 "-k", "2", "--weight-col", "n_chars"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["command"] == "sample"
+    assert all(v <= 2 for v in rep["per_stratum"].values())
+    assert rep["n_output"] == sum(rep["per_stratum"].values())
+    got = spark.read.parquet(out)
+    assert {"doc_id", "source", "rk"} <= set(got.columns)
+    # deterministic: a second run picks the identical docs
+    out2 = str(tmp_path / "sampled2")
+    assert main(["sample", f"{SF_SMOKE}/documents.parquet", out2,
+                 "-k", "2", "--weight-col", "n_chars"]) == 0
+    capsys.readouterr()
+    a = {r.doc_id for r in got.collect()}
+    b = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+
+def test_cli_quantiles(spark, capsys):
+    assert main(["quantiles", f"{SF_SMOKE}/documents.parquet",
+                 "n_chars", "-q", "0.5", "-q", "0.99"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["command"] == "quantiles"
+    assert [e["q"] for e in rep["quantiles"]] == [0.5, 0.99]
+    for e in rep["quantiles"]:
+        assert e["lo"] <= e["hi"]
+        if e["lo"] >= 32:
+            assert e["hi"] / e["lo"] <= 1 + 2 ** -4
