@@ -177,6 +177,70 @@ def hdr_quantiles(df: DataFrame, value_col: str,
     return hdr_quantiles_from_hist(hdr_build(df, value_col, s), qs, s)
 
 
+#: HLL hash domain: 60-bit md5 prefix = 8 bucket bits + 52-bit w field
+_HLL_W_BITS = 52
+
+
+def hll_registers(df: DataFrame, value_col: str, group_cols: list,
+                  m: int = 256) -> DataFrame:
+    """(groups..., bucket, rho): HyperLogLog registers (Flajolet,
+    Fusy, Gandouet & Meunier 2007) over md5-derived hashes. HLL is
+    deterministic GIVEN its hash; Spark's approx_count_distinct uses
+    an internal hash (rows-only territory), so this twin derives
+    h = md5_60(value), bucket = h & (m-1), rho = leading zeros of the
+    52-bit w field + 1 — with rho computed from the base-2 STRING
+    LENGTH of w (the hdr_bucket idiom), every register is an integer
+    function of the value, identical across engines, partitionings,
+    and merges (register merge = max, so the sketch is mergeable and
+    a continuous twin would be exact by algebra like the CMS)."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    bucket_bits = m.bit_length() - 1
+    h = F.conv(F.substring(
+        F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+    bucket = h % m
+    w = F.shiftright(h, bucket_bits)
+    w_bits = 60 - bucket_bits
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1)
+        - F.length(F.conv(w.cast("string"), 10, 2)))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, value_col: str, group_cols: list,
+                 m: int = 256) -> DataFrame:
+    """(groups..., hll_est): the HLL cardinality estimate, built so
+    every arithmetic step is cross-engine exact: the harmonic sum is
+    the INTEGER  S = sum(2^50 >> rho) + zeros * 2^50  (no float
+    accumulation order to diverge), the raw estimate is ONE division
+    of a precomputed double constant by S, and the small-range
+    linear-counting branch (E <= 2.5m, zeros > 0) is the single libm
+    call, 4-dp rounded per the engine-stability discipline. Standard
+    error ~ 1.04/sqrt(m)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c2 = alpha * m * m * float(1 << 50)  # one Python-folded constant
+    regs = hll_registers(df, value_col, group_cols, m)
+    per = regs.groupBy(*group_cols).agg(
+        (F.sum(F.call_function("shiftright",
+                               F.lit(1 << 50).cast("long"),
+                               F.col("rho").cast("int")))
+         + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 50)).alias("s"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zeros"),
+    )
+    e_raw = F.lit(c2) / F.col("s")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / F.col("zeros")), 4),
+    ).otherwise(F.round(e_raw, 4))
+    return per.select(*group_cols, est.alias("hll_est"))
+
+
 def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
                   gram: str = "token") -> DataFrame:
     """Misra-Gries candidate pruning (Misra & Gries, Sci. Comput.

@@ -45,7 +45,11 @@ family, each with a full DuckDB oracle:
   packed_interleaved — round-robin source-interleaved packing, the
       mixture-balance twin of unimax_packed_pipeline (avg distinct
       sources per chunk 4.65 vs 4.35 at sf0.01 — ~99% vs ~93% of the
-      per-chunk maximum).
+      per-chunk maximum);
+  hll_distinct — deterministic HyperLogLog: md5-derived registers and
+      an integer harmonic sum make the estimate a pure function of
+      the value set, so the approximate-distinct sketch carries a
+      full SQL oracle (the twin of rows-only approx_distinct).
 """
 
 from __future__ import annotations
@@ -619,6 +623,88 @@ FROM packed GROUP BY chunk_id ORDER BY chunk_id
 
 
 # --------------------------------------------------------------------------
+# Deterministic HyperLogLog (shrinks the rows-only floor: the existing
+# approx_distinct uses Spark's internal HLL++ hash, so it can only be
+# rows-checked; this twin derives its registers from md5, making the
+# whole estimate a pure function of the value set)
+_HLL_M = 256
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distinct-part estimate from a deterministic HLL
+    (Flajolet et al. 2007) next to the exact count — the same shape as
+    the rows-only `approx_distinct`, but with md5-derived registers,
+    an integer harmonic sum (sum(2^50 >> rho): no float accumulation
+    order), and a single-division estimate, the whole sketch replays
+    in SQL bit-for-bit. rel_err makes the ~1.04/sqrt(m)=6.5% guarantee
+    visible in the result."""
+    from hummingbird_spark.operators.sketch import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, "l_partkey", ["l_returnflag"], _HLL_M)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"))
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag", "exact_parts", "hll_est",
+            F.round((F.col("hll_est") - F.col("exact_parts"))
+                    / F.col("exact_parts"), 4).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_C2 = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 50)
+
+ORACLE_HLL = rf"""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - length(bin(h >> 8)) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT l_returnflag, bucket, MAX(rho) AS rho
+  FROM r GROUP BY 1, 2
+),
+per AS (
+  SELECT l_returnflag,
+         CAST(SUM((1::BIGINT << 50) >> rho)
+              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 50) AS BIGINT)
+           AS s,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zeros
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT l_returnflag,
+         CASE WHEN {_HLL_C2!r} / s <= {2.5 * _HLL_M} AND zeros > 0
+              THEN round({float(_HLL_M)!r}
+                         * ln({float(_HLL_M)!r} / zeros), 4)
+              ELSE round({_HLL_C2!r} / s, 4) END AS hll_est
+  FROM per
+),
+exact AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.exact_parts, est.hll_est,
+       round((est.hll_est - e.exact_parts) / e.exact_parts, 4)
+         AS rel_err
+FROM exact e JOIN est USING (l_returnflag)
+ORDER BY e.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # Stratified weighted reservoir (Efraimidis-Spirakis, derived keys)
 _RSV_K = 5
 _RSV_SEED = "rsv"
@@ -1058,6 +1144,10 @@ R6_QUERIES: dict = {
         q_packed_interleaved, ORACLE_PACKED_INTERLEAVED,
         "round-robin source-interleaved packing (the mixture-balance "
         "twin of unimax_packed_pipeline)"),
+    "hll_distinct": (
+        q_hll_distinct, ORACLE_HLL,
+        "deterministic md5-register HyperLogLog vs exact distinct "
+        "(the oracle-backed twin of rows-only approx_distinct)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

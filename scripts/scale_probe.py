@@ -115,6 +115,8 @@ PROBES = [
     ("curation_pipeline_verify", ["documents"]),
     ("reservoir_sample", ["documents"]),
     ("packed_interleaved", ["documents"]),
+    # HLL registers partial-aggregate map-side; sublinear by design
+    ("hll_distinct", ["lineitem"]),
 ]
 
 EMB_COPIES = 4

@@ -130,3 +130,47 @@ def test_doc_novelty_edges(spark, tmp_path):
     assert rows[1].novelty == 1.0           # all trigrams unique
     assert rows[2].novelty == 0.0 == rows[3].novelty  # shared trigrams
     assert rows[4].n_trigrams == 0 and rows[4].novelty == 0.0
+
+
+def test_hll_error_and_branches(spark):
+    from hummingbird_spark.operators.sketch import hll_distinct
+
+    # small cardinality exercises the linear-counting branch, large
+    # the raw-estimate branch; both must sit inside ~3 sigma of the
+    # 1.04/sqrt(m) standard error
+    rows = [(f"g{int(n)}", f"v{i}") for n in (40, 1000, 20000)
+            for i in range(int(n))]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.hll_est
+           for r in hll_distinct(df, "v", ["g"], 256).collect()}
+    for n in (40, 1000, 20000):
+        err = abs(got[f"g{n}"] - n) / n
+        assert err < 3 * 1.04 / (256 ** 0.5), (n, got[f"g{n}"])
+
+
+def test_hll_registers_merge_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.operators.sketch import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    rows = [("g", f"v{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = {(r.bucket, r.rho)
+             for r in hll_registers(df, "v", ["g"], 256).collect()}
+    # mergeability: per-half registers combined by max == whole
+    a = hll_registers(
+        df.filter(F.hash("v") % 2 == 0), "v", ["g"], 256)
+    b = hll_registers(  # hash % 2 can be -1: "odd" is != 0, not == 1
+        df.filter(F.hash("v") % 2 != 0), "v", ["g"], 256)
+    merged = {(r.bucket, r.rho)
+              for r in a.unionByName(b).groupBy("g", "bucket")
+              .agg(F.max("rho").alias("rho")).collect()}
+    assert merged == whole
+    # estimate is a pure function of the value set
+    e1 = hll_distinct(df, "v", ["g"], 256).collect()[0].hll_est
+    e2 = hll_distinct(df.repartition(13), "v", ["g"], 256) \
+        .collect()[0].hll_est
+    assert e1 == e2
