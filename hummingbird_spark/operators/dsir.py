@@ -295,7 +295,8 @@ def aes_key(id_col: Column, weight: Column, seed: str) -> Column:
 def stratified_reservoir(df: DataFrame, strata_col: str, k: int,
                          weight_col: str | None = None,
                          id_col: str = "doc_id",
-                         seed: str = "rsv") -> DataFrame:
+                         seed: str = "rsv",
+                         method: str = "window") -> DataFrame:
     """k-per-stratum weighted sampling WITHOUT replacement: the
     Efraimidis-Spirakis reservoir with derived priorities. Because the
     priority is a pure function of (seed, id, weight) — not of arrival
@@ -306,10 +307,19 @@ def stratified_reservoir(df: DataFrame, strata_col: str, k: int,
     (classic reservoir sampling has neither property).
 
     Returns (strata, id, weight?, rk), rk = 1..k by priority desc.
-    Scale: one scan + one per-stratum window sort; a dominant stratum
-    makes that window a hot single task — at that regime switch to the
-    two-phase cutoff filter cluster.py::cluster_balanced_sample pins
-    (same shape, measured in SCALE.md)."""
+
+    Scale: method='window' is one scan + one per-stratum window sort;
+    a dominant stratum makes that window one hot task. method='cutoff'
+    is the two-phase guard (the cluster_balanced_sample discipline,
+    adapted to E-S keys): since P(key >= c) = 1 - exp(c*w) for the
+    derived uniform, the per-stratum cutoff c_s = -4k / sum(w) —
+    computed from an EXACT aggregate, so it is itself deterministic
+    and partition-invariant — keeps ~4k expected survivors, and only
+    those enter the window sort. The 4x margin makes undershoot
+    astronomically unlikely (Chernoff on a mean-4k sum of independent
+    indicators); if a cutoff does undershoot, the (smaller) sample is
+    still the deterministic top of the survivors — same contract as
+    the cluster sampler, measured in scripts/skew_probe_reservoir.py."""
     from pyspark.sql import Window
 
     w = (F.col(weight_col) if weight_col is not None
@@ -319,6 +329,28 @@ def stratified_reservoir(df: DataFrame, strata_col: str, k: int,
         *([weight_col] if weight_col is not None else []),
         aes_key(F.col(id_col), w, seed).alias("__key"),
     )
+    if method == "cutoff":
+        w_eff = (F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+                 if weight_col is not None else F.lit(1.0))
+        agg = (
+            df.select(strata_col, w_eff.alias("__w"))
+            .groupBy(strata_col)
+            .agg(F.sum("__w").alias("__sw"),
+                 F.count(F.lit(1)).alias("__n"))
+        )
+        # per-stratum cutoff rows: small by construction (one per
+        # stratum), broadcast into the keyed scan
+        cuts = agg.select(
+            strata_col,
+            F.when(F.col("__n") <= 4 * k, F.lit(float("-inf")))
+            .otherwise(F.lit(-4.0 * k) / F.col("__sw"))
+            .alias("__cut"),
+        )
+        keyed = (
+            keyed.join(F.broadcast(cuts), strata_col)
+            .filter(F.col("__key") >= F.col("__cut"))
+            .drop("__cut")
+        )
     win = Window.partitionBy(strata_col) \
         .orderBy(F.desc("__key"), id_col)
     return (

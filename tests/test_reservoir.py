@@ -96,3 +96,22 @@ def test_streaming_equals_batch_and_replay(spark, tmp_path):
     again = {(r.source, r.doc_id)
              for r in read_reservoir(spark, store).collect()}
     assert again == batch  # ledger: replay is a no-op
+
+
+def test_cutoff_path_equals_window_and_invariant(spark):
+    # hot stratum: 90% of rows in one source — the regime the cutoff
+    # exists for; the sample must be IDENTICAL to the window path and
+    # partition-invariant (the cutoff derives from exact aggregates)
+    rows = [(i, "hot" if i % 10 else "rare", 1 + (i * 13) % 50)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = sorted((r.source, r.doc_id, r.rk)
+                  for r in stratified_reservoir(df, "source", 6, "w")
+                  .collect())
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.source, r.doc_id, r.rk)
+            for r in stratified_reservoir(
+                df.repartition(parts), "source", 6, "w",
+                method="cutoff").collect())
+        assert got == base
