@@ -177,6 +177,43 @@ def hdr_quantiles(df: DataFrame, value_col: str,
     return hdr_quantiles_from_hist(hdr_build(df, value_col, s), qs, s)
 
 
+def hdr_quantiles_grouped(df: DataFrame, value_col: str,
+                          group_cols: list,
+                          qs: tuple = (0.5, 0.9, 0.99),
+                          s: int = 5) -> DataFrame:
+    """(groups..., q, lo, hi): per-group quantile bounds from one
+    grouped histogram build — the per-source length profile a curation
+    pass inspects before setting gates. One corpus scan into a
+    (groups, bucket) aggregate bounded at |groups| * 64 * 2^s rows;
+    the rank windows partition by group (parallel, tiny)."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(*group_cols, hdr_bucket(F.col(value_col), s))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = hist.select(
+        *group_cols, "bucket",
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols)).alias("n"),
+    )
+    qf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    lo, hi = hdr_bounds(F.col("bucket"), s)
+    return (
+        c.join(F.broadcast(qf),
+               F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*group_cols, "q", lo, hi)
+        .orderBy(*group_cols, "q")
+    )
+
+
 #: HLL hash domain: 60-bit md5 prefix = 8 bucket bits + 52-bit w field
 _HLL_W_BITS = 52
 
@@ -212,19 +249,14 @@ def hll_registers(df: DataFrame, value_col: str, group_cols: list,
     )
 
 
-def hll_distinct(df: DataFrame, value_col: str, group_cols: list,
-                 m: int = 256) -> DataFrame:
-    """(groups..., hll_est): the HLL cardinality estimate, built so
-    every arithmetic step is cross-engine exact: the harmonic sum is
-    the INTEGER  S = sum(2^50 >> rho) + zeros * 2^50  (no float
-    accumulation order to diverge), the raw estimate is ONE division
-    of a precomputed double constant by S, and the small-range
-    linear-counting branch (E <= 2.5m, zeros > 0) is the single libm
-    call, 4-dp rounded per the engine-stability discipline. Standard
-    error ~ 1.04/sqrt(m)."""
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list,
+                                m: int = 256) -> DataFrame:
+    """Estimate extraction over an EXISTING (groups..., bucket, rho)
+    register frame — a fresh build, a cross-shard max-merge, or the
+    continuously maintained one (streaming/sketch.py::read_hll): the
+    max-semilattice algebra makes them interchangeable here."""
     alpha = 0.7213 / (1.0 + 1.079 / m)
     c2 = alpha * m * m * float(1 << 50)  # one Python-folded constant
-    regs = hll_registers(df, value_col, group_cols, m)
     per = regs.groupBy(*group_cols).agg(
         (F.sum(F.call_function("shiftright",
                                F.lit(1 << 50).cast("long"),
@@ -239,6 +271,20 @@ def hll_distinct(df: DataFrame, value_col: str, group_cols: list,
                                         / F.col("zeros")), 4),
     ).otherwise(F.round(e_raw, 4))
     return per.select(*group_cols, est.alias("hll_est"))
+
+
+def hll_distinct(df: DataFrame, value_col: str, group_cols: list,
+                 m: int = 256) -> DataFrame:
+    """(groups..., hll_est): the HLL cardinality estimate, built so
+    every arithmetic step is cross-engine exact: the harmonic sum is
+    the INTEGER  S = sum(2^50 >> rho) + zeros * 2^50  (no float
+    accumulation order to diverge), the raw estimate is ONE division
+    of a precomputed double constant by S, and the small-range
+    linear-counting branch (E <= 2.5m, zeros > 0) is the single libm
+    call, 4-dp rounded per the engine-stability discipline. Standard
+    error ~ 1.04/sqrt(m)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, m), group_cols, m)
 
 
 def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,

@@ -1504,7 +1504,7 @@ _VERIFY_FIRST = [
     "classifier_scores", "classifier_eval", "unimax_curated_sample",
     "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
     "curation_pipeline_verify", "reservoir_sample",
-    "packed_interleaved", "hll_distinct",
+    "packed_interleaved", "hll_distinct", "source_length_profile",
     # changed this round: vectorized poly-hash + splitmix64 shingle
     # hashing (new hash values, oracle updated in lockstep)
     "simhash_dups",

@@ -49,7 +49,10 @@ family, each with a full DuckDB oracle:
   hll_distinct — deterministic HyperLogLog: md5-derived registers and
       an integer harmonic sum make the estimate a pure function of
       the value set, so the approximate-distinct sketch carries a
-      full SQL oracle (the twin of rows-only approx_distinct).
+      full SQL oracle (the twin of rows-only approx_distinct);
+  source_length_profile — per-source doc-length quantile bounds from
+      one grouped HDR build (the pre-gate length profile of the
+      mixture).
 """
 
 from __future__ import annotations
@@ -622,6 +625,54 @@ FROM packed GROUP BY chunk_id ORDER BY chunk_id
 """
 
 
+def q_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantile bounds (p50/p90) from ONE
+    grouped HDR build — the length-distribution profile a curation
+    pass reads before setting per-source gates. Same integer-exact
+    bucket arithmetic as hdr_quantiles, windows partitioned by source
+    (parallel); the corpus contributes exactly one scan."""
+    from hummingbird_spark.operators.sketch import hdr_quantiles_grouped
+
+    d = load_table(spark, sf_dir, "documents")
+    return hdr_quantiles_grouped(d, "n_chars", ["source"],
+                                 (0.5, 0.9), _HDR_S)
+
+
+ORACLE_SOURCE_PROFILE = rf"""
+WITH b AS (
+  SELECT source,
+         CASE WHEN n_chars < 32 THEN CAST(n_chars AS BIGINT)
+         ELSE (CAST(length(bin(n_chars)) AS BIGINT) - {_HDR_S}) * 32
+              + (CAST(n_chars AS BIGINT)
+                 >> (length(bin(n_chars)) - 1 - {_HDR_S})) - 32
+         END AS bucket
+  FROM documents
+),
+h AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2),
+c AS (
+  SELECT source, bucket,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM h
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+sel AS (
+  SELECT c.source, qs.q, MIN(c.bucket) AS bucket
+  FROM qs JOIN c ON c.cum >= CAST(CEIL(qs.q * c.n) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT source, q,
+       CASE WHEN bucket < 32 THEN bucket
+            ELSE (32 + (bucket % 32)) << ((bucket >> 5) - 1) END AS lo,
+       CASE WHEN bucket < 32 THEN bucket
+            ELSE ((32 + (bucket % 32)) << ((bucket >> 5) - 1))
+                 + (1 << ((bucket >> 5) - 1)) - 1 END AS hi
+FROM sel ORDER BY source, q
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic HyperLogLog (shrinks the rows-only floor: the existing
 # approx_distinct uses Spark's internal HLL++ hash, so it can only be
@@ -1148,6 +1199,10 @@ R6_QUERIES: dict = {
         q_hll_distinct, ORACLE_HLL,
         "deterministic md5-register HyperLogLog vs exact distinct "
         "(the oracle-backed twin of rows-only approx_distinct)"),
+    "source_length_profile": (
+        q_source_length_profile, ORACLE_SOURCE_PROFILE,
+        "per-source doc-length quantile bounds from one grouped HDR "
+        "build"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -117,6 +117,7 @@ PROBES = [
     ("packed_interleaved", ["documents"]),
     # HLL registers partial-aggregate map-side; sublinear by design
     ("hll_distinct", ["lineitem"]),
+    ("source_length_profile", ["documents"]),
 ]
 
 EMB_COPIES = 4
