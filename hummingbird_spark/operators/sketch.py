@@ -287,6 +287,59 @@ def hll_distinct(df: DataFrame, value_col: str, group_cols: list,
         hll_registers(df, value_col, group_cols, m), group_cols, m)
 
 
+def hll_pairwise_overlap(regs: DataFrame, group_col: str,
+                         m: int = 256) -> DataFrame:
+    """(ga, gb, est_a, est_b, est_union, jaccard_est): distinct-set
+    overlap between every group pair from ONE register table — the
+    theta-sketch-style set algebra HLL registers support for free:
+    union registers are the per-bucket MAX of the two groups' register
+    tables (exact by the max-semilattice), the union cardinality comes
+    from the same estimator, and the intersection falls out of
+    inclusion-exclusion (est_a + est_b - est_union; noisy for small
+    overlaps — it can even go negative — which is the documented
+    limitation of inclusion-exclusion on HLL, and why jaccard_est is a
+    screening diagnostic, not a measurement).
+
+    Scale: the register table is |groups|*m rows no matter the corpus,
+    so pair expansion costs |pairs|*m register rows — all map-side
+    aggregated. For thousands of groups, screen with a blocking key
+    first (or cap to top-overlap candidates); the corpus itself is
+    never rescanned."""
+    pairs = (
+        regs.select(F.col(group_col).alias("ga")).distinct()
+        .join(regs.select(F.col(group_col).alias("gb")).distinct(),
+              F.col("ga") < F.col("gb"))
+    )
+    tagged_a = regs.select(F.col(group_col).alias("ga"),
+                           "bucket", "rho") \
+        .join(F.broadcast(pairs), "ga")
+    tagged_b = regs.select(F.col(group_col).alias("gb"),
+                           "bucket", "rho") \
+        .join(F.broadcast(pairs), "gb")
+    union_regs = (
+        tagged_a.select("ga", "gb", "bucket", "rho")
+        .unionByName(tagged_b.select("ga", "gb", "bucket", "rho"))
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    u = hll_estimate_from_registers(union_regs, ["ga", "gb"], m) \
+        .withColumnRenamed("hll_est", "est_union")
+    singles = hll_estimate_from_registers(regs, [group_col], m)
+    ea = singles.select(F.col(group_col).alias("ga"),
+                        F.col("hll_est").alias("est_a"))
+    eb = singles.select(F.col(group_col).alias("gb"),
+                        F.col("hll_est").alias("est_b"))
+    return (
+        u.join(F.broadcast(ea), "ga").join(F.broadcast(eb), "gb")
+        .select(
+            "ga", "gb", "est_a", "est_b", "est_union",
+            F.round((F.col("est_a") + F.col("est_b")
+                     - F.col("est_union")) / F.col("est_union"), 4)
+            .alias("jaccard_est"),
+        )
+    )
+
+
 def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
                   gram: str = "token") -> DataFrame:
     """Misra-Gries candidate pruning (Misra & Gries, Sci. Comput.

@@ -52,7 +52,11 @@ family, each with a full DuckDB oracle:
       full SQL oracle (the twin of rows-only approx_distinct);
   source_length_profile — per-source doc-length quantile bounds from
       one grouped HDR build (the pre-gate length profile of the
-      mixture).
+      mixture);
+  source_vocab_overlap — pairwise source vocabulary overlap from HLL
+      register set algebra: union = per-bucket max, intersection by
+      inclusion-exclusion; one corpus scan, all pair estimates are
+      register-table arithmetic.
 """
 
 from __future__ import annotations
@@ -755,6 +759,101 @@ ORDER BY e.l_returnflag
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise trigram-vocabulary overlap between sources from ONE
+    register table (theta-sketch-style set algebra on the
+    deterministic HLL): union registers are per-bucket maxes, the
+    intersection falls out of inclusion-exclusion, jaccard_est screens
+    source redundancy before a mixture designer weights them. The
+    corpus is scanned once (register build); every pair estimate is
+    register-table algebra, |pairs|*m rows regardless of corpus
+    size."""
+    from hummingbird_spark.functions.text import doc_trigrams
+    from hummingbird_spark.operators.sketch import (
+        hll_pairwise_overlap,
+        hll_registers,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tg = d.select("source",
+                  F.explode(doc_trigrams(F.col("text"))).alias("tok"))
+    regs = hll_registers(tg, "tok", ["source"], _HLL_M) \
+        .localCheckpoint(eager=False)  # singles + pairs + union share
+    return (
+        hll_pairwise_overlap(regs, "source", _HLL_M)
+        .orderBy("ga", "gb")
+    )
+
+
+# the estimator CASE, shared by the singles and union CTEs below
+def _hll_est_sql(src: str, groups: str) -> str:
+    return rf"""(
+  SELECT {groups},
+         CASE WHEN {_HLL_C2!r} / s <= {2.5 * _HLL_M} AND zeros > 0
+              THEN round({float(_HLL_M)!r}
+                         * ln({float(_HLL_M)!r} / zeros), 4)
+              ELSE round({_HLL_C2!r} / s, 4) END AS hll_est
+  FROM (
+    SELECT {groups},
+           CAST(SUM((1::BIGINT << 50) >> rho)
+                + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 50) AS BIGINT)
+             AS s,
+           CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zeros
+    FROM {src} GROUP BY {groups}
+  )
+)"""
+
+
+ORACLE_VOCAB_OVERLAP = rf"""
+WITH ws AS (
+  SELECT source, list_transform({_TOKS}, w -> lower(w)) AS ws
+  FROM documents
+),
+tg AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+           AS tok
+  FROM ws WHERE len(ws) >= 3
+),
+h AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tg
+),
+regs AS (
+  SELECT source, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+singles AS {_hll_est_sql("regs", "source")},
+pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM regs) a
+  JOIN (SELECT DISTINCT source FROM regs) b ON a.source < b.source
+),
+union_regs AS (
+  SELECT ga, gb, bucket, MAX(rho) AS rho FROM (
+    SELECT p.ga, p.gb, r.bucket, r.rho
+    FROM regs r JOIN pairs p ON r.source = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.rho
+    FROM regs r JOIN pairs p ON r.source = p.gb
+  ) GROUP BY 1, 2, 3
+),
+u AS {_hll_est_sql("union_regs", "ga, gb")}
+SELECT u.ga, u.gb, ea.hll_est AS est_a, eb.hll_est AS est_b,
+       u.hll_est AS est_union,
+       round((ea.hll_est + eb.hll_est - u.hll_est) / u.hll_est, 4)
+         AS jaccard_est
+FROM u
+JOIN singles ea ON ea.source = u.ga
+JOIN singles eb ON eb.source = u.gb
+ORDER BY u.ga, u.gb
+"""
+
+
 # --------------------------------------------------------------------------
 # Stratified weighted reservoir (Efraimidis-Spirakis, derived keys)
 _RSV_K = 5
@@ -1203,6 +1302,10 @@ R6_QUERIES: dict = {
         q_source_length_profile, ORACLE_SOURCE_PROFILE,
         "per-source doc-length quantile bounds from one grouped HDR "
         "build"),
+    "source_vocab_overlap": (
+        q_source_vocab_overlap, ORACLE_VOCAB_OVERLAP,
+        "pairwise source vocabulary overlap from HLL register set "
+        "algebra (union = max, intersection by inclusion-exclusion)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -118,6 +118,8 @@ PROBES = [
     # HLL registers partial-aggregate map-side; sublinear by design
     ("hll_distinct", ["lineitem"]),
     ("source_length_profile", ["documents"]),
+    # register-table set algebra: one corpus scan, then |pairs|*m rows
+    ("source_vocab_overlap", ["documents"]),
 ]
 
 EMB_COPIES = 4

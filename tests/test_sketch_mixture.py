@@ -225,3 +225,25 @@ def test_continuous_hll_bit_identical_and_replay(spark, tmp_path):
     again = {(r.bucket, r.rho)
              for r in read_hll(spark, regs).collect()}
     assert again == batch_regs  # ledger: replay is a no-op
+
+
+def test_hll_overlap_screens_redundancy(spark):
+    from hummingbird_spark.operators.sketch import (
+        hll_pairwise_overlap,
+        hll_registers,
+    )
+
+    # twin/twin2 share every value (jaccard ~1); solo is disjoint
+    # from both (jaccard ~0, possibly slightly negative from
+    # inclusion-exclusion noise — the documented caveat)
+    rows = ([("twin", f"v{i}") for i in range(3000)]
+            + [("twin2", f"v{i}") for i in range(3000)]
+            + [("solo", f"w{i}") for i in range(3000)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    regs = hll_registers(df, "v", ["g"], 256)
+    got = {(r.ga, r.gb): r.jaccard_est
+           for r in hll_pairwise_overlap(regs, "g", 256).collect()}
+    assert len(got) == 3
+    assert got[("twin", "twin2")] > 0.9
+    assert abs(got[("solo", "twin")]) < 0.2
+    assert abs(got[("solo", "twin2")]) < 0.2
