@@ -401,6 +401,105 @@ def mg_candidates(df: DataFrame, text_col: str = "text", k: int = 40,
     return toks.mapInPandas(fold, "tok string, wt long")
 
 
+def mg_candidates_grouped(df: DataFrame, group_col: str,
+                          text_col: str = "text", k: int = 40,
+                          gram: str = "token") -> DataFrame:
+    """Per-GROUP Misra-Gries candidate pruning: each partition keeps k
+    counters PER GROUP it sees (state k*|groups-in-partition| — fine
+    for source-scale groups; for million-group keys pre-partition by
+    group first). The per-(partition, group) fold gives the grouped
+    guarantee: a token absent from every summary for group g has
+    count_g <= n_g/(k+1), so the union is a per-group superset of the
+    per-group heavy hitters under any partitioning.
+
+    Returns (group, tok, wt): candidate rows carry wt=0, one tok=NULL
+    sentinel per (partition, group) carries that slice's stream
+    weight, so exact per-group totals cost no extra scan."""
+    import pandas as pd
+
+    from hummingbird_spark.functions.text import doc_trigrams, tokens
+
+    if gram == "trigram":
+        toks = df.select(
+            group_col,
+            F.explode(doc_trigrams(F.col(text_col))).alias("tok"))
+    else:
+        toks = (
+            df.select(group_col,
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .select(group_col, F.lower(F.col("w")).alias("tok"))
+        )
+
+    def fold(batches):
+        states: dict = {}
+        weights: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby([group_col, "tok"]).size()
+            sizes = pdf.groupby(group_col).size()
+            for g, n in sizes.items():
+                weights[g] = weights.get(g, 0) + int(n)
+            for g in vc.index.get_level_values(0).unique():
+                s = states.get(g, pd.Series(dtype="int64"))
+                s = pd.concat([s, vc.loc[g]]).groupby(level=0).sum()
+                if len(s) > k:
+                    d = s.nlargest(k + 1).iloc[-1]
+                    s = s[s > d] - d
+                states[g] = s
+        groups, toks_out, wts = [], [], []
+        for g, n in weights.items():
+            groups.append(g)
+            toks_out.append(None)
+            wts.append(n)
+            s = states.get(g)
+            if s is not None:
+                for tok in s.index.astype(str):
+                    groups.append(g)
+                    toks_out.append(tok)
+                    wts.append(0)
+        yield pd.DataFrame({group_col: groups, "tok": toks_out,
+                            "wt": wts})
+
+    return toks.mapInPandas(fold, f"{group_col} string, tok string, "
+                                  f"wt long")
+
+
+def mg_heavy_hitters_grouped(df: DataFrame, group_col: str,
+                             text_col: str = "text", k: int = 40,
+                             gram: str = "token") -> DataFrame:
+    """Two-pass EXACT per-group heavy hitters (every (group, tok) with
+    cnt*(k+1) > n_group): the grouped form of mg_heavy_hitters — same
+    determinism argument, per group: the candidate sets are
+    partition-dependent but their per-group superset guarantee makes
+    the exact-recount output invariant. Two corpus scans; candidates
+    and per-group totals broadcast."""
+    from hummingbird_spark.functions.text import doc_trigrams, tokens
+
+    if gram == "trigram":
+        toks = df.select(
+            group_col,
+            F.explode(doc_trigrams(F.col(text_col))).alias("tok"))
+    else:
+        toks = (
+            df.select(group_col,
+                      F.explode(tokens(F.col(text_col))).alias("w"))
+            .select(group_col, F.lower(F.col("w")).alias("tok"))
+        )
+    summary = mg_candidates_grouped(df, group_col, text_col, k, gram) \
+        .localCheckpoint(eager=False)
+    cand = summary.filter(F.col("tok").isNotNull()) \
+        .select(group_col, "tok").distinct()
+    totals = summary.groupBy(group_col).agg(F.sum("wt").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), [group_col, "tok"])
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), group_col)
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select(group_col, "tok", "cnt")
+        .orderBy(group_col, F.desc("cnt"), "tok")
+    )
+
+
 def mg_heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 40,
                      gram: str = "token") -> DataFrame:
     """Two-pass EXACT heavy hitters: (1) Misra-Gries candidate pruning

@@ -1505,7 +1505,7 @@ _VERIFY_FIRST = [
     "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
     "curation_pipeline_verify", "reservoir_sample",
     "packed_interleaved", "hll_distinct", "source_length_profile",
-    "source_vocab_overlap",
+    "source_vocab_overlap", "source_heavy_hitters",
     # changed this round: vectorized poly-hash + splitmix64 shingle
     # hashing (new hash values, oracle updated in lockstep)
     "simhash_dups",

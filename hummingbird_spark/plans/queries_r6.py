@@ -56,7 +56,11 @@ family, each with a full DuckDB oracle:
   source_vocab_overlap — pairwise source vocabulary overlap from HLL
       register set algebra: union = per-bucket max, intersection by
       inclusion-exclusion; one corpus scan, all pair estimates are
-      register-table arithmetic.
+      register-table arithmetic;
+  source_heavy_hitters — per-source exact heavy hitters via grouped
+      Misra-Gries pruning (k bounded counters per source per
+      partition; the per-group superset guarantee keeps the recounted
+      output deterministic).
 """
 
 from __future__ import annotations
@@ -937,6 +941,38 @@ ORDER BY cnt DESC, tok
 """
 
 
+def q_source_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact heavy hitters (every (source, tok) with
+    cnt*(k+1) > n_source): the grouped form of mg_heavy_hitters —
+    each partition folds k bounded counters PER SOURCE it sees, and
+    the per-group superset guarantee makes the exact-recount output
+    deterministic under any partitioning, so the grouped sketch also
+    carries a full SQL oracle. The per-source top content a mixture
+    designer reads next to source_vocab_overlap."""
+    from hummingbird_spark.operators.sketch import mg_heavy_hitters_grouped
+
+    d = load_table(spark, sf_dir, "documents")
+    return mg_heavy_hitters_grouped(d, "source", k=_MG_K, gram="token")
+
+
+ORACLE_SOURCE_HH = rf"""
+WITH toks AS (
+  SELECT source, lower(unnest({_TOKS})) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+n AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM tc GROUP BY source
+)
+SELECT tc.source, tc.tok, tc.cnt
+FROM tc JOIN n USING (source)
+WHERE tc.cnt * {_MG_K + 1} > n.n
+ORDER BY tc.source, tc.cnt DESC, tc.tok
+"""
+
+
 # --------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 _CMS_D = 4
@@ -1306,6 +1342,10 @@ R6_QUERIES: dict = {
         q_source_vocab_overlap, ORACLE_VOCAB_OVERLAP,
         "pairwise source vocabulary overlap from HLL register set "
         "algebra (union = max, intersection by inclusion-exclusion)"),
+    "source_heavy_hitters": (
+        q_source_heavy_hitters, ORACLE_SOURCE_HH,
+        "per-source exact heavy hitters via grouped Misra-Gries "
+        "candidate pruning (deterministic two-pass)"),
     "unimax_mixture": (
         q_unimax_mixture, ORACLE_UNIMAX,
         "UniMax epoch-capped budget waterfill (Chung et al. 2023)"),

@@ -120,6 +120,7 @@ PROBES = [
     ("source_length_profile", ["documents"]),
     # register-table set algebra: one corpus scan, then |pairs|*m rows
     ("source_vocab_overlap", ["documents"]),
+    ("source_heavy_hitters", ["documents"]),
 ]
 
 EMB_COPIES = 4

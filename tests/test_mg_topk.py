@@ -151,3 +151,40 @@ def test_streaming_summary_guarantees_and_replay(spark, tmp_path):
     state2 = {r.tok: r.cnt for r in read_topk(spark, summ).collect()}
     assert state2 == state
     assert topk_meta(summ)["n"] == n
+
+
+def test_grouped_two_pass_exact_under_skew(spark):
+    from hummingbird_spark.operators.sketch import mg_heavy_hitters_grouped
+
+    # per-group Zipf-ish streams with group-DIFFERENT hot tokens and a
+    # long unique tail (vocab >> k, so per-group pruning really fires);
+    # one dominant group holds 80% of all rows
+    rows = []
+    i = 0
+    for g, n_docs in (("big", 240), ("mid", 40), ("tiny", 20)):
+        for j in range(n_docs):
+            words = []
+            for rank in range(1, 9):
+                if j % rank == 0:
+                    words += [f"{g}hot{rank}"] * (9 - rank)
+            words += [f"{g}tail{(j * 13 + t) % 300}" for t in range(15)]
+            rows.append((i, g, " ".join(words)))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    c = Counter()
+    ns: dict = {}
+    for _, g, text in rows:
+        for w in text.split():
+            c[(g, w.lower())] += 1
+            ns[g] = ns.get(g, 0) + 1
+    exact = sorted(
+        ((g, t, v) for (g, t), v in c.items() if v * 9 > ns[g]),
+        key=lambda x: (x[0], -x[2], x[1]))
+    assert exact, "fixture must produce per-group heavy hitters"
+
+    for parts in (1, 7, 32):
+        got = [(r.source, r.tok, r.cnt)
+               for r in mg_heavy_hitters_grouped(
+                   df.repartition(parts), "source", k=8).collect()]
+        assert got == exact
