@@ -412,7 +412,20 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     and splitmix64 replay exactly in DuckDB HUGEINT ops, the same
     strategy as the winnowing rolling hash) and removes the per-shingle
     Python loop. np.unpackbits tallies the per-bit votes for a whole
-    doc at once."""
+    doc at once.
+
+    Collision surface (v3 vs v2, documented): v2 deduped shingle
+    STRINGS before voting; v3 dedups their 64-bit poly hashes, and the
+    poly hash is linear, so adversarially crafted (or 2^-64-unlucky)
+    distinct shingles can collide PRE-vote and merge their votes,
+    perturbing a doc's signature — a robustness step down from the md5
+    variant against crafted corpora, accepted for the vectorization
+    win. (Moving the dedup after the splitmix64 finalizer would NOT
+    help: splitmix64 is a bijection on uint64, so unique-before and
+    unique-after produce the same set — the only true fix is deduping
+    the strings, which reintroduces the per-shingle Python cost v3
+    exists to remove.) The oracle replays the identical hashing, so
+    parity is unaffected either way."""
     import numpy as np
 
     B, BINV = np.uint64(SIMHASH_B), np.uint64(SIMHASH_BINV)

@@ -281,7 +281,22 @@ def aes_key(id_col: Column, weight: Column, seed: str) -> Column:
     ln(u)/w with the SAME derived uniform the Gumbel draw uses
     (u = (md5_60(seed:id)+1)/(2^60+2) — retry-idempotent, no rand(),
     SQL-replicable). Rounded to 6 dp per the engine-stability
-    discipline; callers tie-break on id."""
+    discipline; callers tie-break on id.
+
+    Precision contract (documented, not hidden): the 6-dp rounding is
+    ABSOLUTE, so keys live on a 1e-6 grid. ln(u) spans roughly
+    [-41.6, 0); for weights up to ~1e3 that leaves thousands of
+    distinct grid levels per stratum and ties are rare. For w >> 1e3
+    the keys collapse toward 0 on the coarse grid, ties dominate, and
+    the ascending-id tie-break makes the 'weighted random' order
+    substantially id-ordered — rescale such weights (e.g. divide by
+    sum(w)/n) before calling; the E-S order is invariant to a global
+    weight scale. Weights are also clamped to >= 1.0 (F.greatest
+    below): fractional weights are deliberately treated as 1 so
+    ln(u)/w never amplifies past the rounding grid's resolution —
+    callers with sub-unit weights must rescale up, not rely on E-S
+    semantics below 1.0. Both bounds hold identically in every SQL
+    oracle that replays this formula."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))),

@@ -49,6 +49,14 @@ def merge_reservoir_batch(
             .unionByName(batch_keyed)
     else:
         merged = batch_keyed
+    # Full idempotency for free: the E-S priority is a pure function
+    # of (seed, id, weight), so a batch re-applied after a crash in
+    # the window between the data-dir rename and the ledger rename
+    # contributes byte-identical (strata, id, __key) rows. Dropping
+    # duplicates on the logical key before ranking makes the
+    # double-apply a no-op regardless of ledger state (the additive
+    # CMS merge cannot do this; this merge can, so it should).
+    merged = merged.dropDuplicates([strata_col, id_col])
     win = Window.partitionBy(strata_col).orderBy(
         F.desc("__key"), id_col)
     topk = (

@@ -277,8 +277,16 @@ def merge_topk_batch(
 ) -> None:
     """Merge a batch's (tok, cnt) vocabulary-grain counts into the
     persistent <= k-row MG summary. Same ledger + double-rename swap
-    discipline as merge_cms_batch; the meta sidecar accumulates the
-    total stream weight n that interprets the n/(k+1) guarantee."""
+    discipline as merge_cms_batch. The total stream weight n that
+    interprets the n/(k+1) guarantee rides INSIDE the summary parquet
+    as a tok=NULL sentinel row (the mg_candidates convention), so n
+    and the counters swap in one atomic rename: a crash between the
+    summary rename and the ledger rename replays the batch into BOTH
+    counts and n together — the advertised [c, c + n/(k+1)] bound on
+    true counts stays coherent (the replayed batch just reads as
+    having occurred twice in the stream). Only the static k lives in
+    the .meta sidecar; it never changes, so its write is idempotent
+    and has no crash window."""
     import json
 
     from pyspark.sql import Window
@@ -294,9 +302,15 @@ def merge_topk_batch(
 
     batch_tc = batch_tc.select("tok", "cnt")
     n_batch = batch_tc.agg(F.sum("cnt")).collect()[0][0] or 0
+    n_prior = 0
     if os.path.exists(os.path.join(summary_path, "_SUCCESS")):
+        prior = spark.read.parquet(summary_path)
+        n_prior = (prior.filter(F.col("tok").isNull())
+                   .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+                   .collect()[0][0])
         merged = (
-            spark.read.parquet(summary_path).unionByName(batch_tc)
+            prior.filter(F.col("tok").isNotNull())
+            .unionByName(batch_tc)
             .groupBy("tok").agg(F.sum("cnt").alias("cnt"))
         )
     else:
@@ -314,29 +328,27 @@ def merge_topk_batch(
         .filter(F.col("cnt") > F.col("d"))
         .select("tok", (F.col("cnt") - F.col("d")).alias("cnt"))
     )
-
-    meta = {"n": 0, "k": k}
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-    meta["n"] = int(meta["n"]) + int(n_batch)
-    meta["k"] = k
+    n_total = int(n_prior) + int(n_batch)
+    sentinel = spark.createDataFrame(
+        [(None, n_total)], "tok string, cnt long")
+    out = pruned.unionByName(sentinel)
 
     token = uuid.uuid4().hex[:8]
     tmp = f"{summary_path}.__tmp_{token}"
-    pruned.write.mode("overwrite").parquet(tmp)
+    out.write.mode("overwrite").parquet(tmp)
     ledger_tmp = None
     if batch_id is not None:
         ledger_tmp = f"{ledger}.__tmp_{token}"
         with open(ledger_tmp, "w") as fh:
             fh.write(" ".join([*applied, str(batch_id)]) + " ")
-    meta_tmp = f"{meta_path}.__tmp_{token}"
-    with open(meta_tmp, "w") as fh:
-        json.dump(meta, fh)
+    if not os.path.exists(meta_path):
+        meta_tmp = f"{meta_path}.__tmp_{token}"
+        with open(meta_tmp, "w") as fh:
+            json.dump({"k": k}, fh)
+        os.rename(meta_tmp, meta_path)
     if os.path.exists(summary_path):
         shutil.rmtree(summary_path)
     os.rename(tmp, summary_path)
-    os.rename(meta_tmp, meta_path)
     if ledger_tmp is not None:
         os.rename(ledger_tmp, ledger)
 
@@ -373,11 +385,24 @@ def start_continuous_topk(
 
 
 def read_topk(spark: SparkSession, summary_path: str) -> DataFrame:
-    return spark.read.parquet(summary_path)
+    """The MG summary without the tok=NULL stream-weight sentinel."""
+    return (spark.read.parquet(summary_path)
+            .filter(F.col("tok").isNotNull()))
 
 
 def topk_meta(summary_path: str) -> dict:
+    """{'n': total stream weight, 'k': summary size}. n comes from
+    the tok=NULL sentinel INSIDE the summary parquet (atomic with the
+    counters it interprets — read via pyarrow, no session needed); k
+    from the static sidecar."""
     import json
 
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(summary_path, columns=["tok", "cnt"])
+    toks = tbl.column("tok").to_pylist()
+    cnts = tbl.column("cnt").to_pylist()
+    n = sum(c for t, c in zip(toks, cnts) if t is None)
     with open(summary_path + ".meta") as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    return {"n": int(n), "k": int(meta["k"])}

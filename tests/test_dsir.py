@@ -164,7 +164,11 @@ def test_distributed_selection_equals_limit_path(spark):
     clamped by the adaptive per-pass eps (trim_cap/(6m)), pinning that
     the clamp itself preserves the answer."""
     d = _corpus(spark).localCheckpoint()
-    _paths_equal(spark, d, k=8, relative_error=0.05, trim_cap=0)
+    # trim_cap=0 means ANY final sliver exceeds the cap — the
+    # above-target warning is the documented behavior here, so assert
+    # it rather than leak it into the green run's output.
+    with pytest.warns(RuntimeWarning, match="exceeds trim_cap"):
+        _paths_equal(spark, d, k=8, relative_error=0.05, trim_cap=0)
     _paths_equal(spark, d, k=8, relative_error=0.4, trim_cap=3)
 
 
