@@ -295,7 +295,25 @@ def exact_near_duplicate_pairs(df: DataFrame, threshold: float = 0.8,
     import pandas as pd
 
     n = df.count()
-    n_blocks = max(1, _math.ceil(n / rows_per_block))
+    # Parallelism floor (r6 verdict watch item): rows_per_block caps
+    # per-task memory, but on a modest corpus it can collapse the job
+    # to ONE block pair = one single-threaded Python task — a critical
+    # path with no parallelism to absorb scheduler/CPU jitter, which is
+    # exactly how embedding_top_pairs produced anomalous bench-slot
+    # readings (6.2s vs 1.0s baseline) while always re-timing clean.
+    # Block so that the unordered block pairs roughly cover the
+    # cluster's task slots; the extra replication is n * n_blocks rows
+    # (trivial at the n where this floor binds) and results are
+    # identical under any blocking — every pair is scored exactly once.
+    try:
+        slots = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        slots = 32
+    # smallest b with b*(b+1)/2 >= slots; never force blocks under 64
+    # rows (BLAS batch efficiency beats task spread at that size)
+    par_blocks = _math.ceil((_math.sqrt(8.0 * slots + 1) - 1) / 2)
+    floor_blocks = min(par_blocks, max(1, n // 64))
+    n_blocks = max(1, _math.ceil(n / rows_per_block), floor_blocks)
 
     tagged = df.select(id_col, vec_col).withColumn(
         "__blk",
