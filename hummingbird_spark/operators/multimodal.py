@@ -234,6 +234,156 @@ AUDIO_WINDOW_SCHEMA = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# Real codec path: RIFF/WAVE PCM16 via the stdlib `wave` module — no
+# external library, so this is a genuine decode of real container
+# bytes, not a surrogate. The PCM fixtures below derive their samples
+# from md5 blocks, which keeps the per-window DSP SQL-replicable (the
+# `wav_dsp_features` oracle rebuilds the exact int16 stream in DuckDB)
+# while the Spark side round-trips through an honest encoder/decoder.
+# ---------------------------------------------------------------------------
+
+
+def _wav_encode_pcm16(body: bytes, sample_rate: int) -> bytes:
+    """Mono PCM16 WAV container around raw little-endian int16 bytes,
+    produced by the stdlib encoder (genuine RIFF/fmt/data chunks)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(body)
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes):
+    """REAL codec decode: parse the RIFF/WAVE container with the
+    stdlib `wave` module and return (sample_rate, int16 sample array).
+    Raises NotImplementedError for shapes that would need an external
+    codec (compressed formats, multi-channel, non-16-bit)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as w:
+        if w.getcomptype() != "NONE" or w.getsampwidth() != 2 \
+                or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "only mono PCM16 WAV is decodable without an external "
+                f"codec (got comp={w.getcomptype()} "
+                f"width={w.getsampwidth()} ch={w.getnchannels()})")
+        sr = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return sr, pcm
+
+
+def synth_wav(spark: SparkSession, total: int,
+              sample_rate: int = 8000,
+              base_blocks: int = 32, block_step: int = 16) -> DataFrame:
+    """Deterministic REAL WAV fixtures: clip `mid` carries
+    base_blocks + (mid % 3) * block_step md5 blocks, each block =
+    md5('wav|mid|j') digest = 8 little-endian int16 samples, wrapped
+    in a genuine RIFF container by the stdlib encoder. The sample
+    stream is SQL-replicable (DuckDB md5 + hex-digit arithmetic), so
+    downstream DSP carries a full oracle even though the Spark side
+    decodes real container bytes."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n_blocks = base_blocks + (mid % 3) * block_step
+                body = b"".join(
+                    hashlib.md5(f"wav|{mid}|{j}".encode()).digest()
+                    for j in range(n_blocks))
+                n_samples = len(body) // 2
+                rows.append({
+                    "media_id": mid, "kind": "audio",
+                    "data": _wav_encode_pcm16(body, sample_rate),
+                    "meta": {
+                        "format": "wav-pcm16", "width": 0, "height": 0,
+                        "channels": 1, "sample_rate": sample_rate,
+                        "duration_ms": n_samples * 1000 // sample_rate,
+                        "n_frames": n_samples,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("start_ms", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def wav_window_features(df: DataFrame,
+                        window_ms: int = 16) -> DataFrame:
+    """Per-window DSP on REAL decoded PCM: RIFF bytes -> stdlib wave
+    decode -> int16 samples -> full windows of sr*window_ms/1000
+    samples -> (rms, zero_crossings, peak) per window, vectorized in
+    numpy per clip.
+
+    Engine-exactness: rms = sqrt(ssq / (win * 32768^2)) where ssq is
+    an INTEGER sum of squares (exact, < 2^53 for any window under ~8M
+    samples), so the only float ops are one exactly-rounded IEEE
+    divide and one exactly-rounded sqrt — bit-identical across numpy,
+    Python, and DuckDB. zero_crossings counts sign changes WITHIN the
+    window (127 adjacent pairs at win=128); peak is max |sample|.
+    Trailing partial windows are dropped (full-window contract).
+    Non-RIFF payloads raise the actionable codec error — this kernel
+    is the real-decode path; the HBMM surrogate seam stays in
+    audio_window_features."""
+    import numpy as np
+
+    a = df.select("media_id", "data")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "start_ms": [],
+                   "rms": [], "zero_crossings": [], "peak": []}
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"])
+                if data[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "wav_window_features decodes RIFF/WAVE PCM "
+                        "only; other containers need an external "
+                        "codec (soundfile/librosa not installed)")
+                sr, pcm = _decode_wav(data)
+                win = max(1, sr * window_ms // 1000)
+                n_win = len(pcm) // win
+                if n_win == 0:
+                    continue
+                t = pcm[:n_win * win].astype(np.int64) \
+                    .reshape(n_win, win)
+                ssq = (t * t).sum(axis=1)
+                rms = np.sqrt(ssq / (win * 1073741824.0))
+                neg = t < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                peak = np.abs(t).max(axis=1)
+                mid = int(r["media_id"])
+                out["media_id"].extend([mid] * n_win)
+                out["window_idx"].extend(range(n_win))
+                out["start_ms"].extend(
+                    w * window_ms for w in range(n_win))
+                out["rms"].extend(rms.tolist())
+                out["zero_crossings"].extend(int(z) for z in zc)
+                out["peak"].extend(int(p) for p in peak)
+            yield pd.DataFrame(out)
+
+    return a.mapInPandas(kernel, WAV_WINDOW_SCHEMA)
+
+
 def audio_window_features(df: DataFrame,
                           window_ms: int = 100) -> DataFrame:
     """Per-window audio features: each audio payload explodes into
@@ -263,10 +413,32 @@ def audio_window_features(df: DataFrame,
                    "rms": [], "zero_crossings": []}
             for _, r in pdf.iterrows():
                 data = bytes(r["data"])
+                if data[:4] == b"RIFF":
+                    # real codec path: decode PCM with the stdlib wave
+                    # module and compute the SAME (rms, zc) features on
+                    # actual samples (normalized to [-1, 1))
+                    sr, pcm = _decode_wav(data)
+                    win = max(1, sr * window_ms // 1000)
+                    segs = ([pcm] if len(pcm) < win else
+                            [pcm[w * win:(w + 1) * win]
+                             for w in range(len(pcm) // win)])
+                    for w, seg in enumerate(segs):
+                        s = seg.astype("int64")
+                        ssq = int((s * s).sum())
+                        out["media_id"].append(r["media_id"])
+                        out["window_idx"].append(w)
+                        out["start_ms"].append(w * window_ms)
+                        out["rms"].append(math.sqrt(
+                            ssq / (len(s) * 1073741824.0)))
+                        out["zero_crossings"].append(int(
+                            ((s[1:] < 0) != (s[:-1] < 0)).sum()))
+                    continue
                 if data[:4] != _MAGIC:
                     raise NotImplementedError(
-                        "no audio codec available for non-HBMM payload "
-                        "(soundfile/librosa not installed)")
+                        "no codec for this audio container: RIFF/WAVE "
+                        "PCM16 decodes natively (stdlib wave), HBMM "
+                        "fixtures use the surrogate kernel; anything "
+                        "else needs soundfile/librosa (not installed)")
                 dur = int(r["dur"] or 0)
                 n_win = max(1, -(-dur // window_ms))
                 hx = data.hex()

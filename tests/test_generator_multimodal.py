@@ -201,3 +201,102 @@ def test_decode_sha256_is_content_digest(spark):
     payloads = {r.media_id: bytes(r.data) for r in media.collect()}
     for r in decode_media(media).collect():
         assert r.sha256 == hashlib.sha256(payloads[r.media_id]).hexdigest()
+
+
+# --------------------------- real WAV codec path ---------------------------
+
+
+def test_wav_roundtrip_is_real_codec(spark):
+    """synth_wav emits genuine RIFF containers the stdlib decoder
+    round-trips: samples equal the md5-derived int16 stream."""
+    import hashlib
+
+    import numpy as np
+
+    from hummingbird_spark.operators.multimodal import (
+        _decode_wav,
+        synth_wav,
+    )
+
+    rows = synth_wav(spark, 6).orderBy("media_id").collect()
+    assert [r.media_id for r in rows] == list(range(6))
+    for r in rows:
+        data = bytes(r.data)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        sr, pcm = _decode_wav(data)
+        assert sr == 8000
+        n_blocks = 32 + r.media_id % 3 * 16
+        body = b"".join(
+            hashlib.md5(f"wav|{r.media_id}|{j}".encode()).digest()
+            for j in range(n_blocks))
+        assert np.array_equal(pcm, np.frombuffer(body, dtype="<i2"))
+        assert r.meta.n_frames == len(pcm)
+        assert r.meta.duration_ms == len(pcm) * 1000 // sr
+
+
+def test_wav_window_features_match_pure_python(spark):
+    """The Arrow kernel's per-window DSP equals a scalar reference on
+    the decoded samples (integer ssq/zc/peak; one divide + sqrt)."""
+    import math
+
+    from hummingbird_spark.operators.multimodal import (
+        _decode_wav,
+        synth_wav,
+        wav_window_features,
+    )
+
+    media = synth_wav(spark, 5)
+    got = {(r.media_id, r.window_idx): r
+           for r in wav_window_features(media, window_ms=16).collect()}
+    clips = {r.media_id: bytes(r.data) for r in media.collect()}
+    n_expected = 0
+    for mid, data in clips.items():
+        sr, pcm = _decode_wav(data)
+        win = sr * 16 // 1000
+        for w in range(len(pcm) // win):
+            n_expected += 1
+            seg = [int(x) for x in pcm[w * win:(w + 1) * win]]
+            ssq = sum(s * s for s in seg)
+            zc = sum((seg[i] < 0) != (seg[i + 1] < 0)
+                     for i in range(len(seg) - 1))
+            r = got[(mid, w)]
+            assert r.start_ms == w * 16
+            assert r.rms == math.sqrt(ssq / (win * 1073741824.0))
+            assert r.zero_crossings == zc
+            assert r.peak == max(abs(s) for s in seg)
+    assert len(got) == n_expected
+
+
+def test_wav_kernel_rejects_non_riff(spark):
+    from hummingbird_spark.operators.multimodal import (
+        synth_media,
+        wav_window_features,
+    )
+
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        wav_window_features(synth_media(spark, 3)).collect()
+
+
+def test_audio_window_features_dispatches_riff(spark):
+    """audio_window_features' former codec guard now really decodes
+    RIFF payloads: same rows as wav_window_features' rms/zc."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_window_features,
+        synth_wav,
+        wav_window_features,
+    )
+
+    media = synth_wav(spark, 4)
+    via_audio = {(r.media_id, r.window_idx): (r.start_ms, r.rms,
+                                              r.zero_crossings)
+                 for r in audio_window_features(media, window_ms=16)
+                 .collect()}
+    via_wav = {(r.media_id, r.window_idx): (r.start_ms, r.rms,
+                                            r.zero_crossings)
+               for r in wav_window_features(media, window_ms=16)
+               .collect()}
+    for key, (sms, rms, zc) in via_wav.items():
+        asms, arms, azc = via_audio[key]
+        assert (asms, azc) == (sms, zc)
+        # AUDIO_WINDOW_SCHEMA stores rms as float32
+        assert abs(arms - rms) < 1e-6
