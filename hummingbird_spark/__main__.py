@@ -399,6 +399,27 @@ def main(argv: list[str] | None = None) -> int:
                           "(default: 0.5 0.9 0.99)")
     qnt.add_argument("-s", type=int, default=5,
                      help="sub-bucket bits: relative error <= 2^-s")
+    mon = sub.add_parser("monitor")
+    mon.add_argument("src", help="stream input dir (JSONL files)")
+    mon.add_argument("state", help="summary state dir (4 stores + "
+                                   "checkpoints live under it)")
+    mon.add_argument("--text-col", default="text")
+    mon.add_argument("--strata-col", default="source")
+    mon.add_argument("--value-col", default="n_chars")
+    mon.add_argument("--id-col", default="doc_id")
+    mon.add_argument("--weight-col", default=None,
+                     help="optional reservoir weight column")
+    mon.add_argument("-k", type=int, default=10,
+                     help="Misra-Gries top-k size")
+    mon.add_argument("--reservoir-k", type=int, default=4,
+                     help="sample size per stratum")
+    mon.add_argument("--depth", type=int, default=4)
+    mon.add_argument("--width", type=int, default=64)
+    mon.add_argument("-s", type=int, default=5,
+                     help="HDR sub-bucket bits")
+    mon.add_argument("-q", type=float, action="append", default=None,
+                     help="quantile in (0,1); repeatable "
+                          "(default: 0.5 0.9 0.99)")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -686,6 +707,80 @@ def main(argv: list[str] | None = None) -> int:
                 {"q": r["q"], "lo": r["lo"], "hi": r["hi"]}
                 for r in rows
             ],
+        }))
+        return 0
+    if args.command == "monitor":
+        # the composed continuous corpus monitor: one document stream
+        # fanned out to the four bounded-state summaries (CMS token
+        # frequencies, Misra-Gries top-k, HDR value histogram,
+        # stratified reservoir), each with its own checkpoint + store
+        # under <state>. availableNow drains whatever is in <src> and
+        # returns; re-running resumes from the checkpoints, so this is
+        # the cron-able ingest tick of a continuous monitor.
+        from hummingbird_spark.operators.sketch import (
+            hdr_quantiles_from_hist,
+        )
+        from hummingbird_spark.streaming.reservoir import (
+            read_reservoir,
+            start_continuous_reservoir,
+        )
+        from hummingbird_spark.streaming.sketch import (
+            read_hist,
+            read_topk,
+            start_continuous_cms,
+            start_continuous_hdr,
+            start_continuous_topk,
+            topk_meta,
+        )
+
+        spark = get_spark(app_name="hummingbird_monitor")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.json(args.src).schema
+        base = args.state.rstrip("/")
+        queries = [
+            start_continuous_cms(spark, args.src, f"{base}/cms",
+                                 schema, text_col=args.text_col,
+                                 depth=args.depth, width=args.width),
+            start_continuous_topk(spark, args.src, f"{base}/topk",
+                                  schema, text_col=args.text_col,
+                                  k=args.k),
+            start_continuous_hdr(spark, args.src, f"{base}/hist",
+                                 schema, args.value_col, s=args.s),
+            start_continuous_reservoir(
+                spark, args.src, f"{base}/rsv", schema,
+                args.strata_col, args.reservoir_k,
+                weight_col=args.weight_col, id_col=args.id_col),
+        ]
+        for q in queries:
+            q.awaitTermination(600)
+        meta = topk_meta(f"{base}/topk")
+        slack = meta["n"] // (meta["k"] + 1)
+        top = sorted(
+            ((r.tok, r.cnt)
+             for r in read_topk(spark, f"{base}/topk").collect()),
+            key=lambda t: (-t[1], t[0]))
+        qs = tuple(args.q) if args.q else (0.5, 0.9, 0.99)
+        quant = hdr_quantiles_from_hist(
+            read_hist(spark, f"{base}/hist"), qs, s=args.s).collect()
+        per = {
+            str(r[args.strata_col]): r["count"]
+            for r in read_reservoir(spark, f"{base}/rsv")
+            .groupBy(args.strata_col).count().collect()
+        }
+        print(json.dumps({
+            "command": "monitor", "state": base,
+            "stream_weight_n": meta["n"], "topk_k": meta["k"],
+            "topk": [
+                {"tok": t, "cnt": c,
+                 "true_count_bound": [c, c + slack]}
+                for t, c in top
+            ],
+            "value_col": args.value_col,
+            "quantiles": [
+                {"q": r["q"], "lo": r["lo"], "hi": r["hi"]}
+                for r in quant
+            ],
+            "reservoir_per_stratum": dict(sorted(per.items())),
         }))
         return 0
     if args.command == "profile":

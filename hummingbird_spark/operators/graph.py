@@ -1,0 +1,141 @@
+"""Graph operators over the near-dup/link graph: the domain-quality
+weighting steps a large curation pipeline runs after dedup (PageRank
+for quality mass, label propagation for community grouping).
+
+Graph construction is the rare-shingle link graph: two documents are
+linked when they share a word trigram whose corpus document-frequency
+is small (df in [min_df, max_df]) — the shared-rare-content signal
+near-dup candidate generation uses. The df cap is ALSO the scale
+guard: one shingle contributes at most C(max_df, 2) pairs, so the
+self-join fan-out is bounded per key by construction (no hot-shingle
+skew is possible), and everything is equi-keyed shuffles.
+
+Both iterative operators follow the repo's integer-trajectory
+discipline (operators/classifier.py, cluster.py): every per-round
+quantity is an exact int64 (floor-divided PageRank mass; vote counts
+with a total-order tie-break), so T rounds replay as unrolled SQL CTEs
+bit-for-bit, the trajectory is partition-invariant (integer sums
+commute), and the registry queries carry full DuckDB oracles. Classic
+float PageRank has none of these properties.
+
+Scale: each round is a bounded set of equi-joins/aggregations on the
+(node|edge)-grain frames; per-round lineage is cut with an eager
+localCheckpoint (the r6 connected-components fix) so round t+1 plans
+scan a materialized frame instead of re-deriving rounds 1..t.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.functions.text import doc_trigrams
+
+
+def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_df: int = 2,
+                       max_df: int = 5) -> DataFrame:
+    """Undirected edge list (a < b): docs sharing >= 1 word trigram
+    with corpus df in [min_df, max_df]. One explode at distinct-
+    per-doc grain, one map-side-partial df count, one df-capped
+    self-join; per-trigram pair fan-out <= C(max_df, 2)."""
+    tg = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(doc_trigrams(F.col(text_col))))
+        .alias("g"),
+    ).localCheckpoint(eager=False)  # df count + self-join share it
+    rare = (
+        tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    tr = tg.join(rare, "g").localCheckpoint(eager=False)
+    a = tr.select(F.col("g"), F.col(id_col).alias("a"))
+    b = tr.select(F.col("g"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of an (a, b) edge list, eagerly materialized
+    once (every round re-scans it)."""
+    return (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"),
+                         F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def pagerank_scaled(edges: DataFrame, rounds: int = 4,
+                    damping_pct: int = 85,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Degree-normalized PageRank in exact scaled-integer arithmetic.
+
+    r_0(v) = scale; r_{t+1}(v) = floor(scale * (100-damping)/100)
+    + sum over in-neighbors u of floor(damping * r_t(u) / (100 *
+    deg(u))). All int64 (floor-div mass splitting loses < deg(u)
+    units per node per round — the quantization that buys engine-exact
+    replay), so the trajectory is partition-invariant and the T-round
+    result unrolls into SQL CTEs. Bounds: total mass stays <= n *
+    scale, so damping * r fits int64 up to ~10^11 nodes at the default
+    scale. Returns (node, degree, rank_scaled).
+
+    Undirected graph: every node has deg >= 1, so there are no
+    dangling nodes and the mass redistribution term is unnecessary.
+    """
+    sym = _symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .withColumnRenamed("src", "node").localCheckpoint(eager=True)
+    base = scale * (100 - damping_pct) // 100
+    r = deg.select("node", F.lit(scale).cast("long").alias("r"))
+    for _ in range(rounds):
+        shares = r.join(deg, "node").select(
+            F.col("node").alias("src"),
+            F.expr(f"({damping_pct} * r) div (100 * deg)")
+            .alias("share"),
+        )
+        r = (
+            sym.join(shares, "src")
+            .groupBy("dst")
+            .agg((F.lit(base) + F.sum("share")).alias("r"))
+            .select(F.col("dst").alias("node"), "r")
+            .localCheckpoint(eager=True)
+        )
+    return r.join(deg, "node").select(
+        "node", "deg", F.col("r").alias("rank_scaled"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    deterministic: node labels start as the node id; each round every
+    node adopts its neighbors' MODE label with a total-order tie-break
+    (highest vote count, then smallest label). The tie-break removes
+    the classic LP nondeterminism, so T rounds are a pure function of
+    the edge set — partition-invariant and SQL-replicable. Returns
+    (node, community) after `rounds` rounds."""
+    sym = _symmetric(edges)
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    win = Window.partitionBy("src").orderBy(
+        F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -1491,51 +1491,46 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r6 rotation. Every registry query is latest-green; refresh in
-    # least-recently-verified order so no name's latest record ages
-    # past round 3. Window budget ~50: queries whose values CHANGED
-    # this round lead (they need fresh hash proof against the new
-    # algorithm), then the 16 oracle-backed names whose latest record
-    # is round 2, then the oldest round-3 names. The 3 rows-only
-    # round-2 names close the window — their weaker rows-check is
-    # cheap and keeps them inside the no-older-than-r3 invariant.
-    # new this round (UniMax waterfill; count-min sketch; trigram
-    # novelty) — never recorded
-    "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
-    "classifier_scores", "classifier_eval", "unimax_curated_sample",
-    "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
-    "curation_pipeline_verify", "reservoir_sample",
-    "packed_interleaved", "hll_distinct", "source_length_profile",
-    "source_vocab_overlap", "source_heavy_hitters",
-    # changed this round: vectorized poly-hash + splitmix64 shingle
-    # hashing (new hash values, oracle updated in lockstep)
-    "simhash_dups",
-    # latest record: round 2 (oracle-backed)
-    "embedding_top_pairs", "pivot_event_values", "token_frequencies",
-    "win_tumbling", "win_sliding", "win_session", "asof_attribution",
-    "range_join_week", "cube_agg", "grouping_sets",
-    "min_cost_supplier", "market_share", "product_profit",
-    "important_stock", "excess_suppliers", "waiting_suppliers",
-    # latest record: round 3 (oldest hash proofs after the r2 set)
-    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
-    "pipeline_bucket", "embedding_dup_clusters", "segment_dup_stats",
-    "classifier_quality_mix", "quality_canonical_dedup",
-    "vector_search_pipeline", "bm25_topk", "hybrid_rrf",
-    "lm_data_prep", "cross_source_dups", "asof_next_purchase",
-    "docgen_all_types", "pack_sequences", "mixture_rebalance",
-    "mixture_temperature", "rfm_segments", "weekly_active_users",
-    "basket_pairs", "decile_stats", "first_order_gap",
-    "order_price_bands", "supplier_fill_rate", "order_seasonality",
-    "events_sessionized", "top_users", "doc_pii_scrub",
-    # latest record: round 2 (rows-only by design)
-    "knn_ivf", "approx_distinct", "sample_group",
-    # remaining round-3 names, in case the window runs deeper than 50
-    "doc_fingerprint", "doc_outliers", "shingle_stats",
-    "quality_mixture", "minhash_signature_probe", "embedding_norms",
-    "ivf_recall_probe", "pipeline_window_fields",
-    "pipeline_densify_fill", "pipeline_expressions", "doc_chunks",
-    "keep_newest_orders", "profile_orders", "decontamination",
-    "c4_filter_stats", "repetition_stats", "bpe_fertility",
+    # r7 rotation. Every registry query is latest-green; refresh in
+    # least-recently-verified order so no oracle-backed name's latest
+    # record ages past round 4 (the r6 verdict bar). Window budget
+    # ~50: never-recorded r7 queries lead, then the 30 names whose
+    # latest record is round 3, then round-4 names to fill.
+    # new this round (real WAV codec DSP; link-graph PageRank +
+    # label-propagation communities) — never recorded
+    "wav_dsp_features", "link_pagerank", "link_communities",
+    # latest record: round 3
+    "basket_pairs", "c4_filter_stats", "decile_stats",
+    "decontamination", "doc_chunks", "doc_fingerprint",
+    "doc_outliers", "doc_pii_scrub", "embedding_norms",
+    "events_sessionized", "first_order_gap", "keep_newest_orders",
+    "minhash_signature_probe", "mixture_rebalance",
+    "mixture_temperature", "order_price_bands", "order_seasonality",
+    "pipeline_densify_fill", "pipeline_expressions",
+    "pipeline_window_fields", "profile_orders", "quality_mixture",
+    "repetition_stats", "rfm_segments", "shingle_stats",
+    "supplier_fill_rate", "top_users", "weekly_active_users",
+    # latest record: round 3 (rows-only by design — cheap re-record)
+    "bpe_fertility", "ivf_recall_probe",
+    # latest record: round 4, in least-recently-proven order
+    "range_scan", "mask_default", "mask_hex", "mask_nested",
+    "mask_partial", "anti_join", "semi_join", "cdc_apply_verify",
+    "migration_copy_verify", "status_counts", "count_pred",
+    "proj_sort", "topk_events", "union_namespaces", "except_diff",
+    "window_rank", "parent_rollup", "zorder_verify", "json_props",
+    "variant_props",
+    # remaining round-4 names, in case the window runs deeper than 50
+    "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
+    "cdc_last_state", "cdc_state_at", "custdist",
+    "disjunctive_revenue", "doc_stats", "event_type_counts",
+    "events_time_slice", "exact_substring_rebuild_verify",
+    "exact_substring_stats", "forecast_revenue", "gopher_rule_stats",
+    "idle_balance", "local_supplier_volume", "nation_trade_flow",
+    "ngram_repetition_stats", "order_priority_check", "promo_revenue",
+    "quality_funnel", "returned_items", "revenue_by_nation",
+    "rollup_agg", "rollup_verify", "salted_status_counts",
+    "shipping_priority", "small_qty_revenue", "supplier_variety",
+    "top_supplier",
 ]
 
 QUERIES = {

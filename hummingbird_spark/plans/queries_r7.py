@@ -16,6 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hummingbird_spark.sources.tables import load_table
+
+# tokens(text) in DuckDB — the idiom every text oracle pins
+_TOKS = (r"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+         r"ELSE string_split_regex(trim(text), '\s+') END")
 
 WAV_N = 48
 _HEXPOS = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
@@ -85,8 +92,144 @@ ORDER BY media_id, window_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph operators over the rare-shingle link graph (operators/graph.py):
+# integer-trajectory PageRank and deterministic label propagation, both
+# with full unrolled-CTE oracles (the classifier/k-means discipline
+# applied to graph iteration).
+
+_PR_ROUNDS = 4
+_LP_ROUNDS = 3
+_PR_SCALE = 1_000_000
+_PR_DAMP = 85
+
+# shared graph CTEs: distinct per-doc lowercased word trigrams ->
+# df-capped rare set -> undirected edge list -> symmetric + degrees
+_GRAPH_CTES = rf"""ws AS (
+  SELECT doc_id, list_transform({_TOKS}, w -> lower(w)) AS ws
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+             AS g
+    FROM ws WHERE len(ws) >= 3)
+),
+rare AS (
+  SELECT g FROM tg GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5
+),
+e AS (
+  SELECT DISTINCT ta.doc_id AS a, tb.doc_id AS b
+  FROM tg ta JOIN rare USING (g) JOIN tg tb USING (g)
+  WHERE ta.doc_id < tb.doc_id
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+)"""
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-trigram link graph -> 4 rounds of scaled-integer PageRank.
+    rank_scaled is an exact int64, so the whole trajectory
+    hash-compares against the unrolled SQL replay."""
+    from hummingbird_spark.operators.graph import (
+        pagerank_scaled,
+        rare_trigram_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pr = pagerank_scaled(rare_trigram_edges(d), rounds=_PR_ROUNDS,
+                         damping_pct=_PR_DAMP, scale=_PR_SCALE)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        "rank_scaled",
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    ctes = [_GRAPH_CTES,
+            f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+            f"FROM deg)"]
+    for t in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{t} AS (\n"
+            f"  SELECT s.dst AS node,\n"
+            f"    CAST({base} + SUM(({_PR_DAMP} * r.r) // (100 * d.deg))"
+            f" AS BIGINT) AS r\n"
+            f"  FROM sym s JOIN r{t-1} r ON s.src = r.node\n"
+            f"  JOIN deg d ON s.src = d.node\n"
+            f"  GROUP BY s.dst)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT r.node AS doc_id, d.deg AS degree, r.r AS rank_scaled
+FROM r{_PR_ROUNDS} r JOIN deg d ON r.node = d.node
+ORDER BY doc_id
+""")
+
+
+ORACLE_LINK_PAGERANK = _pagerank_oracle()
+
+
+def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label propagation (3 rounds, mode label with
+    count-desc/label-asc tie-break) -> per-doc community + size."""
+    from hummingbird_spark.operators.graph import (
+        label_propagation,
+        rare_trigram_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lp = label_propagation(rare_trigram_edges(d), rounds=_LP_ROUNDS)
+    return lp.select(
+        F.col("node").alias("doc_id"),
+        "community",
+        F.count(F.lit(1)).over(Window.partitionBy("community"))
+        .alias("csize"),
+    ).orderBy("doc_id")
+
+
+def _lp_oracle() -> str:
+    ctes = [_GRAPH_CTES,
+            "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym)"]
+    for t in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"v{t} AS (\n"
+            f"  SELECT s.src AS node, l.lab, COUNT(*) AS c\n"
+            f"  FROM sym s JOIN l{t-1} l ON s.dst = l.node\n"
+            f"  GROUP BY s.src, l.lab),\n"
+            f"l{t} AS (\n"
+            f"  SELECT node, lab FROM (\n"
+            f"    SELECT node, lab, row_number() OVER\n"
+            f"      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn\n"
+            f"    FROM v{t}) WHERE rn = 1)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node AS doc_id, lab AS community,
+       COUNT(*) OVER (PARTITION BY lab) AS csize
+FROM l{_LP_ROUNDS}
+ORDER BY doc_id
+""")
+
+
+ORACLE_LINK_COMMUNITIES = _lp_oracle()
+
+
 R7_QUERIES: dict[str, tuple] = {
     "wav_dsp_features": (q_wav_dsp_features, ORACLE_WAV_DSP,
                          "real RIFF/WAVE PCM16 decode + per-window "
                          "integer-exact DSP (full SQL PCM replica)"),
+    "link_pagerank": (q_link_pagerank, ORACLE_LINK_PAGERANK,
+                      "scaled-integer PageRank over the rare-trigram "
+                      "link graph (unrolled-CTE oracle)"),
+    "link_communities": (q_link_communities, ORACLE_LINK_COMMUNITIES,
+                         "deterministic label propagation communities "
+                         "(unrolled-CTE oracle)"),
 }

@@ -395,3 +395,42 @@ def test_cli_quantiles(spark, capsys):
         assert e["lo"] <= e["hi"]
         if e["lo"] >= 32:
             assert e["hi"] / e["lo"] <= 1 + 2 ** -4
+
+
+def test_cli_monitor(spark, tmp_path, capsys):
+    """monitor: one stream dir -> four bounded-state stores -> JSON
+    report; a second tick with new data resumes from the checkpoints
+    and the report reflects everything ingested."""
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    def write(name, lo, hi):
+        with open(src / name, "w") as fh:
+            for i in range(lo, hi):
+                words = ["hot"] * (3 if i % 2 == 0 else 1) + [f"t{i % 7}"]
+                fh.write(json.dumps({
+                    "doc_id": i, "source": f"s{i % 2}",
+                    "n_chars": 10 + i % 50,
+                    "text": " ".join(words)}) + "\n")
+
+    write("0.json", 0, 40)
+    assert main(["monitor", str(src), state, "-k", "5",
+                 "--reservoir-k", "3"]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip())
+    assert rep1["command"] == "monitor"
+    n1 = rep1["stream_weight_n"]
+    assert n1 == sum((3 if i % 2 == 0 else 1) + 1 for i in range(40))
+    assert rep1["topk"][0]["tok"] == "hot"
+    lo, hi = rep1["topk"][0]["true_count_bound"]
+    assert lo <= 80 <= hi  # true 'hot' count: 20*3 + 20*1
+    assert set(rep1["reservoir_per_stratum"]) == {"s0", "s1"}
+    assert all(v == 3 for v in rep1["reservoir_per_stratum"].values())
+
+    write("1.json", 40, 60)
+    assert main(["monitor", str(src), state]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["stream_weight_n"] > n1
+    assert [e["q"] for e in rep2["quantiles"]] == [0.5, 0.9, 0.99]
+    for e in rep2["quantiles"]:
+        assert e["lo"] <= e["hi"]

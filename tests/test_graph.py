@@ -1,0 +1,107 @@
+"""Graph operators: integer-trajectory PageRank + deterministic label
+propagation vs pure-Python references, partition invariance, and the
+df-capped edge builder."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.graph import (
+    label_propagation,
+    pagerank_scaled,
+    rare_trigram_edges,
+)
+
+# two triangles joined by a bridge
+EDGES = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+
+
+def _ref_pagerank(edges, rounds, damping=85, scale=1_000_000):
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    deg = {n: len(vs) for n, vs in sym.items()}
+    base = scale * (100 - damping) // 100
+    r = {n: scale for n in sym}
+    for _ in range(rounds):
+        nxt = {n: base for n in sym}
+        for u, vs in sym.items():
+            share = (damping * r[u]) // (100 * deg[u])
+            for v in vs:
+                nxt[v] += share
+        r = nxt
+    return r, deg
+
+
+def _ref_lp(edges, rounds):
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    lab = {n: n for n in sym}
+    for _ in range(rounds):
+        nxt = {}
+        for n, vs in sym.items():
+            cnt = {}
+            for v in vs:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            nxt[n] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = nxt
+    return lab
+
+
+def test_pagerank_matches_reference(spark):
+    e = spark.createDataFrame(EDGES, "a long, b long")
+    got = {r.node: (r.deg, r.rank_scaled)
+           for r in pagerank_scaled(e, rounds=4).collect()}
+    ref_r, ref_deg = _ref_pagerank(EDGES, rounds=4)
+    assert got == {n: (ref_deg[n], ref_r[n]) for n in ref_r}
+    # bridge endpoints (3, 4) have the highest degree and rank
+    ranks = {n: rs for n, (_, rs) in got.items()}
+    assert min(ranks[3], ranks[4]) > max(
+        v for n, v in ranks.items() if n not in (3, 4))
+
+
+def test_pagerank_partition_invariant(spark):
+    e = spark.createDataFrame(EDGES, "a long, b long")
+    one = {r.node: r.rank_scaled
+           for r in pagerank_scaled(e.coalesce(1), rounds=3).collect()}
+    many = {r.node: r.rank_scaled
+            for r in pagerank_scaled(e.repartition(7), rounds=3)
+            .collect()}
+    assert one == many
+
+
+def test_label_propagation_matches_reference(spark):
+    e = spark.createDataFrame(EDGES, "a long, b long")
+    got = {r.node: r.community
+           for r in label_propagation(e, rounds=3).collect()}
+    assert got == _ref_lp(EDGES, rounds=3)
+    # the two triangles resolve to different label sets
+    assert {got[1], got[2]} != {got[5], got[6]}
+
+
+def test_rare_trigram_edges_df_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma'
+            (2, "alpha beta gamma epsilon"),    # with doc 1 (df=2)
+            (3, "zeta eta theta"),              # unique trigram (df=1)
+            (4, "common one two"),              # 'common one two' df=4:
+            (5, "common one two"),
+            (6, "common one two"),
+            (7, "common one two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b) for r in rare_trigram_edges(docs).collect()}
+    # df=2 pair kept; df=1 isolated; df=4 within [2,5] -> full clique
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)
+    clique = {(a, b) for a in (4, 5, 6, 7) for b in (4, 5, 6, 7) if a < b}
+    assert clique <= got
+    # df cap: with max_df=3 the 4-doc clique disappears
+    got3 = {(r.a, r.b)
+            for r in rare_trigram_edges(docs, max_df=3).collect()}
+    assert not (clique & got3) and (1, 2) in got3
