@@ -317,6 +317,150 @@ def synth_wav(spark: SparkSession, total: int,
     return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) with an INTEGER DCT — the image
+# analogue of SimHash for near-dup curation. Real pHash is 2D-DCT ->
+# low-frequency block -> median-threshold bits (Zauner 2010, "phash");
+# the float DCT would make cross-engine parity depend on libm, so the
+# DCT matrix is quantized to int16-scale constants at import (the
+# fixed-point DCT trick JPEG codecs use) and the whole transform is
+# exact int64 arithmetic: numpy, Python, and DuckDB agree bit-for-bit.
+# The codec seam note still applies: pixels come from raw grayscale
+# payloads (HBIG fixtures) because PIL/opencv are absent; a real
+# decoder would plug in ahead of the SAME hash kernel.
+# ---------------------------------------------------------------------------
+
+_IMG_MAGIC = b"HBIG"  # raw 16x16 grayscale fixture
+_PHASH_SCALE = 16384
+_IMG_PERT_AMP = 25   # planted near-dup perturbation: +25
+_IMG_PERT_MOD = 11   # ...on every 11th pixel (hamming spread 0-6)
+
+
+def _phash_dct16() -> list[list[int]]:
+    """8x16 integer DCT-II matrix rows u=0..7 at scale 2^14:
+    T[u][x] = round(scale * c(u) * cos(pi*(2x+1)*u/32)). Computed once
+    here and embedded verbatim into the SQL oracle, so both engines
+    share literally the same integers (no libm in the data path)."""
+    import math
+
+    return [
+        [round(_PHASH_SCALE * (0.25 if u == 0 else math.sqrt(2) / 4)
+               * math.cos(math.pi * (2 * x + 1) * u / 32))
+         for x in range(16)]
+        for u in range(8)
+    ]
+
+
+PHASH_DCT16 = _phash_dct16()
+
+
+def synth_images(spark: SparkSession, total: int) -> DataFrame:
+    """Deterministic raw-grayscale image fixtures with PLANTED near
+    duplicates: image `mid` is 256 md5-derived pixels in [0, 230);
+    every mid with mid % 4 == 1 is a perturbed copy of mid-1 (+25 on
+    every 11th pixel — visually minor, never clamps). The pixel
+    stream is SQL-replicable like the WAV fixtures."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                src = mid - 1 if mid % 4 == 1 else mid
+                body = bytearray(
+                    b % (255 - _IMG_PERT_AMP)
+                    for k in range(16)
+                    for b in hashlib.md5(
+                        f"img|{src}|{k}".encode()).digest())
+                if mid % 4 == 1:
+                    for i in range(0, 256, _IMG_PERT_MOD):
+                        body[i] += _IMG_PERT_AMP
+                rows.append({
+                    "media_id": mid, "kind": "image",
+                    "data": _IMG_MAGIC + bytes(body),
+                    "meta": {
+                        "format": "raw-gray16", "width": 16,
+                        "height": 16, "channels": 1,
+                        "sample_rate": 0, "duration_ms": 0,
+                        "n_frames": 1,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def image_phash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, phash: int64) — integer-DCT perceptual hash per
+    image. A = T @ P @ T^T over the 16x16 pixel grid (8x8 low-freq
+    block, all int64: |A| <= 16*16*2.4e7*5793 ~ 2e12), bit i set iff
+    2*A_i > (32nd + 33rd smallest coefficient) — a median threshold
+    with no float division. Non-HBIG payloads raise the actionable
+    codec error (PIL/opencv absent)."""
+    import numpy as np
+
+    tm = np.array(PHASH_DCT16, dtype=np.int64)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"])
+                if data[:4] != _IMG_MAGIC:
+                    raise NotImplementedError(
+                        "image_phash reads raw HBIG grayscale only; "
+                        "JPEG/PNG need PIL/opencv (not installed)")
+                p = np.frombuffer(data[4:260], dtype=np.uint8) \
+                    .astype(np.int64).reshape(16, 16)
+                a = (tm @ p @ tm.T).ravel()
+                s = np.sort(a)
+                med2 = int(s[31] + s[32])
+                bits = (2 * a > med2).astype(np.uint8)
+                ids.append(int(r[id_col]))
+                hashes.append(int(np.packbits(
+                    bits, bitorder="little").view(np.int64)[0]))
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "phash": pd.array(hashes,
+                                                  dtype="int64")})
+
+    return df.select(id_col, "data").mapInPandas(
+        kernel, f"{id_col} long, phash long")
+
+
+def phash_near_duplicate_pairs(hashed: DataFrame,
+                               max_hamming: int = 6,
+                               id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming self-join over 64-bit pHashes: 8 bands x 8 bits,
+    so any pair within hamming <= 7 collides on >= 1 band (pigeonhole)
+    — same scale shape as the SimHash join (per-band equi-buckets,
+    never all-pairs), verified exactly with one bit_count(XOR)."""
+    chunked = hashed.select(
+        id_col, "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("phash", c * 8)
+                .bitwiseAND(F.lit(0xFF)).alias("ckey"),
+            )
+            for c in range(8)
+        ])).alias("cc"),
+    ).select(id_col, "phash", "cc.chunk", "cc.ckey")
+    a = chunked.select(F.col(id_col).alias("a"),
+                       F.col("phash").alias("ph_a"), "chunk", "ckey")
+    b = chunked.select(F.col(id_col).alias("b"),
+                       F.col("phash").alias("ph_b"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )
+
+
 WAV_WINDOW_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("window_idx", T.IntegerType()),

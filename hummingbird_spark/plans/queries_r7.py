@@ -222,6 +222,141 @@ ORDER BY doc_id
 ORACLE_LINK_COMMUNITIES = _lp_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: integer-DCT pHash + banded Hamming join.
+# The oracle rebuilds the pixels from md5 hex digits, replays the
+# fixed-point DCT with the SAME embedded integer matrix, packs the
+# median-threshold bits via literal HUGEINT powers (the simhash-oracle
+# idiom), and all-pairs-verifies Hamming <= 6 (N=60 -> 1770 pairs; the
+# Spark side uses the banded join, identical by the pigeonhole bound).
+
+IMG_N = 60
+_PHASH_MAX_HAMMING = 6
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicate_pairs,
+        synth_images,
+    )
+
+    hashed = image_phash(synth_images(spark, IMG_N))
+    return phash_near_duplicate_pairs(
+        hashed, max_hamming=_PHASH_MAX_HAMMING)
+
+
+def _phash_oracle() -> str:
+    from hummingbird_spark.operators.multimodal import (
+        _IMG_PERT_AMP,
+        _IMG_PERT_MOD,
+        PHASH_DCT16,
+    )
+
+    tm = ("[" + ",".join(
+        "[" + ",".join(str(v) for v in row) + "]"
+        for row in PHASH_DCT16) + "]")
+    pw = ("[" + ",".join(str(1 << i) for i in range(64))
+          + "]::HUGEINT[]")
+    hx = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+    b0 = f"(({hx.format(p='2*i + 1')}) * 16 + ({hx.format(p='2*i + 2')}))"
+    return f"""
+WITH ids AS (SELECT mid FROM range({IMG_N}) t(mid)),
+base AS (
+  SELECT mid, CASE WHEN mid % 4 = 1 THEN mid - 1 ELSE mid END AS src,
+         mid % 4 = 1 AS pert FROM ids
+),
+hexes AS (
+  SELECT mid, pert,
+         string_agg(md5('img|' || src || '|' || k), '' ORDER BY k) AS hx
+  FROM base, range(16) r(k) GROUP BY mid, pert, src
+),
+px AS (
+  SELECT mid, list_transform(range(0, 256), i ->
+    ({b0} % {255 - _IMG_PERT_AMP})
+    + CASE WHEN pert AND i % {_IMG_PERT_MOD} = 0
+           THEN {_IMG_PERT_AMP} ELSE 0 END) AS p
+  FROM hexes
+),
+dct AS (
+  SELECT mid, flatten(list_transform(range(0, 8), u ->
+    list_transform(range(0, 8), v ->
+      list_sum(list_transform(range(0, 16), y ->
+        list_sum(list_transform(range(0, 16), x ->
+          ({tm})[u+1][x+1] * p[x*16 + y + 1]))
+        * ({tm})[v+1][y+1]))))) AS a
+  FROM px
+),
+med AS (
+  SELECT mid, a, list_sort(a) AS s FROM dct
+),
+hashes AS (
+  SELECT mid,
+    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+      AS phash
+  FROM (
+    SELECT mid, list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN 2 * a[i+1] > s[32] + s[33]
+           THEN ({pw})[i+1] ELSE 0::HUGEINT END)) AS h
+    FROM med)
+)
+SELECT x.mid AS a, y.mid AS b,
+       bit_count(xor(x.phash, y.phash)) AS hamming
+FROM hashes x JOIN hashes y ON x.mid < y.mid
+WHERE bit_count(xor(x.phash, y.phash)) <= {_PHASH_MAX_HAMMING}
+ORDER BY a, b
+"""
+
+
+ORACLE_PHASH_NEAR_DUPS = _phash_oracle()
+
+
+def q_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image dedup pipeline's last step (the SemDeDup shape on the
+    image modality): pHash near-dup pairs -> connected components ->
+    per-image cluster membership + size. Joins the perceptual-hash
+    path into the same min-label clustering every other near-dup
+    family (MinHash, SimHash, embedding) feeds."""
+    from hummingbird_spark.operators.dedup import connected_components
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicate_pairs,
+        synth_images,
+    )
+
+    pairs = phash_near_duplicate_pairs(
+        image_phash(synth_images(spark, IMG_N)),
+        max_hamming=_PHASH_MAX_HAMMING)
+    labels = connected_components(pairs.select("a", "b"))
+    return (
+        labels.select(
+            F.col("node").alias("media_id"),
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label")).alias("cluster_size"),
+        )
+        .orderBy("media_id")
+    )
+
+
+ORACLE_PHASH_CLUSTERS = f"""
+WITH RECURSIVE hashes AS (
+  SELECT a, b FROM ({ORACLE_PHASH_NEAR_DUPS.strip()}) t
+),
+edges AS (SELECT a, b FROM hashes UNION SELECT b, a FROM hashes),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS media_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY media_id
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "wav_dsp_features": (q_wav_dsp_features, ORACLE_WAV_DSP,
                          "real RIFF/WAVE PCM16 decode + per-window "
@@ -232,4 +367,12 @@ R7_QUERIES: dict[str, tuple] = {
     "link_communities": (q_link_communities, ORACLE_LINK_COMMUNITIES,
                          "deterministic label propagation communities "
                          "(unrolled-CTE oracle)"),
+    "phash_near_dups": (q_phash_near_dups, ORACLE_PHASH_NEAR_DUPS,
+                        "integer-DCT perceptual-hash image near-dup "
+                        "pairs via banded Hamming join (full SQL "
+                        "pixel+DCT replica)"),
+    "phash_dup_clusters": (q_phash_dup_clusters, ORACLE_PHASH_CLUSTERS,
+                           "image dup clusters: pHash pairs -> "
+                           "connected components (recursive-CTE "
+                           "oracle)"),
 }

@@ -300,3 +300,58 @@ def test_audio_window_features_dispatches_riff(spark):
         assert (asms, azc) == (sms, zc)
         # AUDIO_WINDOW_SCHEMA stores rms as float32
         assert abs(arms - rms) < 1e-6
+
+
+# --------------------------- integer-DCT pHash -----------------------------
+
+
+def test_phash_planted_near_dups(spark):
+    """Planted perturbed copies land within hamming 6 of their base;
+    unrelated images stay far away (the banded join equals an
+    all-pairs brute force on this corpus)."""
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicate_pairs,
+        synth_images,
+    )
+
+    hashed = image_phash(synth_images(spark, 24)).localCheckpoint()
+    pairs = {(r.a, r.b): r.hamming
+             for r in phash_near_duplicate_pairs(hashed).collect()}
+    planted = {(m - 1, m) for m in range(24) if m % 4 == 1}
+    assert set(pairs) == planted
+    assert all(h <= 6 for h in pairs.values())
+    # brute-force equality: banding loses nothing at this threshold
+    hs = {r.media_id: r.phash for r in hashed.collect()}
+    brute = {}
+    for a in hs:
+        for b in hs:
+            if a < b:
+                d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+                if d <= 6:
+                    brute[(a, b)] = d
+    assert brute == pairs
+
+
+def test_phash_partition_invariant(spark):
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        synth_images,
+    )
+
+    imgs = synth_images(spark, 16)
+    one = {r.media_id: r.phash
+           for r in image_phash(imgs.coalesce(1)).collect()}
+    many = {r.media_id: r.phash
+            for r in image_phash(imgs.repartition(5)).collect()}
+    assert one == many and len(one) == 16
+
+
+def test_phash_rejects_non_raw_payload(spark):
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        synth_media,
+    )
+
+    with pytest.raises(Exception, match="HBIG"):
+        image_phash(synth_media(spark, 3)).collect()
