@@ -121,6 +121,11 @@ PROBES = [
     # register-table set algebra: one corpus scan, then |pairs|*m rows
     ("source_vocab_overlap", ["documents"]),
     ("source_heavy_hitters", ["documents"]),
+    # r7: link graph (df-capped shingle self-join bounds edge fan-out;
+    # T rounds of bounded equi-joins on the node/edge frames — growth
+    # should track the edge list, not doc pairs)
+    ("link_pagerank", ["documents"]),
+    ("link_communities", ["documents"]),
 ]
 
 EMB_COPIES = 4
