@@ -79,6 +79,13 @@ PICKS = {
     # r5: DSIR targeted selection
     "dsir_logweights": "DSIR: staged gram counts feed model + scoring; "
                        "B-row model and totals broadcast",
+    # r7: graph + perceptual hashing
+    "link_pagerank": "df-capped shingle self-join builds the edge "
+                     "list once (checkpointed); each round is two "
+                     "equi-joins + one agg on node ids",
+    "phash_near_dups": "integer-DCT pHash in one Arrow kernel; "
+                       "8-band Hamming self-join buckets on (chunk, "
+                       "ckey) — never all-pairs",
 }
 
 out = ["# PLANS — executed-plan snapshots at sf0.1",
