@@ -427,14 +427,13 @@ def image_phash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         kernel, f"{id_col} long, phash long")
 
 
-def phash_near_duplicate_pairs(hashed: DataFrame,
-                               max_hamming: int = 6,
-                               id_col: str = "media_id") -> DataFrame:
-    """Banded Hamming self-join over 64-bit pHashes: 8 bands x 8 bits,
-    so any pair within hamming <= 7 collides on >= 1 band (pigeonhole)
-    — same scale shape as the SimHash join (per-band equi-buckets,
-    never all-pairs), verified exactly with one bit_count(XOR)."""
-    chunked = hashed.select(
+def phash_band_keys(hashed: DataFrame,
+                    id_col: str = "media_id") -> DataFrame:
+    """(id, phash, chunk, ckey): the 8 x 8-bit LSH bands of a 64-bit
+    pHash — any pair within hamming <= 7 shares >= 1 band
+    (pigeonhole). Shared by the batch self-join and the streaming
+    store filter."""
+    return hashed.select(
         id_col, "phash",
         F.explode(F.array(*[
             F.struct(
@@ -445,6 +444,16 @@ def phash_near_duplicate_pairs(hashed: DataFrame,
             for c in range(8)
         ])).alias("cc"),
     ).select(id_col, "phash", "cc.chunk", "cc.ckey")
+
+
+def phash_near_duplicate_pairs(hashed: DataFrame,
+                               max_hamming: int = 6,
+                               id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming self-join over 64-bit pHashes: 8 bands x 8 bits,
+    so any pair within hamming <= 7 collides on >= 1 band (pigeonhole)
+    — same scale shape as the SimHash join (per-band equi-buckets,
+    never all-pairs), verified exactly with one bit_count(XOR)."""
+    chunked = phash_band_keys(hashed, id_col)
     a = chunked.select(F.col(id_col).alias("a"),
                        F.col("phash").alias("ph_a"), "chunk", "ckey")
     b = chunked.select(F.col(id_col).alias("b"),
