@@ -2,7 +2,7 @@
 """Compare the latest BENCH_DETAIL.json against the committed
 baseline and flag regressions.
 
-The baseline (BENCH_BASELINE_R6.json, refrozen per round) carries
+The baseline (BENCH_BASELINE_R7.json, refrozen per round) carries
 `calibration_sec` — the fixed-slot, data-independent CPU probe
 bench.py times first every run. When both sides have it, the
 calibration ratio IS the drift estimate and is AUTHORITATIVE: a query
@@ -122,14 +122,16 @@ def main() -> int:
     # protocol was confirmed across a boot change (continuity note
     # SURVEY $13.2) — two baselines with different normalizations gave
     # two verdicts for one run. Refrozen per round from a clean
-    # BENCH_DETAIL.json so every current entry is baselined. The r6
-    # freeze was measured idle (load 0.16) with calibration and
-    # query-median drift agreeing at 1.03x/1.04x — the hygiene the r5
-    # verdict asked for — and covers all 173 entries (169 queries + 4
-    # throughput jobs), closing r5's 7 unbaselined names.
+    # BENCH_DETAIL.json so every current entry is baselined. The r7
+    # freeze was measured idle (load 0.07), covers all 191 entries
+    # (187 queries + 4 throughput jobs), and its per-query median vs
+    # the r6 baseline is 0.986x raw (calibration drift 0.95x) — the
+    # round got faster per query while adding 5 entries; notably
+    # embedding_top_pairs 1.00 -> 0.72s after the parallelism-floor
+    # fix ended its three-round slot-variance saga.
     failures = compare(
-        os.path.join(ROOT, "BENCH_BASELINE_R6.json"), cur_doc,
-        "r6 baseline (calibration-pinned)")
+        os.path.join(ROOT, "BENCH_BASELINE_R7.json"), cur_doc,
+        "r7 baseline (calibration-pinned)")
     return 1 if failures else 0
 
 
