@@ -470,6 +470,128 @@ def phash_near_duplicate_pairs(hashed: DataFrame,
     )
 
 
+# ---------------------------------------------------------------------------
+# Video near-dup via frame-level perceptual hashing: decode frames,
+# pHash each, then two videos are near-duplicates when enough of
+# their frame pairs match within a Hamming ball — the keyframe-hash
+# dedup a multimodal curation pipeline runs on video (same integer
+# DCT as image_phash, so the whole chain stays oracle-provable).
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"HBVI"  # raw 16x16-grayscale frame-sequence fixture
+VID_FRAMES = 6
+
+
+def synth_videos(spark: SparkSession, total: int,
+                 n_frames: int = VID_FRAMES) -> DataFrame:
+    """Deterministic raw-frame video fixtures with PLANTED near
+    duplicates: video `mid` carries n_frames 16x16 grayscale frames
+    (pixels from md5('vid|src|frame|block')); every mid with
+    mid % 4 == 1 is a per-frame perturbed copy of mid-1 (the image
+    fixtures' +25/11th-pixel scheme applied frame-wise)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                src = mid - 1 if mid % 4 == 1 else mid
+                frames = bytearray()
+                for f in range(n_frames):
+                    frame = bytearray(
+                        b % (255 - _IMG_PERT_AMP)
+                        for k in range(16)
+                        for b in hashlib.md5(
+                            f"vid|{src}|{f}|{k}".encode()).digest())
+                    if mid % 4 == 1:
+                        for i in range(0, 256, _IMG_PERT_MOD):
+                            frame[i] += _IMG_PERT_AMP
+                    frames += frame
+                rows.append({
+                    "media_id": mid, "kind": "video",
+                    "data": _VID_MAGIC + bytes(frames),
+                    "meta": {
+                        "format": "raw-gray16-seq", "width": 16,
+                        "height": 16, "channels": 1,
+                        "sample_rate": 0, "duration_ms": 0,
+                        "n_frames": n_frames,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def video_frame_hashes(df: DataFrame,
+                       id_col: str = "media_id") -> DataFrame:
+    """(media_id, frame_idx, phash) — the 1->N Arrow batch shape of
+    distributed frame hashing: each video payload explodes into one
+    integer-DCT pHash per frame (the frame_sample_plan analogue with
+    the decode+hash actually performed). Non-HBVI payloads raise the
+    actionable codec error (real containers need opencv)."""
+    import numpy as np
+
+    tm = np.array(PHASH_DCT16, dtype=np.int64)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "phash": []}
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"])
+                if data[:4] != _VID_MAGIC:
+                    raise NotImplementedError(
+                        "video_frame_hashes reads raw HBVI frame "
+                        "sequences only; real video containers need "
+                        "opencv/ffmpeg (not installed)")
+                body = np.frombuffer(data[4:], dtype=np.uint8)
+                n = len(body) // 256
+                mid = int(r[id_col])
+                for f in range(n):
+                    p = body[f * 256:(f + 1) * 256].astype(np.int64) \
+                        .reshape(16, 16)
+                    a = (tm @ p @ tm.T).ravel()
+                    s = np.sort(a)
+                    med2 = int(s[31] + s[32])
+                    bits = (2 * a > med2).astype(np.uint8)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["phash"].append(int(np.packbits(
+                        bits, bitorder="little").view(np.int64)[0]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "data").mapInPandas(
+        kernel, f"{id_col} long, frame_idx int, phash long")
+
+
+def video_near_duplicates(frame_hashes: DataFrame,
+                          max_hamming: int = 6,
+                          min_matched_frames: int = 4,
+                          id_col: str = "media_id") -> DataFrame:
+    """Video pairs sharing >= min_matched_frames frame pairs within
+    the Hamming ball: banded frame-hash self-join (never all-pairs
+    over frames), distinct matched (frame_a, frame_b) pairs counted
+    per video pair. Returns (a, b, matched_frames)."""
+    keyed = frame_hashes.select(
+        (F.col(id_col) * 4096 + F.col("frame_idx")).alias("fid"),
+        "phash",
+    )
+    pairs = phash_near_duplicate_pairs(keyed, max_hamming,
+                                       id_col="fid")
+    return (
+        pairs.select(
+            F.expr("a div 4096").alias("va"),
+            F.expr("b div 4096").alias("vb"),
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .select(F.least("va", "vb").alias("a"),
+                F.greatest("va", "vb").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+        .filter(F.col("matched_frames") >= min_matched_frames)
+        .orderBy("a", "b")
+    )
+
+
 WAV_WINDOW_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("window_idx", T.IntegerType()),

@@ -357,6 +357,97 @@ FROM comp ORDER BY media_id
 """
 
 
+VID_N = 24
+_VID_MIN_MATCHED = 4
+
+
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup: decode frames -> integer-DCT pHash
+    per frame -> banded Hamming join at frame grain -> video pairs
+    with >= 4 matched frame pairs."""
+    from hummingbird_spark.operators.multimodal import (
+        synth_videos,
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+
+    fh = video_frame_hashes(synth_videos(spark, VID_N))
+    return video_near_duplicates(
+        fh, max_hamming=_PHASH_MAX_HAMMING,
+        min_matched_frames=_VID_MIN_MATCHED)
+
+
+def _video_oracle() -> str:
+    from hummingbird_spark.operators.multimodal import (
+        _IMG_PERT_AMP,
+        _IMG_PERT_MOD,
+        PHASH_DCT16,
+        VID_FRAMES,
+    )
+
+    tm = ("[" + ",".join(
+        "[" + ",".join(str(v) for v in row) + "]"
+        for row in PHASH_DCT16) + "]")
+    pw = ("[" + ",".join(str(1 << i) for i in range(64))
+          + "]::HUGEINT[]")
+    hx = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+    b0 = f"(({hx.format(p='2*i + 1')}) * 16 + ({hx.format(p='2*i + 2')}))"
+    return f"""
+WITH ids AS (SELECT mid FROM range({VID_N}) t(mid)),
+base AS (
+  SELECT mid, CASE WHEN mid % 4 = 1 THEN mid - 1 ELSE mid END AS src,
+         mid % 4 = 1 AS pert FROM ids
+),
+hexes AS (
+  SELECT mid, pert, f,
+         string_agg(md5('vid|' || src || '|' || f || '|' || k),
+                    '' ORDER BY k) AS hx
+  FROM base, range({VID_FRAMES}) fr(f), range(16) r(k)
+  GROUP BY mid, pert, src, f
+),
+px AS (
+  SELECT mid, f, list_transform(range(0, 256), i ->
+    ({b0} % {255 - _IMG_PERT_AMP})
+    + CASE WHEN pert AND i % {_IMG_PERT_MOD} = 0
+           THEN {_IMG_PERT_AMP} ELSE 0 END) AS p
+  FROM hexes
+),
+dct AS (
+  SELECT mid, f, flatten(list_transform(range(0, 8), u ->
+    list_transform(range(0, 8), v ->
+      list_sum(list_transform(range(0, 16), y ->
+        list_sum(list_transform(range(0, 16), x ->
+          ({tm})[u+1][x+1] * p[x*16 + y + 1]))
+        * ({tm})[v+1][y+1]))))) AS a
+  FROM px
+),
+med AS (SELECT mid, f, a, list_sort(a) AS s FROM dct),
+hashes AS (
+  SELECT mid, f,
+    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+      AS phash
+  FROM (
+    SELECT mid, f, list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN 2 * a[i+1] > s[32] + s[33]
+           THEN ({pw})[i+1] ELSE 0::HUGEINT END)) AS h
+    FROM med)
+),
+matched AS (
+  SELECT x.mid AS a, y.mid AS b
+  FROM hashes x JOIN hashes y ON x.mid < y.mid
+  WHERE bit_count(xor(x.phash, y.phash)) <= {_PHASH_MAX_HAMMING}
+)
+SELECT a, b, COUNT(*) AS matched_frames
+FROM matched GROUP BY a, b
+HAVING COUNT(*) >= {_VID_MIN_MATCHED}
+ORDER BY a, b
+"""
+
+
+ORACLE_VIDEO_NEAR_DUPS = _video_oracle()
+
+
 R7_QUERIES: dict[str, tuple] = {
     "wav_dsp_features": (q_wav_dsp_features, ORACLE_WAV_DSP,
                          "real RIFF/WAVE PCM16 decode + per-window "
@@ -375,4 +466,7 @@ R7_QUERIES: dict[str, tuple] = {
                            "image dup clusters: pHash pairs -> "
                            "connected components (recursive-CTE "
                            "oracle)"),
+    "video_near_dups": (q_video_near_dups, ORACLE_VIDEO_NEAR_DUPS,
+                        "frame-level video near-dup via per-frame "
+                        "integer-DCT pHash (full SQL replica)"),
 }

@@ -355,3 +355,62 @@ def test_phash_rejects_non_raw_payload(spark):
 
     with pytest.raises(Exception, match="HBIG"):
         image_phash(synth_media(spark, 3)).collect()
+
+
+# --------------------------- video frame pHash -----------------------------
+
+
+def _raw_frame(src_mid: int, f: int) -> bytes:
+    import hashlib
+
+    from hummingbird_spark.operators.multimodal import _IMG_PERT_AMP
+
+    return bytes(
+        b % (255 - _IMG_PERT_AMP)
+        for k in range(16)
+        for b in hashlib.md5(f"vid|{src_mid}|{f}|{k}".encode()).digest())
+
+
+def test_video_near_dups_planted_and_partial(spark):
+    """Planted per-frame perturbed copies match on all frames; a
+    half-overlap video passes only when the threshold allows it."""
+    from hummingbird_spark.operators.multimodal import (
+        _VID_MAGIC,
+        VID_FRAMES,
+        synth_videos,
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+
+    vids = synth_videos(spark, 8)
+    # custom video 900: frames 0-2 copied from video 0, frames 3-5
+    # from the unrelated video 6 -> exactly 3 matched frame pairs
+    # against each
+    mixed = (_VID_MAGIC
+             + b"".join(_raw_frame(0, f) for f in range(3))
+             + b"".join(_raw_frame(6, f) for f in range(3, 6)))
+    extra = spark.createDataFrame(
+        [(900, mixed)], "media_id long, data binary")
+    fh = video_frame_hashes(
+        vids.select("media_id", "data").unionByName(extra)
+    ).localCheckpoint()
+
+    at4 = {(r.a, r.b): r.matched_frames
+           for r in video_near_duplicates(fh).collect()}
+    assert at4 == {(0, 1): VID_FRAMES, (4, 5): VID_FRAMES}
+
+    at3 = {(r.a, r.b): r.matched_frames
+           for r in video_near_duplicates(
+               fh, min_matched_frames=3).collect()}
+    assert at3[(0, 900)] == 3 and at3[(6, 900)] == 3
+    assert at3[(0, 1)] == VID_FRAMES
+
+
+def test_video_frame_hashes_rejects_non_hbvi(spark):
+    from hummingbird_spark.operators.multimodal import (
+        synth_images,
+        video_frame_hashes,
+    )
+
+    with pytest.raises(Exception, match="HBVI"):
+        video_frame_hashes(synth_images(spark, 2)).collect()
