@@ -420,6 +420,13 @@ def main(argv: list[str] | None = None) -> int:
     mon.add_argument("-q", type=float, action="append", default=None,
                      help="quantile in (0,1); repeatable "
                           "(default: 0.5 0.9 0.99)")
+    mdd = sub.add_parser("media-dedup")
+    mdd.add_argument("src", help="stream input dir (parquet files of "
+                                 "media_id + data rows)")
+    mdd.add_argument("out", help="accepted-media output parquet")
+    mdd.add_argument("store", help="pHash band store path")
+    mdd.add_argument("--id-col", default="media_id")
+    mdd.add_argument("--max-hamming", type=int, default=6)
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -781,6 +788,30 @@ def main(argv: list[str] | None = None) -> int:
                 for r in quant
             ],
             "reservoir_per_stratum": dict(sorted(per.items())),
+        }))
+        return 0
+    if args.command == "media-dedup":
+        # continuous-ingestion image dedup tick: drain whatever is in
+        # <src> through the pHash band-store filter (verified Hamming
+        # store hits + intra-batch near-dups drop), then report.
+        from hummingbird_spark.streaming.media_dedup import (
+            start_streaming_phash_dedup,
+        )
+
+        spark = get_spark(app_name="hummingbird_media_dedup")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.parquet(args.src).schema
+        q = start_streaming_phash_dedup(
+            spark, args.src, args.out, args.store, schema,
+            id_col=args.id_col, max_hamming=args.max_hamming)
+        q.awaitTermination(600)
+        n_out = spark.read.parquet(args.out).count()
+        n_store = spark.read.parquet(args.store).count()
+        print(json.dumps({
+            "command": "media-dedup", "max_hamming": args.max_hamming,
+            "n_accepted": n_out,
+            "store_band_rows": n_store,
+            "out": args.out, "store": args.store,
         }))
         return 0
     if args.command == "profile":

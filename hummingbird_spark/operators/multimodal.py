@@ -452,7 +452,15 @@ def phash_near_duplicate_pairs(hashed: DataFrame,
     """Banded Hamming self-join over 64-bit pHashes: 8 bands x 8 bits,
     so any pair within hamming <= 7 collides on >= 1 band (pigeonhole)
     — same scale shape as the SimHash join (per-band equi-buckets,
-    never all-pairs), verified exactly with one bit_count(XOR)."""
+    never all-pairs), verified exactly with one bit_count(XOR).
+
+    The pigeonhole bound is the recall guarantee, so thresholds past
+    it are refused loudly rather than silently losing pairs."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 8-band pigeonhole "
+            "guarantee (exact only for hamming <= 7); use more/narrower "
+            "bands or a different candidate generator")
     chunked = phash_band_keys(hashed, id_col)
     a = chunked.select(F.col(id_col).alias("a"),
                        F.col("phash").alias("ph_a"), "chunk", "ckey")

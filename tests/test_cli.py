@@ -434,3 +434,29 @@ def test_cli_monitor(spark, tmp_path, capsys):
     assert [e["q"] for e in rep2["quantiles"]] == [0.5, 0.9, 0.99]
     for e in rep2["quantiles"]:
         assert e["lo"] <= e["hi"]
+
+
+def test_cli_media_dedup(spark, tmp_path, capsys):
+    """media-dedup: parquet stream of raw images -> band-store filter
+    -> JSON report; planted perturbed copies drop."""
+    from hummingbird_spark.operators.multimodal import synth_images
+
+    src = tmp_path / "media_in"
+    src.mkdir()
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    synth_images(spark, 16).select("media_id", "data").coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "b0.parquet"))
+
+    out = str(tmp_path / "media_out")
+    store = str(tmp_path / "media_store")
+    assert main(["media-dedup", str(src), out, store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    # 16 images, 4 planted perturbed copies (id%4==1) drop
+    assert rep["n_accepted"] == 12
+    assert rep["store_band_rows"] == 8 * 12
