@@ -420,6 +420,23 @@ def main(argv: list[str] | None = None) -> int:
     mon.add_argument("-q", type=float, action="append", default=None,
                      help="quantile in (0,1); repeatable "
                           "(default: 0.5 0.9 0.99)")
+    gph = sub.add_parser("graph")
+    gph.add_argument("src", help="documents parquet (rare-shingle "
+                                 "link graph is built from text), or "
+                                 "an (a, b) edge-list parquet with "
+                                 "--edges")
+    gph.add_argument("out", help="output parquet")
+    gph.add_argument("--op", choices=["pagerank", "communities"],
+                     default="pagerank")
+    gph.add_argument("--edges", action="store_true",
+                     help="src is already an (a, b) edge list")
+    gph.add_argument("--rounds", type=int, default=None,
+                     help="iteration rounds (default 4 pagerank / "
+                          "3 communities)")
+    gph.add_argument("--min-df", type=int, default=2)
+    gph.add_argument("--max-df", type=int, default=5)
+    gph.add_argument("--text-col", default="text")
+    gph.add_argument("--id-col", default="doc_id")
     mdd = sub.add_parser("media-dedup")
     mdd.add_argument("src", help="stream input dir (parquet files of "
                                  "media_id + data rows)")
@@ -788,6 +805,53 @@ def main(argv: list[str] | None = None) -> int:
                 for r in quant
             ],
             "reservoir_per_stratum": dict(sorted(per.items())),
+        }))
+        return 0
+    if args.command == "graph":
+        # post-dedup corpus weighting: PageRank mass or community
+        # labels over the rare-shingle link graph (or a user edge
+        # list) — exact integer trajectories, any partitioning
+        from pyspark.sql import functions as F
+
+        from hummingbird_spark.operators.graph import (
+            label_propagation,
+            pagerank_scaled,
+            rare_trigram_edges,
+        )
+
+        spark = get_spark(app_name="hummingbird_graph")
+        spark.sparkContext.setLogLevel("ERROR")
+        src = spark.read.parquet(args.src)
+        if args.edges:
+            edges = src.select("a", "b")
+        else:
+            edges = rare_trigram_edges(
+                src, text_col=args.text_col, id_col=args.id_col,
+                min_df=args.min_df, max_df=args.max_df)
+        if args.op == "pagerank":
+            res = pagerank_scaled(edges,
+                                  rounds=args.rounds or 4)
+            top = [
+                {"node": r.node, "degree": r.deg,
+                 "rank_scaled": r.rank_scaled}
+                for r in res.orderBy(F.desc("rank_scaled"), "node")
+                .limit(5).collect()
+            ]
+            summary = {"top5": top}
+        else:
+            res = label_propagation(edges, rounds=args.rounds or 3)
+            sizes = (res.groupBy("community").count()
+                     .orderBy(F.desc("count"), "community").limit(5))
+            summary = {"top5_communities": [
+                {"community": r.community, "size": r["count"]}
+                for r in sizes.collect()
+            ]}
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "command": "graph", "op": args.op,
+            "n_nodes": res.count(),
+            "n_edges": edges.count(),
+            "out": args.out, **summary,
         }))
         return 0
     if args.command == "media-dedup":

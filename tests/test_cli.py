@@ -460,3 +460,30 @@ def test_cli_media_dedup(spark, tmp_path, capsys):
     # 16 images, 4 planted perturbed copies (id%4==1) drop
     assert rep["n_accepted"] == 12
     assert rep["store_band_rows"] == 8 * 12
+
+
+def test_cli_graph(spark, tmp_path, capsys):
+    assert main(["graph", f"{SF_SMOKE}/documents.parquet",
+                 str(tmp_path / "pr"), "--op", "pagerank"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_nodes"] > 0 and rep["n_edges"] > 0
+    assert len(rep["top5"]) == 5
+    ranks = [e["rank_scaled"] for e in rep["top5"]]
+    assert ranks == sorted(ranks, reverse=True)
+
+    assert main(["graph", f"{SF_SMOKE}/documents.parquet",
+                 str(tmp_path / "lp"), "--op", "communities"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["n_nodes"] == rep["n_nodes"]
+    assert rep2["top5_communities"][0]["size"] >= 2
+
+    # edge-list mode on the written pagerank output? use a toy list
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"a": [1, 2, 1], "b": [2, 3, 3]}),
+                   tmp_path / "edges.parquet")
+    assert main(["graph", str(tmp_path / "edges.parquet"),
+                 str(tmp_path / "pr2"), "--edges"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip())
+    assert rep3["n_nodes"] == 3 and rep3["n_edges"] == 3

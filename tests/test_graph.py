@@ -105,3 +105,35 @@ def test_rare_trigram_edges_df_cap(spark):
     got3 = {(r.a, r.b)
             for r in rare_trigram_edges(docs, max_df=3).collect()}
     assert not (clique & got3) and (1, 2) in got3
+
+
+def test_graph_ops_match_reference_on_random_graphs(spark):
+    """Property check across random graph shapes (star, chain, dense,
+    disconnected): both iterative operators equal their pure-Python
+    references — the integer trajectories leave no room for 'close'."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # star
+    cases.append([(0, i) for i in range(1, 9)])
+    # chain (worst diameter for 3-4 rounds — still must match the
+    # reference exactly at the SAME round count)
+    cases.append([(i, i + 1) for i in range(10)])
+    # two disconnected triangles + random extras
+    for _ in range(3):
+        n = rng.randint(6, 14)
+        edges = {(a, b)
+                 for _ in range(rng.randint(n, 3 * n))
+                 for a, b in [sorted(rng.sample(range(n), 2))]}
+        cases.append(sorted(edges))
+
+    for edges in cases:
+        e = spark.createDataFrame(edges, "a long, b long")
+        got_pr = {r.node: (r.deg, r.rank_scaled)
+                  for r in pagerank_scaled(e, rounds=3).collect()}
+        ref_r, ref_deg = _ref_pagerank(edges, rounds=3)
+        assert got_pr == {n: (ref_deg[n], ref_r[n]) for n in ref_r}, edges
+        got_lp = {r.node: r.community
+                  for r in label_propagation(e, rounds=2).collect()}
+        assert got_lp == _ref_lp(edges, rounds=2), edges
