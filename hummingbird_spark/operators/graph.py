@@ -75,7 +75,8 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 
 def pagerank_scaled(edges: DataFrame, rounds: int = 4,
                     damping_pct: int = 85,
-                    scale: int = 1_000_000) -> DataFrame:
+                    scale: int = 1_000_000,
+                    seeds: DataFrame | None = None) -> DataFrame:
     """Degree-normalized PageRank in exact scaled-integer arithmetic.
 
     r_0(v) = scale; r_{t+1}(v) = floor(scale * (100-damping)/100)
@@ -89,12 +90,55 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
 
     Undirected graph: every node has deg >= 1, so there are no
     dangling nodes and the mass redistribution term is unnecessary.
+
+    seeds: optional one-column (node) frame — switches to SEEDED
+    personalized PageRank (the TrustRank shape, Gyongyi et al. 2004:
+    propagate quality from a trusted seed set instead of uniformly):
+    r_0(v) = scale for seeds / 0 otherwise, and the per-round reset
+    mass lands only on seeds. Same exact-integer trajectory; the
+    skew story is unchanged (the per-dst SUM is map-side partially
+    aggregated, so a hub node receives ~n_partitions partial rows,
+    not its full in-degree).
     """
     sym = _symmetric(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
         .withColumnRenamed("src", "node").localCheckpoint(eager=True)
     base = scale * (100 - damping_pct) // 100
-    r = deg.select("node", F.lit(scale).cast("long").alias("r"))
+    if seeds is None:
+        # uniform reset: every node receives base each round, so the
+        # loop needs no per-node reset frame (one join fewer per round
+        # than the seeded path)
+        r = deg.select("node", F.lit(scale).cast("long").alias("r"))
+        for _ in range(rounds):
+            shares = r.join(deg, "node").select(
+                F.col("node").alias("src"),
+                F.expr(f"({damping_pct} * r) div (100 * deg)")
+                .alias("share"),
+            )
+            r = (
+                sym.join(shares, "src")
+                .groupBy("dst")
+                .agg((F.lit(base) + F.sum("share")).alias("r"))
+                .select(F.col("dst").alias("node"), "r")
+                .localCheckpoint(eager=True)
+            )
+        return r.join(deg, "node").select(
+            "node", "deg", F.col("r").alias("rank_scaled"))
+
+    seed_col = seeds.columns[0]
+    bases = deg.join(
+        F.broadcast(seeds.select(F.col(seed_col).alias("node"))
+                    .distinct().withColumn("__s", F.lit(True))),
+        "node", "left").select(
+        "node",
+        F.when(F.coalesce(F.col("__s"), F.lit(False)), F.lit(base))
+        .otherwise(F.lit(0)).cast("long").alias("__base"),
+    ).localCheckpoint(eager=True)
+    # r_0 = scale on seeds, 0 elsewhere
+    r = bases.select(
+        "node",
+        F.when(F.col("__base") > 0, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long").alias("r"))
     for _ in range(rounds):
         shares = r.join(deg, "node").select(
             F.col("node").alias("src"),
@@ -104,8 +148,12 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
         r = (
             sym.join(shares, "src")
             .groupBy("dst")
-            .agg((F.lit(base) + F.sum("share")).alias("r"))
-            .select(F.col("dst").alias("node"), "r")
+            .agg(F.sum("share").alias("__in"))
+            .select(F.col("dst").alias("node"), "__in")
+            .join(bases, "node", "right")
+            .select("node",
+                    (F.col("__base") + F.coalesce("__in", F.lit(0)))
+                    .alias("r"))
             .localCheckpoint(eager=True)
         )
     return r.join(deg, "node").select(

@@ -357,6 +357,70 @@ FROM comp ORDER BY media_id
 """
 
 
+_TR_SOURCES = ("src0", "src3")  # the fixture's 'trusted' seed sources
+
+
+def q_trustrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded personalized PageRank (TrustRank, Gyongyi et al. 2004)
+    over the link graph: quality mass propagates from docs of two
+    trusted sources instead of uniformly — the seed-propagation
+    scoring a curation pipeline uses to weight domains by proximity
+    to known-good content. Same exact-integer trajectory as
+    link_pagerank; rank_scaled hash-compares against the unrolled
+    replay."""
+    from hummingbird_spark.operators.graph import (
+        pagerank_scaled,
+        rare_trigram_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("source").isin(*_TR_SOURCES)) \
+        .select("doc_id")
+    pr = pagerank_scaled(rare_trigram_edges(d), rounds=_PR_ROUNDS,
+                         damping_pct=_PR_DAMP, scale=_PR_SCALE,
+                         seeds=seeds)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        "rank_scaled",
+    ).orderBy("doc_id")
+
+
+def _trustrank_oracle() -> str:
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    srcs = ", ".join(f"'{s}'" for s in _TR_SOURCES)
+    ctes = [_GRAPH_CTES,
+            f"seeds AS (SELECT doc_id AS node FROM documents "
+            f"WHERE source IN ({srcs}))",
+            f"bases AS (\n"
+            f"  SELECT d.node,\n"
+            f"    CASE WHEN sd.node IS NOT NULL THEN {base}\n"
+            f"         ELSE 0 END AS bs\n"
+            f"  FROM deg d LEFT JOIN seeds sd USING (node))",
+            f"r0 AS (SELECT node, CAST(CASE WHEN bs > 0 THEN "
+            f"{_PR_SCALE} ELSE 0 END AS BIGINT) AS r FROM bases)"]
+    for t in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{t} AS (\n"
+            f"  SELECT b.node,\n"
+            f"    CAST(b.bs + COALESCE(i.inmass, 0) AS BIGINT) AS r\n"
+            f"  FROM bases b LEFT JOIN (\n"
+            f"    SELECT s.dst AS node,\n"
+            f"      SUM(({_PR_DAMP} * r.r) // (100 * d.deg)) AS inmass\n"
+            f"    FROM sym s JOIN r{t-1} r ON s.src = r.node\n"
+            f"    JOIN deg d ON s.src = d.node\n"
+            f"    GROUP BY s.dst) i USING (node))")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT r.node AS doc_id, d.deg AS degree, r.r AS rank_scaled
+FROM r{_PR_ROUNDS} r JOIN deg d ON r.node = d.node
+ORDER BY doc_id
+""")
+
+
+ORACLE_TRUSTRANK = _trustrank_oracle()
+
+
 VID_N = 24
 _VID_MIN_MATCHED = 4
 
@@ -469,4 +533,7 @@ R7_QUERIES: dict[str, tuple] = {
     "video_near_dups": (q_video_near_dups, ORACLE_VIDEO_NEAR_DUPS,
                         "frame-level video near-dup via per-frame "
                         "integer-DCT pHash (full SQL replica)"),
+    "trustrank_scores": (q_trustrank_scores, ORACLE_TRUSTRANK,
+                         "seeded personalized PageRank (TrustRank) "
+                         "over the link graph (unrolled-CTE oracle)"),
 }

@@ -137,3 +137,43 @@ def test_graph_ops_match_reference_on_random_graphs(spark):
         got_lp = {r.node: r.community
                   for r in label_propagation(e, rounds=2).collect()}
         assert got_lp == _ref_lp(edges, rounds=2), edges
+
+
+def _ref_trustrank(edges, seeds, rounds, damping=85, scale=1_000_000):
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    deg = {n: len(vs) for n, vs in sym.items()}
+    base = scale * (100 - damping) // 100
+    in_graph_seeds = set(seeds) & set(sym)
+    r = {n: (scale if n in in_graph_seeds else 0) for n in sym}
+    for _ in range(rounds):
+        nxt = {n: (base if n in in_graph_seeds else 0) for n in sym}
+        for u, vs in sym.items():
+            share = (damping * r[u]) // (100 * deg[u])
+            for v in vs:
+                nxt[v] += share
+        r = nxt
+    return r
+
+
+def test_trustrank_matches_reference_and_reduces_to_pagerank(spark):
+    e = spark.createDataFrame(EDGES, "a long, b long")
+    # seed node 7 does not exist in the graph -> silently ignored
+    seeds = spark.createDataFrame([(1,), (7,)], "doc_id long")
+    got = {r.node: r.rank_scaled
+           for r in pagerank_scaled(e, rounds=4,
+                                    seeds=seeds).collect()}
+    assert got == _ref_trustrank(EDGES, {1, 7}, rounds=4)
+    # mass concentrates near the seed's triangle
+    assert got[2] > got[5] and got[1] > 0 and got[6] >= 0
+    # seeding EVERY node reduces to uniform PageRank exactly
+    all_seeds = spark.createDataFrame(
+        [(n,) for n in range(1, 7)], "doc_id long")
+    seeded_all = {r.node: r.rank_scaled
+                  for r in pagerank_scaled(e, rounds=3,
+                                           seeds=all_seeds).collect()}
+    uniform = {r.node: r.rank_scaled
+               for r in pagerank_scaled(e, rounds=3).collect()}
+    assert seeded_all == uniform
