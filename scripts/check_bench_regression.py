@@ -123,12 +123,12 @@ def main() -> int:
     # SURVEY $13.2) — two baselines with different normalizations gave
     # two verdicts for one run. Refrozen per round from a clean
     # BENCH_DETAIL.json so every current entry is baselined. The r7
-    # freeze was measured idle (load 0.07), covers all 191 entries
-    # (187 queries + 4 throughput jobs), and its per-query median vs
-    # the r6 baseline is 0.986x raw (calibration drift 0.95x) — the
-    # round got faster per query while adding 5 entries; notably
-    # embedding_top_pairs 1.00 -> 0.72s after the parallelism-floor
-    # fix ended its three-round slot-variance saga.
+    # freeze was measured idle (load 0.13), covers all 193 entries
+    # (189 queries + 4 throughput jobs), and the per-query median vs
+    # the r6 baseline is ~0.99x raw — the round got faster per query
+    # while adding 7 entries; notably embedding_top_pairs 1.00 ->
+    # 0.72s after the parallelism-floor fix ended its three-round
+    # slot-variance saga.
     failures = compare(
         os.path.join(ROOT, "BENCH_BASELINE_R7.json"), cur_doc,
         "r7 baseline (calibration-pinned)")
