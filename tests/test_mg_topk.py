@@ -188,3 +188,46 @@ def test_grouped_two_pass_exact_under_skew(spark):
                for r in mg_heavy_hitters_grouped(
                    df.repartition(parts), "source", k=8).collect()]
         assert got == exact
+
+
+def test_topk_sentinel_is_atomic_with_counters(spark, tmp_path):
+    """The stream weight n rides INSIDE the summary parquet as a
+    tok=NULL sentinel (one atomic swap with the counters). A replayed
+    batch without ledger protection double-adds counts AND n together,
+    so the advertised [c, c + n/(k+1)] bound stays coherent."""
+    from collections import Counter
+
+    from hummingbird_spark.operators.sketch import token_counts
+    from hummingbird_spark.streaming.sketch import (
+        merge_topk_batch,
+        read_topk,
+        topk_meta,
+    )
+
+    summ = str(tmp_path / "topk")
+    rows = _zipf_corpus(n_docs=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tc = token_counts(df)
+
+    merge_topk_batch(spark, tc, summ, k=8)
+    true = Counter()
+    for _, text in rows:
+        true.update(w.lower() for w in text.split())
+    n = sum(true.values())
+    # the sentinel is the ONLY NULL row and holds exactly n
+    raw = spark.read.parquet(summ).collect()
+    nulls = [r for r in raw if r.tok is None]
+    assert len(nulls) == 1 and nulls[0].cnt == n
+    assert topk_meta(summ) == {"n": n, "k": 8}
+    assert all(r.tok is not None
+               for r in read_topk(spark, summ).collect())
+
+    # unprotected replay: counts and n double TOGETHER, so the MG
+    # bound still holds against the doubled stream
+    merge_topk_batch(spark, tc, summ, k=8)
+    meta2 = topk_meta(summ)
+    assert meta2["n"] == 2 * n
+    state = {r.tok: r.cnt for r in read_topk(spark, summ).collect()}
+    for tok, cnt in state.items():
+        assert cnt <= 2 * true[tok]
+        assert 2 * true[tok] - cnt <= meta2["n"] / 9

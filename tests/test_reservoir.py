@@ -115,3 +115,39 @@ def test_cutoff_path_equals_window_and_invariant(spark):
                 df.repartition(parts), "source", 6, "w",
                 method="cutoff").collect())
         assert got == base
+
+
+def test_merge_double_apply_is_noop(spark, tmp_path):
+    """The crash-window semantics fix: a batch re-applied WITHOUT the
+    ledger's protection (batch_id=None twice) leaves the reservoir
+    byte-identical — duplicate (strata, id) rows collapse before the
+    top-k window because the E-S key is a pure function of the row."""
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.operators.dsir import aes_key
+    from hummingbird_spark.streaming.reservoir import (
+        merge_reservoir_batch,
+        read_reservoir,
+    )
+
+    store = str(tmp_path / "rsv")
+    batch = spark.createDataFrame(
+        [(i, f"s{i % 2}", 1.0 + i % 5) for i in range(40)],
+        "doc_id long, source string, w double",
+    ).select(
+        "source", "doc_id", "w",
+        aes_key(F.col("doc_id"), F.col("w"), "t").alias("__key"))
+
+    merge_reservoir_batch(spark, batch, store, "source", "doc_id", 5)
+    once = sorted(tuple(r) for r in read_reservoir(spark, store)
+                  .collect())
+    # simulate the replayed batch landing after the data-dir rename
+    # but before any ledger write
+    merge_reservoir_batch(spark, batch, store, "source", "doc_id", 5)
+    twice = sorted(tuple(r) for r in read_reservoir(spark, store)
+                   .collect())
+    assert twice == once
+    per = {}
+    for r in twice:
+        per[r[0]] = per.get(r[0], 0) + 1
+    assert per == {"s0": 5, "s1": 5}
