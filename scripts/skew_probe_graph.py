@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Hub-node skew probe for scaled-integer PageRank.
+
+The worry at 100 TB: a hub node (degree ~millions — every near-dup
+graph has one after a template-page explosion) concentrates its whole
+in-degree onto ONE groupBy('dst') key per round. The defense is
+Spark's map-side partial aggregation: each of the P shuffle partitions
+emits at most one partial sum per hot key, so the hot reducer receives
+~P rows, not deg(hub). This probe (a) proves EXACTNESS at scale
+against the star graph's closed form, and (b) measures growth 1M ->
+4M hub edges — linear (~4x) says the partial-agg defense holds; a
+blow-up or OOM would say the hot key is being materialized raw.
+
+Run: python scripts/skew_probe_graph.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hummingbird_spark.operators.graph import pagerank_scaled  # noqa: E402
+from hummingbird_spark.session import get_spark  # noqa: E402
+
+SCALE = 1_000_000
+DAMP = 85
+
+
+def star_closed_form(h: int, rounds: int) -> tuple[int, int]:
+    """Exact integer PageRank on a star with h leaves (all nodes start
+    at SCALE; leaf deg 1, hub deg h)."""
+    base = SCALE * (100 - DAMP) // 100
+    hub, leaf = SCALE, SCALE
+    for _ in range(rounds):
+        hub_next = base + h * ((DAMP * leaf) // 100)
+        leaf_next = base + (DAMP * hub) // (100 * h)
+        hub, leaf = hub_next, leaf_next
+    return hub, leaf
+
+
+def main() -> None:
+    spark = get_spark(app_name="skew_probe_graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the plan shape
+    toy = spark.range(1, 64).select(F.lit(0).alias("a"),
+                                    F.col("id").alias("b"))
+    pagerank_scaled(toy, rounds=2).collect()
+
+    for h in (1_000_000, 4_000_000):
+        edges = spark.range(1, h + 1, 1, 32).select(
+            F.lit(0).cast("long").alias("a"), F.col("id").alias("b"))
+        t0 = time.perf_counter()
+        res = pagerank_scaled(edges, rounds=2)
+        hub = res.filter(F.col("node") == 0).collect()[0]
+        leaf = res.filter(F.col("node") == 1).collect()[0]
+        dt = time.perf_counter() - t0
+        exp_hub, exp_leaf = star_closed_form(h, rounds=2)
+        ok = (hub.rank_scaled == exp_hub and hub.deg == h
+              and leaf.rank_scaled == exp_leaf and leaf.deg == 1)
+        print(f"star h={h:,}: {dt:.1f}s exact={'OK' if ok else 'FAIL'}"
+              f" hub={hub.rank_scaled:,} (expect {exp_hub:,})"
+              f" leaf={leaf.rank_scaled} (expect {exp_leaf})",
+              flush=True)
+        assert ok
+
+
+if __name__ == "__main__":
+    main()
