@@ -35,11 +35,15 @@ from hummingbird_spark.functions.text import doc_trigrams
 
 def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_df: int = 2,
-                       max_df: int = 5) -> DataFrame:
+                       max_df: int = 5,
+                       weighted: bool = False) -> DataFrame:
     """Undirected edge list (a < b): docs sharing >= 1 word trigram
     with corpus df in [min_df, max_df]. One explode at distinct-
     per-doc grain, one map-side-partial df count, one df-capped
-    self-join; per-trigram pair fan-out <= C(max_df, 2)."""
+    self-join; per-trigram pair fan-out <= C(max_df, 2).
+
+    weighted: also return w = the NUMBER of shared rare trigrams per
+    pair (the edge-strength signal weighted PageRank propagates)."""
     tg = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(doc_trigrams(F.col(text_col))))
@@ -53,22 +57,24 @@ def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
     tr = tg.join(rare, "g").localCheckpoint(eager=False)
     a = tr.select(F.col("g"), F.col(id_col).alias("a"))
     b = tr.select(F.col("g"), F.col(id_col).alias("b"))
-    return (
-        a.join(b, "g")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    pairs = a.join(b, "g").filter(F.col("a") < F.col("b"))
+    if weighted:
+        return pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("w"))
+    return pairs.select("a", "b").distinct()
 
 
-def _symmetric(edges: DataFrame) -> DataFrame:
-    """Both directions of an (a, b) edge list, eagerly materialized
-    once (every round re-scans it)."""
+def _symmetric(edges: DataFrame,
+               weight_col: str | None = None) -> DataFrame:
+    """Both directions of an (a, b[, w]) edge list, eagerly
+    materialized once (every round re-scans it)."""
+    extra = [weight_col] if weight_col else []
     return (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                     *extra)
         .unionByName(
             edges.select(F.col("b").alias("src"),
-                         F.col("a").alias("dst")))
+                         F.col("a").alias("dst"), *extra))
         .localCheckpoint(eager=True)
     )
 
@@ -76,7 +82,8 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def pagerank_scaled(edges: DataFrame, rounds: int = 4,
                     damping_pct: int = 85,
                     scale: int = 1_000_000,
-                    seeds: DataFrame | None = None) -> DataFrame:
+                    seeds: DataFrame | None = None,
+                    weight_col: str | None = None) -> DataFrame:
     """Degree-normalized PageRank in exact scaled-integer arithmetic.
 
     r_0(v) = scale; r_{t+1}(v) = floor(scale * (100-damping)/100)
@@ -99,9 +106,23 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
     skew story is unchanged (the per-dst SUM is map-side partially
     aggregated, so a hub node receives ~n_partitions partial rows,
     not its full in-degree).
+
+    weight_col: optional integer edge-weight column — edge (u, v)
+    receives w_uv * s_u where s_u = floor(damping * r_u / (100 *
+    W_u)) is u's PER-UNIT share and W_u = sum of u's edge weights.
+    Quantizing the per-unit share FIRST (rather than
+    floor(damping * r * w / (100 * W))) keeps every product under
+    damping * r / 100 regardless of weight magnitude — no int64
+    overflow for any corpus — at the cost of losing < W_u units of
+    mass per node per round (the same class of quantization the
+    unweighted floor-div already accepts).
     """
-    sym = _symmetric(edges)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+    sym = _symmetric(edges, weight_col)
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    deg_agg = (F.sum(w) if weight_col
+               else F.count(F.lit(1))).alias("deg")
+    deg = sym.groupBy("src").agg(deg_agg) \
         .withColumnRenamed("src", "node").localCheckpoint(eager=True)
     base = scale * (100 - damping_pct) // 100
     if seeds is None:
@@ -115,10 +136,12 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
                 F.expr(f"({damping_pct} * r) div (100 * deg)")
                 .alias("share"),
             )
+            contrib = (w * F.col("share") if weight_col
+                       else F.col("share"))
             r = (
                 sym.join(shares, "src")
                 .groupBy("dst")
-                .agg((F.lit(base) + F.sum("share")).alias("r"))
+                .agg((F.lit(base) + F.sum(contrib)).alias("r"))
                 .select(F.col("dst").alias("node"), "r")
                 .localCheckpoint(eager=True)
             )
@@ -145,10 +168,12 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
             F.expr(f"({damping_pct} * r) div (100 * deg)")
             .alias("share"),
         )
+        contrib = (w * F.col("share") if weight_col
+                   else F.col("share"))
         r = (
             sym.join(shares, "src")
             .groupBy("dst")
-            .agg(F.sum("share").alias("__in"))
+            .agg(F.sum(contrib).alias("__in"))
             .select(F.col("dst").alias("node"), "__in")
             .join(bases, "node", "right")
             .select("node",

@@ -357,6 +357,80 @@ FROM comp ORDER BY media_id
 """
 
 
+def q_link_pagerank_weighted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weighted PageRank: edge strength = number of shared rare
+    trigrams, propagated via the overflow-safe per-unit-share
+    quantization (w * floor(damping * r / (100 * W)))."""
+    from hummingbird_spark.operators.graph import (
+        pagerank_scaled,
+        rare_trigram_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pr = pagerank_scaled(
+        rare_trigram_edges(d, weighted=True), rounds=_PR_ROUNDS,
+        damping_pct=_PR_DAMP, scale=_PR_SCALE, weight_col="w")
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("wdegree"),
+        "rank_scaled",
+    ).orderBy("doc_id")
+
+
+def _pagerank_weighted_oracle() -> str:
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    graph_w = _GRAPH_CTES.replace(
+        """e AS (
+  SELECT DISTINCT ta.doc_id AS a, tb.doc_id AS b
+  FROM tg ta JOIN rare USING (g) JOIN tg tb USING (g)
+  WHERE ta.doc_id < tb.doc_id
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+)""",
+        """e AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS w
+  FROM tg ta JOIN rare USING (g) JOIN tg tb USING (g)
+  WHERE ta.doc_id < tb.doc_id
+  GROUP BY ta.doc_id, tb.doc_id
+),
+sym AS (
+  SELECT a AS src, b AS dst, w FROM e
+  UNION ALL SELECT b AS src, a AS dst, w FROM e
+),
+deg AS (
+  SELECT src AS node, SUM(w) AS deg FROM sym GROUP BY src
+)""")
+    ctes = [graph_w,
+            f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+            f"FROM deg)"]
+    for t in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{t} AS (\n"
+            f"  SELECT s.dst AS node,\n"
+            f"    CAST({base} + SUM(s.w *\n"
+            f"      (({_PR_DAMP} * r.r) // (100 * d.deg))) AS BIGINT)"
+            f" AS r\n"
+            f"  FROM sym s JOIN r{t-1} r ON s.src = r.node\n"
+            f"  JOIN deg d ON s.src = d.node\n"
+            f"  GROUP BY s.dst)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT r.node AS doc_id, CAST(d.deg AS BIGINT) AS wdegree,
+       r.r AS rank_scaled
+FROM r{_PR_ROUNDS} r JOIN deg d ON r.node = d.node
+ORDER BY doc_id
+""")
+
+
+ORACLE_LINK_PAGERANK_WEIGHTED = _pagerank_weighted_oracle()
+
+
 _TR_SOURCES = ("src0", "src3")  # the fixture's 'trusted' seed sources
 
 
@@ -536,4 +610,8 @@ R7_QUERIES: dict[str, tuple] = {
     "trustrank_scores": (q_trustrank_scores, ORACLE_TRUSTRANK,
                          "seeded personalized PageRank (TrustRank) "
                          "over the link graph (unrolled-CTE oracle)"),
+    "link_pagerank_weighted": (
+        q_link_pagerank_weighted, ORACLE_LINK_PAGERANK_WEIGHTED,
+        "weighted PageRank over shared-shingle-count edges "
+        "(overflow-safe per-unit-share quantization)"),
 }

@@ -177,3 +177,56 @@ def test_trustrank_matches_reference_and_reduces_to_pagerank(spark):
     uniform = {r.node: r.rank_scaled
                for r in pagerank_scaled(e, rounds=3).collect()}
     assert seeded_all == uniform
+
+
+def _ref_weighted_pagerank(wedges, rounds, damping=85,
+                           scale=1_000_000):
+    sym = {}
+    for a, b, w in wedges:
+        sym.setdefault(a, []).append((b, w))
+        sym.setdefault(b, []).append((a, w))
+    W = {n: sum(w for _, w in vs) for n, vs in sym.items()}
+    base = scale * (100 - damping) // 100
+    r = {n: scale for n in sym}
+    for _ in range(rounds):
+        nxt = {n: base for n in sym}
+        for u, vs in sym.items():
+            s = (damping * r[u]) // (100 * W[u])
+            for v, w in vs:
+                nxt[v] += w * s
+        r = nxt
+    return r, W
+
+
+def test_weighted_pagerank_matches_reference_and_reduces(spark):
+    wedges = [(1, 2, 5), (2, 3, 1), (1, 3, 2), (3, 4, 1), (4, 5, 7)]
+    e = spark.createDataFrame(wedges, "a long, b long, w long")
+    got = {r.node: (r.deg, r.rank_scaled)
+           for r in pagerank_scaled(e, rounds=3,
+                                    weight_col="w").collect()}
+    ref_r, ref_w = _ref_weighted_pagerank(wedges, rounds=3)
+    assert got == {n: (ref_w[n], ref_r[n]) for n in ref_r}
+    # all weights 1 reduces to unweighted EXACTLY
+    ones = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in wedges], "a long, b long, w long")
+    as_weighted = {r.node: r.rank_scaled
+                   for r in pagerank_scaled(ones, rounds=3,
+                                            weight_col="w").collect()}
+    unweighted = {r.node: r.rank_scaled
+                  for r in pagerank_scaled(
+                      ones.select("a", "b"), rounds=3).collect()}
+    assert as_weighted == unweighted
+
+
+def test_rare_trigram_edges_weighted_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t"),    # shares trigrams 'p q r','q r s',
+            (2, "p q r s t u"),  # 'r s t' with doc 2 -> w = 3
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.w
+           for r in rare_trigram_edges(docs, weighted=True).collect()}
+    assert got == {(1, 2): 3}
