@@ -68,7 +68,7 @@ def _symmetric(edges: DataFrame,
                weight_col: str | None = None) -> DataFrame:
     """Both directions of an (a, b[, w]) edge list, eagerly
     materialized once (every round re-scans it)."""
-    extra = [weight_col] if weight_col else []
+    extra = ([F.col(weight_col).alias("__w")] if weight_col else [])
     return (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
                      *extra)
@@ -117,9 +117,13 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
     mass per node per round (the same class of quantization the
     unweighted floor-div already accepts).
     """
+    if not 0 < damping_pct < 100:
+        raise ValueError(
+            f"damping_pct={damping_pct} must be in (0, 100): 100 has "
+            "no reset mass (the seeded path would mark no seeds) and "
+            "0 is the reset alone")
     sym = _symmetric(edges, weight_col)
-    w = (F.col(weight_col).cast("long") if weight_col
-         else F.lit(1).cast("long"))
+    w = F.col("__w").cast("long")  # internal alias: caller's weight
     deg_agg = (F.sum(w) if weight_col
                else F.count(F.lit(1))).alias("deg")
     deg = sym.groupBy("src").agg(deg_agg) \
