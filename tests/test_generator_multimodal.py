@@ -414,3 +414,15 @@ def test_video_frame_hashes_rejects_non_hbvi(spark):
 
     with pytest.raises(Exception, match="HBVI"):
         video_frame_hashes(synth_images(spark, 2)).collect()
+
+
+def test_phash_pairs_reject_threshold_past_pigeonhole(spark):
+    from hummingbird_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicate_pairs,
+        synth_images,
+    )
+
+    hashed = image_phash(synth_images(spark, 4))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_duplicate_pairs(hashed, max_hamming=8)

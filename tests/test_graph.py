@@ -230,3 +230,11 @@ def test_rare_trigram_edges_weighted_counts(spark):
     got = {(r.a, r.b): r.w
            for r in rare_trigram_edges(docs, weighted=True).collect()}
     assert got == {(1, 2): 3}
+
+
+def test_pagerank_rejects_degenerate_damping(spark):
+    e = spark.createDataFrame(EDGES, "a long, b long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="damping_pct"):
+        pagerank_scaled(e, rounds=1, damping_pct=100)
