@@ -578,7 +578,12 @@ def video_near_duplicates(frame_hashes: DataFrame,
     """Video pairs sharing >= min_matched_frames frame pairs within
     the Hamming ball: banded frame-hash self-join (never all-pairs
     over frames), distinct matched (frame_a, frame_b) pairs counted
-    per video pair. Returns (a, b, matched_frames)."""
+    per video pair. Returns (a, b, matched_frames).
+
+    Frame ids pack as media_id * 4096 + frame_idx so the image band
+    machinery applies unchanged — callers hashing videos longer than
+    4096 sampled frames must raise the packing stride (key-frame
+    sampling at that density is the realistic regime anyway)."""
     keyed = frame_hashes.select(
         (F.col(id_col) * 4096 + F.col("frame_idx")).alias("fid"),
         "phash",

@@ -1501,6 +1501,7 @@ _VERIFY_FIRST = [
     "wav_dsp_features", "link_pagerank", "link_communities",
     "phash_near_dups", "phash_dup_clusters", "video_near_dups",
     "trustrank_scores", "link_pagerank_weighted",
+    "link_canonical_docs",
     # latest record: round 3
     "basket_pairs", "c4_filter_stats", "decile_stats",
     "decontamination", "doc_chunks", "doc_fingerprint",

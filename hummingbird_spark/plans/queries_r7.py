@@ -495,6 +495,92 @@ ORDER BY doc_id
 ORACLE_TRUSTRANK = _trustrank_oracle()
 
 
+def q_link_canonical_docs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Cross-operator composition (the unimax_packed_pipeline shape on
+    the graph family): label-propagation communities JOIN PageRank
+    mass -> per multi-doc community keep the highest-ranked member
+    (tie-break smallest id) — canonical-representative selection by
+    quality mass, the keep-list a graph-aware dedup pass emits."""
+    from pyspark.sql.window import Window as W
+
+    from hummingbird_spark.operators.graph import (
+        label_propagation,
+        pagerank_scaled,
+        rare_trigram_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # both iterative chains consume the edge list — materialize the
+    # trigram self-join ONCE instead of once per chain
+    edges = rare_trigram_edges(d).localCheckpoint(eager=True)
+    lp = label_propagation(edges, rounds=_LP_ROUNDS)
+    pr = pagerank_scaled(edges, rounds=_PR_ROUNDS)
+    joined = lp.join(pr, "node").withColumn(
+        "csize", F.count(F.lit(1)).over(W.partitionBy("community")))
+    win = W.partitionBy("community").orderBy(
+        F.desc("rank_scaled"), F.asc("node"))
+    return (
+        joined.filter(F.col("csize") >= 2)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(F.col("community"),
+                F.col("csize"),
+                F.col("node").alias("canonical_doc"),
+                "rank_scaled")
+        .orderBy("community")
+    )
+
+
+def _canonical_oracle() -> str:
+    """Composes the LP and PageRank unrolled chains over ONE shared
+    graph CTE prefix."""
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    ctes = [_GRAPH_CTES,
+            f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+            f"FROM deg)"]
+    for t in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{t} AS (\n"
+            f"  SELECT s.dst AS node,\n"
+            f"    CAST({base} + SUM(({_PR_DAMP} * r.r) // (100 * d.deg))"
+            f" AS BIGINT) AS r\n"
+            f"  FROM sym s JOIN r{t-1} r ON s.src = r.node\n"
+            f"  JOIN deg d ON s.src = d.node\n"
+            f"  GROUP BY s.dst)")
+    ctes.append("l0 AS (SELECT DISTINCT src AS node, src AS lab "
+                "FROM sym)")
+    for t in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"v{t} AS (\n"
+            f"  SELECT s.src AS node, l.lab, COUNT(*) AS c\n"
+            f"  FROM sym s JOIN l{t-1} l ON s.dst = l.node\n"
+            f"  GROUP BY s.src, l.lab),\n"
+            f"l{t} AS (\n"
+            f"  SELECT node, lab FROM (\n"
+            f"    SELECT node, lab, row_number() OVER\n"
+            f"      (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn\n"
+            f"    FROM v{t}) WHERE rn = 1)")
+    ctes.append(f"""joined AS (
+  SELECT l.node, l.lab AS community, r.r AS rank_scaled,
+         COUNT(*) OVER (PARTITION BY l.lab) AS csize
+  FROM l{_LP_ROUNDS} l JOIN r{_PR_ROUNDS} r ON l.node = r.node)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT community, csize, node AS canonical_doc, rank_scaled
+FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY community
+     ORDER BY rank_scaled DESC, node ASC) AS rn
+  FROM joined WHERE csize >= 2)
+WHERE rn = 1
+ORDER BY community
+""")
+
+
+ORACLE_LINK_CANONICAL = _canonical_oracle()
+
+
 VID_N = 24
 _VID_MIN_MATCHED = 4
 
@@ -614,4 +700,8 @@ R7_QUERIES: dict[str, tuple] = {
         q_link_pagerank_weighted, ORACLE_LINK_PAGERANK_WEIGHTED,
         "weighted PageRank over shared-shingle-count edges "
         "(overflow-safe per-unit-share quantization)"),
+    "link_canonical_docs": (
+        q_link_canonical_docs, ORACLE_LINK_CANONICAL,
+        "canonical doc per community by PageRank mass (LP x PageRank "
+        "composition, shared-prefix unrolled oracle)"),
 }
