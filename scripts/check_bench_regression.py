@@ -123,8 +123,8 @@ def main() -> int:
     # SURVEY $13.2) — two baselines with different normalizations gave
     # two verdicts for one run. Refrozen per round from a clean
     # BENCH_DETAIL.json so every current entry is baselined. The r7
-    # freeze was measured idle (load 0.01), covers all 194 entries
-    # (190 queries + 4 throughput jobs), and the per-query median vs
+    # freeze was measured idle (load 0.00), covers all 195 entries
+    # (191 queries + 4 throughput jobs), and the per-query median vs
     # the r6 baseline is ~0.99x raw — the round got faster per query
     # while adding 7 entries; notably embedding_top_pairs 1.00 ->
     # 0.72s after the parallelism-floor fix ended its three-round
