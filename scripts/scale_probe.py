@@ -126,6 +126,10 @@ PROBES = [
     # should track the edge list, not doc pairs)
     ("link_pagerank", ["documents"]),
     ("link_communities", ["documents"]),
+    # late r7: weighted/seeded variants and the LP x PR composition
+    ("link_pagerank_weighted", ["documents"]),
+    ("trustrank_scores", ["documents"]),
+    ("link_canonical_docs", ["documents"]),
 ]
 
 EMB_COPIES = 4
