@@ -776,7 +776,14 @@ def main(argv: list[str] | None = None) -> int:
                 weight_col=args.weight_col, id_col=args.id_col),
         ]
         for q in queries:
-            q.awaitTermination(600)
+            # awaitTermination(timeout) returns False while the drain
+            # is still running; reporting store state then would print
+            # a partial tick as if it completed — fail loudly instead
+            if not q.awaitTermination(600):
+                q.stop()
+                print("monitor: availableNow drain exceeded 600s; "
+                      "state is incomplete", file=sys.stderr)
+                return 1
         meta = topk_meta(f"{base}/topk")
         slack = meta["n"] // (meta["k"] + 1)
         top = sorted(
@@ -868,7 +875,11 @@ def main(argv: list[str] | None = None) -> int:
         q = start_streaming_phash_dedup(
             spark, args.src, args.out, args.store, schema,
             id_col=args.id_col, max_hamming=args.max_hamming)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            print("media-dedup: availableNow drain exceeded 600s; "
+                  "store/out are incomplete", file=sys.stderr)
+            return 1
         n_out = spark.read.parquet(args.out).count()
         n_store = spark.read.parquet(args.store).count()
         print(json.dumps({

@@ -707,9 +707,13 @@ def audio_window_features(df: DataFrame,
                     # actual samples (normalized to [-1, 1))
                     sr, pcm = _decode_wav(data)
                     win = max(1, sr * window_ms // 1000)
-                    segs = ([pcm] if len(pcm) < win else
-                            [pcm[w * win:(w + 1) * win]
-                             for w in range(len(pcm) // win)])
+                    # full-window contract, same as wav_window_features:
+                    # a zero-frame WAV or a clip shorter than one window
+                    # emits nothing (the old partial-window emission
+                    # diverged between the two kernels and divided by
+                    # zero on empty PCM)
+                    segs = [pcm[w * win:(w + 1) * win]
+                            for w in range(len(pcm) // win)]
                     for w, seg in enumerate(segs):
                         s = seg.astype("int64")
                         ssq = int((s * s).sum())

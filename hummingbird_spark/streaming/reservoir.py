@@ -52,11 +52,23 @@ def merge_reservoir_batch(
     # Full idempotency for free: the E-S priority is a pure function
     # of (seed, id, weight), so a batch re-applied after a crash in
     # the window between the data-dir rename and the ledger rename
-    # contributes byte-identical (strata, id, __key) rows. Dropping
-    # duplicates on the logical key before ranking makes the
-    # double-apply a no-op regardless of ledger state (the additive
-    # CMS merge cannot do this; this merge can, so it should).
-    merged = merged.dropDuplicates([strata_col, id_col])
+    # contributes byte-identical (strata, id, __key) rows, and the
+    # per-(strata, id) max below collapses them to one. When the SAME
+    # id re-arrives later with a DIFFERENT weight, the survivor must
+    # not depend on partition order (dropDuplicates would): keep the
+    # max-__key row, with the remaining columns inside the struct so
+    # exact-__key ties also resolve by a total order — every replay
+    # sees the same reservoir. max(struct) is map-side-partially
+    # aggregable, so no single hot window partition either.
+    tie_cols = [c for c in cols if c not in (strata_col, id_col,
+                                             "__key")]
+    merged = (
+        merged.groupBy(strata_col, id_col)
+        .agg(F.max(F.struct("__key", *tie_cols)).alias("__s"))
+        .select(strata_col, id_col,
+                *[F.col(f"__s.{c}") for c in ["__key", *tie_cols]])
+        .select(*cols)
+    )
     win = Window.partitionBy(strata_col).orderBy(
         F.desc("__key"), id_col)
     topk = (

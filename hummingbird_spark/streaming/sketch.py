@@ -305,9 +305,20 @@ def merge_topk_batch(
     n_prior = 0
     if os.path.exists(os.path.join(summary_path, "_SUCCESS")):
         prior = spark.read.parquet(summary_path)
-        n_prior = (prior.filter(F.col("tok").isNull())
-                   .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
-                   .collect()[0][0])
+        sent = (prior.filter(F.col("tok").isNull())
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
+                .collect()[0])
+        if sent["rows"] > 0:
+            n_prior = int(sent["n"])
+        elif os.path.exists(meta_path):
+            # summary written by the pre-sentinel format: no tok=NULL
+            # row exists, but the stream weight is still on disk in
+            # the .meta sidecar — fold it into this merge's sentinel
+            # so the [c, c + n/(k+1)] true-count bound stays correct
+            # across the upgrade instead of silently reading n=0
+            with open(meta_path) as fh:
+                n_prior = int(json.load(fh).get("n", 0))
         merged = (
             prior.filter(F.col("tok").isNotNull())
             .unionByName(batch_tc)
@@ -402,7 +413,12 @@ def topk_meta(summary_path: str) -> dict:
     tbl = pq.read_table(summary_path, columns=["tok", "cnt"])
     toks = tbl.column("tok").to_pylist()
     cnts = tbl.column("cnt").to_pylist()
-    n = sum(c for t, c in zip(toks, cnts) if t is None)
     with open(summary_path + ".meta") as fh:
         meta = json.load(fh)
+    if any(t is None for t in toks):
+        n = sum(c for t, c in zip(toks, cnts) if t is None)
+    else:
+        # pre-sentinel-format summary: the weight is still in the
+        # sidecar (the old convention); don't misread it as n=0
+        n = meta.get("n", 0)
     return {"n": int(n), "k": int(meta["k"])}

@@ -426,3 +426,39 @@ def test_phash_pairs_reject_threshold_past_pigeonhole(spark):
     hashed = image_phash(synth_images(spark, 4))
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_duplicate_pairs(hashed, max_hamming=8)
+
+
+def test_audio_window_features_full_window_contract(spark):
+    """RIFF branch window contract matches wav_window_features: a
+    zero-frame WAV and a clip shorter than one window emit NOTHING
+    (the old code emitted a partial window and divided by zero on
+    empty PCM)."""
+    import struct
+
+    from hummingbird_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_features,
+    )
+
+    def riff(n_samples, sr=8000):
+        pcm = struct.pack(f"<{n_samples}h",
+                          *[(i * 997) % 1000 - 500
+                            for i in range(n_samples)])
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                       sr * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(pcm)))
+        return hdr + pcm
+
+    win_ms = 100  # 800 samples at 8 kHz
+    rows = [
+        (0, "audio", bytearray(riff(0)), {"duration_ms": 0}),
+        (1, "audio", bytearray(riff(100)), {"duration_ms": 12}),
+        (2, "audio", bytearray(riff(2000)), {"duration_ms": 250}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = audio_window_features(media, window_ms=win_ms).collect()
+    # clip 0 (empty) and clip 1 (sub-window) emit nothing; clip 2
+    # emits exactly its 2 FULL windows (2000 // 800), no partial
+    assert sorted((r.media_id, r.window_idx) for r in got) == \
+        [(2, 0), (2, 1)]

@@ -231,3 +231,52 @@ def test_topk_sentinel_is_atomic_with_counters(spark, tmp_path):
     for tok, cnt in state.items():
         assert cnt <= 2 * true[tok]
         assert 2 * true[tok] - cnt <= meta2["n"] / 9
+
+
+def test_topk_pre_sentinel_store_migrates(spark, tmp_path):
+    """A summary written by the pre-sentinel format (no tok=NULL row,
+    stream weight n in the .meta sidecar) must not read n=0 after the
+    upgrade: topk_meta falls back to the sidecar, and the first merge
+    folds the sidecar weight into the new sentinel so the advertised
+    [c, c + n/(k+1)] bound stays correct."""
+    import shutil
+
+    from hummingbird_spark.operators.sketch import token_counts
+    from hummingbird_spark.streaming.sketch import (
+        merge_topk_batch,
+        read_topk,
+        topk_meta,
+    )
+
+    rows = _zipf_corpus(n_docs=80)
+    summ = str(tmp_path / "topk")
+    df_a = spark.createDataFrame(rows[:40], SCHEMA)
+    df_b = spark.createDataFrame(rows[40:], SCHEMA)
+    tc_a, tc_b = token_counts(df_a), token_counts(df_b)
+    n_a = tc_a.agg(F.sum("cnt")).collect()[0][0]
+    n_b = tc_b.agg(F.sum("cnt")).collect()[0][0]
+
+    # build a legacy-layout store: counters only, n in the sidecar
+    merge_topk_batch(spark, tc_a, summ, k=8)
+    legacy = (spark.read.parquet(summ)
+              .filter(F.col("tok").isNotNull()).collect())
+    shutil.rmtree(summ)
+    spark.createDataFrame(legacy, "tok string, cnt long") \
+        .write.parquet(summ)
+    with open(summ + ".meta", "w") as fh:
+        json.dump({"k": 8, "n": int(n_a)}, fh)
+
+    # read path: no sentinel -> sidecar fallback, not n=0
+    assert topk_meta(summ) == {"n": n_a, "k": 8}
+
+    # merge path: the sidecar weight folds into the new sentinel
+    merge_topk_batch(spark, tc_b, summ, k=8)
+    meta = topk_meta(summ)
+    assert meta["n"] == n_a + n_b
+    true = Counter()
+    for _, text in rows:
+        true.update(w.lower() for w in text.split())
+    state = {r.tok: r.cnt for r in read_topk(spark, summ).collect()}
+    for tok, cnt in state.items():
+        assert cnt <= true[tok]
+        assert true[tok] - cnt <= meta["n"] / 9

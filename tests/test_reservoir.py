@@ -151,3 +151,51 @@ def test_merge_double_apply_is_noop(spark, tmp_path):
     for r in twice:
         per[r[0]] = per.get(r[0], 0) + 1
     assert per == {"s0": 5, "s1": 5}
+
+
+def test_rearrival_with_changed_weight_is_deterministic(spark, tmp_path):
+    """The same id re-arriving in a later batch with a DIFFERENT
+    weight must resolve identically on every run and partitioning:
+    the merge keeps the max-__key row per (strata, id), so the
+    survivor is a pure function of the data, never of partition
+    order (the old dropDuplicates kept an arbitrary one)."""
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.operators.dsir import aes_key
+    from hummingbird_spark.streaming.reservoir import (
+        merge_reservoir_batch,
+        read_reservoir,
+    )
+
+    def keyed(rows, parts):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, w double",
+        ).repartition(parts).select(
+            "source", "doc_id", "w",
+            aes_key(F.col("doc_id"), F.col("w"), "t").alias("__key"))
+
+    batch_a = [(i, f"s{i % 2}", 1.0 + i % 5) for i in range(40)]
+    # every id re-arrives with a different weight (so a different
+    # __key); expected survivor = the max-__key version of each id
+    batch_b = [(i, f"s{i % 2}", 2.0 + (i * 7) % 9) for i in range(40)]
+
+    states = []
+    for parts in (1, 7, 32):
+        store = str(tmp_path / f"rsv{parts}")
+        merge_reservoir_batch(spark, keyed(batch_a, parts), store,
+                              "source", "doc_id", 5)
+        merge_reservoir_batch(spark, keyed(batch_b, parts), store,
+                              "source", "doc_id", 5)
+        states.append(sorted(
+            (r["source"], r["doc_id"], r["w"], r["__key"])
+            for r in read_reservoir(spark, store).collect()))
+    assert states[0] == states[1] == states[2]
+    # the surviving weight for any sampled id is the max-__key one
+    both = {}
+    for rows in (batch_a, batch_b):
+        for i, s, w in rows:
+            k = keyed([(i, s, w)], 1).collect()[0]["__key"]
+            if (s, i) not in both or k > both[(s, i)][1]:
+                both[(s, i)] = (w, k)
+    for s, i, w, k in states[0]:
+        assert (w, k) == both[(s, i)]
