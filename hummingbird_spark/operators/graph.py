@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hummingbird_spark.functions.text import doc_trigrams
 
@@ -202,17 +201,27 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("lab", F.col("node"))
     )
-    win = Window.partitionBy("src").orderBy(
-        F.desc("c"), F.asc("lab"))
     for _ in range(rounds):
         votes = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
         )
+        # mode with (max c, then min lab) tie-break, expressed as
+        # min(struct(-c, lab)) so it is map-side-partially
+        # aggregable: at round 1 every neighbor of a hub carries a
+        # DISTINCT label, so a per-src row_number window would funnel
+        # deg(hub) vote rows into ONE window partition — this agg
+        # keeps the hub's reducer at ~n_partitions partial rows
+        # instead (same skew story as the PageRank per-dst SUM;
+        # negating c, a count >= 1, never overflows, unlike negating
+        # a user-supplied label id).
         labels = (
-            votes.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "lab")
+            votes.groupBy("src")
+            .agg(F.min(F.struct(
+                F.negate(F.col("c")).alias("nc"),
+                F.col("lab").alias("lab"))).alias("__m"))
+            .select(F.col("src").alias("node"),
+                    F.col("__m.lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("community"))

@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from hummingbird_spark.operators.graph import pagerank_scaled  # noqa: E402
+from hummingbird_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+    pagerank_scaled,
+)
 from hummingbird_spark.session import get_spark  # noqa: E402
 
 SCALE = 1_000_000
@@ -65,6 +68,33 @@ def main() -> None:
         print(f"star h={h:,}: {dt:.1f}s exact={'OK' if ok else 'FAIL'}"
               f" hub={hub.rank_scaled:,} (expect {exp_hub:,})"
               f" leaf={leaf.rank_scaled} (expect {exp_leaf})",
+              flush=True)
+        assert ok
+
+    # Label propagation's hub stress is WORSE than PageRank's: at
+    # round 1 every leaf carries a DISTINCT label, so the hub's vote
+    # set is h distinct (src, lab) rows — the per-src mode-pick must
+    # be map-side-partially aggregable or one task sorts h rows.
+    # Closed form on the star (labels start at node id, synchronous):
+    # round 1: hub <- min leaf label = 1, leaves <- 0; round 2:
+    # hub <- 0, leaves <- 1 (the classic bipartite oscillation —
+    # exact, so a deterministic assertion).
+    for h in (1_000_000, 4_000_000):
+        edges = spark.range(1, h + 1, 1, 32).select(
+            F.lit(0).cast("long").alias("a"), F.col("id").alias("b"))
+        t0 = time.perf_counter()
+        res = label_propagation(edges, rounds=2)
+        hub_lab = res.filter(F.col("node") == 0).collect()[0].community
+        leaf_agg = (res.filter(F.col("node") != 0)
+                    .agg(F.countDistinct("community").alias("k"),
+                         F.min("community").alias("lab"),
+                         F.count(F.lit(1)).alias("n")).collect()[0])
+        dt = time.perf_counter() - t0
+        ok = (hub_lab == 0 and leaf_agg.k == 1 and leaf_agg.lab == 1
+              and leaf_agg.n == h)
+        print(f"LP star h={h:,}: {dt:.1f}s "
+              f"exact={'OK' if ok else 'FAIL'} hub={hub_lab} "
+              f"leaves=({leaf_agg.k} label(s), {leaf_agg.lab})",
               flush=True)
         assert ok
 
