@@ -45,6 +45,7 @@ from hummingbird_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signature_df,
 )
+from hummingbird_spark.streaming.ledger import BatchLedger
 
 
 def dedup_batch_against_store(
@@ -129,14 +130,10 @@ def start_streaming_dedup(
     task, and the store is re-READ every batch (the classic streaming
     small-file failure: scan cost grows with batch COUNT, not data).
     """
-    ledger = store_path + ".ledger"
+    led = BatchLedger(store_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied: list[str] = []
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                applied = fh.read().split()
-        if str(batch_id) in applied:
+        if led.seen(batch_id):
             return
         if pre_filter is not None:
             batch_df = pre_filter(batch_df)
@@ -151,15 +148,13 @@ def start_streaming_dedup(
         # ledger. A crash inside the window re-appends (duplicates)
         # out rows on replay; the reverse order would instead DROP the
         # batch (its own bands would read as accepted) — duplication
-        # is the recoverable failure, loss is not. A transactional
-        # sink (Delta/Iceberg) closes the window for real.
+        # is the recoverable failure, loss is not (the shared
+        # crash-window contract, streaming/ledger.py).
         survivors.write.mode("append").parquet(out_path)
         bands_df.select("band", "bkey").write.mode("append") \
             .parquet(store_path)
-        with open(ledger + ".tmp", "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
-        os.rename(ledger + ".tmp", ledger)
-        if compact_every and (len(applied) + 1) % compact_every == 0:
+        led.record(batch_id)
+        if compact_every and len(led.applied()) % compact_every == 0:
             from hummingbird_spark.operators.compact import compact_table
 
             compact_table(spark, store_path)

@@ -30,6 +30,7 @@ from hummingbird_spark.operators.multimodal import (
     phash_band_keys,
     phash_near_duplicate_pairs,
 )
+from hummingbird_spark.streaming.ledger import BatchLedger
 
 
 def phash_dedup_batch_against_store(
@@ -84,17 +85,14 @@ def start_streaming_phash_dedup(
 ) -> StreamingQuery:
     """File-source stream of (id, data) rows -> per-batch pHash dedup
     -> survivors append to out_path, their (chunk, ckey, phash) rows
-    to store_path. Idempotent on batch replay via the ledger."""
-    ledger = store_path + ".ledger"
+    to store_path. Idempotent on batch replay via the ledger (shared
+    crash-window contract: streaming/ledger.py)."""
+    led = BatchLedger(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied: list[str] = []
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                applied = fh.read().split()
-        if str(batch_id) in applied:
+        if led.seen(batch_id):
             return
         survivors, bands_df = phash_dedup_batch_against_store(
             spark, batch_df, store_path, id_col, max_hamming)
@@ -105,9 +103,7 @@ def start_streaming_phash_dedup(
         survivors.write.mode("append").parquet(out_path)
         bands_df.select("chunk", "ckey", "phash").write \
             .mode("append").parquet(store_path)
-        with open(ledger + ".tmp", "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
-        os.rename(ledger + ".tmp", ledger)
+        led.record(batch_id)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -12,12 +12,12 @@ exactness. State is <= strata * k rows forever."""
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from hummingbird_spark.streaming.ledger import BatchLedger, commit_swap
 
 
 def merge_reservoir_batch(
@@ -32,15 +32,12 @@ def merge_reservoir_batch(
     """Merge a batch's (strata, id, __key) candidates into the
     persistent per-stratum top-k. Union + one window over <= strata *
     2k rows; same ledger + double-rename swap discipline as the
-    continuous sketches (streaming/sketch.py)."""
+    continuous sketches (see streaming/ledger.py for the shared
+    crash-window semantics and the single-driver assumption)."""
     from pyspark.sql import Window
 
-    ledger = store_path + ".ledger"
-    applied: list[str] = []
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            applied = fh.read().split()
-    if batch_id is not None and str(batch_id) in applied:
+    led = BatchLedger(store_path)
+    if led.seen(batch_id):
         return
 
     cols = batch_keyed.columns
@@ -77,19 +74,7 @@ def merge_reservoir_batch(
         .drop("rk")
     )
 
-    token = uuid.uuid4().hex[:8]
-    tmp = f"{store_path}.__tmp_{token}"
-    topk.write.mode("overwrite").parquet(tmp)
-    ledger_tmp = None
-    if batch_id is not None:
-        ledger_tmp = f"{ledger}.__tmp_{token}"
-        with open(ledger_tmp, "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
-    if os.path.exists(store_path):
-        shutil.rmtree(store_path)
-    os.rename(tmp, store_path)
-    if ledger_tmp is not None:
-        os.rename(ledger_tmp, ledger)
+    commit_swap(topk, store_path, led, batch_id)
 
 
 def start_continuous_reservoir(

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from hummingbird_spark.streaming.ledger import BatchLedger, commit_swap
+
 
 def window_rollup_partials(
     batch: DataFrame,
@@ -115,23 +117,16 @@ def merge_rollup_batch(
 
     `batch_id` (from foreachBatch) is recorded in a ledger file; an
     already-applied id is skipped, making checkpoint-recovery replays
-    idempotent even though += is not. The new ledger content is staged
-    to a temp file BEFORE the data swap and renamed immediately after
-    it, so the non-atomic window is two adjacent renames rather than a
-    rename plus an open/append; a crash landing exactly between them
-    can still double-apply one batch on replay (plain parquet has no
-    cross-file transaction — a Delta/Iceberg sink closes this for real).
+    idempotent even though += is not (the staged-ledger double-rename
+    swap and its crash window are documented once in
+    streaming/ledger.py, with the single-driver assumption).
 
     Null keys merge too: the join matches on null-safe equality, so a
     null key (or a null window_start from an unparseable timestamp)
     accumulates in ONE rollup row instead of appending a new null-key
     row every batch."""
-    ledger = os.path.join(rollup_path + ".ledger")
-    applied: list[str] = []
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            applied = fh.read().split()
-    if batch_id is not None and str(batch_id) in applied:
+    led = BatchLedger(rollup_path)
+    if led.seen(batch_id):
         return
 
     from hummingbird_spark.functions.sketch import merge_sketches
@@ -178,19 +173,7 @@ def merge_rollup_batch(
             *(["hll"] if "hll" in p.columns else []),
         )
 
-    token = uuid.uuid4().hex[:8]
-    tmp = f"{rollup_path}.__tmp_{token}"
-    merged.write.mode("overwrite").parquet(tmp)
-    ledger_tmp = None
-    if batch_id is not None:
-        ledger_tmp = f"{ledger}.__tmp_{token}"
-        with open(ledger_tmp, "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
-    if os.path.exists(rollup_path):
-        shutil.rmtree(rollup_path)
-    os.rename(tmp, rollup_path)
-    if ledger_tmp is not None:
-        os.rename(ledger_tmp, ledger)
+    commit_swap(merged, rollup_path, led, batch_id)
 
 
 def start_continuous_rollup(

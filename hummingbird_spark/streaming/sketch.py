@@ -18,12 +18,13 @@ always-on ingest pipeline can afford at any scale.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from hummingbird_spark.streaming.ledger import BatchLedger, commit_swap
 
 
 def _merge_additive(
@@ -41,15 +42,11 @@ def _merge_additive(
     (HLL rho values — max is idempotent/commutative/associative, so
     the maintained registers are bit-identical to a from-scratch build
     just like the additive case). Same ledger + double-rename swap
-    discipline as merge_rollup_batch (streaming/rollup.py), same
-    caveat: the non-atomic window is two adjacent renames;
-    Delta/Iceberg would close it for real."""
-    ledger = path + ".ledger"
-    applied: list[str] = []
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            applied = fh.read().split()
-    if batch_id is not None and str(batch_id) in applied:
+    discipline as merge_rollup_batch (streaming/rollup.py); see
+    streaming/ledger.py for the shared crash-window semantics and the
+    single-driver assumption."""
+    led = BatchLedger(path)
+    if led.seen(batch_id):
         return
 
     p = partial.select(*keys, "cnt")
@@ -76,19 +73,7 @@ def _merge_additive(
         merged = p.select(
             *[F.col(f"__{c}").alias(c) for c in [*keys, "cnt"]])
 
-    token = uuid.uuid4().hex[:8]
-    tmp = f"{path}.__tmp_{token}"
-    merged.write.mode("overwrite").parquet(tmp)
-    ledger_tmp = None
-    if batch_id is not None:
-        ledger_tmp = f"{ledger}.__tmp_{token}"
-        with open(ledger_tmp, "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    if ledger_tmp is not None:
-        os.rename(ledger_tmp, ledger)
+    commit_swap(merged, path, led, batch_id)
 
 
 def merge_cms_batch(
@@ -291,13 +276,9 @@ def merge_topk_batch(
 
     from pyspark.sql import Window
 
-    ledger = summary_path + ".ledger"
     meta_path = summary_path + ".meta"
-    applied: list[str] = []
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            applied = fh.read().split()
-    if batch_id is not None and str(batch_id) in applied:
+    led = BatchLedger(summary_path)
+    if led.seen(batch_id):
         return
 
     batch_tc = batch_tc.select("tok", "cnt")
@@ -344,24 +325,14 @@ def merge_topk_batch(
         [(None, n_total)], "tok string, cnt long")
     out = pruned.unionByName(sentinel)
 
-    token = uuid.uuid4().hex[:8]
-    tmp = f"{summary_path}.__tmp_{token}"
-    out.write.mode("overwrite").parquet(tmp)
-    ledger_tmp = None
-    if batch_id is not None:
-        ledger_tmp = f"{ledger}.__tmp_{token}"
-        with open(ledger_tmp, "w") as fh:
-            fh.write(" ".join([*applied, str(batch_id)]) + " ")
     if not os.path.exists(meta_path):
-        meta_tmp = f"{meta_path}.__tmp_{token}"
+        # static k only: idempotent, no crash window, so it can land
+        # before the swap
+        meta_tmp = f"{meta_path}.__tmp_{uuid.uuid4().hex[:8]}"
         with open(meta_tmp, "w") as fh:
             json.dump({"k": k}, fh)
         os.rename(meta_tmp, meta_path)
-    if os.path.exists(summary_path):
-        shutil.rmtree(summary_path)
-    os.rename(tmp, summary_path)
-    if ledger_tmp is not None:
-        os.rename(ledger_tmp, ledger)
+    commit_swap(out, summary_path, led, batch_id)
 
 
 def start_continuous_topk(
