@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -530,6 +531,62 @@ def synth_videos(spark: SparkSession, total: int,
     return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_videos_temporal(spark: SparkSession, total: int,
+                          n_frames: int = VID_FRAMES,
+                          shift: int = 2) -> DataFrame:
+    """Deterministic video fixtures for TEMPORAL-alignment scoring:
+    mid % 4 in (0, 2) are independent base videos; mid % 4 == 1 is a
+    perturbed copy of mid-1 SHIFTED by `shift` (frame f >= shift
+    replays src frame f-shift; earlier frames are fresh own-mid
+    content — the re-edited-intro near-dup shape); mid % 4 == 3 is a
+    perturbed SHUFFLED copy of mid-1 via perm(f) = (5f+3) % n_frames
+    — same content bag, NO consistent temporal offset, so
+    bag-of-frames matching accepts it but alignment must score it
+    run-1. Same md5 pixel scheme as synth_videos, so the whole chain
+    replays in SQL."""
+    import numpy as np  # noqa: F401 (parity with synth_videos deps)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                r = mid % 4
+                src = mid - 1 if r in (1, 3) else mid
+                frames = bytearray()
+                for f in range(n_frames):
+                    if r == 1 and f >= shift:
+                        seed_mid, sf, pert = src, f - shift, True
+                    elif r == 3:
+                        seed_mid, sf, pert = \
+                            src, (5 * f + 3) % n_frames, True
+                    else:
+                        seed_mid, sf, pert = mid, f, False
+                    frame = bytearray(
+                        b % (255 - _IMG_PERT_AMP)
+                        for k in range(16)
+                        for b in hashlib.md5(
+                            f"vid|{seed_mid}|{sf}|{k}".encode())
+                        .digest())
+                    if pert:
+                        for i in range(0, 256, _IMG_PERT_MOD):
+                            frame[i] += _IMG_PERT_AMP
+                    frames += frame
+                rows.append({
+                    "media_id": mid, "kind": "video",
+                    "data": _VID_MAGIC + bytes(frames),
+                    "meta": {
+                        "format": "raw-gray16-seq", "width": 16,
+                        "height": 16, "channels": 1,
+                        "sample_rate": 0, "duration_ms": 0,
+                        "n_frames": n_frames,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def video_frame_hashes(df: DataFrame,
                        id_col: str = "media_id") -> DataFrame:
     """(media_id, frame_idx, phash) — the 1->N Arrow batch shape of
@@ -601,6 +658,78 @@ def video_near_duplicates(frame_hashes: DataFrame,
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("matched_frames"))
         .filter(F.col("matched_frames") >= min_matched_frames)
+        .orderBy("a", "b")
+    )
+
+
+def video_alignment(frame_hashes: DataFrame,
+                    max_hamming: int = 6,
+                    min_matched_frames: int = 4,
+                    min_aligned_run: int = 2,
+                    id_col: str = "media_id") -> DataFrame:
+    """Temporal-alignment scoring on top of the bag-of-frames match:
+    for every video pair with >= min_matched_frames matched frame
+    pairs, compute the MODE of (frame_b - frame_a) over matched pairs
+    (tie-break: smallest offset) and the longest CONSECUTIVE frame run
+    at that offset. A true re-encode/shifted copy concentrates its
+    matches on one offset with a long run; a shuffled-frames copy
+    shares the content bag but its run collapses to 1, so `aligned`
+    goes false — the distinction bag-of-frames matching cannot make.
+
+    Returns (a, b, matched_frames, offset_mode, aligned_frames,
+    longest_run, aligned). The mode is a map-side-partially-aggregable
+    min(struct(-c, off)) (no hot window); the gaps-and-islands run
+    scan sorts per (pair, mode-offset) partitions bounded by the
+    4096-frame packing stride, so no partition exceeds one video's
+    frame count."""
+    keyed = frame_hashes.select(
+        (F.col(id_col) * 4096 + F.col("frame_idx")).alias("fid"),
+        "phash",
+    )
+    pairs = phash_near_duplicate_pairs(keyed, max_hamming,
+                                       id_col="fid")
+    # fid packing preserves order, so a < b implies va <= vb
+    m = (
+        pairs.select(
+            F.expr("a div 4096").alias("va"),
+            F.expr("b div 4096").alias("vb"),
+            (F.col("a") % 4096).alias("fa"),
+            (F.col("b") % 4096).alias("fb"),
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn("off", F.col("fb") - F.col("fa"))
+        .localCheckpoint(eager=True)  # three aggregations read it
+    )
+    cnt = m.groupBy("va", "vb").agg(
+        F.count(F.lit(1)).alias("matched_frames"))
+    mode = (
+        m.groupBy("va", "vb", "off")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("va", "vb")
+        .agg(F.min(F.struct(F.negate(F.col("c")).alias("nc"),
+                            F.col("off").alias("off"))).alias("__m"))
+        .select("va", "vb", F.col("__m.off").alias("offset_mode"),
+                F.negate(F.col("__m.nc")).alias("aligned_frames"))
+    )
+    at_mode = m.join(mode, ["va", "vb"]).filter(
+        F.col("off") == F.col("offset_mode"))
+    isl = at_mode.withColumn(
+        "isl", F.col("fa") - F.row_number().over(
+            Window.partitionBy("va", "vb").orderBy("fa")))
+    runs = (
+        isl.groupBy("va", "vb", "isl")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("va", "vb").agg(F.max("rl").alias("longest_run"))
+    )
+    return (
+        cnt.join(mode, ["va", "vb"]).join(runs, ["va", "vb"])
+        .filter(F.col("matched_frames") >= min_matched_frames)
+        .select(
+            F.col("va").alias("a"), F.col("vb").alias("b"),
+            "matched_frames", "offset_mode", "aligned_frames",
+            "longest_run",
+            (F.col("longest_run") >= min_aligned_run).alias("aligned"),
+        )
         .orderBy("a", "b")
     )
 

@@ -1473,6 +1473,7 @@ from hummingbird_spark.plans.queries_r4 import R4_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r5 import R5_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r6 import R6_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r7 import R7_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_r8 import R8_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
@@ -1480,7 +1481,7 @@ from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
     **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES, **R5_QUERIES,
-    **R6_QUERIES, **R7_QUERIES,
+    **R6_QUERIES, **R7_QUERIES, **R8_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 

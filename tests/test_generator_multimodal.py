@@ -462,3 +462,36 @@ def test_audio_window_features_full_window_contract(spark):
     # emits exactly its 2 FULL windows (2000 // 800), no partial
     assert sorted((r.media_id, r.window_idx) for r in got) == \
         [(2, 0), (2, 1)]
+
+
+def test_video_alignment_separates_shifted_from_shuffled(spark):
+    """Temporal alignment catches what bag-of-frames cannot: a
+    shift-by-2 copy aligns (one offset, consecutive run 4); a
+    shuffled-frames copy shares the whole content bag (6 matched
+    frames — MORE than the shifted copy) but its offsets scatter, so
+    the longest run collapses to 1 and `aligned` is false. Results
+    are partition-invariant."""
+    from hummingbird_spark.operators.multimodal import (
+        synth_videos_temporal,
+        video_alignment,
+        video_frame_hashes,
+    )
+
+    media = synth_videos_temporal(spark, 8)
+    base = None
+    for parts in (1, 7, 32):
+        fh = video_frame_hashes(media.repartition(parts))
+        got = sorted(
+            tuple(r) for r in video_alignment(
+                fh, max_hamming=6, min_matched_frames=2,
+                min_aligned_run=2).collect())
+        if base is None:
+            base = got
+        assert got == base
+    by_pair = {(r[0], r[1]): r for r in base}
+    for a in (0, 4):  # shifted copies: (0,1), (4,5)
+        mf, off, af, run, aligned = by_pair[(a, a + 1)][2:]
+        assert (mf, off, af, run, aligned) == (4, 2, 4, 4, True)
+    for a in (2, 6):  # shuffled copies: (2,3), (6,7)
+        mf, off, af, run, aligned = by_pair[(a, a + 1)][2:]
+        assert mf == 6 and run == 1 and aligned is False
