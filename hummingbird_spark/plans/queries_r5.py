@@ -292,8 +292,10 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_trigram_perplexity(d, discount=_KN_D).orderBy("doc_id")
 
 
-ORACLE_KN_PERPLEXITY = rf"""
-WITH toks AS (
+# the KN count-hierarchy + model CTE chain, exposed for reuse by the
+# r8 composite oracle (curation_composite_weights) — the
+# link_canonical_docs shared-prefix pattern
+KN_MODEL_CTES = rf"""toks AS (
   SELECT doc_id,
          list_transform(
            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -350,7 +352,10 @@ model AS (
   JOIN midv USING (v)
   JOIN unic USING (w)
   CROSS JOIN ntypes
-)
+)"""
+
+ORACLE_KN_PERPLEXITY = rf"""
+WITH {KN_MODEL_CTES}
 SELECT d.doc_id,
        round(exp(SUM(d.d_cnt * m.nll) / SUM(d.d_cnt)), 4)
          AS kn_perplexity,

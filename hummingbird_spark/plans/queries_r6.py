@@ -96,16 +96,21 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unimax_cte(budget: float, epochs: float,
-                src: str = "documents") -> str:
+                src: str = "documents",
+                counts_sql: str | None = None) -> str:
     """c -> alloc CTE chain replicating operators/mixture.py; shared
     by the unimax_mixture / curated-sample / packed-pipeline /
-    curation_pipeline_verify oracles. `src` is the relation the
-    per-source token counts aggregate over (the raw table, or a
-    curated CTE defined upstream in the caller's WITH chain)."""
-    return rf"""c AS (
+    curation_pipeline_verify / curation_composite_weights oracles.
+    `src` is the relation the per-source token counts aggregate over
+    (the raw table, or a curated CTE defined upstream in the caller's
+    WITH chain); `counts_sql` overrides the c body entirely for
+    callers whose (source, n_tokens) counts are not raw token counts
+    (the r8 composite feeds quality-weighted masses)."""
+    counts = counts_sql or rf"""
   SELECT source,
          CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
-  FROM {src} GROUP BY source
+  FROM {src} GROUP BY source"""
+    return rf"""c AS ({counts}
 ),
 m AS (
   -- CAST: a bare float literal parses as DECIMAL and would type the

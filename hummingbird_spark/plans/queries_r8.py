@@ -23,7 +23,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hummingbird_spark.plans.queries_r5 import _KN_D, KN_MODEL_CTES
+from hummingbird_spark.plans.queries_r6 import (
+    _QC_B,
+    _QC_LR,
+    _QC_SALT,
+    _QC_T,
+    _logreg_cte,
+    _unimax_cte,
+    SCALE_QC,
+)
+from hummingbird_spark.plans.queries_r7 import (
+    _GRAPH_CTES,
+    _PR_DAMP,
+    _PR_ROUNDS,
+    _PR_SCALE,
+)
 from hummingbird_spark.sources.tables import load_table
+
+# tokens(text) in DuckDB — the idiom every text oracle pins
+_TOKS = (r"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+         r"ELSE string_split_regex(trim(text), '\s+') END")
 
 VID_N = 24
 _VID_SHIFT = 2
@@ -151,9 +171,153 @@ ORDER BY c.a, c.b
 ORACLE_VIDEO_ALIGNED = _video_aligned_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Cross-family composite curation score: the full "quality-weighted
+# mixture" pipeline a real curation run ships. Per doc, a quality mass
+#   q = floor(n_tokens * classifier_score * ppl_band_mult
+#             * pagerank_mass / 1e6)
+# is quantized to an INTEGER before any cross-row sum (the repo's
+# partition-invariance discipline: integer sums commute), then the
+# per-source masses feed the UniMax waterfill. The oracle composes the
+# three already-proven unrolled chains (PageRank rounds renamed p0..pT
+# to dodge the logreg chain's r1..rT) over shared CTE prefixes — the
+# link_canonical_docs pattern at three-family width.
+
+_CCW_BUDGET = 58_000.0   # 13 of 20 sf0.01 sources capped, 7 equal-share
+_CCW_EPOCHS = 2.0
+_CCW_PPL_LO = 19.8       # fixture perplexity terciles (~19.75 / ~21.49)
+_CCW_PPL_HI = 21.5
+_PR_BASE = _PR_SCALE * (100 - _PR_DAMP) // 100
+
+
+def q_curation_composite_weights(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PageRank mass x classifier score x perplexity band -> integer
+    per-doc quality mass -> per-source sums -> UniMax mixture
+    weights."""
+    from hummingbird_spark.functions.text import token_count
+    from hummingbird_spark.operators.classifier import train_and_score
+    from hummingbird_spark.operators.graph import (
+        pagerank_scaled,
+        rare_trigram_edges,
+    )
+    from hummingbird_spark.operators.mixture import unimax_allocation
+    from hummingbird_spark.operators.search import kn_trigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    pr = pagerank_scaled(
+        rare_trigram_edges(d), rounds=_PR_ROUNDS,
+        damping_pct=_PR_DAMP, scale=_PR_SCALE,
+    ).select(F.col("node").alias("doc_id"),
+             F.col("rank_scaled").alias("r"))
+    cls = train_and_score(
+        d, F.col("lang") == "en", buckets=_QC_B, iterations=_QC_T,
+        lr=_QC_LR, salt=_QC_SALT,
+    ).select("doc_id", "score")
+    ppl = kn_trigram_perplexity(d, discount=_KN_D).select(
+        "doc_id", F.col("kn_perplexity").alias("ppl"))
+    mult = (F.when(F.col("ppl").isNull(), F.lit(2))
+            .when(F.col("ppl") <= F.lit(_CCW_PPL_LO), F.lit(3))
+            .when(F.col("ppl") <= F.lit(_CCW_PPL_HI), F.lit(2))
+            .otherwise(F.lit(1)))
+    qmass = (
+        d.select("doc_id", "source",
+                 token_count(F.col("text")).alias("n_tokens"))
+        .join(cls, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(pr, "doc_id", "left")
+        .select(
+            "source",
+            F.floor(
+                F.col("n_tokens")
+                * F.coalesce(F.col("score"), F.lit(0.5))
+                * mult
+                * F.coalesce(F.col("r"), F.lit(_PR_BASE))
+                / F.lit(1000000.0)).cast("long").alias("q"),
+        )
+    )
+    counts = qmass.groupBy("source").agg(F.sum("q").alias("n_tokens"))
+    return (
+        unimax_allocation(counts, budget=_CCW_BUDGET,
+                          epoch_cap=_CCW_EPOCHS)
+        .select(
+            "source", F.col("n_tokens").alias("quality_tokens"),
+            "capacity", "allocation", "epochs", "weight")
+        .orderBy("source")
+    )
+
+
+def _composite_oracle() -> str:
+    pr_ctes = [f"p0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+               f"FROM deg)"]
+    for t in range(1, _PR_ROUNDS + 1):
+        pr_ctes.append(
+            f"p{t} AS (\n"
+            f"  SELECT s.dst AS node,\n"
+            f"    CAST({_PR_BASE} + SUM(({_PR_DAMP} * r.r)"
+            f" // (100 * d.deg)) AS BIGINT) AS r\n"
+            f"  FROM sym s JOIN p{t-1} r ON s.src = r.node\n"
+            f"  JOIN deg d ON s.src = d.node\n"
+            f"  GROUP BY s.dst)")
+    counts_sql = """
+  SELECT source, CAST(SUM(q) AS BIGINT) AS n_tokens
+  FROM qmass GROUP BY source"""
+    return f"""
+WITH {_GRAPH_CTES},
+{",".join(pr_ctes)},
+{_logreg_cte(_QC_B, _QC_T, _QC_LR, _QC_SALT)},
+sc AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(
+           CAST(SUM(c.cnt * w.w)
+                + d.len * (SELECT w FROM w{_QC_T} WHERE b = {_QC_B})
+                AS DOUBLE) / (d.len * {SCALE_QC}.0)))), 6) AS score
+  FROM cdocs d JOIN ccnts c USING (doc_id)
+  JOIN w{_QC_T} w ON w.b = c.bucket
+  GROUP BY d.doc_id, d.len
+),
+{KN_MODEL_CTES},
+pplq AS (
+  SELECT d.doc_id,
+         round(exp(SUM(d.d_cnt * m.nll) / SUM(d.d_cnt)), 4) AS ppl
+  FROM doc_tg d JOIN model m USING (tg) GROUP BY d.doc_id
+),
+qmass AS (
+  SELECT d.source,
+    CAST(floor(
+      len({_TOKS})
+      * COALESCE(s.score, 0.5)
+      * (CASE WHEN p.ppl IS NULL THEN 2
+              WHEN p.ppl <= CAST({_CCW_PPL_LO} AS DOUBLE) THEN 3
+              WHEN p.ppl <= CAST({_CCW_PPL_HI} AS DOUBLE) THEN 2
+              ELSE 1 END)
+      * COALESCE(r.r, {_PR_BASE})
+      / 1000000.0) AS BIGINT) AS q
+  FROM documents d
+  LEFT JOIN sc s USING (doc_id)
+  LEFT JOIN pplq p USING (doc_id)
+  LEFT JOIN p{_PR_ROUNDS} r ON d.doc_id = r.node
+),
+{_unimax_cte(_CCW_BUDGET, _CCW_EPOCHS, counts_sql=counts_sql)}
+SELECT source, n_tokens AS quality_tokens, capacity, allocation,
+       CASE WHEN n_tokens > 0 THEN round(allocation / n_tokens, 6)
+            ELSE 0.0 END AS epochs,
+       round(allocation / {_CCW_BUDGET}, 6) AS weight
+FROM alloc ORDER BY source
+"""
+
+
+ORACLE_COMPOSITE_WEIGHTS = _composite_oracle()
+
+
 R8_QUERIES: dict[str, tuple] = {
     "video_aligned_dups": (
         q_video_aligned_dups, ORACLE_VIDEO_ALIGNED,
         "temporal alignment for video near-dup: offset mode + longest "
         "consecutive run (shuffled-frames copies score unaligned)"),
+    "curation_composite_weights": (
+        q_curation_composite_weights, ORACLE_COMPOSITE_WEIGHTS,
+        "quality-weighted mixture: PageRank x classifier x perplexity "
+        "band -> integer doc mass -> UniMax weights (three unrolled "
+        "chains over shared CTE prefixes)"),
 }
