@@ -444,6 +444,17 @@ def main(argv: list[str] | None = None) -> int:
     mdd.add_argument("store", help="pHash band store path")
     mdd.add_argument("--id-col", default="media_id")
     mdd.add_argument("--max-hamming", type=int, default=6)
+    lkg = sub.add_parser("link-graph")
+    lkg.add_argument("src", help="stream input dir (JSON files of "
+                                 "doc_id + text rows)")
+    lkg.add_argument("postings", help="append-only (g, doc_id) "
+                                      "postings store path")
+    lkg.add_argument("edges", help="swap-maintained (g, a, b) edge "
+                                   "triple store path")
+    lkg.add_argument("--min-df", type=int, default=2)
+    lkg.add_argument("--max-df", type=int, default=5)
+    lkg.add_argument("--text-col", default="text")
+    lkg.add_argument("--id-col", default="doc_id")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -887,6 +898,37 @@ def main(argv: list[str] | None = None) -> int:
             "n_accepted": n_out,
             "store_band_rows": n_store,
             "out": args.out, "store": args.store,
+        }))
+        return 0
+    if args.command == "link-graph":
+        # continuous link-graph maintenance tick: drain whatever is in
+        # <src> into the postings + rare-edge stores (df-drift-exact;
+        # streaming/graph.py), then report the maintained graph.
+        from hummingbird_spark.streaming.graph import (
+            read_link_edges,
+            start_streaming_link_graph,
+        )
+
+        spark = get_spark(app_name="hummingbird_link_graph")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.json(args.src).schema
+        q = start_streaming_link_graph(
+            spark, args.src, args.postings, args.edges, schema,
+            text_col=args.text_col, id_col=args.id_col,
+            min_df=args.min_df, max_df=args.max_df)
+        if not q.awaitTermination(600):
+            q.stop()
+            print("link-graph: availableNow drain exceeded 600s; "
+                  "stores are incomplete", file=sys.stderr)
+            return 1
+        e = read_link_edges(spark, args.edges)
+        print(json.dumps({
+            "command": "link-graph",
+            "n_edges": e.count(),
+            "n_nodes": e.selectExpr("a AS n").union(
+                e.selectExpr("b AS n")).distinct().count(),
+            "postings_rows": spark.read.parquet(args.postings).count(),
+            "postings": args.postings, "edges": args.edges,
         }))
         return 0
     if args.command == "profile":

@@ -487,3 +487,42 @@ def test_cli_graph(spark, tmp_path, capsys):
                  str(tmp_path / "pr2"), "--edges"]) == 0
     rep3 = json.loads(capsys.readouterr().out.strip())
     assert rep3["n_nodes"] == 3 and rep3["n_edges"] == 3
+
+
+def test_cli_link_graph(spark, tmp_path, capsys):
+    """link-graph: JSON doc stream -> postings + rare-edge stores ->
+    JSON report; a second tick over new files drifts df across max_df
+    and the report reflects the retraction."""
+    import json as _json
+
+    src = tmp_path / "lg_in"
+    src.mkdir()
+    batches = [
+        [(1, "u1a u1b alpha beta gamma u1c"),
+         (2, "u2a alpha beta gamma u2b u2c")],
+        [(3, "u3a alpha beta gamma u3b"),
+         (4, "u4a u4b alpha beta gamma"),
+         (5, "u5a alpha beta gamma u5b u5c")],
+    ]
+    postings = str(tmp_path / "lg_postings")
+    edges = str(tmp_path / "lg_edges")
+
+    def write(name, batch):
+        with open(src / name, "w") as fh:
+            for doc_id, text in batch:
+                fh.write(_json.dumps(
+                    {"doc_id": doc_id, "text": text}) + "\n")
+
+    write("0.json", batches[0])
+    assert main(["link-graph", str(src), postings, edges,
+                 "--max-df", "3"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_edges"] == 1 and rep["n_nodes"] == 2  # (1,2)
+
+    # df("alpha beta gamma") -> 5 > max_df 3: the edge retracts
+    write("1.json", batches[1])
+    assert main(["link-graph", str(src), postings, edges,
+                 "--max-df", "3"]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip())
+    assert rep2["n_edges"] == 0 and rep2["n_nodes"] == 0
+    assert rep2["postings_rows"] > rep["postings_rows"]
