@@ -1492,49 +1492,35 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r7 rotation. Every registry query is latest-green; refresh in
-    # least-recently-verified order so no oracle-backed name's latest
-    # record ages past round 4 (the r6 verdict bar). Window budget
-    # ~50: never-recorded r7 queries lead, then the 30 names whose
-    # latest record is round 3, then round-4 names to fill.
-    # new this round (real WAV codec DSP; link-graph PageRank +
-    # label-propagation communities) — never recorded
-    "wav_dsp_features", "link_pagerank", "link_communities",
-    "phash_near_dups", "phash_dup_clusters", "video_near_dups",
-    "trustrank_scores", "link_pagerank_weighted",
-    "link_canonical_docs",
-    # latest record: round 3
-    "basket_pairs", "c4_filter_stats", "decile_stats",
-    "decontamination", "doc_chunks", "doc_fingerprint",
-    "doc_outliers", "doc_pii_scrub", "embedding_norms",
-    "events_sessionized", "first_order_gap", "keep_newest_orders",
-    "minhash_signature_probe", "mixture_rebalance",
-    "mixture_temperature", "order_price_bands", "order_seasonality",
-    "pipeline_densify_fill", "pipeline_expressions",
-    "pipeline_window_fields", "profile_orders", "quality_mixture",
-    "repetition_stats", "rfm_segments", "shingle_stats",
-    "supplier_fill_rate", "top_users", "weekly_active_users",
-    # latest record: round 3 (rows-only by design — cheap re-record)
-    "bpe_fertility", "ivf_recall_probe",
-    # latest record: round 4, in least-recently-proven order
-    "range_scan", "mask_default", "mask_hex", "mask_nested",
-    "mask_partial", "anti_join", "semi_join", "cdc_apply_verify",
-    "migration_copy_verify", "status_counts", "count_pred",
-    "proj_sort", "topk_events", "union_namespaces", "except_diff",
-    "window_rank", "parent_rollup", "zorder_verify", "json_props",
-    "variant_props",
-    # remaining round-4 names, in case the window runs deeper than 50
+    # r8 rotation. Latest-record ages after r7: {r2: 3 rows-only,
+    # r4: 39, r5: 49, r6: 50, r7: 50}. Window budget ~50: the 2
+    # never-recorded r8 queries lead, then ALL 39 oracle-backed names
+    # whose latest record is round 4, then the oldest round-5 names
+    # (in their r5-record order) to fill. Done bar: CORRECTNESS_r08
+    # leaves no oracle-backed name older than r5.
+    # new this round (video temporal alignment; composite curation
+    # weights) — never recorded
+    "video_aligned_dups", "curation_composite_weights",
+    # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",
     "disjunctive_revenue", "doc_stats", "event_type_counts",
     "events_time_slice", "exact_substring_rebuild_verify",
-    "exact_substring_stats", "forecast_revenue", "gopher_rule_stats",
-    "idle_balance", "local_supplier_volume", "nation_trade_flow",
-    "ngram_repetition_stats", "order_priority_check", "promo_revenue",
-    "quality_funnel", "returned_items", "revenue_by_nation",
-    "rollup_agg", "rollup_verify", "salted_status_counts",
-    "shipping_priority", "small_qty_revenue", "supplier_variety",
-    "top_supplier",
+    "exact_substring_stats", "except_diff", "forecast_revenue",
+    "gopher_rule_stats", "idle_balance", "json_props",
+    "local_supplier_volume", "nation_trade_flow",
+    "ngram_repetition_stats", "order_priority_check", "parent_rollup",
+    "proj_sort", "promo_revenue", "quality_funnel", "returned_items",
+    "revenue_by_nation", "rollup_agg", "rollup_verify",
+    "salted_status_counts", "shipping_priority", "small_qty_revenue",
+    "supplier_variety", "top_supplier", "topk_events",
+    "union_namespaces", "variant_props", "window_rank",
+    "zorder_verify",
+    # latest record: round 5, oldest-first (r5-record order)
+    "kmeans_assign", "kmeans_sizes", "kn_perplexity", "scd2_history",
+    "cluster_sample", "kn_perplexity_capped",
+    "semantic_decontamination", "dsir_logweights", "dsir_selection",
+    "dsir_selection_distributed", "knn_lsh", "media_pipeline",
 ]
 
 QUERIES = {
