@@ -130,6 +130,10 @@ PROBES = [
     ("link_pagerank_weighted", ["documents"]),
     ("trustrank_scores", ["documents"]),
     ("link_canonical_docs", ["documents"]),
+    # r8: the three-chain composite (PageRank + classifier + KN
+    # perplexity -> UniMax) — growth should track the SUM of its
+    # already-probed parts, nothing superlinear on top
+    ("curation_composite_weights", ["documents"]),
 ]
 
 EMB_COPIES = 4
@@ -249,13 +253,14 @@ def main() -> int:
 
     cdc_md = cdc_probe(spark)
     from skew_probe_cluster_sample import probe_md as cluster_skew_md
+    from skew_probe_graph import probe_md as graph_skew_md
     from skew_probe_kn import probe_md as kn_skew_md
     from skew_probe_reservoir import probe_md as reservoir_skew_md
     from skew_probe_lsh import probe_md as lsh_skew_md
     from skew_probe_substring import probe_md as substring_skew_md
     skew_md = (substring_skew_md(spark) + lsh_skew_md(spark)
                + cluster_skew_md(spark) + kn_skew_md(spark)
-               + reservoir_skew_md(spark))
+               + reservoir_skew_md(spark) + graph_skew_md(spark))
 
     hdr = (
         "# SCALE — 10x probe (sf0.1 -> ~sf1 replica, local[32])\n\n"
