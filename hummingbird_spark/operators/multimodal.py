@@ -662,6 +662,108 @@ def video_near_duplicates(frame_hashes: DataFrame,
     )
 
 
+def synth_wav_dups(spark: SparkSession, total: int,
+                   sample_rate: int = 8000,
+                   base_blocks: int = 32,
+                   block_step: int = 16) -> DataFrame:
+    """REAL WAV fixtures with PLANTED volume-scaled near duplicates:
+    every mid with mid % 4 == 1 re-encodes mid-1's PCM scaled by
+    floor(3*s/4) — positive scaling preserves each sample's sign
+    class, so per-window ZERO-CROSSING sequences are IDENTICAL while
+    rms/peak drift (the amplitude-invariance audio fingerprints
+    exploit). Other clips are independent md5 streams, same scheme as
+    synth_wav, so the whole chain replays in SQL."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                src = mid - 1 if mid % 4 == 1 else mid
+                n_blocks = base_blocks + (src % 3) * block_step
+                body = b"".join(
+                    hashlib.md5(f"wav|{src}|{j}".encode()).digest()
+                    for j in range(n_blocks))
+                if mid % 4 == 1:
+                    s = np.frombuffer(body, dtype="<i2") \
+                        .astype(np.int64)
+                    body = np.floor_divide(3 * s, 4) \
+                        .astype("<i2").tobytes()
+                n_samples = len(body) // 2
+                rows.append({
+                    "media_id": mid, "kind": "audio",
+                    "data": _wav_encode_pcm16(body, sample_rate),
+                    "meta": {
+                        "format": "wav-pcm16", "width": 0, "height": 0,
+                        "channels": 1, "sample_rate": sample_rate,
+                        "duration_ms": n_samples * 1000 // sample_rate,
+                        "n_frames": n_samples,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def audio_fingerprints(windows: DataFrame,
+                       id_col: str = "media_id") -> DataFrame:
+    """(media_id, fp_idx, fp): volume-invariant audio fingerprints —
+    the zero-crossing counts of 3 consecutive DSP windows packed into
+    one integer key (z0*65536 + z1*256 + z2). Positive amplitude
+    scaling preserves every sample's sign class, so a volume-scaled
+    copy carries an IDENTICAL fingerprint sequence while rms/peak
+    drift — the invariance that makes zc the right fingerprint basis
+    (the chromaprint idea reduced to its exact-integer core). The
+    lead() windows partition per clip, bounded by windows-per-clip."""
+    w = Window.partitionBy(id_col).orderBy("window_idx")
+    return (
+        windows.select(
+            id_col, F.col("window_idx").alias("fp_idx"),
+            F.col("zero_crossings").alias("z0"),
+            F.lead("zero_crossings", 1).over(w).alias("z1"),
+            F.lead("zero_crossings", 2).over(w).alias("z2"),
+        )
+        .filter(F.col("z2").isNotNull())
+        .select(
+            id_col, "fp_idx",
+            (F.col("z0") * 65536 + F.col("z1") * 256 + F.col("z2"))
+            .cast("long").alias("fp"),
+        )
+    )
+
+
+def audio_near_duplicates(windows: DataFrame,
+                          min_matched: int = 4,
+                          id_col: str = "media_id",
+                          max_bucket_size: int = 200) -> DataFrame:
+    """Audio pairs sharing >= min_matched position-aligned
+    fingerprints: equi-join on (fp_idx, fp) — never all-pairs over
+    clips — with the LSH-style max_bucket_size guard dropping
+    degenerate fingerprint buckets (silence/boilerplate audio) before
+    the join, the same skew insurance as the MinHash band join.
+    Returns (a, b, matched_fps)."""
+    fps = audio_fingerprints(windows, id_col)
+    sizes = fps.groupBy("fp_idx", "fp").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    # plain equi-join (not broadcast): the kept-bucket list scales
+    # with distinct fingerprints, i.e. with the corpus
+    kept = fps.join(
+        sizes.filter(F.col("__bn") <= max_bucket_size)
+        .select("fp_idx", "fp"),
+        ["fp_idx", "fp"])
+    a = kept.select(F.col(id_col).alias("a"), "fp_idx", "fp")
+    b = kept.select(F.col(id_col).alias("b"), "fp_idx", "fp")
+    return (
+        a.join(b, ["fp_idx", "fp"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("matched_fps"))
+        .filter(F.col("matched_fps") >= min_matched)
+        .orderBy("a", "b")
+    )
+
+
 def video_alignment(frame_hashes: DataFrame,
                     max_hamming: int = 6,
                     min_matched_frames: int = 4,

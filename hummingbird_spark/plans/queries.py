@@ -1499,8 +1499,9 @@ _VERIFY_FIRST = [
     # (in their r5-record order) to fill. Done bar: CORRECTNESS_r08
     # leaves no oracle-backed name older than r5.
     # new this round (video temporal alignment; composite curation
-    # weights) — never recorded
+    # weights; amplitude-invariant audio near-dup) — never recorded
     "video_aligned_dups", "curation_composite_weights",
+    "audio_near_dups",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

@@ -34,6 +34,7 @@ from hummingbird_spark.plans.queries_r6 import (
     SCALE_QC,
 )
 from hummingbird_spark.plans.queries_r7 import (
+    _b,
     _GRAPH_CTES,
     _PR_DAMP,
     _PR_ROUNDS,
@@ -310,6 +311,91 @@ FROM alloc ORDER BY source
 ORACLE_COMPOSITE_WEIGHTS = _composite_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Audio near-dup via amplitude-invariant fingerprints: per-window
+# zero-crossing counts are exact integers and invariant under positive
+# volume scaling (every sample's sign class is preserved), so 3
+# consecutive windows' zc values pack into one integer fingerprint and
+# near-dup is a position-aligned equi-join — never all-pairs over
+# clips, with the LSH-style max-bucket guard. The fixture plants
+# floor(3*s/4)-scaled copies; the oracle rebuilds BOTH the original
+# and the scaled PCM from md5 hex and replays windows -> zc -> packing
+# -> bucket guard -> join.
+
+WAVD_N = 48
+_AND_WINDOW_MS = 4      # 32 samples at 8 kHz -> 4 md5 blocks/window
+_AND_MIN_MATCHED = 4
+_AND_MAX_BUCKET = 200
+
+
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode -> per-window zc -> volume-invariant
+    fingerprints -> banded near-dup pairs."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_near_duplicates,
+        synth_wav_dups,
+        wav_window_features,
+    )
+
+    w = wav_window_features(synth_wav_dups(spark, WAVD_N),
+                            window_ms=_AND_WINDOW_MS)
+    return audio_near_duplicates(
+        w, min_matched=_AND_MIN_MATCHED,
+        max_bucket_size=_AND_MAX_BUCKET)
+
+
+ORACLE_AUDIO_NEAR_DUPS = f"""
+WITH sized AS (
+  SELECT mid, src, 32 + (src % 3) * 16 AS n_blocks
+  FROM (
+    SELECT mid, CASE WHEN mid % 4 = 1 THEN mid - 1 ELSE mid END AS src
+    FROM range({WAVD_N}) t(mid))
+), blocks AS (
+  SELECT mid, j, CAST(j // 4 AS INT) AS wi, mid % 4 = 1 AS scaled,
+         md5('wav|' || src || '|' || j) AS hx
+  FROM sized, range(64) r(j) WHERE j < n_blocks
+), bsamp AS (
+  SELECT mid, wi, j,
+    list_transform(
+      list_transform(
+        list_transform(range(0, 8), i ->
+          {_b("4*i + 1")} + 256 * {_b("4*i + 3")}),
+        u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END),
+      -- the planted copies scale by floor(3*s/4): 3*s is exact in
+      -- DOUBLE and /4.0 is a power-of-two divide, so floor() equals
+      -- Python's integer floor-div bit-for-bit
+      v -> CASE WHEN scaled THEN CAST(floor(3 * v / 4.0) AS BIGINT)
+                ELSE v END) AS s
+  FROM blocks
+), wins AS (
+  SELECT mid, wi, flatten(list(s ORDER BY j)) AS sw
+  FROM bsamp GROUP BY mid, wi
+), zc AS (
+  SELECT mid, wi,
+    list_sum(list_transform(range(1, 32), i ->
+      CASE WHEN (sw[i] < 0) != (sw[i+1] < 0) THEN 1 ELSE 0 END)) AS z
+  FROM wins
+), fp AS (
+  SELECT x.mid, x.wi AS fp_idx,
+         CAST(x.z * 65536 + y.z * 256 + w.z AS BIGINT) AS fp
+  FROM zc x
+  JOIN zc y ON x.mid = y.mid AND y.wi = x.wi + 1
+  JOIN zc w ON x.mid = w.mid AND w.wi = x.wi + 2
+), kept AS (
+  SELECT fp_idx, fp FROM fp GROUP BY fp_idx, fp
+  HAVING COUNT(*) <= {_AND_MAX_BUCKET}
+), kf AS (
+  SELECT f.mid, f.fp_idx, f.fp FROM fp f JOIN kept USING (fp_idx, fp)
+)
+SELECT x.mid AS a, y.mid AS b, COUNT(*) AS matched_fps
+FROM kf x
+JOIN kf y ON x.fp_idx = y.fp_idx AND x.fp = y.fp AND x.mid < y.mid
+GROUP BY x.mid, y.mid
+HAVING COUNT(*) >= {_AND_MIN_MATCHED}
+ORDER BY a, b
+"""
+
+
 R8_QUERIES: dict[str, tuple] = {
     "video_aligned_dups": (
         q_video_aligned_dups, ORACLE_VIDEO_ALIGNED,
@@ -320,4 +406,8 @@ R8_QUERIES: dict[str, tuple] = {
         "quality-weighted mixture: PageRank x classifier x perplexity "
         "band -> integer doc mass -> UniMax weights (three unrolled "
         "chains over shared CTE prefixes)"),
+    "audio_near_dups": (
+        q_audio_near_dups, ORACLE_AUDIO_NEAR_DUPS,
+        "audio near-dup via amplitude-invariant zc fingerprints over "
+        "real WAV decode (full SQL PCM + scaling replica)"),
 }

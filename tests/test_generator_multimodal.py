@@ -495,3 +495,40 @@ def test_video_alignment_separates_shifted_from_shuffled(spark):
     for a in (2, 6):  # shuffled copies: (2,3), (6,7)
         mf, off, af, run, aligned = by_pair[(a, a + 1)][2:]
         assert mf == 6 and run == 1 and aligned is False
+
+
+def test_audio_near_dup_fingerprints_are_volume_invariant(spark):
+    """A floor(3*s/4)-scaled copy keeps every sample's sign class, so
+    its per-window zc sequence — and hence its fingerprint sequence —
+    is IDENTICAL to the source while rms/peak drift; the banded join
+    finds exactly the planted pairs, partition-invariantly."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_near_duplicates,
+        synth_wav_dups,
+        wav_window_features,
+    )
+
+    media = synth_wav_dups(spark, 16)
+    w = wav_window_features(media, window_ms=4)
+    rows = {(r.media_id, r.window_idx): (r.rms, r.zero_crossings)
+            for r in w.collect()}
+    for src in (0, 4, 8, 12):
+        idxs = sorted(i for m, i in rows if m == src)
+        assert idxs == sorted(i for m, i in rows if m == src + 1)
+        for i in idxs:
+            s_rms, s_zc = rows[(src, i)]
+            c_rms, c_zc = rows[(src + 1, i)]
+            assert c_zc == s_zc          # invariant
+            assert c_rms < s_rms         # the amplitude really moved
+
+    base = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            tuple(r) for r in audio_near_duplicates(
+                wav_window_features(media.repartition(parts),
+                                    window_ms=4),
+                min_matched=4).collect())
+        base = got if base is None else base
+        assert got == base
+    assert [(a, b) for a, b, _ in base] == \
+        [(0, 1), (4, 5), (8, 9), (12, 13)]
