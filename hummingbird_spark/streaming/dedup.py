@@ -154,7 +154,10 @@ def start_streaming_dedup(
         bands_df.select("band", "bkey").write.mode("append") \
             .parquet(store_path)
         led.record(batch_id)
-        if compact_every and len(led.applied()) % compact_every == 0:
+        # batch_id guard: a None-batch caller never grows the ledger,
+        # and 0 % N == 0 would compact on every call
+        if (compact_every and batch_id is not None
+                and len(led.applied()) % compact_every == 0):
             from hummingbird_spark.operators.compact import compact_table
 
             compact_table(spark, store_path)

@@ -114,13 +114,21 @@ def apply_link_graph_batch(
     min_df: int = 2,
     max_df: int = 5,
     batch_id: int | None = None,
+    compact_every: int = 32,
 ) -> None:
     """Compute the delta, append the batch postings, swap the edge
     store. Ordering per the shared crash-window contract: both plans
     materialize BEFORE either store mutates (they read the stores
     they update); postings append first (replay-duplicates are
     absorbed by the distinct df discipline), edge swap + ledger
-    last."""
+    last.
+
+    compact_every: every N applied batches the postings store is
+    rewritten through the verified compaction swap — the append-only
+    store otherwise compounds one small file per batch per task, and
+    it is semi-join-READ every batch (the classic streaming
+    small-file failure: scan cost grows with batch COUNT, not data;
+    same cure as streaming/dedup.py's band store)."""
     led = BatchLedger(edges_path)
     if led.seen(batch_id):
         return
@@ -131,6 +139,11 @@ def apply_link_graph_batch(
     new_edges = new_edges.localCheckpoint(eager=True)
     bp.write.mode("append").parquet(postings_path)
     commit_swap(new_edges, edges_path, led, batch_id)
+    if (compact_every and batch_id is not None
+            and len(led.applied()) % compact_every == 0):
+        from hummingbird_spark.operators.compact import compact_table
+
+        compact_table(spark, postings_path)
 
 
 def start_streaming_link_graph(

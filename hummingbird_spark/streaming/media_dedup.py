@@ -82,11 +82,15 @@ def start_streaming_phash_dedup(
     id_col: str = "media_id",
     max_hamming: int = 6,
     checkpoint: str | None = None,
+    compact_every: int = 32,
 ) -> StreamingQuery:
     """File-source stream of (id, data) rows -> per-batch pHash dedup
     -> survivors append to out_path, their (chunk, ckey, phash) rows
     to store_path. Idempotent on batch replay via the ledger (shared
-    crash-window contract: streaming/ledger.py)."""
+    crash-window contract: streaming/ledger.py). compact_every: the
+    band store appends one small file-set per batch and is re-READ
+    every batch — rewrite it through the verified compaction swap
+    every N applied batches (the streaming/dedup.py discipline)."""
     led = BatchLedger(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -104,6 +108,11 @@ def start_streaming_phash_dedup(
         bands_df.select("chunk", "ckey", "phash").write \
             .mode("append").parquet(store_path)
         led.record(batch_id)
+        if (compact_every and batch_id is not None
+                and len(led.applied()) % compact_every == 0):
+            from hummingbird_spark.operators.compact import compact_table
+
+            compact_table(spark, store_path)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -163,3 +163,37 @@ def test_maintained_edges_feed_the_batch_graph_operators(
             rare_trigram_edges(docs, min_df=MIN_DF, max_df=MAX_DF),
             rounds=2).collect())
     assert via_store == via_batch and via_store
+
+
+def test_postings_compaction_preserves_state(spark, tmp_path):
+    """compact_every rewrites the append-only postings store through
+    the verified compaction swap mid-stream; the maintained edges and
+    subsequent batches are unaffected, and the file count drops."""
+    import glob
+
+    from hummingbird_spark.streaming.graph import apply_link_graph_batch
+
+    postings = str(tmp_path / "postings")
+    edges = str(tmp_path / "edges")
+    # compact after every 2nd applied batch
+    for i, batch in enumerate(BATCHES):
+        apply_link_graph_batch(
+            spark, spark.createDataFrame(batch, SCHEMA),
+            postings, edges, min_df=MIN_DF, max_df=MAX_DF,
+            batch_id=i, compact_every=2)
+        assert _stored(spark, edges) == _expected(spark, i + 1)
+    # postings content unchanged by the rewrites
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(postings).collect())
+    assert len(got) == len(set(got))  # no duplicate facts
+    # fewer files than an uncompacted 3-batch append would carry
+    uncompacted = str(tmp_path / "postings_raw")
+    for i, batch in enumerate(BATCHES):
+        apply_link_graph_batch(
+            spark, spark.createDataFrame(batch, SCHEMA),
+            uncompacted, str(tmp_path / "edges_raw"),
+            min_df=MIN_DF, max_df=MAX_DF, batch_id=i,
+            compact_every=0)
+    n_c = len(glob.glob(f"{postings}/*.parquet"))
+    n_u = len(glob.glob(f"{uncompacted}/*.parquet"))
+    assert n_c < n_u
