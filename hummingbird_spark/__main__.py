@@ -444,6 +444,14 @@ def main(argv: list[str] | None = None) -> int:
     mdd.add_argument("store", help="pHash band store path")
     mdd.add_argument("--id-col", default="media_id")
     mdd.add_argument("--max-hamming", type=int, default=6)
+    aud = sub.add_parser("audio-dedup")
+    aud.add_argument("src", help="stream input dir (parquet files of "
+                                 "media_id + WAV data rows)")
+    aud.add_argument("out", help="accepted-audio output parquet")
+    aud.add_argument("store", help="fingerprint store path")
+    aud.add_argument("--id-col", default="media_id")
+    aud.add_argument("--window-ms", type=int, default=4)
+    aud.add_argument("--min-matched", type=int, default=4)
     lkg = sub.add_parser("link-graph")
     lkg.add_argument("src", help="stream input dir (JSON files of "
                                  "doc_id + text rows)")
@@ -897,6 +905,33 @@ def main(argv: list[str] | None = None) -> int:
             "command": "media-dedup", "max_hamming": args.max_hamming,
             "n_accepted": n_out,
             "store_band_rows": n_store,
+            "out": args.out, "store": args.store,
+        }))
+        return 0
+    if args.command == "audio-dedup":
+        # continuous-ingestion audio dedup tick: aligned-fingerprint
+        # store filter (streaming/audio_dedup.py), then report.
+        from hummingbird_spark.streaming.audio_dedup import (
+            start_streaming_audio_dedup,
+        )
+
+        spark = get_spark(app_name="hummingbird_audio_dedup")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.parquet(args.src).schema
+        q = start_streaming_audio_dedup(
+            spark, args.src, args.out, args.store, schema,
+            id_col=args.id_col, window_ms=args.window_ms,
+            min_matched=args.min_matched)
+        if not q.awaitTermination(600):
+            q.stop()
+            print("audio-dedup: availableNow drain exceeded 600s; "
+                  "store/out are incomplete", file=sys.stderr)
+            return 1
+        print(json.dumps({
+            "command": "audio-dedup",
+            "min_matched": args.min_matched,
+            "n_accepted": spark.read.parquet(args.out).count(),
+            "store_fp_rows": spark.read.parquet(args.store).count(),
             "out": args.out, "store": args.store,
         }))
         return 0

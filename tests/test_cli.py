@@ -526,3 +526,32 @@ def test_cli_link_graph(spark, tmp_path, capsys):
     rep2 = _json.loads(capsys.readouterr().out.strip())
     assert rep2["n_edges"] == 0 and rep2["n_nodes"] == 0
     assert rep2["postings_rows"] > rep["postings_rows"]
+
+
+def test_cli_audio_dedup(spark, tmp_path, capsys):
+    """audio-dedup: parquet stream of real WAVs -> fingerprint-store
+    filter -> JSON report; planted volume-scaled copies drop."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.operators.multimodal import synth_wav_dups
+
+    src = tmp_path / "audio_in"
+    src.mkdir()
+    tmp = tempfile.mkdtemp()
+    synth_wav_dups(spark, 16).select("media_id", "data").coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "b0.parquet"))
+
+    out = str(tmp_path / "audio_out")
+    store = str(tmp_path / "audio_store")
+    assert main(["audio-dedup", str(src), out, store]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    # 16 clips, 4 planted scaled copies (id%4==1) drop
+    assert rep["n_accepted"] == 12
+    assert rep["store_fp_rows"] > 0
