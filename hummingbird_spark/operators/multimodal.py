@@ -802,8 +802,24 @@ def video_alignment(frame_hashes: DataFrame,
         .withColumn("off", F.col("fb") - F.col("fa"))
         .localCheckpoint(eager=True)  # three aggregations read it
     )
+    return _offset_alignment_stats(
+        m, "matched_frames", "aligned_frames",
+        min_matched_frames, min_aligned_run)
+
+
+def _offset_alignment_stats(m: DataFrame, matched_alias: str,
+                            aligned_alias: str, min_matched: int,
+                            min_run: int) -> DataFrame:
+    """(va, vb, fa, fb, off) match rows -> per-pair temporal-alignment
+    stats: total matches, offset MODE (map-side-aggregable
+    min(struct(-c, off)) with the smallest-offset tie-break), the
+    match count at that mode, and the longest CONSECUTIVE fa run at
+    it (gaps-and-islands; the per-(pair, mode-offset) window
+    partitions are bounded by the caller's per-item position count).
+    Shared by video_alignment and audio_alignment — one analytics
+    core, two modalities."""
     cnt = m.groupBy("va", "vb").agg(
-        F.count(F.lit(1)).alias("matched_frames"))
+        F.count(F.lit(1)).alias(matched_alias))
     mode = (
         m.groupBy("va", "vb", "off")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -811,7 +827,7 @@ def video_alignment(frame_hashes: DataFrame,
         .agg(F.min(F.struct(F.negate(F.col("c")).alias("nc"),
                             F.col("off").alias("off"))).alias("__m"))
         .select("va", "vb", F.col("__m.off").alias("offset_mode"),
-                F.negate(F.col("__m.nc")).alias("aligned_frames"))
+                F.negate(F.col("__m.nc")).alias(aligned_alias))
     )
     at_mode = m.join(mode, ["va", "vb"]).filter(
         F.col("off") == F.col("offset_mode"))
@@ -825,15 +841,102 @@ def video_alignment(frame_hashes: DataFrame,
     )
     return (
         cnt.join(mode, ["va", "vb"]).join(runs, ["va", "vb"])
-        .filter(F.col("matched_frames") >= min_matched_frames)
+        .filter(F.col(matched_alias) >= min_matched)
         .select(
             F.col("va").alias("a"), F.col("vb").alias("b"),
-            "matched_frames", "offset_mode", "aligned_frames",
+            matched_alias, "offset_mode", aligned_alias,
             "longest_run",
-            (F.col("longest_run") >= min_aligned_run).alias("aligned"),
+            (F.col("longest_run") >= min_run).alias("aligned"),
         )
         .orderBy("a", "b")
     )
+
+
+def synth_wav_shifted(spark: SparkSession, total: int,
+                      sample_rate: int = 8000,
+                      base_blocks: int = 32,
+                      block_step: int = 16,
+                      prefix_blocks: int = 8) -> DataFrame:
+    """REAL WAV fixtures with TIME-SHIFTED near duplicates: every mid
+    with mid % 4 == 1 prepends prefix_blocks fresh md5 blocks (2 DSP
+    windows at window_ms=4), then replays mid-1's PCM volume-scaled
+    by floor(3*s/4) — the re-edited-intro shape on the time axis.
+    Position-rigid fingerprint matching misses these by construction;
+    offset-tolerant alignment must catch them at offset
+    prefix_blocks/4. Same md5 scheme, so the chain replays in SQL."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 4 == 1:
+                    src = mid - 1
+                    n_src = base_blocks + (src % 3) * block_step
+                    head = b"".join(
+                        hashlib.md5(f"wav|{mid}|{j}".encode())
+                        .digest() for j in range(prefix_blocks))
+                    tail = b"".join(
+                        hashlib.md5(f"wav|{src}|{j}".encode())
+                        .digest() for j in range(n_src))
+                    s = np.frombuffer(tail, dtype="<i2") \
+                        .astype(np.int64)
+                    body = head + np.floor_divide(3 * s, 4) \
+                        .astype("<i2").tobytes()
+                else:
+                    n_blocks = base_blocks + (mid % 3) * block_step
+                    body = b"".join(
+                        hashlib.md5(f"wav|{mid}|{j}".encode())
+                        .digest() for j in range(n_blocks))
+                n_samples = len(body) // 2
+                rows.append({
+                    "media_id": mid, "kind": "audio",
+                    "data": _wav_encode_pcm16(body, sample_rate),
+                    "meta": {
+                        "format": "wav-pcm16", "width": 0, "height": 0,
+                        "channels": 1, "sample_rate": sample_rate,
+                        "duration_ms": n_samples * 1000 // sample_rate,
+                        "n_frames": n_samples,
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(total).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def audio_alignment(windows: DataFrame,
+                    min_matched: int = 4,
+                    min_aligned_run: int = 3,
+                    id_col: str = "media_id",
+                    max_bucket_size: int = 200) -> DataFrame:
+    """Offset-TOLERANT audio near-dup: fingerprints join on fp value
+    alone (any position), then the shared temporal-alignment core
+    scores each clip pair with the offset mode and the longest
+    consecutive run at it — catching time-shifted copies that the
+    position-rigid audio_near_duplicates misses by construction. The
+    hot-fp guard runs on the position-free fp (a value shared by too
+    many positions/clips is silence, not signal). Returns (a, b,
+    matched_fps, offset_mode, aligned_fps, longest_run, aligned)."""
+    fps = audio_fingerprints(windows, id_col)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__bn"))
+    kept = fps.join(
+        sizes.filter(F.col("__bn") <= max_bucket_size).select("fp"),
+        "fp")
+    a = kept.select(F.col(id_col).alias("va"),
+                    F.col("fp_idx").alias("fa"), "fp")
+    b = kept.select(F.col(id_col).alias("vb"),
+                    F.col("fp_idx").alias("fb"), "fp")
+    m = (
+        a.join(b, "fp")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", "fa", "fb",
+                (F.col("fb") - F.col("fa")).alias("off"))
+        .localCheckpoint(eager=True)  # three aggregations read it
+    )
+    return _offset_alignment_stats(
+        m, "matched_fps", "aligned_fps", min_matched,
+        min_aligned_run)
 
 
 WAV_WINDOW_SCHEMA = T.StructType([

@@ -1501,7 +1501,7 @@ _VERIFY_FIRST = [
     # new this round (video temporal alignment; composite curation
     # weights; amplitude-invariant audio near-dup) — never recorded
     "video_aligned_dups", "curation_composite_weights",
-    "audio_near_dups",
+    "audio_near_dups", "audio_aligned_dups",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

@@ -396,6 +396,114 @@ ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# Offset-tolerant audio alignment: the time-axis sibling of
+# video_aligned_dups. The fixture prepends 2 fresh windows before each
+# volume-scaled copy, so the position-rigid audio_near_dups misses
+# every planted pair BY CONSTRUCTION and only the fp-value join + the
+# shared offset-mode/run analytics recovers them (at offset 2, full
+# consecutive run). One analytics core, two modalities — the oracle
+# replays the prefix+scaled PCM rebuild and the alignment SQL.
+
+_AAL_PREFIX_BLOCKS = 8   # 2 windows at window_ms=4
+_AAL_MIN_MATCHED = 4
+_AAL_MIN_RUN = 3
+
+
+def q_audio_aligned_dups(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Shifted WAV copies -> fp-value join -> offset mode + longest
+    consecutive run."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_alignment,
+        synth_wav_shifted,
+        wav_window_features,
+    )
+
+    w = wav_window_features(synth_wav_shifted(spark, WAVD_N),
+                            window_ms=_AND_WINDOW_MS)
+    return audio_alignment(
+        w, min_matched=_AAL_MIN_MATCHED, min_aligned_run=_AAL_MIN_RUN,
+        max_bucket_size=_AND_MAX_BUCKET)
+
+
+ORACLE_AUDIO_ALIGNED = f"""
+WITH sized AS (
+  SELECT mid,
+    CASE WHEN mid % 4 = 1
+         THEN {_AAL_PREFIX_BLOCKS} + 32 + ((mid - 1) % 3) * 16
+         ELSE 32 + (mid % 3) * 16 END AS n_blocks
+  FROM range({WAVD_N}) t(mid)
+), blocks AS (
+  SELECT mid, j, CAST(j // 4 AS INT) AS wi,
+         mid % 4 = 1 AND j >= {_AAL_PREFIX_BLOCKS} AS scaled,
+         CASE WHEN mid % 4 = 1 AND j >= {_AAL_PREFIX_BLOCKS}
+              THEN md5('wav|' || (mid - 1) || '|'
+                       || (j - {_AAL_PREFIX_BLOCKS}))
+              ELSE md5('wav|' || mid || '|' || j) END AS hx
+  FROM sized, range(72) r(j) WHERE j < n_blocks
+), bsamp AS (
+  SELECT mid, wi, j,
+    list_transform(
+      list_transform(
+        list_transform(range(0, 8), i ->
+          {_b("4*i + 1")} + 256 * {_b("4*i + 3")}),
+        u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END),
+      v -> CASE WHEN scaled THEN CAST(floor(3 * v / 4.0) AS BIGINT)
+                ELSE v END) AS s
+  FROM blocks
+), wins AS (
+  SELECT mid, wi, flatten(list(s ORDER BY j)) AS sw
+  FROM bsamp GROUP BY mid, wi
+), zc AS (
+  SELECT mid, wi,
+    list_sum(list_transform(range(1, 32), i ->
+      CASE WHEN (sw[i] < 0) != (sw[i+1] < 0) THEN 1 ELSE 0 END)) AS z
+  FROM wins
+), fp AS (
+  SELECT x.mid, x.wi AS fp_idx,
+         CAST(x.z * 65536 + y.z * 256 + w.z AS BIGINT) AS fp
+  FROM zc x
+  JOIN zc y ON x.mid = y.mid AND y.wi = x.wi + 1
+  JOIN zc w ON x.mid = w.mid AND w.wi = x.wi + 2
+), kept AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING COUNT(*) <= {_AND_MAX_BUCKET}
+), kf AS (
+  SELECT f.mid, f.fp_idx, f.fp FROM fp f JOIN kept USING (fp)
+), m AS (
+  SELECT x.mid AS a, y.mid AS b, x.fp_idx AS fa, y.fp_idx AS fb,
+         y.fp_idx - x.fp_idx AS off
+  FROM kf x JOIN kf y ON x.fp = y.fp AND x.mid < y.mid
+), cnt AS (
+  SELECT a, b, COUNT(*) AS matched_fps FROM m GROUP BY a, b
+), md AS (
+  SELECT a, b, off AS offset_mode, c AS aligned_fps FROM (
+    SELECT a, b, off, COUNT(*) AS c,
+      row_number() OVER (PARTITION BY a, b
+                         ORDER BY COUNT(*) DESC, off ASC) AS rn
+    FROM m GROUP BY a, b, off) WHERE rn = 1
+), runs AS (
+  SELECT a, b, MAX(rl) AS longest_run FROM (
+    SELECT a, b, isl, COUNT(*) AS rl FROM (
+      SELECT m.a, m.b, m.fa,
+        m.fa - row_number() OVER (PARTITION BY m.a, m.b
+                                  ORDER BY m.fa) AS isl
+      FROM m JOIN md
+        ON m.a = md.a AND m.b = md.b AND m.off = md.offset_mode)
+    GROUP BY a, b, isl)
+  GROUP BY a, b
+)
+SELECT c.a, c.b, c.matched_fps, md.offset_mode, md.aligned_fps,
+       r.longest_run, r.longest_run >= {_AAL_MIN_RUN} AS aligned
+FROM cnt c
+JOIN md ON c.a = md.a AND c.b = md.b
+JOIN runs r ON c.a = r.a AND c.b = r.b
+WHERE c.matched_fps >= {_AAL_MIN_MATCHED}
+ORDER BY c.a, c.b
+"""
+
+
 R8_QUERIES: dict[str, tuple] = {
     "video_aligned_dups": (
         q_video_aligned_dups, ORACLE_VIDEO_ALIGNED,
@@ -410,4 +518,8 @@ R8_QUERIES: dict[str, tuple] = {
         q_audio_near_dups, ORACLE_AUDIO_NEAR_DUPS,
         "audio near-dup via amplitude-invariant zc fingerprints over "
         "real WAV decode (full SQL PCM + scaling replica)"),
+    "audio_aligned_dups": (
+        q_audio_aligned_dups, ORACLE_AUDIO_ALIGNED,
+        "offset-tolerant audio alignment: time-shifted scaled copies "
+        "recovered via the shared offset-mode/run analytics core"),
 }

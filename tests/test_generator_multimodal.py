@@ -532,3 +532,37 @@ def test_audio_near_dup_fingerprints_are_volume_invariant(spark):
         assert got == base
     assert [(a, b) for a, b, _ in base] == \
         [(0, 1), (4, 5), (8, 9), (12, 13)]
+
+
+def test_audio_alignment_catches_what_rigid_matching_misses(spark):
+    """Time-shifted scaled copies (2 fresh windows prepended) are
+    invisible to the position-rigid audio_near_duplicates BY
+    CONSTRUCTION; the offset-tolerant alignment recovers every
+    planted pair at offset 2 with a full consecutive run,
+    partition-invariantly."""
+    from hummingbird_spark.operators.multimodal import (
+        audio_alignment,
+        audio_near_duplicates,
+        synth_wav_shifted,
+        wav_window_features,
+    )
+
+    media = synth_wav_shifted(spark, 16)
+    w = wav_window_features(media, window_ms=4)
+    assert audio_near_duplicates(w, min_matched=4).collect() == []
+
+    base = None
+    for parts in (1, 7, 32):
+        got = sorted(tuple(r) for r in audio_alignment(
+            wav_window_features(media.repartition(parts),
+                                window_ms=4),
+            min_matched=4, min_aligned_run=3).collect())
+        base = got if base is None else base
+        assert got == base
+    assert [(a, b) for a, b, *_ in base] == \
+        [(0, 1), (4, 5), (8, 9), (12, 13)]
+    for a, b, mf, off, af, run, aligned in base:
+        # n_src_windows - 2 fingerprints, ALL matched consecutively
+        n_src = (32 + (a % 3) * 16) * 8 // 32
+        assert (mf, off, af, run, aligned) == \
+            (n_src - 2, 2, n_src - 2, n_src - 2, True)
