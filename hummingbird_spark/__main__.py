@@ -452,6 +452,13 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--id-col", default="media_id")
     aud.add_argument("--window-ms", type=int, default=4)
     aud.add_argument("--min-matched", type=int, default=4)
+    crw = sub.add_parser("crawl")
+    crw.add_argument("src", help="stream input dir (parquet files of "
+                                 "url + html rows)")
+    crw.add_argument("out", help="curated-page output parquet")
+    crw.add_argument("store", help="canonical-URL store path")
+    crw.add_argument("--block-domain", action="append", default=[],
+                     help="registered domain to drop (repeatable)")
     lkg = sub.add_parser("link-graph")
     lkg.add_argument("src", help="stream input dir (JSON files of "
                                  "doc_id + text rows)")
@@ -932,6 +939,33 @@ def main(argv: list[str] | None = None) -> int:
             "min_matched": args.min_matched,
             "n_accepted": spark.read.parquet(args.out).count(),
             "store_fp_rows": spark.read.parquet(args.store).count(),
+            "out": args.out, "store": args.store,
+        }))
+        return 0
+    if args.command == "crawl":
+        # crawl-ingestion tick: canonical-URL dedup vs the persisted
+        # store + blocklist + main-text extraction (streaming/
+        # crawl.py), then report the curated corpus.
+        from hummingbird_spark.streaming.crawl import (
+            start_streaming_crawl_ingest,
+        )
+
+        spark = get_spark(app_name="hummingbird_crawl")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.parquet(args.src).schema
+        q = start_streaming_crawl_ingest(
+            spark, args.src, args.out, args.store, schema,
+            blocked_domains=tuple(args.block_domain))
+        if not q.awaitTermination(600):
+            q.stop()
+            print("crawl: availableNow drain exceeded 600s; "
+                  "store/out are incomplete", file=sys.stderr)
+            return 1
+        print(json.dumps({
+            "command": "crawl",
+            "blocked_domains": args.block_domain,
+            "n_pages": spark.read.parquet(args.out).count(),
+            "store_urls": spark.read.parquet(args.store).count(),
             "out": args.out, "store": args.store,
         }))
         return 0

@@ -1,0 +1,232 @@
+"""HTML -> text extraction and URL canonicalization for web-crawl
+ingestion (the Common-Crawl-shaped front end of a training-data
+pipeline; no reference analogue — the reference ingests already-clean
+collections, see SURVEY §2.1).
+
+All pure Column expressions (JVM-side, whole-stage codegen): tag
+stripping, entity decode, block segmentation with per-block link
+density (a jusText-style main-content heuristic, Pomikálek 2011), and
+URL canonicalization with tracking-parameter removal. No Python UDFs
+and — deliberately — no explode/groupBy round trip: blocks live as a
+per-document array and the density filter is `F.filter` over that
+array, so extraction is a narrow projection riding the scan (zero
+shuffle at any corpus size).
+
+Regex subset is chosen to mean the same thing in Java regex (Spark)
+and RE2 (DuckDB oracles): inline (?is) flags, non-greedy `.*?`, no
+backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tags whose boundaries terminate a text block. Inline tags (<a>, <b>,
+# <span>, ...) stay inside the block so link density is computable.
+BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|br|nav|footer|header|table|tr|td|"
+              "th|article|section|blockquote|pre|title|html|head|body")
+BLOCK_SPLIT_RE = rf"(?is)</?(?:{BLOCK_TAGS})\b[^>]*>"
+
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"(?is)<[^>]*>"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+# &amp; decoded LAST so literal "&amp;lt;" renders as "&lt;" text.
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&copy;", "(c)"), ("&amp;", "&"),
+)
+
+# Query parameters that never change page identity (analytics junk).
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
+
+
+def strip_noise(html: Column) -> Column:
+    """Remove <script>/<style> bodies and comments (must run before
+    block splitting — script text may contain '<' and block tags)."""
+    out = F.regexp_replace(html, _SCRIPT_RE, " ")
+    out = F.regexp_replace(out, _STYLE_RE, " ")
+    return F.regexp_replace(out, _COMMENT_RE, " ")
+
+
+def _decode_entities(col: Column) -> Column:
+    out = col
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def block_text(raw: Column) -> Column:
+    """Visible text of one block's inner HTML: inline tags out,
+    entities decoded, whitespace collapsed, trimmed."""
+    out = F.regexp_replace(raw, _TAG_RE, " ")
+    out = _decode_entities(out)
+    return F.trim(F.regexp_replace(out, r"[ \t\r\n]+", " "))
+
+
+def block_structs(html: Column) -> Column:
+    """array<struct<text, chars, anchor_chars>> — one entry per
+    non-empty text block of the (noise-stripped) page. The anchor
+    character count powers the link-density boilerplate heuristic."""
+    cleaned = strip_noise(html)
+    raws = F.split(cleaned, BLOCK_SPLIT_RE)
+    blocks = F.transform(
+        raws,
+        lambda b: F.struct(
+            block_text(b).alias("text"),
+            F.length(block_text(b)).alias("chars"),
+            F.aggregate(
+                F.transform(F.regexp_extract_all(b, F.lit(_ANCHOR_RE),
+                                                 F.lit(1)),
+                            lambda a: F.length(block_text(a))),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("anchor_chars"),
+        ),
+    )
+    return F.filter(blocks, lambda s: s["chars"] > 0)
+
+
+def main_text(html: Column, min_chars: int = 10,
+              max_link_density: float = 0.34) -> Column:
+    """Kept-block text joined by newline: a block survives when it is
+    long enough AND its anchor-text share is below the boilerplate
+    threshold (nav bars / tag clouds / footers are mostly links)."""
+    kept = F.filter(
+        block_structs(html),
+        lambda s: (s["chars"] >= min_chars)
+        & (s["anchor_chars"] * 100 <= F.lit(int(max_link_density * 100))
+           * s["chars"]),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+
+
+def block_stats(html: Column, min_chars: int = 10,
+                max_link_density: float = 0.34) -> Column:
+    """struct(n_blocks, kept_blocks, kept_chars, dropped_link,
+    dropped_short) for the page — the per-document extraction audit.
+    Link-density drops are counted before length drops (a short
+    link-soup block counts as dropped_link)."""
+    blocks = block_structs(html)
+    ld_bad = F.filter(
+        blocks,
+        lambda s: s["anchor_chars"] * 100
+        > F.lit(int(max_link_density * 100)) * s["chars"],
+    )
+    kept = F.filter(
+        blocks,
+        lambda s: (s["chars"] >= min_chars)
+        & (s["anchor_chars"] * 100 <= F.lit(int(max_link_density * 100))
+           * s["chars"]),
+    )
+    return F.struct(
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("kept_blocks"),
+        F.aggregate(F.transform(kept, lambda s: s["chars"]), F.lit(0),
+                    lambda a, x: a + x).alias("kept_chars"),
+        F.size(ld_bad).alias("dropped_link"),
+        # density-OK but too short; n_blocks = kept + link + short
+        (F.size(blocks) - F.size(kept) - F.size(ld_bad))
+        .alias("dropped_short"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any :port and a leading www. removed."""
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    host = F.regexp_replace(auth, r":[0-9]*$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port or '' — default ports (http:80 / https:443) are
+    dropped so explicit-default and implicit URLs unify."""
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    scheme = url_scheme(url)
+    return F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")) | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+
+def url_path(url: Column) -> Column:
+    """Path with duplicate slashes collapsed and the trailing slash
+    removed (root stays '/'; empty path becomes '/')."""
+    p = F.regexp_extract(url, _PATH_RE, 1)
+    p = F.regexp_replace(p, r"//+", "/")
+    p = F.regexp_replace(p, r"(.)/$", "$1")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with tracking params removed and the rest sorted
+    (param order never changes page identity); '' when nothing
+    survives."""
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda kv: (F.length(kv) > 0)
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: kv.startswith(t),
+        ),
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """Scheme-lowered, www/default-port-stripped, slash-normalized,
+    tracking-free, param-sorted, fragment-free canonical form — the
+    dedup key for crawl URLs."""
+    q = url_query_canonical(url)
+    return F.concat(
+        url_scheme(url), F.lit("://"), url_host(url), url_port(url),
+        url_path(url),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+# Minimal public-suffix subset: second-level registries where the
+# registered domain spans three labels (news.bbc.co.uk -> bbc.co.uk).
+# A production table swaps in the full PSL; the expression shape is
+# identical.
+SECOND_LEVEL_SUFFIXES = ("co", "com", "org", "net", "gov", "ac", "edu")
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 under the PSL-lite table above."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, n - 1)
+    take3 = (n >= 3) & F.exists(
+        F.array(*[F.lit(s) for s in SECOND_LEVEL_SUFFIXES]),
+        lambda s: s == second,
+    )
+    return F.when(
+        take3,
+        F.concat_ws(".", F.element_at(labels, n - 2), second,
+                    F.element_at(labels, n)),
+    ).otherwise(
+        F.when(n >= 2,
+               F.concat_ws(".", second, F.element_at(labels, n)))
+        .otherwise(host)
+    )

@@ -1476,12 +1476,13 @@ from hummingbird_spark.plans.queries_r7 import R7_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_r8 import R8_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_supply import SUPPLY_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_text import TEXT_QUERIES  # noqa: E402
+from hummingbird_spark.plans.queries_web import WEB_QUERIES  # noqa: E402
 from hummingbird_spark.plans.queries_windows import WINDOW_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in {
     **TEXT_QUERIES, **WINDOW_QUERIES, **GEN_QUERIES, **SUPPLY_QUERIES,
     **ANALYTICS_QUERIES, **R3_QUERIES, **R4_QUERIES, **R5_QUERIES,
-    **R6_QUERIES, **R7_QUERIES, **R8_QUERIES,
+    **R6_QUERIES, **R7_QUERIES, **R8_QUERIES, **WEB_QUERIES,
 }.items():
     QUERIES[_name] = QuerySpec(_fn, _oracle, _doc)
 
@@ -1502,6 +1503,9 @@ _VERIFY_FIRST = [
     # weights; amplitude-invariant audio near-dup) — never recorded
     "video_aligned_dups", "curation_composite_weights",
     "audio_near_dups", "audio_aligned_dups",
+    # new this round (web-crawl ingestion front end) — never recorded
+    "html_main_text_stats", "warc_extract_stats", "url_canonical_dups",
+    "domain_curation_stats", "warc_html_pipeline",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

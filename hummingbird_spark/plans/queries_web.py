@@ -1,0 +1,618 @@
+"""Web-crawl ingestion queries: WARC record parsing, HTML -> main-text
+extraction (jusText-style block/link-density filtering), URL
+canonicalization + canonical-URL dedup, and domain-level curation
+stats. The Common-Crawl-shaped FRONT END of a training-data pipeline —
+everything upstream of the dedup/quality families the repo already
+ships. No reference analogue (the reference ingests live collections,
+SURVEY §2.1); semantics follow public practice (ISO 28500 WARC;
+Pomikálek 2011 block link-density).
+
+Fixture discipline (same as synth_wav/synth_frames): the HTML pages
+and raw URLs are built deterministically FROM the documents table with
+pure string expressions, and every oracle rebuilds the identical
+strings in DuckDB SQL before replaying the extraction chain — so the
+driver's value-hash compare covers fixture, parser, and analytics
+end-to-end.
+
+Scale notes: extraction is a narrow per-row projection (no explode,
+blocks stay per-doc arrays — functions/html.py); WARC parsing at scale
+enters through sources/warc.py::read_warc (record-grain lineSep
+splitting at the source). The groupBy-collect blob assembly below is
+fixture synthesis only, never the read path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.html import (
+    BLOCK_SPLIT_RE,
+    ENTITIES,
+    TRACKING_PARAMS,
+    SECOND_LEVEL_SUFFIXES,
+    block_stats,
+    canonical_url,
+    main_text,
+    registered_domain,
+    url_host,
+)
+from hummingbird_spark.functions.text import tokens
+from hummingbird_spark.sources.tables import load_table
+from hummingbird_spark.sources.warc import (
+    CRLF,
+    RECORD_MAGIC,
+    parse_warc_records,
+    render_warc_record,
+)
+
+# Extraction thresholds (integer-exact in both engines: the density
+# test is anchor_chars*100 <= 34*chars, never a float divide).
+MIN_BLOCK_CHARS = 10
+MAX_LINK_DENSITY = 0.34
+_LD_PCT = int(MAX_LINK_DENSITY * 100)
+
+N_WARC_FILES = 16
+
+# ---------------------------------------------------------------------------
+# Shared HTML-page fixture: one synthetic page per document. Segments
+# alternate literal chunks with per-doc expressions so the Spark build
+# and the SQL rebuild cannot drift.
+# ---------------------------------------------------------------------------
+
+_PAGE_SEGS: tuple[tuple[str, str], ...] = (
+    ("lit", '<html><head><title>Doc '),
+    ("id", ""),
+    ("lit", '</title><style>p {color: red}</style>'
+            '<script type="text/javascript">var x = 1 < 2; track("'),
+    ("id", ""),
+    ("lit", '");</script></head><body>'
+            '<nav><a href="/home">Home</a> '
+            '<a href="/about">About &amp; Contact</a></nav>'
+            '<!-- build '),
+    ("id", ""),
+    ("lit", ' --><h1>'),
+    ("src", ""),
+    ("lit", ' report '),
+    ("id", ""),
+    ("lit", '</h1><div id="main"><p>'),
+    ("p1", ""),
+    ("lit", '</p><p>'),
+    ("p2", ""),
+    ("lit", '</p></div><div class="side"><ul>'
+            '<li><a href="/t/1">one tag</a></li>'
+            '<li><a href="/t/2">two tag</a></li></ul></div>'
+            '<footer>&copy; 2026 Corp &amp; <a href="/p">Privacy</a> '
+            '<a href="/b">Terms</a></footer></body></html>'),
+)
+
+
+def _with_page(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, source, page). Token array bound FIRST
+    (functions/text.py performance contract) so the two paragraph
+    slices never re-tokenize."""
+    ws = docs.select("doc_id", "source",
+                     tokens(F.col("text")).alias("__ws"))
+    k = ((F.size("__ws") + 1) / 2).cast("int")
+    exprs = {
+        "id": F.col("doc_id").cast("string"),
+        "src": F.col("source"),
+        "p1": F.array_join(F.slice(F.col("__ws"), F.lit(1), k), " "),
+        "p2": F.array_join(
+            F.slice(F.col("__ws"), k + 1,
+                    F.greatest(F.size("__ws") - k, F.lit(0))), " "),
+    }
+    parts = [F.lit(txt) if kind == "lit" else exprs[kind]
+             for kind, txt in _PAGE_SEGS]
+    return ws.select("doc_id", "source", F.concat(*parts).alias("page"))
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _page_sql_expr() -> str:
+    """The identical page build as one DuckDB expression over the
+    `tok` CTE columns (doc_id, source, toks, k)."""
+    exprs = {
+        "id": "CAST(doc_id AS VARCHAR)",
+        "src": "source",
+        "p1": "array_to_string(list_slice(toks, 1, k), ' ')",
+        "p2": "array_to_string(list_slice(toks, k + 1, len(toks)), ' ')",
+    }
+    parts = ["'" + _sq(txt) + "'" if kind == "lit" else exprs[kind]
+             for kind, txt in _PAGE_SEGS]
+    return " || ".join(parts)
+
+
+# tokens(text) in DuckDB — the idiom every text oracle pins
+_TOKS_SQL = (r"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+             r"ELSE string_split_regex(trim(text), '\s+') END")
+
+_TOK_CTE = ("tok AS (SELECT doc_id, source, toks,"
+            " (len(toks) + 1) // 2 AS k FROM (SELECT doc_id, source, "
+            + _TOKS_SQL + " AS toks FROM documents))")
+
+
+def _pages_cte() -> str:
+    return ("pages AS (SELECT doc_id, source, " + _page_sql_expr()
+            + " AS page FROM tok)")
+
+
+# ---------------------------------------------------------------------------
+# SQL replicas of the functions/html.py chain (RE2-safe subset shared
+# with the Java regexes — same pattern strings where possible).
+# ---------------------------------------------------------------------------
+
+def _strip_noise_sql(e: str) -> str:
+    out = ("regexp_replace(%s, '(?is)<script\\b[^>]*>.*?</script>',"
+           " ' ', 'g')" % e)
+    out = ("regexp_replace(%s, '(?is)<style\\b[^>]*>.*?</style>',"
+           " ' ', 'g')" % out)
+    return "regexp_replace(%s, '(?s)<!--.*?-->', ' ', 'g')" % out
+
+
+def _btext_sql(e: str) -> str:
+    out = "regexp_replace(%s, '(?is)<[^>]*>', ' ', 'g')" % e
+    for ent, ch in ENTITIES:
+        out = "replace(%s, '%s', '%s')" % (out, _sq(ent), _sq(ch))
+    return "trim(regexp_replace(%s, '[ \\t\\r\\n]+', ' ', 'g'))" % out
+
+
+_ANCHOR_SQL = (r"list_sum(list_transform(regexp_extract_all(b,"
+               r" '(?is)<a\b[^>]*>(.*?)</a>', 1),"
+               r" a -> length(" + _btext_sql("a") + ")))")
+
+
+def _blocks_cte() -> str:
+    """blk: per doc the ordered list<struct(btxt, ac)> of non-empty
+    text blocks — the list-lambda mirror of block_structs()."""
+    split = ("string_split_regex(" + _strip_noise_sql("page")
+             + ", '" + _sq(BLOCK_SPLIT_RE) + "')")
+    return (
+        "blk AS (SELECT doc_id, source, list_filter(list_transform("
+        + split + ", b -> struct_pack(btxt := " + _btext_sql("b")
+        + ", ac := coalesce(" + _ANCHOR_SQL + ", 0))),"
+        " s -> length(s.btxt) > 0) AS blocks FROM pages)"
+    )
+
+
+_KEPT = ("list_filter(blocks, s -> length(s.btxt) >= %d AND"
+         " s.ac * 100 <= %d * length(s.btxt))"
+         % (MIN_BLOCK_CHARS, _LD_PCT))
+_LINK_BAD = ("list_filter(blocks, s -> s.ac * 100 > %d *"
+             " length(s.btxt))" % _LD_PCT)
+
+
+# ---------------------------------------------------------------------------
+# Q1: html_main_text_stats — per-document extraction audit
+# ---------------------------------------------------------------------------
+
+def q_html_main_text_stats(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Synthetic page per doc -> block segmentation -> link-density
+    main-content filter -> per-doc audit counters + extracted head."""
+    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    st = block_stats(F.col("page"), MIN_BLOCK_CHARS, MAX_LINK_DENSITY)
+    mt = main_text(F.col("page"), MIN_BLOCK_CHARS, MAX_LINK_DENSITY)
+    return (
+        pages.select("doc_id", st.alias("st"), mt.alias("mt"))
+        .select(
+            "doc_id",
+            F.col("st.n_blocks").alias("n_blocks"),
+            F.col("st.kept_blocks").alias("kept_blocks"),
+            F.col("st.kept_chars").alias("kept_chars"),
+            F.col("st.dropped_link").alias("dropped_link"),
+            F.col("st.dropped_short").alias("dropped_short"),
+            F.length("mt").alias("main_chars"),
+            F.substring("mt", 1, 40).alias("main_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_HTML_MAIN_TEXT = (
+    "WITH " + _TOK_CTE + ", " + _pages_cte() + ", " + _blocks_cte()
+    + """
+SELECT doc_id,
+  len(blocks) AS n_blocks,
+  len(kept) AS kept_blocks,
+  CAST(coalesce(list_sum(list_transform(kept,
+       s -> length(s.btxt))), 0) AS INT) AS kept_chars,
+  len(linkbad) AS dropped_link,
+  len(blocks) - len(kept) - len(linkbad) AS dropped_short,
+  length(mt) AS main_chars,
+  substring(mt, 1, 40) AS main_head
+FROM (
+  SELECT doc_id, blocks, """ + _KEPT + """ AS kept,
+         """ + _LINK_BAD + """ AS linkbad,
+         array_to_string(list_transform(""" + _KEPT + """,
+             s -> s.btxt), chr(10)) AS mt
+  FROM blk)
+ORDER BY doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q2: warc_extract_stats — render records, pack files, parse, audit
+# ---------------------------------------------------------------------------
+
+_URI_PREFIX = "http://crawl.example/doc/"
+
+
+def _warc_blobs(pages: DataFrame) -> DataFrame:
+    """Fixture-only file assembly (deterministic: records sorted by
+    doc_id inside each of the N_WARC_FILES blobs)."""
+    rec = pages.select(
+        (F.col("doc_id") % N_WARC_FILES).alias("file_id"),
+        F.struct(
+            "doc_id",
+            render_warc_record(
+                F.concat(F.lit(_URI_PREFIX),
+                         F.col("doc_id").cast("string")),
+                F.col("page"),
+            ).alias("rec"),
+        ).alias("s"),
+    )
+    return rec.groupBy("file_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s["rec"])
+        ).alias("blob")
+    )
+
+
+def q_warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC blobs -> record parse -> per-file audit: record count,
+    Content-Length validation, HTTP status, and a full body roundtrip
+    against the independently rebuilt page."""
+    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    parsed = parse_warc_records(_warc_blobs(pages), "blob",
+                                keep=("file_id",))
+    parsed = parsed.withColumn(
+        "did",
+        F.regexp_extract("target_uri", r"doc/([0-9]+)$", 1).cast("long"),
+    )
+    joined = parsed.join(
+        F.broadcast(pages.select(F.col("doc_id").alias("did"), "page")),
+        "did", "left")
+    return (
+        joined.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("length_ok").cast("int")).alias("n_len_ok"),
+            F.sum((F.col("http_status") == "200").cast("int"))
+            .alias("n_status_ok"),
+            F.sum((F.col("body") == F.col("page")).cast("int"))
+            .alias("n_roundtrip_ok"),
+            F.sum(F.length("body")).alias("sum_body_chars"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _warc_sql_ctes() -> str:
+    """records -> blobs -> re-split -> parsed rows, in SQL."""
+    magic = "'WARC/1.0' || chr(13) || chr(10)"
+    gap = "chr(13) || chr(10) || chr(13) || chr(10)"
+    http = ("'HTTP/1.1 200 OK' || chr(13) || chr(10) ||"
+            " 'Content-Type: text/html' || " + gap + " || page")
+    rec = (
+        magic + " || 'WARC-Type: response' || chr(13) || chr(10) ||"
+        " 'WARC-Target-URI: " + _URI_PREFIX + "' ||"
+        " CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||"
+        " 'Content-Length: ' || CAST(length(" + http + ")"
+        " AS VARCHAR) || " + gap + " || " + http + " || " + gap
+    )
+    return (
+        "recs AS (SELECT doc_id % " + str(N_WARC_FILES)
+        + " AS file_id, doc_id, " + rec + " AS rec FROM pages), "
+        "blobs AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id)"
+        " AS blob FROM recs GROUP BY file_id), "
+        "wrows AS (SELECT file_id, unnest(list_filter(string_split("
+        "blob, " + magic + "), r -> length(trim(r)) > 0)) AS rec"
+        " FROM blobs), "
+        "parsed AS (SELECT file_id,"
+        " string_split(rec, " + gap + ")[1] AS warc_hdr,"
+        " string_split(rec, " + gap + ")[2] AS http_hdr,"
+        " coalesce(string_split(rec, " + gap + ")[3], '') AS body"
+        " FROM wrows), "
+        "fields AS (SELECT file_id,"
+        " CAST(regexp_extract(warc_hdr, 'Content-Length: ([0-9]+)', 1)"
+        " AS BIGINT) AS content_length,"
+        " regexp_extract(http_hdr, '^HTTP/1\\.[01] ([0-9]{3})', 1)"
+        " AS http_status,"
+        " CAST(regexp_extract(warc_hdr, 'doc/([0-9]+)', 1) AS BIGINT)"
+        " AS did,"
+        " length(http_hdr) + 4 + length(body) AS http_len, body"
+        " FROM parsed)"
+    )
+
+
+ORACLE_WARC_EXTRACT = (
+    "WITH " + _TOK_CTE + ", " + _pages_cte() + ", " + _warc_sql_ctes()
+    + """
+SELECT f.file_id,
+  COUNT(*) AS n_records,
+  CAST(SUM(CASE WHEN f.content_length = f.http_len THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_len_ok,
+  CAST(SUM(CASE WHEN f.http_status = '200' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_status_ok,
+  CAST(SUM(CASE WHEN f.body = p.page THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_roundtrip_ok,
+  SUM(length(f.body)) AS sum_body_chars
+FROM fields f LEFT JOIN pages p ON f.did = p.doc_id
+GROUP BY f.file_id
+ORDER BY f.file_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q3: url_canonical_dups — canonicalization as a dedup key
+# ---------------------------------------------------------------------------
+
+def _with_url(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture: case noise, www/default-port
+    variants, duplicate slashes, trailing slashes, tracking params,
+    unsorted params, fragments — with planted collisions (item id is
+    doc_id % 40, and three of the four query-string classes
+    canonicalize identically)."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    host = (
+        F.when(d % 3 == 0,
+               F.concat(F.lit("WWW.News"), (d % 5).cast("string"),
+                        F.lit(".COM")))
+        .when(d % 3 == 1,
+              F.concat(F.lit("news"), (d % 5).cast("string"),
+                       F.lit(".com")))
+        .otherwise(F.concat(F.lit("blog.news"), (d % 5).cast("string"),
+                            F.lit(".co.uk")))
+    )
+    port = (
+        F.when((d % 2 == 1) & (d % 3 == 0), F.lit(":80"))
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/a//item-"), (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2&fbclid=XYZ"))
+        .when(d % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 5 == 0, F.lit("#s1")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", "source",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+        .alias("url"),
+    )
+
+
+_URL_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+CASE WHEN doc_id % 3 = 0 THEN 'WWW.News' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+     WHEN doc_id % 3 = 1 THEN 'news' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+     ELSE 'blog.news' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk' END ||
+CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 THEN ':80'
+     WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+'/a//item-' || CAST(doc_id % 40 AS VARCHAR) ||
+CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+     WHEN doc_id % 4 = 1 THEN '?a=1&b=2&fbclid=XYZ'
+     WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END ||
+CASE WHEN doc_id % 5 = 0 THEN '#s1' ELSE '' END
+"""
+
+_TRACK_PRED = " OR ".join(
+    "starts_with(kv, '%s')" % t for t in TRACKING_PARAMS)
+
+# Canonicalization replica over the `urls(doc_id, source, url)` CTE.
+_CANON_SQL = """
+canon AS (
+  SELECT doc_id, source, host0 AS host,
+    scheme || '://' || host0 ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+         ELSE ':' || port END ||
+    CASE WHEN path2 = '' THEN '/' ELSE path2 END ||
+    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
+  FROM (
+    SELECT doc_id, source, scheme,
+      regexp_replace(regexp_replace(auth, ':[0-9]*$', ''),
+                     '^www\\.', '') AS host0,
+      coalesce(regexp_extract(auth, ':([0-9]+)$', 1), '') AS port,
+      regexp_replace(regexp_replace(path1, '//+', '/', 'g'),
+                     '(.)/$', '\\1') AS path2,
+      -- array_to_string([]) is NULL in DuckDB 1.0 — coalesce to ''
+      coalesce(array_to_string(list_sort(list_filter(
+        string_split(q1, '&'),
+        kv -> length(kv) > 0 AND NOT (""" + _TRACK_PRED + """))),
+        '&'), '') AS q2
+    FROM (
+      SELECT doc_id, source,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+        lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        coalesce(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+            AS path1,
+        coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q1
+      FROM urls)))
+"""
+
+
+def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy URLs -> canonical form -> duplicate-URL groups (the crawl
+    dedup key upstream of content dedup)."""
+    urls = _with_url(load_table(spark, sf_dir, "documents"))
+    return (
+        urls.select("doc_id",
+                    canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_CANONICAL_DUPS = (
+    "WITH urls AS (SELECT doc_id, source, " + _URL_SQL
+    + " AS url FROM documents), " + _CANON_SQL + """
+SELECT canonical_url, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) > 1
+ORDER BY canonical_url
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q4: domain_curation_stats — eTLD+1 rollup + blocklist flag
+# ---------------------------------------------------------------------------
+
+BLOCKED_DOMAINS = ("news1.com", "news3.co.uk")
+
+_SLS_SQL = "[" + ", ".join("'%s'" % s for s in SECOND_LEVEL_SUFFIXES) + "]"
+
+
+def q_domain_curation_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Registered-domain (PSL-lite) rollup of the crawl: doc/host/URL
+    counts per domain plus the blocklist verdict a curation run
+    filters on."""
+    urls = _with_url(load_table(spark, sf_dir, "documents"))
+    host = url_host(F.col("url"))
+    return (
+        urls.select(
+            "doc_id",
+            host.alias("host"),
+            registered_domain(host).alias("domain"),
+            canonical_url(F.col("url")).alias("curl"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("curl").alias("n_urls"),
+        )
+        .withColumn(
+            "blocked",
+            F.col("domain").isin(*BLOCKED_DOMAINS).cast("int"))
+        .orderBy("domain")
+    )
+
+
+ORACLE_DOMAIN_STATS = (
+    "WITH urls AS (SELECT doc_id, source, " + _URL_SQL
+    + " AS url FROM documents), " + _CANON_SQL + """,
+dom AS (
+  SELECT doc_id, host, canonical_url,
+    CASE WHEN len(labels) >= 3 AND
+              list_contains(""" + _SLS_SQL + """, labels[-2])
+         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         WHEN len(labels) >= 2
+         THEN labels[-2] || '.' || labels[-1]
+         ELSE host END AS domain
+  FROM (SELECT doc_id, host, canonical_url,
+               string_split(host, '.') AS labels FROM canon))
+SELECT domain, COUNT(*) AS n_docs,
+  COUNT(DISTINCT host) AS n_hosts,
+  COUNT(DISTINCT canonical_url) AS n_urls,
+  CASE WHEN domain IN ('news1.com', 'news3.co.uk')
+       THEN 1 ELSE 0 END AS blocked
+FROM dom
+GROUP BY domain
+ORDER BY domain
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q5: warc_html_pipeline — end-to-end crawl ingestion rollup
+# ---------------------------------------------------------------------------
+
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole front end in one plan: WARC blobs -> record parse ->
+    HTML body -> main-text extraction -> per-source corpus rollup
+    (what lands in the curated store from each crawl source)."""
+    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    parsed = parse_warc_records(_warc_blobs(pages), "blob",
+                                keep=("file_id",))
+    parsed = parsed.withColumn(
+        "did",
+        F.regexp_extract("target_uri", r"doc/([0-9]+)$", 1).cast("long"),
+    )
+    src = F.broadcast(
+        pages.select(F.col("doc_id").alias("did"), "source"))
+    ext = (
+        parsed.join(src, "did")
+        .select(
+            "source",
+            block_stats(F.col("body"), MIN_BLOCK_CHARS,
+                        MAX_LINK_DENSITY).alias("st"),
+            F.length(main_text(F.col("body"), MIN_BLOCK_CHARS,
+                               MAX_LINK_DENSITY)).alias("main_chars"),
+        )
+    )
+    return (
+        ext.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("main_chars").alias("sum_main_chars"),
+            F.sum(F.col("st.kept_blocks")).alias("sum_kept_blocks"),
+            F.sum(F.col("st.dropped_link")).alias("sum_dropped_link"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WARC_HTML_PIPELINE = (
+    "WITH " + _TOK_CTE + ", " + _pages_cte() + ", " + _warc_sql_ctes()
+    + ", ext AS (SELECT p.source, f.body, list_filter(list_transform("
+    + "string_split_regex(" + _strip_noise_sql("f.body") + ", '"
+    + _sq(BLOCK_SPLIT_RE) + "'), b -> struct_pack(btxt := "
+    + _btext_sql("b") + ", ac := coalesce(" + _ANCHOR_SQL + ", 0))),"
+    " s -> length(s.btxt) > 0) AS blocks"
+    " FROM fields f JOIN pages p ON f.did = p.doc_id)"
+    + """
+SELECT source, COUNT(*) AS n_docs,
+  SUM(length(array_to_string(list_transform(""" + _KEPT + """,
+      s -> s.btxt), chr(10)))) AS sum_main_chars,
+  SUM(len(""" + _KEPT + """)) AS sum_kept_blocks,
+  SUM(len(""" + _LINK_BAD + """)) AS sum_dropped_link
+FROM ext
+GROUP BY source
+ORDER BY source
+""")
+
+
+WEB_QUERIES: dict[str, tuple] = {
+    "html_main_text_stats": (
+        q_html_main_text_stats, ORACLE_HTML_MAIN_TEXT,
+        "HTML -> main-text extraction audit: block segmentation + "
+        "link-density boilerplate filter (jusText-style), pure "
+        "per-row array projection"),
+    "warc_extract_stats": (
+        q_warc_extract_stats, ORACLE_WARC_EXTRACT,
+        "WARC record parse audit: Content-Length validation, HTTP "
+        "status, full body roundtrip vs the rebuilt page"),
+    "url_canonical_dups": (
+        q_url_canonical_dups, ORACLE_URL_CANONICAL_DUPS,
+        "URL canonicalization (tracking strip, param sort, www/port/"
+        "slash normalization) as a crawl dedup key"),
+    "domain_curation_stats": (
+        q_domain_curation_stats, ORACLE_DOMAIN_STATS,
+        "registered-domain (PSL-lite eTLD+1) rollup with blocklist "
+        "verdicts"),
+    "warc_html_pipeline": (
+        q_warc_html_pipeline, ORACLE_WARC_HTML_PIPELINE,
+        "end-to-end crawl front end: WARC parse -> HTML body -> "
+        "main-text extraction -> per-source corpus rollup"),
+}

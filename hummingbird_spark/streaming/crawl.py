@@ -1,0 +1,129 @@
+"""Streaming crawl ingestion: continuous (url, html) arrivals ->
+canonical-URL dedup against a persisted store -> domain blocklist ->
+main-text extraction -> curated append. The crawl-front-end twin of
+the modality dedup streams (text streaming/dedup.py, image
+streaming/media_dedup.py, audio streaming/audio_dedup.py): URL
+identity is the cheapest dedup key a crawl has, and it runs BEFORE
+content hashing — a re-crawled page never reaches the expensive
+MinHash/pHash stages.
+
+Unlike the perceptual families there is nothing to verify on a store
+hit: canonical-URL equality IS the dedup definition (exact string
+match on the canonicalized form), so the store stays one row per
+accepted page — (canonical_url, domain) — and the filter is a single
+equi-anti-join. Intra-batch ties (two messy variants of one canonical
+in the same batch) keep the lexicographically-smallest raw URL via a
+map-side-aggregable min(struct), never a window.
+
+Exactly-once: ledger + append ordering per streaming/ledger.py (the
+shared crash-window contract); the store is compacted on the batch
+cadence because it appends one small file-set per batch while being
+re-read every batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hummingbird_spark.functions.html import (
+    block_stats,
+    canonical_url,
+    main_text,
+    registered_domain,
+    url_host,
+)
+from hummingbird_spark.streaming.ledger import BatchLedger
+
+
+def crawl_ingest_batch_against_store(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_path: str,
+    blocked_domains: tuple[str, ...] = (),
+    min_block_chars: int = 10,
+    max_link_density: float = 0.34,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest round: returns (curated_rows, new_store_rows).
+
+    Pure plan construction — blocklist filter, store anti-join,
+    intra-batch canonical dedup, extraction. batch_df: (url, html)."""
+    tagged = batch_df.select(
+        "url", "html",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+    if blocked_domains:
+        tagged = tagged.filter(
+            ~F.col("domain").isin(*blocked_domains))
+
+    if os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        store = spark.read.parquet(store_path).select("canonical_url")
+        tagged = tagged.join(store, "canonical_url", "left_anti")
+
+    # intra-batch: one survivor per canonical, deterministic and
+    # map-side partially aggregable (no window, hub-safe)
+    fresh = (
+        tagged.groupBy("canonical_url", "domain")
+        .agg(F.min(F.struct("url", "html")).alias("w"))
+        .select("canonical_url", "domain",
+                F.col("w.url").alias("url"),
+                F.col("w.html").alias("html"))
+    )
+    st = block_stats(F.col("html"), min_block_chars, max_link_density)
+    curated = fresh.select(
+        "url", "canonical_url", "domain",
+        main_text(F.col("html"), min_block_chars,
+                  max_link_density).alias("text"),
+        st["kept_blocks"].alias("kept_blocks"),
+        st["dropped_link"].alias("dropped_link"),
+    ).withColumn("n_chars", F.length("text"))
+    new_store = fresh.select("canonical_url", "domain")
+    return curated, new_store
+
+
+def start_streaming_crawl_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    store_path: str,
+    schema,
+    blocked_domains: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    compact_every: int = 32,
+) -> StreamingQuery:
+    """File-source stream of (url, html) rows -> per-batch canonical
+    dedup + extraction -> curated rows append to out_path, canonical
+    keys to store_path. Idempotent on batch replay via the ledger."""
+    led = BatchLedger(store_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if led.seen(batch_id):
+            return
+        curated, new_store = crawl_ingest_batch_against_store(
+            spark, batch_df, store_path, blocked_domains)
+        # both plans read the store (anti-join) — materialize BEFORE
+        # appending to the store they read from
+        curated = curated.localCheckpoint(eager=True)
+        new_store = new_store.localCheckpoint(eager=True)
+        curated.write.mode("append").parquet(out_path)
+        new_store.write.mode("append").parquet(store_path)
+        led.record(batch_id)
+        if (compact_every and batch_id is not None
+                and len(led.applied()) % compact_every == 0):
+            from hummingbird_spark.operators.compact import compact_table
+
+            compact_table(spark, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or store_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

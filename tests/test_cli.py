@@ -555,3 +555,38 @@ def test_cli_audio_dedup(spark, tmp_path, capsys):
     # 16 clips, 4 planted scaled copies (id%4==1) drop
     assert rep["n_accepted"] == 12
     assert rep["store_fp_rows"] > 0
+
+
+def test_cli_crawl(spark, tmp_path, capsys):
+    """crawl: parquet stream of (url, html) pages -> canonical-URL
+    store filter + blocklist + extraction -> JSON report; messy
+    variants of one canonical land once, blocked domains never."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    page = ('<html><body><nav><a href="/x">Home</a></nav>'
+            '<p>page body text content here</p></body></html>')
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame([
+        Row(url="https://a.example/p1", html=page),
+        Row(url="HTTP://WWW.B.Example/p2/?utm_source=x", html=page),
+        Row(url="http://b.example/p2?fbclid=9", html=page),
+        Row(url="https://spam.example/p3", html=page),
+    ]).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "b0.parquet"))
+
+    out = str(tmp_path / "crawl_out")
+    store = str(tmp_path / "crawl_store")
+    assert main(["crawl", str(src), out, store,
+                 "--block-domain", "spam.example"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    # 4 pages: p2 variants collapse to one canonical, spam blocked
+    assert rep["n_pages"] == 2
+    assert rep["store_urls"] == 2

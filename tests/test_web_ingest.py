@@ -1,0 +1,178 @@
+"""Web-crawl ingestion: HTML -> text extraction, URL canonicalization,
+WARC record parsing (functions/html.py, sources/warc.py).
+
+The registry queries' full SQL parity rides test_oracle_parity.py;
+these tests pin the behaviors on crafted snippets — the cases the
+synthetic fixture can't isolate (malformed records, entity ordering,
+port/scheme edge cases, the lineSep scale reader on a real file).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hummingbird_spark.functions.html import (
+    block_stats,
+    block_structs,
+    canonical_url,
+    main_text,
+    registered_domain,
+    url_host,
+)
+from hummingbird_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    render_warc_record,
+)
+
+PAGE = (
+    '<html><head><title>Doc 7</title><style>p {color: red}</style>'
+    '<script type="text/javascript">var x = 1 < 2; track("7");'
+    '</script></head><body>'
+    '<nav><a href="/home">Home</a> <a href="/a">About &amp; Co</a></nav>'
+    '<!-- build 7 --><h1>src3 report seven</h1>'
+    '<div id="main"><p>alpha beta gamma delta words here now</p>'
+    '<p>second paragraph of body text</p></div>'
+    '<footer>&copy; 2026 <a href="/p">Privacy</a> <a href="/b">Terms</a>'
+    '</footer></body></html>'
+)
+
+
+def _one(spark, html):
+    return spark.range(1).select(F.lit(html).alias("h"))
+
+
+class TestHtmlExtraction:
+    def test_script_style_comment_removed(self, spark):
+        row = _one(spark, PAGE).select(
+            main_text(F.col("h")).alias("mt")).head()
+        assert "color: red" not in row.mt
+        assert "track" not in row.mt
+        assert "build 7" not in row.mt
+        # the '<' inside the script body must not break tag stripping
+        assert "var x" not in row.mt
+
+    def test_link_density_drops_nav_and_footer(self, spark):
+        row = _one(spark, PAGE).select(
+            main_text(F.col("h")).alias("mt"),
+            block_stats(F.col("h")).alias("st")).head()
+        assert "Home" not in row.mt and "Privacy" not in row.mt
+        assert row.mt.split("\n") == [
+            "src3 report seven",
+            "alpha beta gamma delta words here now",
+            "second paragraph of body text",
+        ]
+        st = row.st.asDict()
+        assert st["n_blocks"] == st["kept_blocks"] \
+            + st["dropped_link"] + st["dropped_short"]
+        assert st["kept_blocks"] == 3
+        assert st["dropped_link"] >= 2  # nav + footer at least
+
+    def test_entity_decode_order(self, spark):
+        # literal "&amp;lt;" must render as "&lt;" text, not "<"
+        row = _one(
+            spark, "<p>x &amp;lt; y &amp; z &#39;q&#39; done here</p>"
+        ).select(main_text(F.col("h"), min_chars=1).alias("mt")).head()
+        assert row.mt == "x &lt; y & z 'q' done here"
+
+    def test_empty_and_tagless_input(self, spark):
+        rows = spark.createDataFrame(
+            [Row(h=""), Row(h="plain text no markup at all")]
+        ).select(F.size(block_structs(F.col("h"))).alias("n"),
+                 main_text(F.col("h")).alias("mt")).collect()
+        assert rows[0].n == 0 and rows[0].mt == ""
+        assert rows[1].n == 1
+        assert rows[1].mt == "plain text no markup at all"
+
+
+class TestUrlCanonical:
+    def _canon(self, spark, url):
+        return spark.range(1).select(
+            canonical_url(F.lit(url)).alias("c")).head().c
+
+    def test_case_port_www_tracking(self, spark):
+        assert self._canon(
+            spark,
+            "HTTP://WWW.Ex.COM:80/a//b/?utm_source=x&b=2&a=1#frag"
+        ) == "http://ex.com/a/b?a=1&b=2"
+
+    def test_default_port_https_only_443(self, spark):
+        assert self._canon(spark, "https://ex.com:443/p") == \
+            "https://ex.com/p"
+        assert self._canon(spark, "https://ex.com:80/p") == \
+            "https://ex.com:80/p"  # non-default port kept
+
+    def test_root_and_empty_path(self, spark):
+        assert self._canon(spark, "https://ex.com") == "https://ex.com/"
+        assert self._canon(spark, "https://ex.com/") == "https://ex.com/"
+
+    def test_all_params_tracking(self, spark):
+        assert self._canon(
+            spark, "https://ex.com/p?utm_a=1&fbclid=2&gclid=3"
+        ) == "https://ex.com/p"
+
+    def test_registered_domain_psl_lite(self, spark):
+        rows = spark.createDataFrame(
+            [Row(h="news.bbc.co.uk"), Row(h="a.b.example.com"),
+             Row(h="example.org"), Row(h="localhost")]
+        ).select(registered_domain(F.col("h")).alias("d")).collect()
+        assert [r.d for r in rows] == [
+            "bbc.co.uk", "example.com", "example.org", "localhost"]
+
+    def test_url_host_strips_port_and_www(self, spark):
+        assert spark.range(1).select(
+            url_host(F.lit("https://WWW.Ex.COM:8443/x")).alias("h")
+        ).head().h == "ex.com"
+
+
+class TestWarc:
+    def _blob(self, spark, bodies):
+        df = spark.createDataFrame(
+            [Row(i=i, uri=f"http://ex{i}.com/p", body=b)
+             for i, b in enumerate(bodies)])
+        recs = df.select(
+            F.struct("i", render_warc_record(
+                F.col("uri"), F.col("body")).alias("r")).alias("s"))
+        return recs.agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")),
+            lambda s: s["r"])).alias("blob"))
+
+    def test_parse_fields_and_length(self, spark):
+        blob = self._blob(spark, ["<p>one body</p>", "<p>two</p>"])
+        out = parse_warc_records(blob, "blob").orderBy("rec_idx") \
+            .collect()
+        assert [r.target_uri for r in out] == [
+            "http://ex0.com/p", "http://ex1.com/p"]
+        assert all(r.warc_type == "response" for r in out)
+        assert all(r.http_status == "200" for r in out)
+        assert all(r.length_ok for r in out)
+        assert out[0].body == "<p>one body</p>"
+
+    def test_truncated_record_flagged(self, spark):
+        blob = self._blob(spark, ["<p>full body text</p>"])
+        cut = blob.select(
+            F.expr("substring(blob, 1, length(blob) - 12)").alias("blob"))
+        out = parse_warc_records(cut, "blob").collect()
+        assert len(out) == 1 and not out[0].length_ok
+
+    def test_read_warc_lineSep_scale_path(self, spark, tmp_path):
+        blob = self._blob(
+            spark, [f"<p>body number {i} here</p>" for i in range(7)]
+        ).head().blob
+        p = tmp_path / "crawl.warc"
+        p.write_text(blob)
+        out = read_warc(spark, str(p)).orderBy("target_uri").collect()
+        assert len(out) == 7
+        assert all(r.length_ok and r.http_status == "200" for r in out)
+        assert out[3].body == "<p>body number 3 here</p>"
+
+    def test_warc_roundtrip_html_extraction(self, spark):
+        blob = self._blob(spark, [PAGE])
+        parsed = parse_warc_records(blob, "blob")
+        row = parsed.select(
+            main_text(F.col("body")).alias("mt")).head()
+        assert "alpha beta gamma delta words here now" in row.mt
+        assert "Privacy" not in row.mt
