@@ -134,6 +134,14 @@ PROBES = [
     # perplexity -> UniMax) — growth should track the SUM of its
     # already-probed parts, nothing superlinear on top
     ("curation_composite_weights", ["documents"]),
+    # r8 web front end: extraction is a narrow per-row projection
+    # (growth should track the corpus scan); warc adds the fixture's
+    # file-grain groupBy + record explode; url/domain are one
+    # canonicalize projection + one aggregation each
+    ("html_main_text_stats", ["documents"]),
+    ("warc_html_pipeline", ["documents"]),
+    ("url_canonical_dups", ["documents"]),
+    ("domain_curation_stats", ["documents"]),
 ]
 
 EMB_COPIES = 4
