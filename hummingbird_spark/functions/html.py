@@ -205,6 +205,52 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Link extraction + reference resolution (RFC 3986 subset)
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r'(?is)<a\b[^>]*href="([^"]*)"'
+_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def extract_hrefs(html: Column) -> Column:
+    """Raw href values of every double-quoted anchor, in document
+    order."""
+    return F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+
+
+def url_origin(url: Column) -> Column:
+    """scheme://host[:port], lowercased — the resolution base for
+    root-relative references."""
+    return F.concat(url_scheme(url), F.lit("://"),
+                    F.lower(F.regexp_extract(url, _AUTH_RE, 1)))
+
+
+def resolve_href(href: Column, base: Column) -> Column:
+    """Resolve one reference against a base URL. Supported subset
+    (documented contract, same in the SQL oracles): absolute,
+    protocol-relative (//host/...), root-relative (/path), and plain
+    relative (resolved against the base's directory; no ./.. dot-
+    segment folding — crawl fixtures and most real hrefs don't use
+    them, and the subset keeps the expression engine-portable)."""
+    bdir = F.regexp_replace(
+        F.regexp_extract(base, _PATH_RE, 1), r"/[^/]*$", "")
+    return (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("//"),
+              F.concat(url_scheme(base), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(url_origin(base), href))
+        .otherwise(F.concat(url_origin(base), bdir, F.lit("/"), href))
+    )
+
+
+def extract_links(html: Column, base: Column) -> Column:
+    """All anchor targets of a page as resolved absolute URLs (array,
+    document order) — feed through canonical_url() for identity."""
+    return F.transform(extract_hrefs(html),
+                       lambda h: resolve_href(h, base))
+
+
 # Minimal public-suffix subset: second-level registries where the
 # registered domain spans three labels (news.bbc.co.uk -> bbc.co.uk).
 # A production table swaps in the full PSL; the expression shape is

@@ -1505,7 +1505,8 @@ _VERIFY_FIRST = [
     "audio_near_dups", "audio_aligned_dups",
     # new this round (web-crawl ingestion front end) — never recorded
     "html_main_text_stats", "warc_extract_stats", "url_canonical_dups",
-    "domain_curation_stats", "warc_html_pipeline",
+    "domain_curation_stats", "warc_html_pipeline", "page_out_links",
+    "web_link_pagerank",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

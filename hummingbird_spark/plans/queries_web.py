@@ -38,6 +38,11 @@ from hummingbird_spark.functions.html import (
     url_host,
 )
 from hummingbird_spark.functions.text import tokens
+from hummingbird_spark.plans.queries_r7 import (
+    _PR_DAMP,
+    _PR_ROUNDS,
+    _PR_SCALE,
+)
 from hummingbird_spark.sources.tables import load_table
 from hummingbird_spark.sources.warc import (
     CRLF,
@@ -410,10 +415,11 @@ CASE WHEN doc_id % 5 = 0 THEN '#s1' ELSE '' END
 _TRACK_PRED = " OR ".join(
     "starts_with(kv, '%s')" % t for t in TRACKING_PARAMS)
 
-# Canonicalization replica over the `urls(doc_id, source, url)` CTE.
-_CANON_SQL = """
-canon AS (
-  SELECT doc_id, source, host0 AS host,
+def _canon_select(src: str, keys: str) -> str:
+    """Canonicalization replica as a SELECT over `src`, which must
+    expose `url` plus the pass-through `keys` columns."""
+    return """
+  SELECT """ + keys + """, host0 AS host,
     scheme || '://' || host0 ||
     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
               OR (scheme = 'https' AND port = '443') THEN ''
@@ -421,7 +427,7 @@ canon AS (
     CASE WHEN path2 = '' THEN '/' ELSE path2 END ||
     CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
   FROM (
-    SELECT doc_id, source, scheme,
+    SELECT """ + keys + """, scheme,
       regexp_replace(regexp_replace(auth, ':[0-9]*$', ''),
                      '^www\\.', '') AS host0,
       coalesce(regexp_extract(auth, ':([0-9]+)$', 1), '') AS port,
@@ -433,7 +439,7 @@ canon AS (
         kv -> length(kv) > 0 AND NOT (""" + _TRACK_PRED + """))),
         '&'), '') AS q2
     FROM (
-      SELECT doc_id, source,
+      SELECT """ + keys + """,
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
         lower(regexp_extract(url,
@@ -442,8 +448,11 @@ canon AS (
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
             AS path1,
         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q1
-      FROM urls)))
+      FROM """ + src + """))
 """
+
+
+_CANON_SQL = "canon AS (" + _canon_select("urls", "doc_id, source") + ")"
 
 
 def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,7 +602,269 @@ ORDER BY source
 """)
 
 
+# ---------------------------------------------------------------------------
+# Q6/Q7: anchor-link extraction + the REAL web link graph
+# ---------------------------------------------------------------------------
+# Link-page fixture: a deterministic 7-host web over the documents
+# table. Each page links out five ways — absolute (with tracking
+# noise), root-relative, plain relative, an external tracker, and a
+# protocol-relative CDN asset — so resolution + canonicalization is
+# exercised on every supported reference form, and only links whose
+# canonical form equals a real page's canonical URL become graph
+# edges (root/plain-relative hrefs resolve on the SOURCE's host, so
+# they dangle unless the target lives on the same host — exactly how
+# mis-rooted hrefs behave on the real web).
+
+_LINK_SEGS: tuple[tuple[str, str], ...] = (
+    ("lit", '<html><body><h1>Page '), ("id", ""),
+    ("lit", '</h1><p>page text '), ("id", ""),
+    ("lit", '</p><a href="'), ("abs", ""),
+    ("lit", '">n</a><a href="'), ("root", ""),
+    ("lit", '">r</a><a href="'), ("rel", ""),
+    ("lit", '">p</a><a href="'), ("ext", ""),
+    ("lit", '">x</a><a href="'), ("proto", ""),
+    ("lit", '">c</a></body></html>'),
+)
+
+
+def _with_link_page(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, base, html) over the 7-host fixture web.
+    Needs the corpus size for the modular targets — one cheap count
+    (the SQL twin uses a scalar subquery)."""
+    n = docs.count()
+    d = F.col("doc_id")
+    t1, t2, t3 = (d + 1) % n, (3 * d + 7) % n, (7 * d + 3) % n
+    exprs = {
+        "id": d.cast("string"),
+        "abs": F.concat(F.lit("https://site"), (t1 % 7).cast("string"),
+                        F.lit(".example/p/"), t1.cast("string"),
+                        F.lit("?utm_source=feed")),
+        "root": F.concat(F.lit("/p/"), t2.cast("string")),
+        "rel": t3.cast("string"),
+        "ext": F.concat(F.lit("https://ads.example/track?id="),
+                        d.cast("string")),
+        "proto": F.concat(F.lit("//cdn.site"), (d % 7).cast("string"),
+                          F.lit(".example/a/"), d.cast("string")),
+    }
+    base = F.concat(F.lit("https://site"), (d % 7).cast("string"),
+                    F.lit(".example/p/"), d.cast("string"))
+    parts = [F.lit(t) if k == "lit" else exprs[k]
+             for k, t in _LINK_SEGS]
+    return docs.select("doc_id", base.alias("base"),
+                       F.concat(*parts).alias("html"))
+
+
+def _link_page_sql() -> str:
+    """The identical fixture in SQL: lpg(doc_id, base, html)."""
+    exprs = {
+        "id": "CAST(doc_id AS VARCHAR)",
+        "abs": ("'https://site' || CAST(t1 % 7 AS VARCHAR) ||"
+                " '.example/p/' || CAST(t1 AS VARCHAR) ||"
+                " '?utm_source=feed'"),
+        "root": "'/p/' || CAST(t2 AS VARCHAR)",
+        "rel": "CAST(t3 AS VARCHAR)",
+        "ext": "'https://ads.example/track?id=' ||"
+               " CAST(doc_id AS VARCHAR)",
+        "proto": ("'//cdn.site' || CAST(doc_id % 7 AS VARCHAR) ||"
+                  " '.example/a/' || CAST(doc_id AS VARCHAR)"),
+    }
+    html = " || ".join("'" + _sq(t) + "'" if k == "lit" else exprs[k]
+                       for k, t in _LINK_SEGS)
+    return (
+        "npg AS (SELECT COUNT(*) AS n FROM documents), "
+        "lt AS (SELECT doc_id, (doc_id + 1) % n AS t1,"
+        " (3 * doc_id + 7) % n AS t2, (7 * doc_id + 3) % n AS t3"
+        " FROM documents, npg), "
+        "lpg AS (SELECT doc_id,"
+        " 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||"
+        " '.example/p/' || CAST(doc_id AS VARCHAR) AS base, "
+        + html + " AS html FROM lt)"
+    )
+
+
+_HREF_SQL = r"""regexp_extract_all(html, '(?is)<a\b[^>]*href="([^"]*)"', 1)"""
+
+# resolution CASE over the lpg row's base-derived columns
+_RESOLVE_SQL = """
+rsv AS (
+  SELECT doc_id, base,
+    list_transform(hrefs, h -> CASE
+      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
+      WHEN h LIKE '//%' THEN scheme || ':' || h
+      WHEN h LIKE '/%' THEN origin || h
+      ELSE origin || bdir || '/' || h END) AS links,
+    hrefs
+  FROM (
+    SELECT doc_id, base, """ + _HREF_SQL + """ AS hrefs,
+      lower(regexp_extract(base,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      lower(regexp_extract(base,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+      lower(regexp_extract(base,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS origin,
+      regexp_replace(coalesce(regexp_extract(base,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''),
+          '/[^/]*$', '') AS bdir
+    FROM lpg))
+"""
+
+# host -> registered domain, PSL-lite (same logic as the domain query)
+_REGDOM_CASE = """
+    CASE WHEN len(labels) >= 3 AND
+              list_contains(""" + _SLS_SQL + """, labels[-2])
+         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         WHEN len(labels) >= 2
+         THEN labels[-2] || '.' || labels[-1]
+         ELSE host END
+"""
+
+
+def q_page_out_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page out-link audit: reference-form and internal/external
+    split after resolution — zero-shuffle array projection."""
+    from hummingbird_spark.functions.html import (
+        extract_hrefs,
+        extract_links,
+    )
+
+    pages = _with_link_page(load_table(spark, sf_dir, "documents"))
+    base_dom = registered_domain(url_host(F.col("base")))
+    links = extract_links(F.col("html"), F.col("base"))
+
+    def _dom(u):
+        return registered_domain(url_host(u))
+
+    return pages.select(
+        "doc_id",
+        F.size(links).alias("n_links"),
+        F.size(F.filter(extract_hrefs(F.col("html")),
+                        lambda h: h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+               ).alias("n_abs"),
+        F.size(F.filter(links, lambda u: _dom(u) == base_dom))
+        .alias("n_internal"),
+        F.size(F.filter(links, lambda u: _dom(u) != base_dom))
+        .alias("n_external"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PAGE_OUT_LINKS = (
+    "WITH " + _link_page_sql() + ", " + _RESOLVE_SQL + """,
+lrow AS (
+  SELECT doc_id, bdom, unnest(links) AS url
+  FROM (SELECT doc_id, links, """ + _REGDOM_CASE + """ AS bdom
+        FROM (SELECT doc_id, links, string_split(
+                regexp_replace(regexp_replace(lower(regexp_extract(
+                  base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  ':[0-9]*$', ''), '^www\\.', ''), '.') AS labels,
+                regexp_replace(regexp_replace(lower(regexp_extract(
+                  base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  ':[0-9]*$', ''), '^www\\.', '') AS host
+              FROM rsv))),
+ldom AS (
+  SELECT doc_id, bdom, """ + _REGDOM_CASE + """ AS ldm
+  FROM (SELECT doc_id, bdom, string_split(host, '.') AS labels, host
+        FROM (SELECT doc_id, bdom,
+                regexp_replace(regexp_replace(lower(regexp_extract(
+                  url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  ':[0-9]*$', ''), '^www\\.', '') AS host
+              FROM lrow)))
+SELECT r.doc_id,
+  len(r.links) AS n_links,
+  len(list_filter(r.hrefs, h ->
+      regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://'))) AS n_abs,
+  CAST(SUM(CASE WHEN d.ldm = d.bdom THEN 1 ELSE 0 END) AS INT)
+      AS n_internal,
+  CAST(SUM(CASE WHEN d.ldm = d.bdom THEN 0 ELSE 1 END) AS INT)
+      AS n_external
+FROM rsv r JOIN ldom d ON r.doc_id = d.doc_id
+GROUP BY r.doc_id, r.links, r.hrefs
+ORDER BY r.doc_id
+""")
+
+
+def q_web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real thing the rare-trigram graph proxies: PageRank over
+    edges extracted from anchor tags — resolve + canonicalize every
+    href, join against the pages' own canonical URLs (dangling links
+    drop), symmetrize, then the exact scaled-integer trajectory."""
+    from hummingbird_spark.functions.html import extract_links
+    from hummingbird_spark.operators.graph import pagerank_scaled
+
+    pages = _with_link_page(load_table(spark, sf_dir, "documents"))
+    links = pages.select(
+        "doc_id",
+        F.explode(extract_links(F.col("html"), F.col("base")))
+        .alias("url"),
+    ).select("doc_id", canonical_url(F.col("url")).alias("curl"))
+    targets = pages.select(
+        canonical_url(F.col("base")).alias("curl"),
+        F.col("doc_id").alias("tgt"))
+    edges = (
+        links.join(targets, "curl")
+        .filter(F.col("doc_id") != F.col("tgt"))
+        .select(F.least("doc_id", "tgt").alias("a"),
+                F.greatest("doc_id", "tgt").alias("b"))
+        .distinct()
+    )
+    pr = pagerank_scaled(edges, rounds=_PR_ROUNDS,
+                         damping_pct=_PR_DAMP, scale=_PR_SCALE)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        "rank_scaled",
+    ).orderBy("doc_id")
+
+
+def _web_pagerank_oracle() -> str:
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    ctes = [
+        _link_page_sql(), _RESOLVE_SQL.strip().rstrip(),
+        ("lurl AS (SELECT doc_id, unnest(links) AS url FROM rsv)"),
+        "lcanon AS (" + _canon_select("lurl", "doc_id") + ")",
+        ("turl AS (SELECT doc_id AS tgt, base AS url FROM lpg)"),
+        "tcanon AS (" + _canon_select("turl", "tgt") + ")",
+        ("e AS (SELECT DISTINCT least(l.doc_id, t.tgt) AS a,"
+         " greatest(l.doc_id, t.tgt) AS b"
+         " FROM lcanon l JOIN tcanon t"
+         " ON l.canonical_url = t.canonical_url"
+         " WHERE l.doc_id <> t.tgt)"),
+        ("sym AS (SELECT a AS src, b AS dst FROM e"
+         " UNION ALL SELECT b AS src, a AS dst FROM e)"),
+        ("deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym"
+         " GROUP BY src)"),
+        (f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r"
+         f" FROM deg)"),
+    ]
+    for t in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{t} AS (\n"
+            f"  SELECT s.dst AS node,\n"
+            f"    CAST({base} + SUM(({_PR_DAMP} * r.r) // (100 * d.deg))"
+            f" AS BIGINT) AS r\n"
+            f"  FROM sym s JOIN r{t-1} r ON s.src = r.node\n"
+            f"  JOIN deg d ON s.src = d.node\n"
+            f"  GROUP BY s.dst)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT r.node AS doc_id, d.deg AS degree, r.r AS rank_scaled
+FROM r{_PR_ROUNDS} r JOIN deg d ON r.node = d.node
+ORDER BY doc_id
+""")
+
+
+ORACLE_WEB_LINK_PAGERANK = _web_pagerank_oracle()
+
+
 WEB_QUERIES: dict[str, tuple] = {
+    "page_out_links": (
+        q_page_out_links, ORACLE_PAGE_OUT_LINKS,
+        "anchor extraction + RFC 3986-subset resolution: per-page "
+        "reference-form and internal/external audit, zero-shuffle"),
+    "web_link_pagerank": (
+        q_web_link_pagerank, ORACLE_WEB_LINK_PAGERANK,
+        "PageRank over the REAL extracted link graph (resolve + "
+        "canonicalize hrefs, join to pages' canonical URLs, exact "
+        "scaled-integer rounds)"),
     "html_main_text_stats": (
         q_html_main_text_stats, ORACLE_HTML_MAIN_TEXT,
         "HTML -> main-text extraction audit: block segmentation + "

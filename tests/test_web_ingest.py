@@ -176,3 +176,43 @@ class TestWarc:
             main_text(F.col("body")).alias("mt")).head()
         assert "alpha beta gamma delta words here now" in row.mt
         assert "Privacy" not in row.mt
+
+
+class TestLinkExtraction:
+    def test_resolution_forms(self, spark):
+        from hummingbird_spark.functions.html import extract_links
+
+        html = ('<a href="https://other.example/abs">a</a>'
+                '<a href="//cdn.example/pr">b</a>'
+                '<a href="/root/x">c</a>'
+                '<a href="rel/y">d</a>')
+        row = spark.range(1).select(
+            extract_links(F.lit(html),
+                          F.lit("https://Site.Example:8080/dir/page"))
+            .alias("ls")).head()
+        assert row.ls == [
+            "https://other.example/abs",
+            "https://cdn.example/pr",
+            "https://site.example:8080/root/x",
+            "https://site.example:8080/dir/rel/y",
+        ]
+
+    def test_no_anchors_and_single_quoted_skipped(self, spark):
+        from hummingbird_spark.functions.html import extract_hrefs
+
+        rows = spark.createDataFrame(
+            [Row(h="<p>no links</p>"),
+             Row(h="<a href='single.html'>s</a>"
+                   '<a href="double.html">d</a>')]
+        ).select(extract_hrefs(F.col("h")).alias("hs")).collect()
+        assert rows[0].hs == []
+        # documented contract: double-quoted hrefs only
+        assert rows[1].hs == ["double.html"]
+
+    def test_base_without_path(self, spark):
+        from hummingbird_spark.functions.html import extract_links
+
+        row = spark.range(1).select(
+            extract_links(F.lit('<a href="p">x</a>'),
+                          F.lit("https://ex.com")).alias("ls")).head()
+        assert row.ls == ["https://ex.com/p"]
