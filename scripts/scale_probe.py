@@ -142,6 +142,11 @@ PROBES = [
     ("warc_html_pipeline", ["documents"]),
     ("url_canonical_dups", ["documents"]),
     ("domain_curation_stats", ["documents"]),
+    # anchor-extracted link graph: edge list tracks pages (5 links
+    # per page, ring + same-host extras), so PR rounds should grow
+    # with the corpus like link_pagerank does with its edge list
+    ("page_out_links", ["documents"]),
+    ("web_link_pagerank", ["documents"]),
 ]
 
 EMB_COPIES = 4
