@@ -31,9 +31,10 @@ from hummingbird_spark.functions.html import (
     ENTITIES,
     TRACKING_PARAMS,
     SECOND_LEVEL_SUFFIXES,
-    block_stats,
+    block_stats_from,
+    block_structs,
     canonical_url,
-    main_text,
+    main_text_from,
     registered_domain,
     url_host,
 )
@@ -198,10 +199,15 @@ def q_html_main_text_stats(spark: SparkSession,
     """Synthetic page per doc -> block segmentation -> link-density
     main-content filter -> per-doc audit counters + extracted head."""
     pages = _with_page(load_table(spark, sf_dir, "documents"))
-    st = block_stats(F.col("page"), MIN_BLOCK_CHARS, MAX_LINK_DENSITY)
-    mt = main_text(F.col("page"), MIN_BLOCK_CHARS, MAX_LINK_DENSITY)
+    # bind the block array ONCE (functions/html.py binding contract)
+    bound = pages.select(
+        "doc_id", block_structs(F.col("page")).alias("__b"))
+    st = block_stats_from(F.col("__b"), MIN_BLOCK_CHARS,
+                          MAX_LINK_DENSITY)
+    mt = main_text_from(F.col("__b"), MIN_BLOCK_CHARS,
+                        MAX_LINK_DENSITY)
     return (
-        pages.select("doc_id", st.alias("st"), mt.alias("mt"))
+        bound.select("doc_id", st.alias("st"), mt.alias("mt"))
         .select(
             "doc_id",
             F.col("st.n_blocks").alias("n_blocks"),
@@ -562,12 +568,14 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages.select(F.col("doc_id").alias("did"), "source"))
     ext = (
         parsed.join(src, "did")
+        .select("source", block_structs(F.col("body")).alias("__b"))
         .select(
             "source",
-            block_stats(F.col("body"), MIN_BLOCK_CHARS,
-                        MAX_LINK_DENSITY).alias("st"),
-            F.length(main_text(F.col("body"), MIN_BLOCK_CHARS,
-                               MAX_LINK_DENSITY)).alias("main_chars"),
+            block_stats_from(F.col("__b"), MIN_BLOCK_CHARS,
+                             MAX_LINK_DENSITY).alias("st"),
+            F.length(main_text_from(F.col("__b"), MIN_BLOCK_CHARS,
+                                    MAX_LINK_DENSITY))
+            .alias("main_chars"),
         )
     )
     return (

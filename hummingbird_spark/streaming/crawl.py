@@ -30,9 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hummingbird_spark.functions.html import (
-    block_stats,
+    block_stats_from,
+    block_structs,
     canonical_url,
-    main_text,
+    main_text_from,
     registered_domain,
     url_host,
 )
@@ -73,11 +74,15 @@ def crawl_ingest_batch_against_store(
                 F.col("w.url").alias("url"),
                 F.col("w.html").alias("html"))
     )
-    st = block_stats(F.col("html"), min_block_chars, max_link_density)
-    curated = fresh.select(
+    bound = fresh.select(
         "url", "canonical_url", "domain",
-        main_text(F.col("html"), min_block_chars,
-                  max_link_density).alias("text"),
+        block_structs(F.col("html")).alias("__b"))
+    st = block_stats_from(F.col("__b"), min_block_chars,
+                          max_link_density)
+    curated = bound.select(
+        "url", "canonical_url", "domain",
+        main_text_from(F.col("__b"), min_block_chars,
+                       max_link_density).alias("text"),
         st["kept_blocks"].alias("kept_blocks"),
         st["dropped_link"].alias("dropped_link"),
     ).withColumn("n_chars", F.length("text"))
