@@ -1,0 +1,126 @@
+"""robots.txt politeness (RFC 9309 subset): group parsing, agent
+selection, longest-prefix-match verdicts. The crawl-policy component
+between URL canonicalization and fetching — no reference analogue
+(the reference ingests live collections; SURVEY §2.1).
+
+Subset, documented: literal path prefixes (no * / $ wildcards),
+exact-token agent match with '*' fallback, Allow/Disallow longest
+match with Allow winning ties (the Googlebot rule), Crawl-delay
+surfaced per group. All DataFrame ops — the per-host line state
+machine (a User-agent line opens a new group unless the previous line
+was also User-agent) is a lag + running-sum window over line numbers,
+partitioned by host: robots files are capped at 500 KiB by the RFC,
+so a host's partition is bounded by construction and the window can
+never see scale skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_rules(robots: DataFrame, agent: str,
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> one row per effective rule for `agent`:
+    (host, kind, path, crawl_delay). Group selection: the first group
+    naming the agent (lowercased exact token), else the first '*'
+    group, else no rows (everything allowed)."""
+    w = Window.partitionBy(host_col).orderBy("pos")
+    lines = (
+        robots.select(
+            host_col,
+            F.posexplode(F.split(F.col(txt_col), "\n"))
+            .alias("pos", "raw"))
+        .select(
+            host_col, "pos",
+            F.trim(F.regexp_replace("raw", "#.*$", "")).alias("ln"))
+        .filter(F.length("ln") > 0)
+        .select(
+            host_col, "pos",
+            F.lower(F.regexp_extract("ln", r"^([A-Za-z-]+)\s*:", 1))
+            .alias("kind"),
+            F.trim(F.regexp_extract("ln", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+            .alias("val"))
+        .filter(F.col("kind").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"))
+    )
+    ua = F.col("kind") == "user-agent"
+    flagged = lines.select(
+        host_col, "pos", "kind", "val",
+        (ua & ~F.coalesce(F.lag(ua).over(w), F.lit(False)))
+        .cast("int").alias("__ng"),
+    )
+    grouped = flagged.select(
+        host_col, "pos", "kind", "val",
+        F.sum("__ng").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    agents = (
+        grouped.filter(ua)
+        .groupBy(host_col, "gid")
+        .agg(F.collect_set(F.lower("val")).alias("agents"))
+    )
+    chosen = (
+        agents.groupBy(host_col)
+        .agg(
+            F.min(F.when(F.array_contains("agents", agent.lower()),
+                         F.col("gid"))).alias("g_exact"),
+            F.min(F.when(F.array_contains("agents", "*"),
+                         F.col("gid"))).alias("g_star"),
+        )
+        .select(host_col,
+                F.coalesce("g_exact", "g_star").alias("gid"))
+        .filter(F.col("gid").isNotNull())
+    )
+    rules = grouped.filter(~ua).join(chosen, [host_col, "gid"])
+    delay = (
+        rules.filter(F.col("kind") == "crawl-delay")
+        .groupBy(host_col)
+        .agg(F.min(F.col("val").cast("int")).alias("crawl_delay"))
+    )
+    return (
+        rules.filter(F.col("kind").isin("allow", "disallow"))
+        .filter(F.length("val") > 0)  # empty Disallow: allow-all no-op
+        .select(host_col, "kind", F.col("val").alias("path"))
+        .join(delay, host_col, "left")
+    )
+
+
+def robots_verdicts(urls: DataFrame, rules: DataFrame,
+                    url_col: str = "url",
+                    host_col: str = "host") -> DataFrame:
+    """Per URL: allowed (1/0), the matched rule path ('' if none) and
+    the host's crawl_delay. Longest matching prefix wins; Allow wins
+    equal-length ties. URLs on hosts without rules pass through
+    allowed (the left join)."""
+    from hummingbird_spark.functions.html import url_host, url_path
+
+    u = urls.select(
+        "*",
+        url_host(F.col(url_col)).alias(host_col),
+        url_path(F.col(url_col)).alias("__path"))
+    matches = (
+        u.select(url_col, host_col, "__path")
+        .join(rules.select(host_col, "kind", "path"), host_col)
+        .filter(F.col("__path").startswith(F.col("path")))
+        .groupBy(url_col)
+        .agg(F.max(F.struct(
+            F.length("path").alias("l"),
+            (F.col("kind") == "allow").cast("int").alias("a"),
+            F.col("path").alias("p"))).alias("best"))
+    )
+    delays = rules.groupBy(host_col).agg(
+        F.min("crawl_delay").alias("__delay"))
+    return (
+        u.join(matches, url_col, "left")
+        .join(delays, host_col, "left")
+        .select(
+            url_col, host_col,
+            F.when(F.col("best").isNull(), F.lit(1))
+            .otherwise(F.col("best.a")).alias("allowed"),
+            F.coalesce(F.col("best.p"), F.lit("")).alias("matched_rule"),
+            F.coalesce("__delay", F.lit(0)).alias("crawl_delay"),
+        )
+    )

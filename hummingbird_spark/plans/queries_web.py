@@ -863,7 +863,156 @@ ORDER BY doc_id
 ORACLE_WEB_LINK_PAGERANK = _web_pagerank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Q8: robots.txt politeness verdicts (RFC 9309 subset)
+# ---------------------------------------------------------------------------
+# Per-host robots fixture over the 7-host link web: even hosts carry a
+# trainingbot-specific group (prefix Disallow /p/1 overridden by the
+# longer Allow /p/12 — the longest-match/Allow-ties semantics under
+# test) plus a '*' group that must NOT apply; odd hosts have only a
+# '*' group, exercising the fallback. Blank lines, comments, and the
+# group state machine (UA lines open groups) all replay in SQL.
+
+ROBOTS_AGENT = "trainingbot"
+
+
+def _with_robots(docs: DataFrame) -> DataFrame:
+    hosts = docs.select((F.col("doc_id") % 7).alias("h")).distinct()
+    h = F.col("h").cast("string")
+    even = F.concat(
+        F.lit("# robots for site"), h, F.lit("\n"),
+        F.lit("User-agent: trainingbot\n"),
+        F.lit("Disallow: /p/1\n"),
+        F.lit("Allow: /p/12\n"),
+        F.lit("Crawl-delay: "), h, F.lit("\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/"), h)
+    odd = F.concat(
+        F.lit("# robots for site"), h, F.lit("\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/"), h, F.lit("\n"),
+        F.lit("Disallow: /x/"))
+    return hosts.select(
+        F.concat(F.lit("site"), h, F.lit(".example")).alias("host"),
+        F.when(F.col("h") % 2 == 0, even).otherwise(odd)
+        .alias("robots_txt"))
+
+
+def q_robots_crawl_verdicts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """robots.txt parse -> agent group selection -> longest-prefix
+    verdict per page URL of the 7-host fixture web."""
+    from hummingbird_spark.operators.robots import (
+        robots_rules,
+        robots_verdicts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = _with_link_page(docs).select(
+        "doc_id", F.col("base").alias("url"))
+    rules = robots_rules(_with_robots(docs), agent=ROBOTS_AGENT)
+    v = robots_verdicts(urls.select("url"), rules)
+    return (
+        urls.join(v, "url")
+        .select("doc_id", "host", "allowed", "matched_rule",
+                "crawl_delay")
+        .orderBy("doc_id")
+    )
+
+
+_ROBOTS_TXT_SQL = """
+CASE WHEN h % 2 = 0 THEN
+  '# robots for site' || CAST(h AS VARCHAR) || chr(10) ||
+  'User-agent: trainingbot' || chr(10) ||
+  'Disallow: /p/1' || chr(10) ||
+  'Allow: /p/12' || chr(10) ||
+  'Crawl-delay: ' || CAST(h AS VARCHAR) || chr(10) || chr(10) ||
+  'User-agent: *' || chr(10) ||
+  'Disallow: /p/' || CAST(h AS VARCHAR)
+ELSE
+  '# robots for site' || CAST(h AS VARCHAR) || chr(10) ||
+  'User-agent: *' || chr(10) ||
+  'Disallow: /p/' || CAST(h AS VARCHAR) || chr(10) ||
+  'Disallow: /x/'
+END
+"""
+
+ORACLE_ROBOTS_VERDICTS = (
+    "WITH " + _link_page_sql() + """,
+hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+rb AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+       """ + _ROBOTS_TXT_SQL + """ AS txt FROM hosts),
+lr AS (
+  SELECT host, i AS pos,
+    trim(regexp_replace(string_split(txt, chr(10))[i], '#.*$', ''))
+        AS ln
+  FROM rb, range(1, 33) r(i)
+  WHERE i <= len(string_split(txt, chr(10)))),
+pl AS (
+  SELECT host, pos,
+    lower(coalesce(regexp_extract(ln, '^([A-Za-z-]+)\\s*:', 1), ''))
+        AS kind,
+    trim(coalesce(regexp_extract(ln, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1),
+                  '')) AS val
+  FROM lr WHERE length(ln) > 0),
+fl AS (
+  SELECT *, CASE WHEN kind = 'user-agent' AND NOT coalesce(
+      lag(kind = 'user-agent') OVER
+        (PARTITION BY host ORDER BY pos), FALSE)
+    THEN 1 ELSE 0 END AS ng
+  FROM pl
+  WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+gr AS (
+  SELECT *, SUM(ng) OVER (PARTITION BY host ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM fl),
+ag AS (
+  SELECT host, gid, list(DISTINCT lower(val)) AS agents
+  FROM gr WHERE kind = 'user-agent' GROUP BY host, gid),
+ch AS (
+  SELECT host, coalesce(
+    MIN(CASE WHEN list_contains(agents, '""" + ROBOTS_AGENT + """')
+             THEN gid END),
+    MIN(CASE WHEN list_contains(agents, '*') THEN gid END)) AS gid
+  FROM ag GROUP BY host),
+ru AS (
+  SELECT g.host, g.kind, g.val AS path
+  FROM gr g JOIN ch ON g.host = ch.host AND g.gid = ch.gid
+  WHERE g.kind IN ('allow', 'disallow') AND length(g.val) > 0),
+dl AS (
+  SELECT g.host, MIN(CAST(g.val AS INT)) AS crawl_delay
+  FROM gr g JOIN ch ON g.host = ch.host AND g.gid = ch.gid
+  WHERE g.kind = 'crawl-delay' GROUP BY g.host),
+uu AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+    '/p/' || CAST(doc_id AS VARCHAR) AS path
+  FROM lpg),
+mt AS (
+  SELECT u.doc_id, max(struct_pack(
+      l := length(r.path),
+      a := CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END,
+      p := r.path)) AS best
+  FROM uu u JOIN ru r
+    ON u.host = r.host AND starts_with(u.path, r.path)
+  GROUP BY u.doc_id)
+SELECT u.doc_id, u.host,
+  CASE WHEN m.best IS NULL THEN 1 ELSE (m.best).a END AS allowed,
+  coalesce((m.best).p, '') AS matched_rule,
+  coalesce(d.crawl_delay, 0) AS crawl_delay
+FROM uu u
+LEFT JOIN mt m ON u.doc_id = m.doc_id
+LEFT JOIN dl d ON u.host = d.host
+ORDER BY u.doc_id
+""")
+
+
 WEB_QUERIES: dict[str, tuple] = {
+    "robots_crawl_verdicts": (
+        q_robots_crawl_verdicts, ORACLE_ROBOTS_VERDICTS,
+        "robots.txt politeness (RFC 9309 subset): group state machine, "
+        "agent selection with '*' fallback, longest-prefix verdicts "
+        "with Allow winning ties, crawl-delay surfacing"),
     "page_out_links": (
         q_page_out_links, ORACLE_PAGE_OUT_LINKS,
         "anchor extraction + RFC 3986-subset resolution: per-page "

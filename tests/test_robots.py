@@ -1,0 +1,88 @@
+"""robots.txt politeness (operators/robots.py): group state machine,
+agent selection, longest-prefix verdicts. The registry query's full
+SQL parity rides test_oracle_parity.py; these pin the RFC 9309-subset
+behaviors on crafted files."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hummingbird_spark.operators.robots import (
+    robots_rules,
+    robots_verdicts,
+)
+
+ROBOTS = """# sample file
+User-agent: trainingbot
+Disallow: /private/
+Allow: /private/ok/
+Crawl-delay: 3
+
+User-agent: *
+Disallow: /
+"""
+
+STAR_ONLY = """User-agent: a
+User-agent: b
+Disallow: /x/
+
+User-agent: *
+Disallow: /y/
+Disallow:
+"""
+
+
+def _rules(spark, txt, agent="trainingbot"):
+    df = spark.createDataFrame([Row(host="h.example", robots_txt=txt)])
+    return robots_rules(df, agent=agent)
+
+
+class TestRobotsRules:
+    def test_exact_group_beats_star(self, spark):
+        rows = _rules(spark, ROBOTS).collect()
+        assert {(r.kind, r.path) for r in rows} == {
+            ("disallow", "/private/"), ("allow", "/private/ok/")}
+        assert all(r.crawl_delay == 3 for r in rows)
+
+    def test_star_fallback_and_shared_ua_lines(self, spark):
+        # agent 'c' matches neither a nor b -> the '*' group; the
+        # empty Disallow is an allow-all no-op and must drop
+        rows = _rules(spark, STAR_ONLY, agent="c").collect()
+        assert {(r.kind, r.path) for r in rows} == {("disallow", "/y/")}
+
+    def test_shared_ua_group(self, spark):
+        # consecutive UA lines share one group
+        rows = _rules(spark, STAR_ONLY, agent="b").collect()
+        assert {(r.kind, r.path) for r in rows} == {("disallow", "/x/")}
+
+    def test_no_matching_group(self, spark):
+        df = spark.createDataFrame(
+            [Row(host="h.example",
+                 robots_txt="User-agent: other\nDisallow: /")])
+        assert robots_rules(df, agent="trainingbot").count() == 0
+
+
+class TestRobotsVerdicts:
+    def test_longest_match_and_allow_ties(self, spark):
+        rules = _rules(spark, ROBOTS)
+        urls = spark.createDataFrame([
+            Row(url="https://h.example/private/x"),
+            Row(url="https://h.example/private/ok/x"),
+            Row(url="https://h.example/public/x"),
+        ])
+        out = {r.url: r for r in
+               robots_verdicts(urls, rules).collect()}
+        assert out["https://h.example/private/x"].allowed == 0
+        assert out["https://h.example/private/ok/x"].allowed == 1
+        assert out["https://h.example/private/ok/x"].matched_rule == \
+            "/private/ok/"
+        assert out["https://h.example/public/x"].allowed == 1
+        assert all(r.crawl_delay == 3 for r in out.values())
+
+    def test_host_without_rules_passes(self, spark):
+        rules = _rules(spark, ROBOTS)
+        urls = spark.createDataFrame(
+            [Row(url="https://other.example/private/x")])
+        row = robots_verdicts(urls, rules).head()
+        assert row.allowed == 1 and row.crawl_delay == 0
