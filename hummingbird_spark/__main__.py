@@ -459,6 +459,10 @@ def main(argv: list[str] | None = None) -> int:
     crw.add_argument("store", help="canonical-URL store path")
     crw.add_argument("--block-domain", action="append", default=[],
                      help="registered domain to drop (repeatable)")
+    crw.add_argument("--robots", default=None,
+                     help="(host, robots_txt) parquet; disallowed "
+                          "URLs never land")
+    crw.add_argument("--robots-agent", default="trainingbot")
     lkg = sub.add_parser("link-graph")
     lkg.add_argument("src", help="stream input dir (JSON files of "
                                  "doc_id + text rows)")
@@ -955,7 +959,8 @@ def main(argv: list[str] | None = None) -> int:
         schema = spark.read.parquet(args.src).schema
         q = start_streaming_crawl_ingest(
             spark, args.src, args.out, args.store, schema,
-            blocked_domains=tuple(args.block_domain))
+            blocked_domains=tuple(args.block_domain),
+            robots_path=args.robots, robots_agent=args.robots_agent)
         if not q.awaitTermination(600):
             q.stop()
             print("crawl: availableNow drain exceeded 600s; "

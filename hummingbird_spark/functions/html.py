@@ -242,6 +242,42 @@ def canonical_url(url: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Head metadata (title / lang / description / canonical hint)
+# ---------------------------------------------------------------------------
+
+def page_title(html: Column) -> Column:
+    """<title> text, entity-decoded and whitespace-normalized; '' when
+    absent."""
+    return block_text(
+        F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1))
+
+
+def html_lang(html: Column) -> Column:
+    """The <html lang="..."> attribute; '' when absent."""
+    return F.regexp_extract(html, r'(?is)<html\b[^>]*\blang="([^"]*)"',
+                            1)
+
+
+def meta_description(html: Column) -> Column:
+    """content of <meta name="description" ...>; '' when absent."""
+    return F.regexp_extract(
+        html,
+        r'(?is)<meta\s+name="description"\s+content="([^"]*)"', 1)
+
+
+def canonical_link_href(html: Column) -> Column:
+    """href of <link rel="canonical" ...> — the page's self-declared
+    dedup key; '' when absent."""
+    return F.regexp_extract(
+        html, r'(?is)<link\s+rel="canonical"\s+href="([^"]*)"', 1)
+
+
+def h1_count(html: Column) -> Column:
+    return F.size(F.regexp_extract_all(html, F.lit(r"(?i)<h1\b"),
+                                       F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
 # Link extraction + reference resolution (RFC 3986 subset)
 # ---------------------------------------------------------------------------
 

@@ -1506,7 +1506,7 @@ _VERIFY_FIRST = [
     # new this round (web-crawl ingestion front end) — never recorded
     "html_main_text_stats", "warc_extract_stats", "url_canonical_dups",
     "domain_curation_stats", "warc_html_pipeline", "page_out_links",
-    "web_link_pagerank", "robots_crawl_verdicts",
+    "web_link_pagerank", "robots_crawl_verdicts", "page_metadata",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

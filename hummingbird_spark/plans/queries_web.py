@@ -1007,7 +1007,113 @@ ORDER BY u.doc_id
 """)
 
 
+# ---------------------------------------------------------------------------
+# Q9: page_metadata — head-element extraction
+# ---------------------------------------------------------------------------
+# Metadata fixture: <html lang> carries the document's REAL lang
+# column, the self-declared canonical link points at the d%40 page
+# (what a dedup consolidation would key on), and d%4==0 pages carry a
+# second <h1> — each head element the extractor must pick out.
+
+_META_SEGS: tuple[tuple[str, str], ...] = (
+    ("lit", '<html lang="'), ("lang", ""),
+    ("lit", '"><head><title>'), ("src", ""),
+    ("lit", " story "), ("id", ""),
+    ("lit", '</title><meta name="description" content="summary of doc '),
+    ("id", ""),
+    ("lit", '"><link rel="canonical" href="https://site'), ("h7", ""),
+    ("lit", ".example/p/"), ("id40", ""),
+    ("lit", '"></head><body><h1>lead</h1>'), ("h1x", ""),
+    ("lit", "<p>"), ("p1", ""),
+    ("lit", "</p></body></html>"),
+)
+
+
+def _with_meta_page(docs: DataFrame) -> DataFrame:
+    ws = docs.select("doc_id", "source", "lang",
+                     tokens(F.col("text")).alias("__ws"))
+    d = F.col("doc_id")
+    exprs = {
+        "lang": F.col("lang"),
+        "src": F.col("source"),
+        "id": d.cast("string"),
+        "h7": (d % 7).cast("string"),
+        "id40": (d % 40).cast("string"),
+        "h1x": F.when(d % 4 == 0, F.lit("<h1>extra</h1>"))
+        .otherwise(F.lit("")),
+        "p1": F.array_join(F.slice(F.col("__ws"), 1, 10), " "),
+    }
+    parts = [F.lit(t) if k == "lit" else exprs[k]
+             for k, t in _META_SEGS]
+    return ws.select("doc_id", F.concat(*parts).alias("html"))
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-element extraction: title, lang attribute, description
+    length, self-declared canonical, h1 count — one zero-shuffle
+    projection."""
+    from hummingbird_spark.functions.html import (
+        canonical_link_href,
+        h1_count,
+        html_lang,
+        meta_description,
+        page_title,
+    )
+
+    pages = _with_meta_page(load_table(spark, sf_dir, "documents"))
+    return pages.select(
+        "doc_id",
+        page_title(F.col("html")).alias("title"),
+        html_lang(F.col("html")).alias("lang_attr"),
+        F.length(meta_description(F.col("html"))).alias("desc_chars"),
+        canonical_link_href(F.col("html")).alias("canonical_href"),
+        h1_count(F.col("html")).alias("n_h1"),
+    ).orderBy("doc_id")
+
+
+def _meta_page_sql() -> str:
+    exprs = {
+        "lang": "lang",
+        "src": "source",
+        "id": "CAST(doc_id AS VARCHAR)",
+        "h7": "CAST(doc_id % 7 AS VARCHAR)",
+        "id40": "CAST(doc_id % 40 AS VARCHAR)",
+        "h1x": ("CASE WHEN doc_id % 4 = 0 THEN '<h1>extra</h1>'"
+                " ELSE '' END"),
+        "p1": "array_to_string(list_slice(toks, 1, 10), ' ')",
+    }
+    html = " || ".join("'" + _sq(t) + "'" if k == "lit" else exprs[k]
+                       for k, t in _META_SEGS)
+    return ("mpg AS (SELECT doc_id, " + html + " AS html FROM "
+            "(SELECT doc_id, source, lang, " + _TOKS_SQL
+            + " AS toks FROM documents))")
+
+
+ORACLE_PAGE_METADATA = (
+    "WITH " + _meta_page_sql() + """
+SELECT doc_id,
+  """ + _btext_sql(
+      "coalesce(regexp_extract(html,"
+      " '(?is)<title[^>]*>(.*?)</title>', 1), '')") + """ AS title,
+  coalesce(regexp_extract(html,
+      '(?is)<html\\b[^>]*\\blang="([^"]*)"', 1), '') AS lang_attr,
+  length(coalesce(regexp_extract(html,
+      '(?is)<meta\\s+name="description"\\s+content="([^"]*)"', 1),
+      '')) AS desc_chars,
+  coalesce(regexp_extract(html,
+      '(?is)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1), '')
+      AS canonical_href,
+  len(regexp_extract_all(html, '(?i)<h1\\b', 0)) AS n_h1
+FROM mpg
+ORDER BY doc_id
+""")
+
+
 WEB_QUERIES: dict[str, tuple] = {
+    "page_metadata": (
+        q_page_metadata, ORACLE_PAGE_METADATA,
+        "head-element extraction: title, lang attr, description "
+        "length, self-declared canonical, h1 count"),
     "robots_crawl_verdicts": (
         q_robots_crawl_verdicts, ORACLE_ROBOTS_VERDICTS,
         "robots.txt politeness (RFC 9309 subset): group state machine, "

@@ -47,11 +47,26 @@ def crawl_ingest_batch_against_store(
     blocked_domains: tuple[str, ...] = (),
     min_block_chars: int = 10,
     max_link_density: float = 0.34,
+    robots: DataFrame | None = None,
+    robots_agent: str = "trainingbot",
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest round: returns (curated_rows, new_store_rows).
 
-    Pure plan construction — blocklist filter, store anti-join,
-    intra-batch canonical dedup, extraction. batch_df: (url, html)."""
+    Pure plan construction — robots verdicts (optional), blocklist
+    filter, store anti-join, intra-batch canonical dedup, extraction.
+    batch_df: (url, html). robots: (host, robots_txt) — pages whose
+    URL a disallow rule matches for `robots_agent` never land."""
+    if robots is not None:
+        from hummingbird_spark.operators.robots import (
+            robots_rules,
+            robots_verdicts,
+        )
+
+        verdicts = robots_verdicts(
+            batch_df.select("url").distinct(),
+            robots_rules(robots, agent=robots_agent))
+        batch_df = batch_df.join(
+            verdicts.filter(F.col("allowed") == 1).select("url"), "url")
     tagged = batch_df.select(
         "url", "html",
         canonical_url(F.col("url")).alias("canonical_url"),
@@ -97,12 +112,16 @@ def start_streaming_crawl_ingest(
     store_path: str,
     schema,
     blocked_domains: tuple[str, ...] = (),
+    robots_path: str | None = None,
+    robots_agent: str = "trainingbot",
     checkpoint: str | None = None,
     compact_every: int = 32,
 ) -> StreamingQuery:
-    """File-source stream of (url, html) rows -> per-batch canonical
-    dedup + extraction -> curated rows append to out_path, canonical
-    keys to store_path. Idempotent on batch replay via the ledger."""
+    """File-source stream of (url, html) rows -> per-batch robots +
+    canonical dedup + extraction -> curated rows append to out_path,
+    canonical keys to store_path. Idempotent on batch replay via the
+    ledger. robots_path: optional (host, robots_txt) parquet,
+    re-read per batch so policy updates apply to the next tick."""
     led = BatchLedger(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -110,8 +129,11 @@ def start_streaming_crawl_ingest(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if led.seen(batch_id):
             return
+        robots = (spark.read.parquet(robots_path)
+                  if robots_path else None)
         curated, new_store = crawl_ingest_batch_against_store(
-            spark, batch_df, store_path, blocked_domains)
+            spark, batch_df, store_path, blocked_domains,
+            robots=robots, robots_agent=robots_agent)
         # both plans read the store (anti-join) — materialize BEFORE
         # appending to the store they read from
         curated = curated.localCheckpoint(eager=True)

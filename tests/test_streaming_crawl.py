@@ -102,3 +102,34 @@ def test_streaming_crawl_ingest(spark, tmp_path):
     _run(spark, src, out, store)
     assert spark.read.parquet(out).count() == n_out
     assert spark.read.parquet(store).count() == 3
+
+
+def test_streaming_crawl_robots_enforcement(spark, tmp_path):
+    """Pages a disallow rule matches for the agent never land; the
+    robots parquet is re-read per batch so policy updates apply."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    robots = str(tmp_path / "robots")
+    os.makedirs(src)
+
+    spark.createDataFrame([Row(
+        host="a.example",
+        robots_txt="User-agent: *\nDisallow: /private/",
+    )]).write.mode("overwrite").parquet(robots)
+
+    b0 = spark.createDataFrame([
+        Row(url="https://a.example/public/1",
+            html=_page("public page body text")),
+        Row(url="https://a.example/private/2",
+            html=_page("private page body text")),
+    ])
+    _drop_file(b0, src, "b0.parquet")
+    q = start_streaming_crawl_ingest(
+        spark, src, out, store,
+        SCHEMA, robots_path=robots)
+    assert q.awaitTermination(240)
+
+    rows = spark.read.parquet(out).collect()
+    assert {r.canonical_url for r in rows} == {"https://a.example/public/1"}
+    assert spark.read.parquet(store).count() == 1
