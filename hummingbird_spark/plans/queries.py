@@ -1507,6 +1507,7 @@ _VERIFY_FIRST = [
     "html_main_text_stats", "warc_extract_stats", "url_canonical_dups",
     "domain_curation_stats", "warc_html_pipeline", "page_out_links",
     "web_link_pagerank", "robots_crawl_verdicts", "page_metadata",
+    "canonical_consolidation", "sitemap_frontier",
     # latest record: round 4
     "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
     "cdc_last_state", "cdc_state_at", "custdist",

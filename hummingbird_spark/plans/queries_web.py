@@ -1109,7 +1109,188 @@ ORDER BY doc_id
 """)
 
 
+# ---------------------------------------------------------------------------
+# Q10: canonical_consolidation — rel=canonical dedup groups
+# ---------------------------------------------------------------------------
+
+def q_canonical_consolidation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Group pages by their SELF-DECLARED canonical target (the
+    rel=canonical hint real crawls consolidate on, distinct from
+    URL-string identity): per target, how many pages point at it and
+    whether the target page itself is among them (self-canonical)."""
+    from hummingbird_spark.functions.html import canonical_link_href
+
+    pages = _with_meta_page(load_table(spark, sf_dir, "documents"))
+    own = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".example/p/"), F.col("doc_id").cast("string"))
+    decl = pages.select(
+        "doc_id",
+        canonical_url(canonical_link_href(F.col("html")))
+        .alias("target"),
+        (canonical_url(own) == canonical_url(
+            canonical_link_href(F.col("html")))).cast("int")
+        .alias("is_self"),
+    )
+    return (
+        decl.groupBy("target")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum("is_self").alias("n_self"),
+             F.min("doc_id").alias("min_doc"))
+        .orderBy("target")
+    )
+
+
+ORACLE_CANONICAL_CONSOLIDATION = (
+    "WITH " + _meta_page_sql() + """,
+decl0 AS (
+  SELECT doc_id,
+    coalesce(regexp_extract(html,
+      '(?is)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1), '')
+      AS url,
+    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+      CAST(doc_id AS VARCHAR) AS own
+  FROM mpg),
+dc AS (""" + _canon_select("decl0", "doc_id, own") + """),
+oc AS (""" + _canon_select(
+        "(SELECT doc_id, own AS url FROM decl0)", "doc_id") + """)
+SELECT d.canonical_url AS target, COUNT(*) AS n_pages,
+  CAST(SUM(CASE WHEN d.canonical_url = o.canonical_url
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+  MIN(d.doc_id) AS min_doc
+FROM dc d JOIN oc o ON d.doc_id = o.doc_id
+GROUP BY d.canonical_url
+ORDER BY target
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q11: sitemap_frontier — sitemap parse + crawl-frontier derivation
+# ---------------------------------------------------------------------------
+# Per-host sitemap fixture: 10 <url> entries pointing at real pages
+# (ids h, h+7, ..., h+63) plus 3 fresh URLs that no page has — the
+# frontier a crawler should fetch next. The query parses loc/lastmod,
+# canonicalizes, and anti-joins the already-crawled canonical set.
+
+_SITEMAP_REAL = 10
+_SITEMAP_FRESH = 3
+
+
+def _with_sitemap(docs: DataFrame) -> DataFrame:
+    hosts = docs.select((F.col("doc_id") % 7).alias("h")).distinct()
+    h = F.col("h")
+    hs = h.cast("string")
+    host = F.concat(F.lit("site"), hs, F.lit(".example"))
+
+    def entry(i):
+        loc = F.when(
+            i < _SITEMAP_REAL,
+            F.concat(F.lit("https://site"), hs, F.lit(".example/p/"),
+                     (h + 7 * i).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://site"), hs,
+                     F.lit(".example/fresh/"), i.cast("string")))
+        day = F.lpad(((h + i) % 28 + 1).cast("string"), 2, "0")
+        return F.concat(F.lit("<url><loc>"), loc,
+                        F.lit("</loc><lastmod>2026-01-"), day,
+                        F.lit("</lastmod></url>"))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.lit(_SITEMAP_REAL + _SITEMAP_FRESH - 1)),
+                entry), ""),
+        F.lit("</urlset>"))
+    return hosts.select(host.alias("host"), xml.alias("sitemap_xml"))
+
+
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parse -> canonicalize -> anti the crawled set: per host
+    the entry count, already-known count, frontier count, and the
+    newest lastmod (what a scheduler would prioritize by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sm = _with_sitemap(docs)
+    locs = F.regexp_extract_all(
+        F.col("sitemap_xml"), F.lit(r"(?is)<loc>(.*?)</loc>"), F.lit(1))
+    mods = F.regexp_extract_all(
+        F.col("sitemap_xml"), F.lit(r"(?is)<lastmod>(.*?)</lastmod>"),
+        F.lit(1))
+    entries = (
+        sm.select("host", F.explode(F.arrays_zip(
+            locs.alias("loc"), mods.alias("mod"))).alias("e"))
+        .select("host", canonical_url(F.col("e.loc")).alias("curl"),
+                F.col("e.mod").alias("lastmod"))
+    )
+    crawled = _with_link_page(docs).select(
+        canonical_url(F.col("base")).alias("curl"),
+        F.lit(1).alias("__known"))
+    joined = entries.join(F.broadcast(crawled), "curl", "left")
+    return (
+        joined.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum(F.coalesce("__known", F.lit(0))).alias("n_known"),
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+            .alias("n_frontier"),
+            F.max("lastmod").alias("latest_lastmod"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_SITEMAP_FRONTIER = (
+    "WITH " + _link_page_sql() + """,
+hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+sm AS (
+  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+    '<?xml version="1.0"?><urlset>' || array_to_string(
+      list_transform(range(0, """
+    + str(_SITEMAP_REAL + _SITEMAP_FRESH) + """), i ->
+        '<url><loc>' ||
+        CASE WHEN i < """ + str(_SITEMAP_REAL) + """
+          THEN 'https://site' || CAST(h AS VARCHAR) || '.example/p/'
+               || CAST(h + 7 * i AS VARCHAR)
+          ELSE 'https://site' || CAST(h AS VARCHAR) ||
+               '.example/fresh/' || CAST(i AS VARCHAR) END ||
+        '</loc><lastmod>2026-01-' ||
+        lpad(CAST((h + i) % 28 + 1 AS VARCHAR), 2, '0') ||
+        '</lastmod></url>'), '') || '</urlset>' AS xml
+  FROM hosts),
+ent0 AS (
+  SELECT host,
+    unnest(regexp_extract_all(xml, '(?is)<loc>(.*?)</loc>', 1))
+        AS url,
+    unnest(regexp_extract_all(xml,
+        '(?is)<lastmod>(.*?)</lastmod>', 1)) AS lastmod
+  FROM sm),
+ec AS (""" + _canon_select("ent0", "host, lastmod") + """),
+pu AS (SELECT doc_id, base AS url FROM lpg),
+pc AS (SELECT DISTINCT canonical_url FROM ("""
+    + _canon_select("pu", "doc_id") + """))
+SELECT e.host, COUNT(*) AS n_entries,
+  CAST(SUM(CASE WHEN p.canonical_url IS NOT NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_known,
+  CAST(SUM(CASE WHEN p.canonical_url IS NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_frontier,
+  MAX(e.lastmod) AS latest_lastmod
+FROM ec e LEFT JOIN pc p ON e.canonical_url = p.canonical_url
+GROUP BY e.host
+ORDER BY e.host
+""")
+
+
 WEB_QUERIES: dict[str, tuple] = {
+    "sitemap_frontier": (
+        q_sitemap_frontier, ORACLE_SITEMAP_FRONTIER,
+        "sitemap loc/lastmod parse -> canonicalize -> anti the "
+        "crawled set: the per-host crawl frontier"),
+    "canonical_consolidation": (
+        q_canonical_consolidation, ORACLE_CANONICAL_CONSOLIDATION,
+        "rel=canonical dedup groups: pages per self-declared target + "
+        "self-canonical count"),
     "page_metadata": (
         q_page_metadata, ORACLE_PAGE_METADATA,
         "head-element extraction: title, lang attr, description "
