@@ -52,11 +52,14 @@ def robots_rules(robots: DataFrame, agent: str,
         (ua & ~F.coalesce(F.lag(ua).over(w), F.lit(False)))
         .cast("int").alias("__ng"),
     )
+    # materialize once: the grouped-lines frame feeds three branches
+    # (agents, rules, delay) — without the cut each would re-run the
+    # explode + two windows; the frame is bounded (RFC 500 KiB/host)
     grouped = flagged.select(
         host_col, "pos", "kind", "val",
         F.sum("__ng").over(
             w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
-    )
+    ).localCheckpoint(eager=True)
     agents = (
         grouped.filter(ua)
         .groupBy(host_col, "gid")
@@ -101,21 +104,22 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame,
         "*",
         url_host(F.col(url_col)).alias(host_col),
         url_path(F.col(url_col)).alias("__path"))
-    matches = (
-        u.select(url_col, host_col, "__path")
-        .join(rules.select(host_col, "kind", "path"), host_col)
-        .filter(F.col("__path").startswith(F.col("path")))
-        .groupBy(url_col)
-        .agg(F.max(F.struct(
-            F.length("path").alias("l"),
-            (F.col("kind") == "allow").cast("int").alias("a"),
-            F.col("path").alias("p"))).alias("best"))
-    )
-    delays = rules.groupBy(host_col).agg(
-        F.min("crawl_delay").alias("__delay"))
+    # ONE broadcast left-join + one aggregate: the non-matching and
+    # no-rules cases survive as null `best` inside the group instead
+    # of being filtered into a second (sort-merge) self-join — at
+    # corpus scale the URL side shuffles exactly once, on url
+    cand = u.join(F.broadcast(rules), host_col, "left")
+    hit = F.col("path").isNotNull() \
+        & F.col("__path").startswith(F.col("path"))
     return (
-        u.join(matches, url_col, "left")
-        .join(delays, host_col, "left")
+        cand.groupBy(url_col, host_col)
+        .agg(
+            F.max(F.when(hit, F.struct(
+                F.length("path").alias("l"),
+                (F.col("kind") == "allow").cast("int").alias("a"),
+                F.col("path").alias("p")))).alias("best"),
+            F.min("crawl_delay").alias("__delay"),
+        )
         .select(
             url_col, host_col,
             F.when(F.col("best").isNull(), F.lit(1))
