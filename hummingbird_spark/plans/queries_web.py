@@ -351,7 +351,7 @@ SELECT f.file_id,
        AS BIGINT) AS n_status_ok,
   CAST(SUM(CASE WHEN f.body = p.page THEN 1 ELSE 0 END) AS BIGINT)
       AS n_roundtrip_ok,
-  SUM(length(f.body)) AS sum_body_chars
+  CAST(SUM(length(f.body)) AS BIGINT) AS sum_body_chars
 FROM fields f LEFT JOIN pages p ON f.did = p.doc_id
 GROUP BY f.file_id
 ORDER BY f.file_id
@@ -600,10 +600,10 @@ ORACLE_WARC_HTML_PIPELINE = (
     " FROM fields f JOIN pages p ON f.did = p.doc_id)"
     + """
 SELECT source, COUNT(*) AS n_docs,
-  SUM(length(array_to_string(list_transform(""" + _KEPT + """,
-      s -> s.btxt), chr(10)))) AS sum_main_chars,
-  SUM(len(""" + _KEPT + """)) AS sum_kept_blocks,
-  SUM(len(""" + _LINK_BAD + """)) AS sum_dropped_link
+  CAST(SUM(length(array_to_string(list_transform(""" + _KEPT + """,
+      s -> s.btxt), chr(10)))) AS BIGINT) AS sum_main_chars,
+  CAST(SUM(len(""" + _KEPT + """)) AS BIGINT) AS sum_kept_blocks,
+  CAST(SUM(len(""" + _LINK_BAD + """)) AS BIGINT) AS sum_dropped_link
 FROM ext
 GROUP BY source
 ORDER BY source
