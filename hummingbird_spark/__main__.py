@@ -474,6 +474,15 @@ def main(argv: list[str] | None = None) -> int:
     lkg.add_argument("--max-df", type=int, default=5)
     lkg.add_argument("--text-col", default="text")
     lkg.add_argument("--id-col", default="doc_id")
+    wbg = sub.add_parser("web-graph")
+    wbg.add_argument("src", help="stream input dir (parquet files of "
+                                 "doc_id + base + html rows)")
+    wbg.add_argument("pages", help="append-only (curl, tgt) page "
+                                   "store path")
+    wbg.add_argument("links", help="append-only (src, curl) link "
+                                   "store path")
+    wbg.add_argument("edges", help="append-only (a, b) edge store "
+                                   "path")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -944,6 +953,35 @@ def main(argv: list[str] | None = None) -> int:
             "n_accepted": spark.read.parquet(args.out).count(),
             "store_fp_rows": spark.read.parquet(args.store).count(),
             "out": args.out, "store": args.store,
+        }))
+        return 0
+    if args.command == "web-graph":
+        # incremental web-graph tick: drain <src> into the page/link/
+        # edge stores (streaming/web_graph.py), then report the
+        # maintained graph.
+        from hummingbird_spark.streaming.web_graph import (
+            read_web_edges,
+            start_streaming_web_graph,
+        )
+
+        spark = get_spark(app_name="hummingbird_web_graph")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.parquet(args.src).schema
+        q = start_streaming_web_graph(
+            spark, args.src, args.pages, args.links, args.edges,
+            schema)
+        if not q.awaitTermination(600):
+            q.stop()
+            print("web-graph: availableNow drain exceeded 600s; "
+                  "stores are incomplete", file=sys.stderr)
+            return 1
+        edges = read_web_edges(spark, args.edges)
+        print(json.dumps({
+            "command": "web-graph",
+            "n_pages": spark.read.parquet(args.pages).count(),
+            "n_links": spark.read.parquet(args.links).count(),
+            "n_edges": edges.count(),
+            "edges": args.edges,
         }))
         return 0
     if args.command == "crawl":

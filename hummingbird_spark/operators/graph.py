@@ -225,3 +225,35 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def web_link_edges(pages: DataFrame, id_col: str = "doc_id",
+                   base_col: str = "base",
+                   html_col: str = "html") -> DataFrame:
+    """Undirected distinct (a, b) edge list of the REAL web link
+    graph: resolve + canonicalize every anchor href, join against the
+    pages' own canonical URLs (dangling links drop), symmetrize by
+    (least, greatest). The anchor-extracted counterpart of
+    rare_trigram_edges; feeds pagerank_scaled / label_propagation
+    unchanged. Shared by plans/queries_web.py::web_link_pagerank and
+    the incremental twin streaming/web_graph.py."""
+    from hummingbird_spark.functions.html import (
+        canonical_url,
+        extract_links,
+    )
+
+    links = pages.select(
+        id_col,
+        F.explode(extract_links(F.col(html_col), F.col(base_col)))
+        .alias("url"),
+    ).select(id_col, canonical_url(F.col("url")).alias("curl"))
+    targets = pages.select(
+        canonical_url(F.col(base_col)).alias("curl"),
+        F.col(id_col).alias("tgt"))
+    return (
+        links.join(targets, "curl")
+        .filter(F.col(id_col) != F.col("tgt"))
+        .select(F.least(id_col, "tgt").alias("a"),
+                F.greatest(id_col, "tgt").alias("b"))
+        .distinct()
+    )

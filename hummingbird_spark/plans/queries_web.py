@@ -795,25 +795,13 @@ def q_web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges extracted from anchor tags — resolve + canonicalize every
     href, join against the pages' own canonical URLs (dangling links
     drop), symmetrize, then the exact scaled-integer trajectory."""
-    from hummingbird_spark.functions.html import extract_links
-    from hummingbird_spark.operators.graph import pagerank_scaled
+    from hummingbird_spark.operators.graph import (
+        pagerank_scaled,
+        web_link_edges,
+    )
 
     pages = _with_link_page(load_table(spark, sf_dir, "documents"))
-    links = pages.select(
-        "doc_id",
-        F.explode(extract_links(F.col("html"), F.col("base")))
-        .alias("url"),
-    ).select("doc_id", canonical_url(F.col("url")).alias("curl"))
-    targets = pages.select(
-        canonical_url(F.col("base")).alias("curl"),
-        F.col("doc_id").alias("tgt"))
-    edges = (
-        links.join(targets, "curl")
-        .filter(F.col("doc_id") != F.col("tgt"))
-        .select(F.least("doc_id", "tgt").alias("a"),
-                F.greatest("doc_id", "tgt").alias("b"))
-        .distinct()
-    )
+    edges = web_link_edges(pages)
     pr = pagerank_scaled(edges, rounds=_PR_ROUNDS,
                          damping_pct=_PR_DAMP, scale=_PR_SCALE)
     return pr.select(

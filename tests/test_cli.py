@@ -590,3 +590,35 @@ def test_cli_crawl(spark, tmp_path, capsys):
     # 4 pages: p2 variants collapse to one canonical, spam blocked
     assert rep["n_pages"] == 2
     assert rep["store_urls"] == 2
+
+
+def test_cli_web_graph(spark, tmp_path, capsys):
+    """web-graph: parquet stream of crawled pages -> maintained
+    anchor-link edge store; report equals the from-scratch build."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.operators.graph import web_link_edges
+    from hummingbird_spark.plans.queries_web import _with_link_page
+    from hummingbird_spark.sources.tables import load_table
+
+    pages = _with_link_page(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).filter(F.col("doc_id") < 80).localCheckpoint()
+
+    src = tmp_path / "wg_in"
+    src.mkdir()
+    tmp = tempfile.mkdtemp()
+    pages.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "b0.parquet"))
+
+    p, l, e = (str(tmp_path / x) for x in ("pg", "lk", "ed"))
+    assert main(["web-graph", str(src), p, l, e]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_pages"] == 80
+    assert rep["n_edges"] == web_link_edges(pages).count()
