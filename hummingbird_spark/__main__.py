@@ -474,6 +474,16 @@ def main(argv: list[str] | None = None) -> int:
     lkg.add_argument("--max-df", type=int, default=5)
     lkg.add_argument("--text-col", default="text")
     lkg.add_argument("--id-col", default="doc_id")
+    fro = sub.add_parser("frontier")
+    fro.add_argument("src", help="stream input dir (parquet files of "
+                                 "sitemap_xml rows)")
+    fro.add_argument("frontier", help="fetch-queue store path")
+    fro.add_argument("--crawled", default=None,
+                     help="crawl ingest's canonical-URL store "
+                          "(fetched URLs leave the queue)")
+    fro.add_argument("--robots", default=None,
+                     help="(host, robots_txt) parquet")
+    fro.add_argument("--robots-agent", default="trainingbot")
     wbg = sub.add_parser("web-graph")
     wbg.add_argument("src", help="stream input dir (parquet files of "
                                  "doc_id + base + html rows)")
@@ -953,6 +963,37 @@ def main(argv: list[str] | None = None) -> int:
             "n_accepted": spark.read.parquet(args.out).count(),
             "store_fp_rows": spark.read.parquet(args.store).count(),
             "out": args.out, "store": args.store,
+        }))
+        return 0
+    if args.command == "frontier":
+        # crawl-scheduler tick: drain sitemap arrivals into the fetch
+        # queue (streaming/frontier.py), then report the schedule.
+        from hummingbird_spark.streaming.frontier import (
+            read_fetch_schedule,
+            start_streaming_frontier,
+        )
+
+        spark = get_spark(app_name="hummingbird_frontier")
+        spark.sparkContext.setLogLevel("ERROR")
+        schema = spark.read.parquet(args.src).schema
+        q = start_streaming_frontier(
+            spark, args.src, args.frontier, schema,
+            crawled_path=args.crawled, robots_path=args.robots,
+            robots_agent=args.robots_agent)
+        if not q.awaitTermination(600):
+            q.stop()
+            print("frontier: availableNow drain exceeded 600s; "
+                  "queue is incomplete", file=sys.stderr)
+            return 1
+        robots_df = (spark.read.parquet(args.robots)
+                     if args.robots else None)
+        sched = read_fetch_schedule(spark, args.frontier, robots_df,
+                                    args.robots_agent)
+        print(json.dumps({
+            "command": "frontier",
+            "n_queued": sched.count(),
+            "n_hosts": sched.select("host").distinct().count(),
+            "frontier": args.frontier,
         }))
         return 0
     if args.command == "web-graph":

@@ -622,3 +622,43 @@ def test_cli_web_graph(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip())
     assert rep["n_pages"] == 80
     assert rep["n_edges"] == web_link_edges(pages).count()
+
+
+def test_cli_frontier(spark, tmp_path, capsys):
+    """frontier: sitemap stream -> fetch-queue store + schedule
+    report; crawled and disallowed URLs never queue."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    src = tmp_path / "fr_in"
+    src.mkdir()
+    xml = ('<?xml version="1.0"?><urlset>'
+           '<url><loc>https://a.example/p1</loc>'
+           '<lastmod>2026-01-05</lastmod></url>'
+           '<url><loc>https://a.example/p2</loc>'
+           '<lastmod>2026-01-06</lastmod></url>'
+           '<url><loc>https://a.example/private/x</loc>'
+           '<lastmod>2026-01-07</lastmod></url></urlset>')
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame([Row(sitemap_xml=xml)]).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "b0.parquet"))
+    crawled = str(tmp_path / "fr_crawled")
+    spark.createDataFrame([Row(canonical_url="https://a.example/p1")]) \
+        .write.mode("overwrite").parquet(crawled)
+    robots = str(tmp_path / "fr_robots")
+    spark.createDataFrame([Row(
+        host="a.example",
+        robots_txt="User-agent: *\nDisallow: /private/")]) \
+        .write.mode("overwrite").parquet(robots)
+
+    frontier = str(tmp_path / "fr_store")
+    assert main(["frontier", str(src), frontier,
+                 "--crawled", crawled, "--robots", robots]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_queued"] == 1 and rep["n_hosts"] == 1

@@ -1,0 +1,117 @@
+"""Streaming crawl frontier (streaming/frontier.py): sitemap batches
+maintain the fetch queue; crawled URLs leave it the next tick;
+robots-disallowed URLs never enter; lastmod max-merges across
+re-delivered sitemaps; the schedule spaces fetches by crawl-delay;
+a wiped-checkpoint replay is a no-op."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from hummingbird_spark.streaming.frontier import (
+    read_fetch_schedule,
+    start_streaming_frontier,
+)
+
+SCHEMA = T.StructType([T.StructField("sitemap_xml", T.StringType())])
+
+
+def _xml(entries):
+    body = "".join(
+        f"<url><loc>{u}</loc><lastmod>{m}</lastmod></url>"
+        for u, m in entries)
+    return f'<?xml version="1.0"?><urlset>{body}</urlset>'
+
+
+def _drop_file(df, src, name):
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                os.path.join(src, name))
+    shutil.rmtree(tmp)
+
+
+def _run(spark, src, frontier, crawled, robots):
+    q = start_streaming_frontier(
+        spark, src, frontier, SCHEMA,
+        crawled_path=crawled, robots_path=robots)
+    assert q.awaitTermination(240)
+
+
+def test_streaming_frontier(spark, tmp_path):
+    src = str(tmp_path / "in")
+    frontier = str(tmp_path / "frontier")
+    crawled = str(tmp_path / "crawled")
+    robots = str(tmp_path / "robots")
+    os.makedirs(src)
+
+    spark.createDataFrame([Row(
+        host="a.example",
+        robots_txt="User-agent: *\nDisallow: /private/\n"
+                   "Crawl-delay: 5",
+    )]).write.mode("overwrite").parquet(robots)
+    # crawl store: /p1 already fetched
+    spark.createDataFrame(
+        [Row(canonical_url="https://a.example/p1")]
+    ).write.mode("overwrite").parquet(crawled)
+
+    b0 = spark.createDataFrame([Row(sitemap_xml=_xml([
+        ("https://a.example/p1", "2026-01-05"),
+        ("https://a.example/p2", "2026-01-03"),
+        ("https://a.example/private/x", "2026-01-09"),
+        ("https://b.example/q1", "2026-01-02"),
+    ]))])
+    _drop_file(b0, src, "b0.parquet")
+    _run(spark, src, frontier, crawled, robots)
+    rows = {r.curl: r for r in spark.read.parquet(frontier).collect()}
+    # crawled p1 out, disallowed /private/x never in
+    assert set(rows) == {"https://a.example/p2",
+                         "https://b.example/q1"}
+
+    # tick 2: p2 gets crawled; a re-delivered entry bumps q1's
+    # lastmod; one new URL arrives
+    spark.createDataFrame(
+        [Row(canonical_url="https://a.example/p1"),
+         Row(canonical_url="https://a.example/p2")]
+    ).write.mode("overwrite").parquet(crawled)
+    b1 = spark.createDataFrame([Row(sitemap_xml=_xml([
+        ("https://b.example/q1", "2026-01-20"),
+        ("https://a.example/p3", "2026-01-11"),
+    ]))])
+    _drop_file(b1, src, "b1.parquet")
+    _run(spark, src, frontier, crawled, robots)
+    rows = {r.curl: r for r in spark.read.parquet(frontier).collect()}
+    assert set(rows) == {"https://b.example/q1",
+                         "https://a.example/p3"}
+    assert rows["https://b.example/q1"].lastmod == "2026-01-20"
+
+    # schedule: a.example spaced by its crawl-delay, b.example by the
+    # 1s floor (no delay rule)
+    sched = {r.curl: r for r in read_fetch_schedule(
+        spark, frontier, spark.read.parquet(robots)).collect()}
+    assert sched["https://a.example/p3"].fetch_at_sec == 0
+    assert sched["https://b.example/q1"].fetch_at_sec == 0
+
+    # third sitemap for a.example proves the delay spacing
+    b2 = spark.createDataFrame([Row(sitemap_xml=_xml([
+        ("https://a.example/p4", "2026-01-12"),
+    ]))])
+    _drop_file(b2, src, "b2.parquet")
+    _run(spark, src, frontier, crawled, robots)
+    sched = {r.curl: r for r in read_fetch_schedule(
+        spark, frontier, spark.read.parquet(robots)).collect()}
+    # p4 (newer lastmod) first, p3 five seconds later
+    assert sched["https://a.example/p4"].fetch_at_sec == 0
+    assert sched["https://a.example/p3"].fetch_at_sec == 5
+
+    # wiped checkpoint: ledger alone makes all batches no-ops
+    n = spark.read.parquet(frontier).count()
+    shutil.rmtree(frontier + "._checkpoint")
+    _run(spark, src, frontier, crawled, robots)
+    assert spark.read.parquet(frontier).count() == n
