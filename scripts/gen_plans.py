@@ -86,6 +86,16 @@ PICKS = {
     "phash_near_dups": "integer-DCT pHash in one Arrow kernel; "
                        "8-band Hamming self-join buckets on (chunk, "
                        "ckey) — never all-pairs",
+    # r8: web-crawl ingestion front end
+    "html_main_text_stats": "HTML extraction is one zero-shuffle "
+                            "array projection riding the scan "
+                            "(blocks bound once per page)",
+    "web_link_pagerank": "anchor links resolve + canonicalize in "
+                         "the scan; edges via one curl equi-join; "
+                         "PR rounds on checkpointed node frames",
+    "robots_crawl_verdicts": "robots verdicts: one broadcast rules "
+                             "join + one conditional-max aggregate "
+                             "— the URL side shuffles exactly once",
 }
 
 out = ["# PLANS — executed-plan snapshots at sf0.1",
