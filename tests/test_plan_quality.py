@@ -511,3 +511,25 @@ def test_dsir_model_joins_broadcast_and_scan_staged(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
     assert plan.count("Scan parquet") <= 1   # grams staged, not re-scanned
     assert "BatchEvalPython" not in plan     # pure built-ins, no UDFs
+
+
+def test_html_extraction_prunes_and_stays_jvm(spark):
+    """The web-extraction audit reads only (doc_id, text, source) and
+    never leaves the JVM — extraction is a projection on the scan."""
+    df = QUERIES["html_main_text_stats"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema  # unused column pruned
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_robots_verdicts_broadcast_no_smj(spark):
+    """The URL x rules join must broadcast the (tiny, RFC-bounded)
+    rules side — a sort-merge fallback would shuffle every crawl URL
+    against it at corpus scale."""
+    df = QUERIES["robots_crawl_verdicts"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
