@@ -46,8 +46,6 @@ from hummingbird_spark.plans.queries_r7 import (
 )
 from hummingbird_spark.sources.tables import load_table
 from hummingbird_spark.sources.warc import (
-    CRLF,
-    RECORD_MAGIC,
     parse_warc_records,
     render_warc_record,
 )
