@@ -9,23 +9,31 @@ A crawled page's canonical URL and its extracted links are immutable
 facts, so BOTH fact stores are append-only, and edges (links joined
 to pages on canonical URL) only ever APPEAR — a link extracted today
 becomes an edge the day its target is crawled, and nothing ever
-retracts. The per-batch delta is therefore two bounded joins:
+retracts. The per-batch delta is therefore bounded joins:
 
-    new_edges = (new_links x all_pages)  — new pages' anchors hitting
-                                           anything crawled so far
-              ∪ (all_links x new_pages)  — OLD dangling anchors whose
-                                           target just arrived
+    new_edges = (batch links x all_pages) — this batch's anchors
+                                            hitting anything crawled
+              ∪ (all_links x batch pages) — OLD dangling anchors whose
+                                            target just arrived
     (deduped, minus edges already in the store)
 
-Delta cost scales with the batch's links plus the store rows matching
-the batch's canonical URLs — equi-joins on curl, never a rescan of
-the whole graph.
+where "this batch's" facts are the batch's NEW facts plus, for batch
+canonicals already accepted, the accepted version's facts recovered
+from the stores — the recovery that makes the crash window sound (see
+below). Delta cost scales with the batch's links plus the store rows
+matching the batch's canonical URLs / page ids — equi-joins, never a
+rescan of the whole graph.
 
 Crash-window semantics (shared contract, streaming/ledger.py): fact
-appends land BEFORE the edge append and the ledger. A replayed batch
-re-appends facts — duplicates — so every derivation reads DISTINCT
-facts, and the edge delta anti-joins the edge store, so the replay
-converges to the identical graph (asserted by the double-apply test).
+appends land BEFORE the edge append and the ledger. On replay the
+batch's canonicals are already in the pages store, so the naive
+"re-crawl" gate would drop them and their edges would be LOST — the
+delta therefore re-derives edges for already-accepted batch
+canonicals from their STORED facts (store-semi-joined on the batch's
+keys, so still batch-bounded). A genuine re-crawl takes the same path
+and contributes nothing: the accepted version's edges exist by the
+per-batch invariant and die in the edge-store anti-join. Both
+directions are asserted by the crash-window and re-crawl tests.
 Wiped-checkpoint restarts are no-ops via the batch-id ledger.
 """
 
@@ -63,21 +71,34 @@ def web_graph_batch_delta(
     (already in the pages store) and intra-batch canonical ties
     (smallest id wins) are dropped first, mirroring the crawl-ingest
     accept-once discipline."""
-    tagged = batch_pages.select(
-        F.col(id_col).alias("tgt"),
-        canonical_url(F.col(base_col)).alias("curl"),
-        F.col(base_col).alias("base"), F.col(html_col).alias("html"))
-    pages_store = _read_distinct(spark, pages_path, ["curl", "tgt"])
-    if pages_store is not None:
-        tagged = tagged.join(pages_store.select("curl"), "curl",
-                             "left_anti")
-    fresh = (
-        tagged.groupBy("curl")
+    tagged = (
+        batch_pages.select(
+            F.col(id_col).alias("tgt"),
+            canonical_url(F.col(base_col)).alias("curl"),
+            F.col(base_col).alias("base"),
+            F.col(html_col).alias("html"))
+        .groupBy("curl")
         .agg(F.min(F.struct("tgt", "base", "html")).alias("w"))
         .select("curl", F.col("w.tgt").alias("tgt"),
                 F.col("w.base").alias("base"),
                 F.col("w.html").alias("html"))
     )
+    pages_store = _read_distinct(spark, pages_path, ["curl", "tgt"])
+    links_store = _read_distinct(spark, links_path, ["src", "curl"])
+    if pages_store is not None:
+        fresh = tagged.join(pages_store.select("curl"), "curl",
+                            "left_anti")
+        # batch canonicals already accepted: either a crashed replay
+        # (their facts landed but the edge append did not) or a
+        # genuine re-crawl. Recover THE ACCEPTED VERSION's facts from
+        # the stores — bounded by batch size — so replays re-derive
+        # their missing edges while re-crawled content contributes
+        # nothing (its edges exist by the per-batch invariant and die
+        # in the anti-join below).
+        known = pages_store.join(tagged.select("curl"), "curl",
+                                 "left_semi")
+    else:
+        fresh, known = tagged, None
     new_pages = fresh.select("curl", "tgt")
     new_links = fresh.select(
         F.col("tgt").alias("src"),
@@ -86,10 +107,16 @@ def web_graph_batch_delta(
     ).select("src", canonical_url(F.col("url")).alias("curl")) \
         .distinct()
 
-    links_store = _read_distinct(spark, links_path, ["src", "curl"])
     all_pages = (new_pages if pages_store is None
                  else pages_store.unionByName(new_pages))
-    old_links = links_store  # may be None on the first batch
+    batch_pages_all = (new_pages if known is None
+                       else new_pages.unionByName(known))
+    cand_links = new_links
+    if known is not None and links_store is not None:
+        replay_links = links_store.join(
+            known.select(F.col("tgt").alias("src")), "src",
+            "left_semi")
+        cand_links = cand_links.unionByName(replay_links)
 
     def _edges(links: DataFrame, pages: DataFrame) -> DataFrame:
         return (
@@ -99,9 +126,9 @@ def web_graph_batch_delta(
                     F.greatest("src", "tgt").alias("b"))
         )
 
-    delta = _edges(new_links, all_pages)
-    if old_links is not None:
-        delta = delta.unionByName(_edges(old_links, new_pages))
+    delta = _edges(cand_links, all_pages)
+    if links_store is not None:
+        delta = delta.unionByName(_edges(links_store, batch_pages_all))
     delta = delta.distinct()
     edges_store = _read_distinct(spark, edges_path, ["a", "b"])
     if edges_store is not None:

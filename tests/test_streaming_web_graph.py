@@ -108,3 +108,33 @@ def test_double_apply_converges_and_recrawls_drop(spark, tmp_path):
     # a re-crawl batch (same canonical URLs again) changes nothing
     apply_web_graph_batch(spark, b0, *paths)
     assert _edge_set(read_web_edges(spark, paths[2])) == want
+
+
+def test_crash_between_fact_append_and_edge_append(spark, tmp_path):
+    """Simulate the worst crash window: batch facts (pages + links)
+    landed but the edge append and ledger did not. The replay
+    re-appends facts (duplicates) and re-derives the delta — distinct
+    fact reads + the edge anti-join must converge to the exact
+    from-scratch graph."""
+    from hummingbird_spark.streaming.web_graph import (
+        web_graph_batch_delta,
+    )
+
+    pages = _with_link_page(load_table(spark, SF, "documents")) \
+        .filter(F.col("doc_id") < 100).localCheckpoint(eager=True)
+    paths = [str(tmp_path / p) for p in ("pages", "links", "edges")]
+    b0 = pages.filter(F.col("doc_id") < 50)
+    b1 = pages.filter(F.col("doc_id") >= 50)
+    apply_web_graph_batch(spark, b0, *paths)
+
+    # batch 1 crashes mid-window: facts append, edges/ledger never do
+    np_, nl, _ne = web_graph_batch_delta(spark, b1, *paths)
+    np_.localCheckpoint(eager=True).write.mode("append") \
+        .parquet(paths[0])
+    nl.localCheckpoint(eager=True).write.mode("append") \
+        .parquet(paths[1])
+
+    # restart replays the batch end-to-end
+    apply_web_graph_batch(spark, b1, *paths)
+    assert _edge_set(read_web_edges(spark, paths[2])) == \
+        _edge_set(web_link_edges(pages))
