@@ -321,11 +321,21 @@ def _warc_sql_ctes() -> str:
         "wrows AS (SELECT file_id, unnest(list_filter(string_split("
         "blob, " + magic + "), r -> length(trim(r)) > 0)) AS rec"
         " FROM blobs), "
-        "parsed AS (SELECT file_id,"
+        # body via offset arithmetic past the second gap (limit-3
+        # split semantics, mirroring sources/warc.py::_parse_record:
+        # payload blank lines stay in the body; one trailing record
+        # gap stripped)
+        "hdrs AS (SELECT file_id, rec,"
         " string_split(rec, " + gap + ")[1] AS warc_hdr,"
-        " string_split(rec, " + gap + ")[2] AS http_hdr,"
-        " coalesce(string_split(rec, " + gap + ")[3], '') AS body"
+        " string_split(rec, " + gap + ")[2] AS http_hdr"
         " FROM wrows), "
+        "parsed AS (SELECT file_id, warc_hdr, http_hdr,"
+        " CASE WHEN length(rec) >="
+        " length(warc_hdr) + length(http_hdr) + 8"
+        " THEN regexp_replace(substr(rec,"
+        " length(warc_hdr) + length(http_hdr) + 9),"
+        " '\\r\\n\\r\\n$', '') ELSE '' END AS body"
+        " FROM hdrs), "
         "fields AS (SELECT file_id,"
         " CAST(regexp_extract(warc_hdr, 'Content-Length: ([0-9]+)', 1)"
         " AS BIGINT) AS content_length,"

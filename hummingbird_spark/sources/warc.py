@@ -21,13 +21,28 @@ fields via regexp_extract, HTTP status + body via bounded splits) —
 JVM-side, codegen, no UDFs. Content-Length is validated against the
 HTTP payload so truncated records are detectable downstream.
 
-Simplification vs full ISO 28500 (documented contract): the parser
-assumes text payloads that do not themselves contain the bare record
-magic; binary payloads need the offset-based reader (Content-Length
-arithmetic), which this seam is shaped to grow into.
+- `read_warc_gz(spark, path)` / `read_warc_binary(spark, path)` —
+  the offset-based reader for the layouts real Common Crawl ships:
+  `.warc.gz` with ONE GZIP MEMBER PER RECORD (members walked with
+  stdlib zlib inside an Arrow `mapInPandas` kernel) and uncompressed
+  binary WARC (records walked by Content-Length arithmetic, no
+  split-on-magic). Byte-exact: payloads may contain blank lines AND
+  the record magic. Gzip members are not splittable without an
+  external index, so the scale contract here is FILE-grain
+  parallelism — exactly how Common Crawl shards (~64k files of ~1 GB
+  per crawl); `binaryFile` scans distribute one file per task.
+
+Simplification vs full ISO 28500 (documented contract): the split
+parsers (`read_warc`/`parse_warc_records`) assume text payloads that
+do not themselves contain the bare record magic; payloads WITH
+embedded blank lines are handled (limit-3 split — everything after
+the second gap is body). Payloads containing the magic, and binary
+payloads, take the offset-based readers above.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,12 +75,20 @@ def render_warc_record(uri: F.Column, body: F.Column,
 
 def _parse_record(rec: F.Column) -> list[F.Column]:
     """Parse one record's text (everything AFTER the magic): WARC
-    headers, HTTP status line + headers, body."""
-    parts = F.split(rec, CRLF + CRLF)
+    headers, HTTP status line + headers, body. The split is
+    limit-3 — the first gap ends the WARC headers, the second ends
+    the HTTP headers, and EVERYTHING after the second is body (real
+    \r\n-newline HTML contains blank lines freely; an unlimited
+    split would silently truncate the body at the first one). The
+    single trailing record gap the writer appends is stripped."""
+    parts = F.split(rec, CRLF + CRLF, 3)
     warc_hdr = F.element_at(parts, 1)
     http_hdr = F.element_at(parts, 2)
-    body = F.when(F.size(parts) >= 3, F.element_at(parts, 3)) \
-        .otherwise(F.lit(""))
+    body = F.when(
+        F.size(parts) >= 3,
+        F.regexp_replace(F.element_at(parts, 3), CRLF + CRLF + "$",
+                         ""),
+    ).otherwise(F.lit(""))
     declared_len = F.regexp_extract(
         warc_hdr, r"(?m)^Content-Length: ([0-9]+)$", 1
     ).cast("long")
@@ -102,7 +125,163 @@ def parse_warc_records(df: DataFrame, blob_col: str = "blob",
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Scale-path reader: record-grain splitting at the text source via
-    a custom lineSep — no whole-file strings, splittable scans."""
+    a custom lineSep — no whole-file strings, splittable scans.
+    `.warc.gz` paths dispatch to the offset-based member walker
+    (per-record gzip members are the actual Common Crawl layout)."""
+    if path.endswith(".gz"):
+        return read_warc_gz(spark, path)
     raw = spark.read.option("lineSep", RECORD_MAGIC).text(path)
     recs = raw.filter(F.length(F.trim(F.col("value"))) > 0)
     return recs.select(*_parse_record(F.col("value")))
+
+
+# ---------------------------------------------------------------------------
+# Offset-based readers (binary / per-record-gzip) — Content-Length
+# arithmetic, byte-exact. One Arrow kernel shared by both layouts.
+# ---------------------------------------------------------------------------
+
+_MAGIC_B = RECORD_MAGIC.encode("ascii")
+_GAP_B = _GAP.encode("ascii")
+
+PARSED_SCHEMA = ("warc_type string, target_uri string, "
+                 "content_length long, http_status string, "
+                 "body string, length_ok boolean")
+
+
+def _parse_record_bytes(rec: bytes) -> tuple | None:
+    """One record's bytes (starting at, or just after, the magic) ->
+    the same 6-tuple the Column parser produces. The HTTP block is
+    carved by the declared Content-Length — byte-exact, so payloads
+    may contain blank lines and the record magic itself. length_ok
+    verifies the member/record actually holds declared bytes followed
+    by the record gap."""
+    if rec.startswith(_MAGIC_B):
+        rec = rec[len(_MAGIC_B):]
+    gap_at = rec.find(_GAP_B)
+    if gap_at < 0:
+        return None
+    warc_hdr = rec[:gap_at]
+    m = re.search(rb"^Content-Length: ([0-9]+)\r?$", warc_hdr, re.M)
+    declared = int(m.group(1)) if m else None
+    block_start = gap_at + len(_GAP_B)
+    if declared is not None:
+        block = rec[block_start:block_start + declared]
+        tail = rec[block_start + declared:]
+        length_ok = (len(block) == declared
+                     and tail in (_GAP_B, b"", CRLF.encode("ascii")))
+    else:
+        block = rec[block_start:]
+        if block.endswith(_GAP_B):
+            block = block[:-len(_GAP_B)]
+        length_ok = False
+    h = block.find(_GAP_B)
+    http_hdr, body = (block[:h], block[h + len(_GAP_B):]) \
+        if h >= 0 else (block, b"")
+    t = re.search(rb"^WARC-Type: (\S+)\r?$", warc_hdr, re.M)
+    u = re.search(rb"^WARC-Target-URI: (\S+)\r?$", warc_hdr, re.M)
+    s = re.match(rb"HTTP/1\.[01] ([0-9]{3})", http_hdr)
+    dec = (lambda b: b.decode("utf-8", errors="replace"))
+    return (
+        dec(t.group(1)) if t else "",
+        dec(u.group(1)) if u else "",
+        declared,
+        dec(s.group(1)) if s else "",
+        dec(body),
+        length_ok,
+    )
+
+
+def _iter_records(data: bytes):
+    """Walk concatenated records in uncompressed binary WARC by
+    Content-Length arithmetic: header scan to the first gap, skip
+    declared block + gap, expect the next magic. A record whose
+    declared length does not land on the next magic resyncs by
+    searching for it (and its length_ok is already False)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(_MAGIC_B, pos)
+        if start < 0:
+            return
+        gap_at = data.find(_GAP_B, start)
+        if gap_at < 0:
+            yield data[start:]
+            return
+        hdr = data[start:gap_at]
+        m = re.search(rb"^Content-Length: ([0-9]+)\r?$", hdr, re.M)
+        if m:
+            end = gap_at + len(_GAP_B) + int(m.group(1)) + len(_GAP_B)
+            if end > n or (end < n
+                           and data[end:end + len(_MAGIC_B)]
+                           != _MAGIC_B):
+                nxt = data.find(_MAGIC_B, start + len(_MAGIC_B))
+                end = nxt if nxt >= 0 else n
+        else:
+            nxt = data.find(_MAGIC_B, start + len(_MAGIC_B))
+            end = nxt if nxt >= 0 else n
+        yield data[start:end]
+        pos = end
+
+
+def _iter_gzip_members(data: bytes):
+    """Per-record gzip members (the Common Crawl `.warc.gz` layout),
+    walked with stdlib zlib: each member decompresses independently;
+    `unused_data` marks the next member boundary."""
+    import zlib
+
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _binary_warc_df(spark: SparkSession, path: str,
+                    gz: bool) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path) \
+        .select("content")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                members = (_iter_gzip_members(data) if gz
+                           else _iter_records(data))
+                for rec in members:
+                    parsed = _parse_record_bytes(rec)
+                    if parsed is not None:
+                        rows.append(parsed)
+            yield pd.DataFrame(
+                rows, columns=["warc_type", "target_uri",
+                               "content_length", "http_status",
+                               "body", "length_ok"])
+
+    return files.mapInPandas(kernel, PARSED_SCHEMA)
+
+
+def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
+    """Offset-based reader for `.warc.gz` with one gzip member per
+    record. Not splittable within a file (gzip members need an
+    external index) — parallelism is file-grain, matching how Common
+    Crawl shards its corpus (~64k ~1 GB files per crawl); the
+    `binaryFile` scan distributes one file per task and the per-task
+    memory bound is one file's bytes."""
+    return _binary_warc_df(spark, path, gz=True)
+
+
+def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Offset-based reader for uncompressed binary WARC: records
+    walked by Content-Length arithmetic (no split-on-magic), so
+    payloads may contain blank lines and the record magic. Same
+    file-grain parallelism contract as `read_warc_gz`."""
+    return _binary_warc_df(spark, path, gz=False)

@@ -35,24 +35,71 @@ from hummingbird_spark.streaming.ledger import BatchLedger, commit_swap
 
 _LOC_RE = r"(?is)<loc>(.*?)</loc>"
 _MOD_RE = r"(?is)<lastmod>(.*?)</lastmod>"
+_URL_EL_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+_SITEMAP_EL_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+
+
+def sitemap_url_elements(xml: F.Column) -> F.Column:
+    """Array of per-`<url>` element structs (loc, lastmod). Pairing
+    is STRUCTURAL — loc and lastmod are extracted within each
+    element — because lastmod is optional per the sitemap protocol:
+    a flat extract-all of each tag zipped by position shifts every
+    lastmod after the first omission onto the wrong URL. A missing
+    lastmod is null. `<sitemapindex>` child refs sit inside
+    `<sitemap>` elements, so they never leak in here."""
+    els = F.regexp_extract_all(xml, F.lit(_URL_EL_RE), F.lit(1))
+    return F.transform(
+        els,
+        lambda e: F.struct(
+            F.regexp_extract(e, _LOC_RE, 1).alias("loc"),
+            F.nullif(F.regexp_extract(e, _MOD_RE, 1), F.lit(""))
+            .alias("mod"),
+        ),
+    )
 
 
 def parse_sitemap_entries(sitemaps: DataFrame,
                           xml_col: str = "sitemap_xml") -> DataFrame:
     """(.., sitemap_xml) -> (host, curl, lastmod) rows, canonicalized;
-    host derives from each loc (a sitemap may list several hosts)."""
-    locs = F.regexp_extract_all(F.col(xml_col), F.lit(_LOC_RE),
-                                F.lit(1))
-    mods = F.regexp_extract_all(F.col(xml_col), F.lit(_MOD_RE),
-                                F.lit(1))
+    host derives from each loc (a sitemap may list several hosts).
+    Rows whose XML is a `<sitemapindex>` contribute no page entries
+    (their `<loc>`s are child-sitemap refs — `parse_sitemap_index_refs`
+    surfaces those for the scheduler to fetch)."""
     return (
         sitemaps.select(
-            F.explode(F.arrays_zip(locs.alias("loc"),
-                                   mods.alias("mod"))).alias("e"))
+            F.explode(sitemap_url_elements(F.col(xml_col))).alias("e"))
+        .filter(F.col("e.loc") != "")
         .select(canonical_url(F.col("e.loc")).alias("curl"),
                 F.col("e.mod").alias("lastmod"))
         .select(url_host(F.col("curl")).alias("host"), "curl",
                 "lastmod")
+    )
+
+
+def parse_sitemap_index_refs(sitemaps: DataFrame,
+                             xml_col: str = "sitemap_xml") -> DataFrame:
+    """`<sitemapindex>` rows -> (host, sitemap_curl, lastmod): the
+    child sitemaps an index points at — the one recursion level the
+    protocol allows (indexes may not nest). The scheduler treats
+    these as sitemap fetches; once a child's XML arrives as its own
+    row, its `<url>` entries flow through `parse_sitemap_entries`."""
+    els = F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_EL_RE),
+                               F.lit(1))
+    refs = F.transform(
+        els,
+        lambda e: F.struct(
+            F.regexp_extract(e, _LOC_RE, 1).alias("loc"),
+            F.nullif(F.regexp_extract(e, _MOD_RE, 1), F.lit(""))
+            .alias("mod"),
+        ),
+    )
+    return (
+        sitemaps.select(F.explode(refs).alias("e"))
+        .filter(F.col("e.loc") != "")
+        .select(canonical_url(F.col("e.loc")).alias("sitemap_curl"),
+                F.col("e.mod").alias("lastmod"))
+        .select(url_host(F.col("sitemap_curl")).alias("host"),
+                "sitemap_curl", "lastmod")
     )
 
 

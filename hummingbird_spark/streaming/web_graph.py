@@ -25,16 +25,25 @@ matching the batch's canonical URLs / page ids — equi-joins, never a
 rescan of the whole graph.
 
 Crash-window semantics (shared contract, streaming/ledger.py): fact
-appends land BEFORE the edge append and the ledger. On replay the
-batch's canonicals are already in the pages store, so the naive
-"re-crawl" gate would drop them and their edges would be LOST — the
-delta therefore re-derives edges for already-accepted batch
-canonicals from their STORED facts (store-semi-joined on the batch's
-keys, so still batch-bounded). A genuine re-crawl takes the same path
-and contributes nothing: the accepted version's edges exist by the
-per-batch invariant and die in the edge-store anti-join. Both
-directions are asserted by the crash-window and re-crawl tests.
-Wiped-checkpoint restarts are no-ops via the batch-id ledger.
+appends land BEFORE the edge append and the ledger, and LINKS land
+before PAGES. The ordering matters: replay recovery keys off the
+pages store ("batch canonical already accepted" => recover the
+accepted facts from the stores), so every fact visible in the pages
+store must already have its links in the links store. Links-first
+makes each window recoverable: (a) crash after the links append —
+the batch's canonicals are NOT yet in the pages store, so replay
+treats the whole batch as fresh and the duplicate link rows die in
+the distinct read; (b) crash after both fact appends — replay finds
+the canonicals accepted and re-derives their edges from the STORED
+facts (store-semi-joined on the batch's keys, so still
+batch-bounded). Pages-first would leave window (a) with accepted
+canonicals whose links exist NOWHERE — permanent edge loss, the
+non-recoverable failure the ledger contract forbids. A genuine
+re-crawl takes the recovery path and contributes nothing: the
+accepted version's edges exist by the per-batch invariant and die in
+the edge-store anti-join. All three directions are asserted by the
+crash-window and re-crawl tests. Wiped-checkpoint restarts are
+no-ops via the batch-id ledger.
 """
 
 from __future__ import annotations
@@ -150,7 +159,8 @@ def apply_web_graph_batch(
 ) -> None:
     """Compute the delta and append all three stores. All plans
     materialize BEFORE any store mutates (they read the stores they
-    update); fact appends first, edge append + ledger last."""
+    update); links append FIRST, then pages, then edges + ledger —
+    see the module docstring for why links must precede pages."""
     led = BatchLedger(edges_path)
     if led.seen(batch_id):
         return
@@ -160,8 +170,8 @@ def apply_web_graph_batch(
     new_pages = new_pages.localCheckpoint(eager=True)
     new_links = new_links.localCheckpoint(eager=True)
     new_edges = new_edges.localCheckpoint(eager=True)
-    new_pages.write.mode("append").parquet(pages_path)
     new_links.write.mode("append").parquet(links_path)
+    new_pages.write.mode("append").parquet(pages_path)
     new_edges.write.mode("append").parquet(edges_path)
     led.record(batch_id)
     if (compact_every and batch_id is not None

@@ -115,3 +115,58 @@ def test_streaming_frontier(spark, tmp_path):
     shutil.rmtree(frontier + "._checkpoint")
     _run(spark, src, frontier, crawled, robots)
     assert spark.read.parquet(frontier).count() == n
+
+
+def test_optional_lastmod_pairs_structurally(spark):
+    """lastmod is optional per the sitemap protocol: one entry
+    without it must NOT shift later lastmods onto the wrong URLs
+    (the r8 ADVICE bug — positional arrays_zip pairing)."""
+    from hummingbird_spark.streaming.frontier import (
+        parse_sitemap_entries,
+    )
+
+    xml = ('<?xml version="1.0"?><urlset>'
+           '<url><loc>https://a.example/p1</loc>'
+           '<lastmod>2026-01-01</lastmod></url>'
+           '<url><loc>https://a.example/p2</loc></url>'
+           '<url><loc>https://a.example/p3</loc>'
+           '<lastmod>2026-01-03</lastmod></url>'
+           '<url><lastmod>2026-01-09</lastmod>'
+           '<loc>https://a.example/p4</loc></url>'
+           '</urlset>')
+    got = {r.curl: r.lastmod for r in parse_sitemap_entries(
+        spark.createDataFrame([Row(sitemap_xml=xml)])).collect()}
+    assert got == {
+        "https://a.example/p1": "2026-01-01",
+        "https://a.example/p2": None,
+        "https://a.example/p3": "2026-01-03",
+        "https://a.example/p4": "2026-01-09",
+    }
+
+
+def test_sitemap_index_refs_do_not_pollute_frontier(spark):
+    """A <sitemapindex> row's <loc>s are CHILD SITEMAP refs, not
+    pages: parse_sitemap_entries must yield nothing for it, and
+    parse_sitemap_index_refs must surface the children (the one
+    recursion level the protocol allows)."""
+    from hummingbird_spark.streaming.frontier import (
+        parse_sitemap_entries,
+        parse_sitemap_index_refs,
+    )
+
+    index = ('<?xml version="1.0"?><sitemapindex>'
+             '<sitemap><loc>https://a.example/sitemap-a.xml</loc>'
+             '<lastmod>2026-02-01</lastmod></sitemap>'
+             '<sitemap><loc>https://a.example/sitemap-b.xml</loc>'
+             '</sitemap></sitemapindex>')
+    child = ('<?xml version="1.0"?><urlset>'
+             '<url><loc>https://a.example/p9</loc>'
+             '<lastmod>2026-02-02</lastmod></url></urlset>')
+    df = spark.createDataFrame([Row(sitemap_xml=index),
+                                Row(sitemap_xml=child)])
+    entries = {r.curl for r in parse_sitemap_entries(df).collect()}
+    assert entries == {"https://a.example/p9"}
+    refs = {r.sitemap_curl: r.lastmod
+            for r in parse_sitemap_index_refs(df).collect()}
+    assert refs == {"https://a.example/sitemap-a.xml": "2026-02-01",
+                    "https://a.example/sitemap-b.xml": None}

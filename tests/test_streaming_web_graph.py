@@ -138,3 +138,35 @@ def test_crash_between_fact_append_and_edge_append(spark, tmp_path):
     apply_web_graph_batch(spark, b1, *paths)
     assert _edge_set(read_web_edges(spark, paths[2])) == \
         _edge_set(web_link_edges(pages))
+
+
+def test_crash_after_links_append_only(spark, tmp_path):
+    """The window the links-before-pages ordering exists for: the
+    batch's links landed but the pages append (and everything after)
+    did not. Replay must treat the batch as fresh — its canonicals
+    are not yet accepted — and converge; the duplicate link rows die
+    in the distinct read. (The reverse ordering would leave accepted
+    canonicals with links stored NOWHERE: permanent edge loss.)"""
+    from hummingbird_spark.streaming.web_graph import (
+        web_graph_batch_delta,
+    )
+
+    pages = _with_link_page(load_table(spark, SF, "documents")) \
+        .filter(F.col("doc_id") < 100).localCheckpoint(eager=True)
+    paths = [str(tmp_path / p) for p in ("pages", "links", "edges")]
+    b0 = pages.filter(F.col("doc_id") < 50)
+    b1 = pages.filter(F.col("doc_id") >= 50)
+    apply_web_graph_batch(spark, b0, *paths)
+
+    # batch 1 crashes right after the FIRST append (links only)
+    _np, nl, _ne = web_graph_batch_delta(spark, b1, *paths)
+    nl.localCheckpoint(eager=True).write.mode("append") \
+        .parquet(paths[1])
+
+    # restart replays the batch end-to-end
+    apply_web_graph_batch(spark, b1, *paths)
+    assert _edge_set(read_web_edges(spark, paths[2])) == \
+        _edge_set(web_link_edges(pages))
+    # and the pages store holds exactly one row per accepted canonical
+    ps = spark.read.parquet(paths[0])
+    assert ps.count() == ps.select("curl").distinct().count()

@@ -1,0 +1,139 @@
+"""Offset-based WARC readers (sources/warc.py): the per-record-gzip
+`.warc.gz` layout real Common Crawl ships, and uncompressed binary
+WARC walked by Content-Length arithmetic. Contracts pinned here:
+
+- a fixture-built multi-member `.warc.gz` parses byte-identically to
+  the lineSep text path over the same records (the VERDICT r8 done
+  criterion), and `read_warc` dispatches on the `.gz` suffix;
+- the offset walk is immune to the two payloads the split paths
+  cannot hold: bodies with blank lines (handled by the limit-3 split
+  too, asserted here deterministically) and bodies containing the
+  bare record magic (offset readers only);
+- a record whose declared Content-Length lies resyncs at the next
+  magic with length_ok=False instead of corrupting its neighbors.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hummingbird_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    read_warc_binary,
+    read_warc_gz,
+    render_warc_record,
+)
+
+CRLF = "\r\n"
+GAP = CRLF + CRLF
+
+
+def _render(uri: str, body: str) -> str:
+    http = ("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html"
+            + GAP + body)
+    return ("WARC/1.0" + CRLF
+            + "WARC-Type: response" + CRLF
+            + f"WARC-Target-URI: {uri}" + CRLF
+            + f"Content-Length: {len(http)}" + GAP
+            + http + GAP)
+
+
+BODIES = [
+    "plain single line",
+    "<html>\r\n<body>\r\n\r\n<p>para one</p>\r\n\r\n"
+    "<p>para two</p>\r\n</body>\r\n</html>",
+    "",
+    "trailing gap body" + GAP,
+]
+RECS = [(f"http://w.example/p{i}", b) for i, b in enumerate(BODIES)]
+
+
+def _rows(df):
+    return sorted(
+        (r.target_uri, r.body, r.content_length, r.http_status,
+         r.warc_type, r.length_ok)
+        for r in df.collect())
+
+
+def test_blank_line_bodies_roundtrip_split_path(spark):
+    """The ADVICE r8 bug: an unlimited gap split truncated any body
+    at its first blank line. The limit-3 parse must hold the whole
+    body and validate Content-Length."""
+    blob = "".join(_render(u, b) for u, b in RECS)
+    out = parse_warc_records(
+        spark.createDataFrame([Row(blob=blob)]), "blob") \
+        .orderBy("rec_idx").collect()
+    assert [r.body for r in out] == BODIES
+    assert all(r.length_ok for r in out)
+    assert all(r.http_status == "200" for r in out)
+
+
+def test_gz_members_match_text_path(spark, tmp_path):
+    text_file = tmp_path / "fix.warc"
+    gz_file = tmp_path / "fix.warc.gz"
+    text_file.write_bytes(
+        "".join(_render(u, b) for u, b in RECS).encode("ascii"))
+    with open(gz_file, "wb") as f:
+        for u, b in RECS:
+            f.write(gzip.compress(_render(u, b).encode("ascii")))
+
+    via_text = _rows(read_warc(spark, str(text_file)))
+    via_gz = _rows(read_warc(spark, str(gz_file)))  # suffix dispatch
+    assert via_gz == via_text
+    assert len(via_gz) == len(RECS)
+    assert all(r[-1] for r in via_gz)  # every member length_ok
+    # and the renderer the queries use produces the same wire bytes
+    rendered = spark.createDataFrame(
+        [Row(uri=u, body=b) for u, b in RECS]) \
+        .select(render_warc_record(F.col("uri"), F.col("body"))
+                .alias("r")).collect()
+    assert sorted(r.r for r in rendered) == \
+        sorted(_render(u, b) for u, b in RECS)
+
+
+def test_binary_walk_holds_magic_in_body(spark, tmp_path):
+    """Payloads containing the bare record magic break any
+    split-on-magic parse; the Content-Length walk must carve through
+    them byte-exactly."""
+    evil = "looks like a record: WARC/1.0\r\nWARC-Type: fake\r\n\r\nx"
+    recs = [("http://w.example/a", evil),
+            ("http://w.example/b", "normal body")]
+    f = tmp_path / "evil.warc"
+    f.write_bytes("".join(_render(u, b) for u, b in recs)
+                  .encode("ascii"))
+    got = _rows(read_warc_binary(spark, str(f)))
+    assert [(u, b) for u, b, *_ in got] == sorted(
+        (u, b) for u, b in recs)
+    assert all(r[-1] for r in got)
+
+    # gz variant of the same payloads
+    g = tmp_path / "evil.warc.gz"
+    with open(g, "wb") as fh:
+        for u, b in recs:
+            fh.write(gzip.compress(_render(u, b).encode("ascii")))
+    assert _rows(read_warc_gz(spark, str(g))) == got
+
+
+def test_lying_content_length_resyncs(spark, tmp_path):
+    """First record declares 5 bytes too few; the walker must resync
+    at the next magic, flag the liar, and parse the second record
+    intact."""
+    good_http = ("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html"
+                 + GAP + "honest body")
+    liar = ("WARC/1.0" + CRLF
+            + "WARC-Type: response" + CRLF
+            + "WARC-Target-URI: http://w.example/liar" + CRLF
+            + f"Content-Length: {len(good_http) - 5}" + GAP
+            + good_http + GAP)
+    f = tmp_path / "liar.warc"
+    f.write_bytes(
+        (liar + _render("http://w.example/honest", "fine body"))
+        .encode("ascii"))
+    got = {r[0]: r for r in _rows(read_warc_binary(spark, str(f)))}
+    assert got["http://w.example/honest"][1] == "fine body"
+    assert got["http://w.example/honest"][-1] is True
+    assert got["http://w.example/liar"][-1] is False

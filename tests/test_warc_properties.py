@@ -18,11 +18,14 @@ from hummingbird_spark.sources.warc import (
 )
 
 # documented contract: text payloads that do not contain the bare
-# record gap (CRLF CRLF); printable ASCII + newlines is the realistic
-# HTML-page alphabet
+# record MAGIC ("WARC/1.0\r\n"); blank lines (CRLF CRLF) are fine —
+# the limit-3 parse keeps everything after the second gap as body.
+# CR/LF included in the alphabet so multi-line \r\n HTML is exercised.
 _BODY = st.text(
-    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
-    min_size=0, max_size=200)
+    alphabet=st.sampled_from(
+        "\r\n" + "".join(chr(c) for c in range(0x20, 0x7F))),
+    min_size=0, max_size=200,
+).filter(lambda s: "WARC/1.0\r\n" not in s)
 _URI = st.from_regex(r"http://[a-z]{1,8}\.example/[a-z0-9/]{0,12}",
                      fullmatch=True)
 
