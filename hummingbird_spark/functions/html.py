@@ -40,6 +40,51 @@ ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "), ("&copy;", "(c)"), ("&amp;", "&"),
 )
 
+# Sentinel for the numeric-entity rewrite (never occurs in page text;
+# documented contract — pages containing \x01 would mis-split).
+_NUM_SENT = "\x01"
+
+
+def _codepoint_char(cp: Column) -> Column:
+    """Code point -> character, JVM-side: Spark's char() is
+    ASCII-mod-256, so build the UTF-16BE bytes instead (surrogate-pair
+    arithmetic above the BMP) and decode them. Invalid scalar values
+    (<= 0, the surrogate range, > 0x10FFFF) yield '' — mirrored by
+    the chr() guard in the DuckDB oracles."""
+    bmp = F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+    hi = F.lit(0xD800) + F.shiftright(cp - F.lit(0x10000), 10)
+    lo = F.lit(0xDC00) + (cp - F.lit(0x10000)) % F.lit(1024)
+    sup = F.decode(
+        F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"),
+                         F.lpad(F.hex(lo), 4, "0"))), "UTF-16BE")
+    invalid = (cp.isNull() | (cp <= 0)
+               | ((cp >= 0xD800) & (cp <= 0xDFFF)) | (cp > 0x10FFFF))
+    return F.when(invalid, F.lit("")) \
+        .when(cp > 0xFFFF, sup).otherwise(bmp)
+
+
+def decode_numeric_entities(col: Column) -> Column:
+    """&#NN; / &#xHH; -> the character, as a bounded split/transform
+    (no UDF, no explode): entities rewrite to sentinel-delimited
+    tokens, the string splits on the sentinel, and odd elements
+    decode via `_codepoint_char`. Runs BEFORE the named-entity
+    replaces so '&amp;#65;' stays the literal text '&#65;' (the HTML
+    double-escape rule)."""
+    m = F.regexp_replace(col, r"&#[xX]([0-9a-fA-F]{1,6});",
+                         _NUM_SENT + "x$1" + _NUM_SENT)
+    m = F.regexp_replace(m, r"&#([0-9]{1,7});",
+                         _NUM_SENT + "d$1" + _NUM_SENT)
+    parts = F.split(m, _NUM_SENT)
+    cp = (lambda p: F.when(
+        p.startswith("x"),
+        F.conv(F.substring(p, 2, 8), 16, 10).cast("long"))
+        .otherwise(F.substring(p, 2, 8).cast("long")))
+    return F.array_join(
+        F.transform(
+            parts,
+            lambda p, i: F.when(i % 2 == 1, _codepoint_char(cp(p)))
+            .otherwise(p)), "")
+
 # Query parameters that never change page identity (analytics junk).
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
 
@@ -53,7 +98,7 @@ def strip_noise(html: Column) -> Column:
 
 
 def _decode_entities(col: Column) -> Column:
-    out = col
+    out = decode_numeric_entities(col)
     for ent, ch in ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
@@ -298,22 +343,58 @@ def url_origin(url: Column) -> Column:
                     F.lower(F.regexp_extract(url, _AUTH_RE, 1)))
 
 
+# one path segment that is NOT "." or ".." (RE2-safe: no lookaround)
+_DOT_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+# a path that still contains a "." or ".." segment
+_HAS_DOTS_RE = r"/\.\.?(/|$)"
+DOT_FOLD_ITERS = 8
+
+
+def remove_dot_segments(path: Column,
+                        iters: int = DOT_FOLD_ITERS) -> Column:
+    """RFC 3986 §5.2.4 over a path string, as a BOUNDED iterated
+    regexp chain (engine-portable: no loops, no lookaround — the
+    same chain replays in the DuckDB oracles). Each iteration clamps
+    leading '/../' at the root, removes '/./' segments, then folds
+    one nesting level of '<seg>/../'. `iters` bounds the nesting
+    depth handled (documented contract: more than 8 consecutive
+    parent hops stay unfolded — real hrefs use 1-3)."""
+    p = path
+    for _ in range(iters):
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/\.$", "/")
+        p = F.regexp_replace(p, "/" + _DOT_SEG + r"/\.\./", "/")
+        p = F.regexp_replace(p, "/" + _DOT_SEG + r"/\.\.$", "/")
+    return p
+
+
 def resolve_href(href: Column, base: Column) -> Column:
     """Resolve one reference against a base URL. Supported subset
     (documented contract, same in the SQL oracles): absolute,
     protocol-relative (//host/...), root-relative (/path), and plain
-    relative (resolved against the base's directory; no ./.. dot-
-    segment folding — crawl fixtures and most real hrefs don't use
-    them, and the subset keeps the expression engine-portable)."""
+    relative (resolved against the base's directory). './' and '../'
+    segments fold per RFC 3986 §5.2.4 via `remove_dot_segments`
+    (applied only when the resolved form still contains a dot
+    segment, so the common case stays a single conditional chain)."""
     bdir = F.regexp_replace(
         F.regexp_extract(base, _PATH_RE, 1), r"/[^/]*$", "")
-    return (
+    resolved = (
         F.when(href.rlike(_ABS_RE), href)
         .when(href.startswith("//"),
               F.concat(url_scheme(base), F.lit(":"), href))
         .when(href.startswith("/"), F.concat(url_origin(base), href))
         .otherwise(F.concat(url_origin(base), bdir, F.lit("/"), href))
     )
+    folded = F.concat(
+        F.regexp_extract(resolved,
+                         r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1),
+        remove_dot_segments(F.regexp_extract(resolved, _PATH_RE, 1)),
+        F.regexp_extract(resolved, r"^[^?#]*([?#].*)", 1),
+    )
+    return F.when(resolved.rlike(_HAS_DOTS_RE), folded) \
+        .otherwise(resolved)
 
 
 def extract_links(html: Column, base: Column) -> Column:

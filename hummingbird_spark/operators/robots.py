@@ -83,21 +83,33 @@ def robots_rules(robots: DataFrame, agent: str,
         .groupBy(host_col)
         .agg(F.min(F.col("val").cast("int")).alias("crawl_delay"))
     )
-    return (
+    path_rules = (
         rules.filter(F.col("kind").isin("allow", "disallow"))
         .filter(F.length("val") > 0)  # empty Disallow: allow-all no-op
         .select(host_col, "kind", F.col("val").alias("path"))
-        .join(delay, host_col, "left")
     )
+    # FULL outer: a chosen group may carry a Crawl-delay and no
+    # (non-empty) path rules — such a host must still surface its
+    # delay (as a row with null kind/path; null path can never win a
+    # longest-prefix match, so verdicts see only the delay).
+    return path_rules.join(delay, host_col, "full_outer")
 
 
 def robots_verdicts(urls: DataFrame, rules: DataFrame,
                     url_col: str = "url",
-                    host_col: str = "host") -> DataFrame:
+                    host_col: str = "host",
+                    broadcast_limit: int = 1_000_000) -> DataFrame:
     """Per URL: allowed (1/0), the matched rule path ('' if none) and
     the host's crawl_delay. Longest matching prefix wins; Allow wins
     equal-length ties. URLs on hosts without rules pass through
-    allowed (the left join)."""
+    allowed (the left join).
+
+    The rules side broadcasts only while it fits (<= broadcast_limit
+    rows, counted once — the rules frame sits on a localCheckpoint so
+    the count is a cheap re-read): rules grow with the HOST count, so
+    an unconditional hint would eventually exceed the broadcast/driver
+    limit and fail the job instead of degrading to a shuffle join.
+    Past the limit the hint is dropped and AQE picks the strategy."""
     from hummingbird_spark.functions.html import url_host, url_path
 
     u = urls.select(
@@ -108,7 +120,9 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame,
     # no-rules cases survive as null `best` inside the group instead
     # of being filtered into a second (sort-merge) self-join — at
     # corpus scale the URL side shuffles exactly once, on url
-    cand = u.join(F.broadcast(rules), host_col, "left")
+    if rules.count() <= broadcast_limit:
+        rules = F.broadcast(rules)
+    cand = u.join(rules, host_col, "left")
     hit = F.col("path").isNotNull() \
         & F.col("__path").startswith(F.col("path"))
     return (

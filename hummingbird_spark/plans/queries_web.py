@@ -86,7 +86,8 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
     ("lit", '</p></div><div class="side"><ul>'
             '<li><a href="/t/1">one tag</a></li>'
             '<li><a href="/t/2">two tag</a></li></ul></div>'
-            '<footer>&copy; 2026 Corp &amp; <a href="/p">Privacy</a> '
+            '<footer>&copy; 2026 Corp &amp; it&#x2019;s fine &#8212; '
+            'literal &amp;#65; stays <a href="/p">Privacy</a> '
             '<a href="/b">Terms</a></footer></body></html>'),
 )
 
@@ -156,8 +157,31 @@ def _strip_noise_sql(e: str) -> str:
     return "regexp_replace(%s, '(?s)<!--.*?-->', ' ', 'g')" % out
 
 
+def _num_ent_sql(e: str) -> str:
+    """decode_numeric_entities() replica: sentinel-rewrite both
+    entity forms, split on chr(1), decode odd elements (guarding the
+    same invalid scalar values), rebuild. The single-element
+    list_transform binds sp/cp once — DuckDB's lambda-closure idiom
+    for a local name."""
+    marked = ("regexp_replace(regexp_replace(%s,"
+              " '&#[xX]([0-9a-fA-F]{1,6});', chr(1)||'x\\1'||chr(1),"
+              " 'g'), '&#([0-9]{1,7});', chr(1)||'d\\1'||chr(1), 'g')"
+              % e)
+    cp = ("CASE WHEN sp[i][1] = 'x'"
+          " THEN try_cast('0x'||substr(sp[i],2,8) AS BIGINT)"
+          " ELSE try_cast(substr(sp[i],2,8) AS BIGINT) END")
+    ch = ("(list_transform([" + cp + "], cp -> CASE WHEN cp IS NULL"
+          " OR cp <= 0 OR (cp >= 55296 AND cp <= 57343)"
+          " OR cp > 1114111 THEN '' ELSE chr(CAST(cp AS INT)) END))[1]")
+    return ("(list_transform([string_split(" + marked + ", chr(1))],"
+            " sp -> array_to_string(list_transform(range(1,"
+            " len(sp)+1), i -> CASE WHEN i % 2 = 0 THEN " + ch
+            + " ELSE sp[i] END), '')))[1]")
+
+
 def _btext_sql(e: str) -> str:
     out = "regexp_replace(%s, '(?is)<[^>]*>', ' ', 'g')" % e
+    out = _num_ent_sql(out)  # numeric BEFORE named (&amp;#65; rule)
     for ent, ch in ENTITIES:
         out = "replace(%s, '%s', '%s')" % (out, _sq(ent), _sq(ch))
     return "trim(regexp_replace(%s, '[ \\t\\r\\n]+', ' ', 'g'))" % out
@@ -508,16 +532,20 @@ _SLS_SQL = "[" + ", ".join("'%s'" % s for s in SECOND_LEVEL_SUFFIXES) + "]"
 
 def q_domain_curation_stats(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    """Registered-domain (PSL-lite) rollup of the crawl: doc/host/URL
-    counts per domain plus the blocklist verdict a curation run
-    filters on."""
+    """Registered-domain rollup of the crawl under the REAL
+    public-suffix table (functions/psl.py — prevailing-rule PSL
+    algorithm over the vendored snapshot, zero-shuffle literal-map
+    probes): doc/host/URL counts per domain plus the blocklist
+    verdict a curation run filters on."""
+    from hummingbird_spark.functions.psl import registered_domain_psl
+
     urls = _with_url(load_table(spark, sf_dir, "documents"))
     host = url_host(F.col("url"))
     return (
         urls.select(
             "doc_id",
             host.alias("host"),
-            registered_domain(host).alias("domain"),
+            registered_domain_psl(host).alias("domain"),
             canonical_url(F.col("url")).alias("curl"),
         )
         .groupBy("domain")
@@ -533,19 +561,58 @@ def q_domain_curation_stats(spark: SparkSession,
     )
 
 
+def _psl_values_sql() -> str:
+    """The compiled snapshot as a VALUES CTE — generated from the
+    same compile_rules() the Spark expression uses, so the two sides
+    cannot drift."""
+    from hummingbird_spark.functions.psl import compile_rules
+
+    rows = ", ".join("('%s', %d, %d, %d)" % r for r in compile_rules())
+    return ("psl AS (SELECT * FROM (VALUES " + rows
+            + ") p(suffix, wild, exc, eff))")
+
+
+def _psl_max_probe() -> int:
+    from hummingbird_spark.functions.psl import MAX_PROBE
+
+    return MAX_PROBE
+
+
 ORACLE_DOMAIN_STATS = (
     "WITH urls AS (SELECT doc_id, source, " + _URL_SQL
-    + " AS url FROM documents), " + _CANON_SQL + """,
-dom AS (
+    + " AS url FROM documents), " + _CANON_SQL + ",\n"
+    + _psl_values_sql() + """,
+dom0 AS (
   SELECT doc_id, host, canonical_url,
-    CASE WHEN len(labels) >= 3 AND
-              list_contains(""" + _SLS_SQL + """, labels[-2])
-         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-         WHEN len(labels) >= 2
-         THEN labels[-2] || '.' || labels[-1]
-         ELSE host END AS domain
-  FROM (SELECT doc_id, host, canonical_url,
-               string_split(host, '.') AS labels FROM canon))
+         string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM canon),
+-- PSL prevailing rule: probe the host's last-k tails, exception
+-- beats wildcard/normal via struct order, longest otherwise,
+-- default eff = 1
+cand AS (
+  SELECT doc_id, labels, n,
+         unnest(range(1, least(n, """ + str(_psl_max_probe())
+    + """) + 1)) AS k
+  FROM dom0),
+hits AS (
+  SELECT c.doc_id,
+    MAX(CASE WHEN p.suffix IS NOT NULL
+              AND (p.wild = 0 OR c.n >= p.eff)
+         THEN struct_pack(exc := p.exc, eff := p.eff) END) AS best
+  FROM cand c LEFT JOIN psl p
+    ON p.suffix = array_to_string(
+         list_slice(c.labels, c.n - c.k + 1, c.n), '.')
+  GROUP BY c.doc_id),
+dom AS (
+  SELECT d.doc_id, d.host, d.canonical_url,
+    CASE WHEN d.n <= eff2 THEN d.host
+         ELSE array_to_string(
+           list_slice(d.labels, d.n - eff2, d.n), '.') END AS domain
+  FROM (
+    SELECT d0.*, CASE WHEN h.best IS NULL OR (h.best).eff = 0
+                      THEN 1 ELSE (h.best).eff END AS eff2
+    FROM dom0 d0 LEFT JOIN hits h ON d0.doc_id = h.doc_id) d)
 SELECT domain, COUNT(*) AS n_docs,
   COUNT(DISTINCT host) AS n_hosts,
   COUNT(DISTINCT canonical_url) AS n_urls,
@@ -622,12 +689,15 @@ ORDER BY source
 # Q6/Q7: anchor-link extraction + the REAL web link graph
 # ---------------------------------------------------------------------------
 # Link-page fixture: a deterministic 7-host web over the documents
-# table. Each page links out five ways — absolute (with tracking
-# noise), root-relative, plain relative, an external tracker, and a
-# protocol-relative CDN asset — so resolution + canonicalization is
-# exercised on every supported reference form, and only links whose
-# canonical form equals a real page's canonical URL become graph
-# edges (root/plain-relative hrefs resolve on the SOURCE's host, so
+# table. Each page links out six ways — absolute (with tracking
+# noise), root-relative, plain relative, an external tracker, a
+# protocol-relative CDN asset, and a DOT-SEGMENT relative
+# ('.././p/<t4>', exercising RFC 3986 §5.2.4 folding: it resolves to
+# /p/<t4> on the source host and becomes a real edge when the target
+# lives there) — so resolution + canonicalization is exercised on
+# every supported reference form, and only links whose canonical form
+# equals a real page's canonical URL become graph edges
+# (root/plain/dot-relative hrefs resolve on the SOURCE's host, so
 # they dangle unless the target lives on the same host — exactly how
 # mis-rooted hrefs behave on the real web).
 
@@ -639,7 +709,8 @@ _LINK_SEGS: tuple[tuple[str, str], ...] = (
     ("lit", '">r</a><a href="'), ("rel", ""),
     ("lit", '">p</a><a href="'), ("ext", ""),
     ("lit", '">x</a><a href="'), ("proto", ""),
-    ("lit", '">c</a></body></html>'),
+    ("lit", '">c</a><a href="'), ("dot", ""),
+    ("lit", '">d</a></body></html>'),
 )
 
 
@@ -650,6 +721,7 @@ def _with_link_page(docs: DataFrame) -> DataFrame:
     n = docs.count()
     d = F.col("doc_id")
     t1, t2, t3 = (d + 1) % n, (3 * d + 7) % n, (7 * d + 3) % n
+    t4 = (5 * d + 11) % n
     exprs = {
         "id": d.cast("string"),
         "abs": F.concat(F.lit("https://site"), (t1 % 7).cast("string"),
@@ -661,6 +733,7 @@ def _with_link_page(docs: DataFrame) -> DataFrame:
                         d.cast("string")),
         "proto": F.concat(F.lit("//cdn.site"), (d % 7).cast("string"),
                           F.lit(".example/a/"), d.cast("string")),
+        "dot": F.concat(F.lit(".././p/"), t4.cast("string")),
     }
     base = F.concat(F.lit("https://site"), (d % 7).cast("string"),
                     F.lit(".example/p/"), d.cast("string"))
@@ -683,13 +756,15 @@ def _link_page_sql() -> str:
                " CAST(doc_id AS VARCHAR)",
         "proto": ("'//cdn.site' || CAST(doc_id % 7 AS VARCHAR) ||"
                   " '.example/a/' || CAST(doc_id AS VARCHAR)"),
+        "dot": "'.././p/' || CAST(t4 AS VARCHAR)",
     }
     html = " || ".join("'" + _sq(t) + "'" if k == "lit" else exprs[k]
                        for k, t in _LINK_SEGS)
     return (
         "npg AS (SELECT COUNT(*) AS n FROM documents), "
         "lt AS (SELECT doc_id, (doc_id + 1) % n AS t1,"
-        " (3 * doc_id + 7) % n AS t2, (7 * doc_id + 3) % n AS t3"
+        " (3 * doc_id + 7) % n AS t2, (7 * doc_id + 3) % n AS t3,"
+        " (5 * doc_id + 11) % n AS t4"
         " FROM documents, npg), "
         "lpg AS (SELECT doc_id,"
         " 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||"
@@ -700,15 +775,49 @@ def _link_page_sql() -> str:
 
 _HREF_SQL = r"""regexp_extract_all(html, '(?is)<a\b[^>]*href="([^"]*)"', 1)"""
 
-# resolution CASE over the lpg row's base-derived columns
+# one path segment that is NOT '.' or '..' — mirrors functions/html.py
+_DOT_SEG_SQL = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+
+
+def _dot_fold_sql(e: str, iters: int = 8) -> str:
+    """remove_dot_segments() replica: the same bounded iterated
+    regexp chain, same operation order, same iteration cap."""
+    out = e
+    for _ in range(iters):
+        out = r"regexp_replace(%s, '^/\.\./', '/')" % out
+        out = r"regexp_replace(%s, '^/\.\.$', '/')" % out
+        out = r"regexp_replace(%s, '/\./', '/', 'g')" % out
+        out = r"regexp_replace(%s, '/\.$', '/')" % out
+        out = (r"regexp_replace(%s, '/%s/\.\./', '/', 'g')"
+               % (out, _DOT_SEG_SQL))
+        out = (r"regexp_replace(%s, '/%s/\.\.$', '/')"
+               % (out, _DOT_SEG_SQL))
+    return out
+
+
+# dot-segment fold over one resolved URL `r` (closure-bound below)
+_FOLD_URL_SQL = (
+    "coalesce(regexp_extract(r,"
+    " '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1), '') || "
+    + _dot_fold_sql("coalesce(regexp_extract(r,"
+                    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',"
+                    " 1), '')")
+    + " || coalesce(regexp_extract(r, '^[^?#]*([?#].*)', 1), '')")
+
+# resolution CASE over the lpg row's base-derived columns, then the
+# conditional RFC 3986 dot-segment fold (single-element
+# list_transform = DuckDB's closure idiom for binding `r` once)
 _RESOLVE_SQL = """
 rsv AS (
   SELECT doc_id, base,
-    list_transform(hrefs, h -> CASE
+    list_transform(hrefs, h -> (list_transform([CASE
       WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
       WHEN h LIKE '//%' THEN scheme || ':' || h
       WHEN h LIKE '/%' THEN origin || h
-      ELSE origin || bdir || '/' || h END) AS links,
+      ELSE origin || bdir || '/' || h END],
+      r -> CASE WHEN regexp_matches(r, '/\\.\\.?(/|$)')
+                THEN """ + _FOLD_URL_SQL + """
+                ELSE r END))[1]) AS links,
     hrefs
   FROM (
     SELECT doc_id, base, """ + _HREF_SQL + """ AS hrefs,
@@ -866,8 +975,10 @@ ORACLE_WEB_LINK_PAGERANK = _web_pagerank_oracle()
 # trainingbot-specific group (prefix Disallow /p/1 overridden by the
 # longer Allow /p/12 — the longest-match/Allow-ties semantics under
 # test) plus a '*' group that must NOT apply; odd hosts have only a
-# '*' group, exercising the fallback. Blank lines, comments, and the
-# group state machine (UA lines open groups) all replay in SQL.
+# '*' group, exercising the fallback; host 6's trainingbot group is
+# DELAY-ONLY (Crawl-delay, zero path rules) — its delay must survive
+# to the verdicts. Blank lines, comments, and the group state machine
+# (UA lines open groups) all replay in SQL.
 
 ROBOTS_AGENT = "trainingbot"
 
@@ -888,9 +999,19 @@ def _with_robots(docs: DataFrame) -> DataFrame:
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /p/"), h, F.lit("\n"),
         F.lit("Disallow: /x/"))
+    # host 6: the chosen group carries ONLY a Crawl-delay — no path
+    # rules. Its delay must still reach the verdicts (the r8 ADVICE
+    # case robots_rules used to drop on the delay->rules left join).
+    delay_only = F.concat(
+        F.lit("# robots for site"), h, F.lit("\n"),
+        F.lit("User-agent: trainingbot\n"),
+        F.lit("Crawl-delay: "), h, F.lit("\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/"), h)
     return hosts.select(
         F.concat(F.lit("site"), h, F.lit(".example")).alias("host"),
-        F.when(F.col("h") % 2 == 0, even).otherwise(odd)
+        F.when(F.col("h") == 6, delay_only)
+        .when(F.col("h") % 2 == 0, even).otherwise(odd)
         .alias("robots_txt"))
 
 
@@ -917,7 +1038,13 @@ def q_robots_crawl_verdicts(spark: SparkSession,
 
 
 _ROBOTS_TXT_SQL = """
-CASE WHEN h % 2 = 0 THEN
+CASE WHEN h = 6 THEN
+  '# robots for site' || CAST(h AS VARCHAR) || chr(10) ||
+  'User-agent: trainingbot' || chr(10) ||
+  'Crawl-delay: ' || CAST(h AS VARCHAR) || chr(10) || chr(10) ||
+  'User-agent: *' || chr(10) ||
+  'Disallow: /p/' || CAST(h AS VARCHAR)
+WHEN h % 2 = 0 THEN
   '# robots for site' || CAST(h AS VARCHAR) || chr(10) ||
   'User-agent: trainingbot' || chr(10) ||
   'Disallow: /p/1' || chr(10) ||
@@ -1166,11 +1293,18 @@ ORDER BY target
 # ---------------------------------------------------------------------------
 # Per-host sitemap fixture: 10 <url> entries pointing at real pages
 # (ids h, h+7, ..., h+63) plus 3 fresh URLs that no page has — the
-# frontier a crawler should fetch next. The query parses loc/lastmod,
-# canonicalizes, and anti-joins the already-crawled canonical set.
+# frontier a crawler should fetch next. Every 5th entry omits the
+# OPTIONAL lastmod (the r8 ADVICE case: positional loc/lastmod
+# pairing shifts every later lastmod onto the wrong URL), and each
+# host additionally publishes a <sitemapindex> row whose <loc> is a
+# CHILD SITEMAP ref — it must be counted as a child ref, never as a
+# frontier entry. The query parses per-<url> element (structural
+# pairing), canonicalizes, and anti-joins the crawled canonical set.
 
 _SITEMAP_REAL = 10
 _SITEMAP_FRESH = 3
+_SITEMAP_EL = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+_LOC_EL = r"(?is)<loc>(.*?)</loc>"
 
 
 def _with_sitemap(docs: DataFrame) -> DataFrame:
@@ -1188,11 +1322,13 @@ def _with_sitemap(docs: DataFrame) -> DataFrame:
             F.concat(F.lit("https://site"), hs,
                      F.lit(".example/fresh/"), i.cast("string")))
         day = F.lpad(((h + i) % 28 + 1).cast("string"), 2, "0")
-        return F.concat(F.lit("<url><loc>"), loc,
-                        F.lit("</loc><lastmod>2026-01-"), day,
-                        F.lit("</lastmod></url>"))
+        mod = F.when(i % 5 == 4, F.lit("")).otherwise(
+            F.concat(F.lit("<lastmod>2026-01-"), day,
+                     F.lit("</lastmod>")))
+        return F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                        mod, F.lit("</url>"))
 
-    xml = F.concat(
+    urlset = F.concat(
         F.lit('<?xml version="1.0"?><urlset>'),
         F.array_join(
             F.transform(
@@ -1200,26 +1336,47 @@ def _with_sitemap(docs: DataFrame) -> DataFrame:
                            F.lit(_SITEMAP_REAL + _SITEMAP_FRESH - 1)),
                 entry), ""),
         F.lit("</urlset>"))
-    return hosts.select(host.alias("host"), xml.alias("sitemap_xml"))
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'
+              "https://site"), hs,
+        F.lit(".example/sitemap-news.xml</loc></sitemap>"
+              "</sitemapindex>"))
+    # one branch (explode of a 2-array), not a self-union: the union
+    # form trips a Catalyst attribute-resolution bug when the nested
+    # array lambdas downstream prune against both branches
+    return hosts.select(
+        host.alias("host"),
+        F.explode(F.array(urlset, index)).alias("sitemap_xml"))
 
 
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parse -> canonicalize -> anti the crawled set: per host
-    the entry count, already-known count, frontier count, and the
-    newest lastmod (what a scheduler would prioritize by)."""
+    the entry count, already-known count, frontier count, entries
+    missing the optional lastmod, the newest lastmod (what a
+    scheduler prioritizes by), and child-sitemap refs from
+    <sitemapindex> rows (the one recursion level the protocol
+    allows). Pairing is structural per <url> element via the shared
+    streaming/frontier.py helper."""
+    from hummingbird_spark.streaming.frontier import (
+        sitemap_url_elements,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     sm = _with_sitemap(docs)
-    locs = F.regexp_extract_all(
-        F.col("sitemap_xml"), F.lit(r"(?is)<loc>(.*?)</loc>"), F.lit(1))
-    mods = F.regexp_extract_all(
-        F.col("sitemap_xml"), F.lit(r"(?is)<lastmod>(.*?)</lastmod>"),
-        F.lit(1))
     entries = (
-        sm.select("host", F.explode(F.arrays_zip(
-            locs.alias("loc"), mods.alias("mod"))).alias("e"))
+        sm.select("host",
+                  F.explode(sitemap_url_elements(F.col("sitemap_xml")))
+                  .alias("e"))
+        .filter(F.col("e.loc") != "")
         .select("host", canonical_url(F.col("e.loc")).alias("curl"),
                 F.col("e.mod").alias("lastmod"))
     )
+    refs = sm.groupBy("host").agg(
+        F.sum(F.size(F.filter(
+            F.regexp_extract_all(F.col("sitemap_xml"),
+                                 F.lit(_SITEMAP_EL), F.lit(1)),
+            lambda el: F.regexp_extract(el, _LOC_EL, 1) != "")))
+        .alias("n_child_sitemaps"))
     crawled = _with_link_page(docs).select(
         canonical_url(F.col("base")).alias("curl"),
         F.lit(1).alias("__known"))
@@ -1231,8 +1388,11 @@ def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("__known", F.lit(0))).alias("n_known"),
             F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
             .alias("n_frontier"),
+            F.sum(F.when(F.col("lastmod").isNull(), 1).otherwise(0))
+            .alias("n_no_lastmod"),
             F.max("lastmod").alias("latest_lastmod"),
         )
+        .join(F.broadcast(refs), "host")
         .orderBy("host")
     )
 
@@ -1251,17 +1411,38 @@ sm AS (
                || CAST(h + 7 * i AS VARCHAR)
           ELSE 'https://site' || CAST(h AS VARCHAR) ||
                '.example/fresh/' || CAST(i AS VARCHAR) END ||
-        '</loc><lastmod>2026-01-' ||
-        lpad(CAST((h + i) % 28 + 1 AS VARCHAR), 2, '0') ||
-        '</lastmod></url>'), '') || '</urlset>' AS xml
+        '</loc>' ||
+        CASE WHEN i % 5 = 4 THEN ''
+          ELSE '<lastmod>2026-01-' ||
+               lpad(CAST((h + i) % 28 + 1 AS VARCHAR), 2, '0') ||
+               '</lastmod>' END ||
+        '</url>'), '') || '</urlset>' AS xml
+  FROM hosts
+  UNION ALL
+  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+    '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://site'
+    || CAST(h AS VARCHAR) ||
+    '.example/sitemap-news.xml</loc></sitemap></sitemapindex>' AS xml
   FROM hosts),
+els AS (
+  SELECT host,
+    unnest(regexp_extract_all(xml,
+        '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS el
+  FROM sm),
 ent0 AS (
   SELECT host,
-    unnest(regexp_extract_all(xml, '(?is)<loc>(.*?)</loc>', 1))
-        AS url,
-    unnest(regexp_extract_all(xml,
-        '(?is)<lastmod>(.*?)</lastmod>', 1)) AS lastmod
-  FROM sm),
+    regexp_extract(el, '(?is)<loc>(.*?)</loc>', 1) AS url,
+    nullif(regexp_extract(el, '(?is)<lastmod>(.*?)</lastmod>', 1),
+           '') AS lastmod
+  FROM els
+  WHERE regexp_extract(el, '(?is)<loc>(.*?)</loc>', 1) <> ''),
+refs AS (
+  SELECT host, CAST(SUM(len(list_filter(
+      regexp_extract_all(xml, '(?is)<sitemap\\b[^>]*>(.*?)</sitemap>',
+                         1),
+      e -> regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> '')))
+      AS BIGINT) AS n_child_sitemaps
+  FROM sm GROUP BY host),
 ec AS (""" + _canon_select("ent0", "host, lastmod") + """),
 pu AS (SELECT doc_id, base AS url FROM lpg),
 pc AS (SELECT DISTINCT canonical_url FROM ("""
@@ -1271,8 +1452,13 @@ SELECT e.host, COUNT(*) AS n_entries,
       AS BIGINT) AS n_known,
   CAST(SUM(CASE WHEN p.canonical_url IS NULL THEN 1 ELSE 0 END)
       AS BIGINT) AS n_frontier,
-  MAX(e.lastmod) AS latest_lastmod
-FROM ec e LEFT JOIN pc p ON e.canonical_url = p.canonical_url
+  CAST(SUM(CASE WHEN e.lastmod IS NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_no_lastmod,
+  MAX(e.lastmod) AS latest_lastmod,
+  MIN(r.n_child_sitemaps) AS n_child_sitemaps
+FROM ec e
+LEFT JOIN pc p ON e.canonical_url = p.canonical_url
+JOIN refs r ON e.host = r.host
 GROUP BY e.host
 ORDER BY e.host
 """)

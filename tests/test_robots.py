@@ -86,3 +86,22 @@ class TestRobotsVerdicts:
             [Row(url="https://other.example/private/x")])
         row = robots_verdicts(urls, rules).head()
         assert row.allowed == 1 and row.crawl_delay == 0
+
+    def test_delay_only_group_keeps_its_delay(self, spark):
+        """A chosen group with a Crawl-delay and NO (non-empty) path
+        rules must still surface the delay (the r8 ADVICE case: the
+        delay->path-rules left join silently dropped it). Everything
+        stays allowed — a null path can never win a prefix match."""
+        txt = "User-agent: trainingbot\nCrawl-delay: 7\n\n" \
+              "User-agent: *\nDisallow: /\n"
+        rules = _rules(spark, txt)
+        rows = rules.collect()
+        assert len(rows) == 1
+        assert rows[0].kind is None and rows[0].path is None
+        assert rows[0].crawl_delay == 7
+        urls = spark.createDataFrame(
+            [Row(url="https://h.example/anything"),
+             Row(url="https://h.example/else")])
+        out = robots_verdicts(urls, rules).collect()
+        assert all(r.allowed == 1 and r.crawl_delay == 7
+                   and r.matched_rule == "" for r in out)

@@ -71,7 +71,10 @@ def _mess(spec):
 def _clean(spec):
     scheme, host, segs, params, _ = spec
     path = "".join("/" + s for s in segs) or "/"
-    q = "&".join(f"{k}={v}" for k, v in sorted(params))
+    # the implementation (and its SQL oracle) sort the full "k=v"
+    # strings, not (key, value) tuples — they differ when one key is
+    # a prefix of another ('=' vs the longer key's next char)
+    q = "&".join(sorted(f"{k}={v}" for k, v in params))
     return scheme + "://" + host + path + ("?" + q if q else "")
 
 

@@ -78,6 +78,17 @@ class TestHtmlExtraction:
         ).select(main_text(F.col("h"), min_chars=1).alias("mt")).head()
         assert row.mt == "x &lt; y & z 'q' done here"
 
+    def test_numeric_entities_decode(self, spark):
+        # decimal, hex (incl. supplementary plane), the HTML
+        # double-escape rule, and invalid scalar values -> ''
+        row = _one(
+            spark,
+            "<p>A&#x41; dash&#8212;here &#x1F600; "
+            "literal &amp;#65; bad&#xD800;&#0;&#1114112;end</p>"
+        ).select(main_text(F.col("h"), min_chars=1).alias("mt")).head()
+        assert row.mt == ("AA dash—here \U0001F600 "
+                          "literal &#65; badend")
+
     def test_empty_and_tagless_input(self, spark):
         rows = spark.createDataFrame(
             [Row(h=""), Row(h="plain text no markup at all")]
@@ -185,7 +196,14 @@ class TestLinkExtraction:
         html = ('<a href="https://other.example/abs">a</a>'
                 '<a href="//cdn.example/pr">b</a>'
                 '<a href="/root/x">c</a>'
-                '<a href="rel/y">d</a>')
+                '<a href="rel/y">d</a>'
+                '<a href="../up/z">e</a>'
+                '<a href="./same">f</a>'
+                '<a href=".././mix/q">g</a>'
+                '<a href="../../../../clamped">h</a>'
+                '<a href="/a/./b/../c?k=1">i</a>'
+                '<a href="https://abs.example/p/../q#f">j</a>'
+                '<a href="..">k</a>')
         row = spark.range(1).select(
             extract_links(F.lit(html),
                           F.lit("https://Site.Example:8080/dir/page"))
@@ -195,6 +213,14 @@ class TestLinkExtraction:
             "https://cdn.example/pr",
             "https://site.example:8080/root/x",
             "https://site.example:8080/dir/rel/y",
+            # RFC 3986 §5.2.4 dot-segment folding
+            "https://site.example:8080/up/z",
+            "https://site.example:8080/dir/same",
+            "https://site.example:8080/mix/q",
+            "https://site.example:8080/clamped",  # clamped at root
+            "https://site.example:8080/a/c?k=1",
+            "https://abs.example/q#f",
+            "https://site.example:8080/",
         ]
 
     def test_no_anchors_and_single_quoted_skipped(self, spark):
