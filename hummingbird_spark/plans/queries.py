@@ -1493,34 +1493,15 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r8 rotation. Latest-record ages after r7: {r2: 3 rows-only,
-    # r4: 39, r5: 49, r6: 50, r7: 50}. Window budget ~50: the 2
-    # never-recorded r8 queries lead, then ALL 39 oracle-backed names
-    # whose latest record is round 4, then the oldest round-5 names
-    # (in their r5-record order) to fill. Done bar: CORRECTNESS_r08
-    # leaves no oracle-backed name older than r5.
-    # new this round (video temporal alignment; composite curation
-    # weights; amplitude-invariant audio near-dup) — never recorded
-    "video_aligned_dups", "curation_composite_weights",
-    "audio_near_dups", "audio_aligned_dups",
-    # new this round (web-crawl ingestion front end) — never recorded
-    "html_main_text_stats", "warc_extract_stats", "url_canonical_dups",
-    "domain_curation_stats", "warc_html_pipeline", "page_out_links",
-    "web_link_pagerank", "robots_crawl_verdicts", "page_metadata",
-    "canonical_consolidation", "sitemap_frontier",
-    # latest record: round 4
-    "big_orders", "boilerplate_stats", "boilerplate_strip_verify",
-    "cdc_last_state", "cdc_state_at", "custdist",
-    "disjunctive_revenue", "doc_stats", "event_type_counts",
-    "events_time_slice", "exact_substring_rebuild_verify",
-    "exact_substring_stats", "except_diff", "forecast_revenue",
-    "gopher_rule_stats", "idle_balance", "json_props",
-    "local_supplier_volume", "nation_trade_flow",
-    "ngram_repetition_stats", "order_priority_check", "parent_rollup",
-    "proj_sort", "promo_revenue", "quality_funnel", "returned_items",
-    "revenue_by_nation", "rollup_agg", "rollup_verify",
-    "salted_status_counts", "shipping_priority", "small_qty_revenue",
-    "supplier_variety", "top_supplier", "topk_events",
+    # r9 rotation. Latest-record ages after r8 (r1∪…∪r8 union,
+    # counted against the actual window cut as the r8 verdict asked):
+    # {r2: 3 rows-only, r4: 4, r5: 49, r6: 50, r7: 50, r8: 50}.
+    # Window budget ~50: the 4 r4-stale survivors the r8 window cut
+    # lead, then ALL 49 round-5 names in their r5-record order (the
+    # window takes the first ~46; the overflow names stay listed so a
+    # larger window keeps draining oldest-first). Done bar:
+    # CORRECTNESS_r09 leaves no oracle-backed name older than r5.
+    # latest record: round 4 (the r8 window cut exactly these)
     "union_namespaces", "variant_props", "window_rank",
     "zorder_verify",
     # latest record: round 5, oldest-first (r5-record order)
@@ -1528,6 +1509,18 @@ _VERIFY_FIRST = [
     "cluster_sample", "kn_perplexity_capped",
     "semantic_decontamination", "dsir_logweights", "dsir_selection",
     "dsir_selection_distributed", "knn_lsh", "media_pipeline",
+    "audio_windows", "perplexity_outliers", "perplexity_outliers_exact",
+    "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
+    "dedup_exact", "exact_dup_groups", "priority_linestatus",
+    "pipeline_status_rollup", "funnel_steps", "cohort_retention",
+    "session_stats", "running_revenue", "moving_avg_revenue",
+    "seg_first_last", "percent_rank_balance", "region_nations_agg",
+    "corr_price_qty", "histogram_price", "top_orders_per_cust",
+    "ntile_quartiles", "event_transitions", "dow_activity",
+    "stratified_sample", "dataset_split", "dup_group_histogram",
+    "minhash_dups", "dup_clusters", "token_diversity", "hash_sample",
+    "ngram_jaccard", "corpus_curation", "tfidf_dup_pairs",
+    "winnow_pairs", "knn_exact",
 ]
 
 QUERIES = {
