@@ -484,6 +484,11 @@ def main(argv: list[str] | None = None) -> int:
     fro.add_argument("--robots", default=None,
                      help="(host, robots_txt) parquet")
     fro.add_argument("--robots-agent", default="trainingbot")
+    fro.add_argument("--delta", action="store_true",
+                     help="delta-maintained bucketed queue "
+                          "(streaming/frontier_delta.py): per-tick "
+                          "cost bounded by the batch + crawl delta, "
+                          "not the queue")
     wbg = sub.add_parser("web-graph")
     wbg.add_argument("src", help="stream input dir (parquet files of "
                                  "doc_id + base + html rows)")
@@ -968,6 +973,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "frontier":
         # crawl-scheduler tick: drain sitemap arrivals into the fetch
         # queue (streaming/frontier.py), then report the schedule.
+        import os
+
         from hummingbird_spark.streaming.frontier import (
             read_fetch_schedule,
             start_streaming_frontier,
@@ -976,10 +983,20 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="hummingbird_frontier")
         spark.sparkContext.setLogLevel("ERROR")
         schema = spark.read.parquet(args.src).schema
-        q = start_streaming_frontier(
-            spark, args.src, args.frontier, schema,
-            crawled_path=args.crawled, robots_path=args.robots,
-            robots_agent=args.robots_agent)
+        if args.delta:
+            from hummingbird_spark.streaming.frontier_delta import (
+                start_streaming_frontier_delta,
+            )
+
+            q = start_streaming_frontier_delta(
+                spark, args.src, args.frontier, schema,
+                crawled_path=args.crawled, robots_path=args.robots,
+                robots_agent=args.robots_agent)
+        else:
+            q = start_streaming_frontier(
+                spark, args.src, args.frontier, schema,
+                crawled_path=args.crawled, robots_path=args.robots,
+                robots_agent=args.robots_agent)
         if not q.awaitTermination(600):
             q.stop()
             print("frontier: availableNow drain exceeded 600s; "
@@ -987,7 +1004,9 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         robots_df = (spark.read.parquet(args.robots)
                      if args.robots else None)
-        sched = read_fetch_schedule(spark, args.frontier, robots_df,
+        queue_path = (os.path.join(args.frontier, "queue")
+                      if args.delta else args.frontier)
+        sched = read_fetch_schedule(spark, queue_path, robots_df,
                                     args.robots_agent)
         print(json.dumps({
             "command": "frontier",

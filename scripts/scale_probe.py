@@ -265,6 +265,7 @@ def main() -> int:
         print(rows_md[-1], file=sys.stderr)
 
     cdc_md = cdc_probe(spark)
+    from frontier_probe import probe_md as frontier_md
     from skew_probe_cluster_sample import probe_md as cluster_skew_md
     from skew_probe_graph import probe_md as graph_skew_md
     from skew_probe_kn import probe_md as kn_skew_md
@@ -273,7 +274,8 @@ def main() -> int:
     from skew_probe_substring import probe_md as substring_skew_md
     skew_md = (substring_skew_md(spark) + lsh_skew_md(spark)
                + cluster_skew_md(spark) + kn_skew_md(spark)
-               + reservoir_skew_md(spark) + graph_skew_md(spark))
+               + reservoir_skew_md(spark) + graph_skew_md(spark)
+               + frontier_md(spark))
 
     hdr = (
         "# SCALE — 10x probe (sf0.1 -> ~sf1 replica, local[32])\n\n"

@@ -662,3 +662,10 @@ def test_cli_frontier(spark, tmp_path, capsys):
                  "--crawled", crawled, "--robots", robots]) == 0
     rep = _json.loads(capsys.readouterr().out.strip())
     assert rep["n_queued"] == 1 and rep["n_hosts"] == 1
+
+    # the delta-maintained twin reaches the same schedule
+    delta_root = str(tmp_path / "fr_delta")
+    assert main(["frontier", str(src), delta_root, "--delta",
+                 "--crawled", crawled, "--robots", robots]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_queued"] == 1 and rep["n_hosts"] == 1
