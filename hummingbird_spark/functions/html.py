@@ -35,9 +35,21 @@ _TAG_RE = r"(?is)<[^>]*>"
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
 
 # &amp; decoded LAST so literal "&amp;lt;" renders as "&lt;" text.
+# (The numeric forms &#NN;/&#xHH; decode BEFORE this table — see
+# decode_numeric_entities; "&#39;" here is then a no-op kept for the
+# historical contract.)
 ENTITIES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-    ("&nbsp;", " "), ("&copy;", "(c)"), ("&amp;", "&"),
+    ("&apos;", "'"), ("&nbsp;", " "), ("&copy;", "(c)"),
+    ("&ndash;", "–"), ("&mdash;", "—"),
+    ("&hellip;", "…"), ("&lsquo;", "‘"),
+    ("&rsquo;", "’"), ("&ldquo;", "“"),
+    ("&rdquo;", "”"), ("&bull;", "•"),
+    ("&middot;", "·"), ("&deg;", "°"),
+    ("&times;", "×"), ("&divide;", "÷"),
+    ("&reg;", "®"), ("&trade;", "™"),
+    ("&laquo;", "«"), ("&raquo;", "»"),
+    ("&amp;", "&"),
 )
 
 # Sentinel for the numeric-entity rewrite (never occurs in page text;

@@ -87,7 +87,8 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
             '<li><a href="/t/1">one tag</a></li>'
             '<li><a href="/t/2">two tag</a></li></ul></div>'
             '<footer>&copy; 2026 Corp &amp; it&#x2019;s fine &#8212; '
-            'literal &amp;#65; stays <a href="/p">Privacy</a> '
+            'an &ndash; aside &hellip; literal &amp;#65; stays '
+            '<a href="/p">Privacy</a> '
             '<a href="/b">Terms</a></footer></body></html>'),
 )
 
