@@ -1,22 +1,28 @@
-"""robots.txt politeness (RFC 9309 subset): group parsing, agent
-selection, longest-prefix-match verdicts. The crawl-policy component
-between URL canonicalization and fetching — no reference analogue
-(the reference ingests live collections; SURVEY §2.1).
+"""robots.txt politeness (RFC 9309): group parsing, agent selection,
+most-specific-rule verdicts. The crawl-policy component between URL
+canonicalization and fetching — no reference analogue (the reference
+ingests live collections; SURVEY §2.1).
 
-Subset, documented: literal path prefixes (no * / $ wildcards),
-exact-token agent match with '*' fallback, Allow/Disallow longest
-match with Allow winning ties (the Googlebot rule), Crawl-delay
-surfaced per group. All DataFrame ops — the per-host line state
-machine (a User-agent line opens a new group unless the previous line
-was also User-agent) is a lag + running-sum window over line numbers,
-partitioned by host: robots files are capped at 500 KiB by the RFC,
-so a host's partition is bounded by construction and the window can
-never see scale skew.
+Path matching implements the FULL RFC 9309 pattern language: literal
+prefixes, `*` (any character run, anywhere in the rule) and a
+trailing `$` end-anchor. Precedence is the spec's "most specific
+rule" — longest rule STRING in octets — with Allow winning
+equal-length ties (the Googlebot rule). Wildcard-free rules keep the
+cheap startswith path; rules containing `*`/`$` compile to an
+anchored regex ONCE, host-side, and match via rlike (the regex build
+rides the bounded rules frame, never the URL side). Crawl-delay is
+surfaced per group, including delay-only groups (full-outer join).
+All DataFrame ops — the per-host line state machine (a User-agent
+line opens a new group unless the previous line was also User-agent)
+is a lag + running-sum window over line numbers, partitioned by
+host: robots files are capped at 500 KiB by the RFC, so a host's
+partition is bounded by construction and the window can never see
+scale skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,7 +92,8 @@ def robots_rules(robots: DataFrame, agent: str,
     path_rules = (
         rules.filter(F.col("kind").isin("allow", "disallow"))
         .filter(F.length("val") > 0)  # empty Disallow: allow-all no-op
-        .select(host_col, "kind", F.col("val").alias("path"))
+        .select(host_col, "kind", F.col("val").alias("path"),
+                _rule_pattern(F.col("val")).alias("pattern"))
     )
     # FULL outer: a chosen group may carry a Crawl-delay and no
     # (non-empty) path rules — such a host must still surface its
@@ -95,12 +102,31 @@ def robots_rules(robots: DataFrame, agent: str,
     return path_rules.join(delay, host_col, "full_outer")
 
 
+def _rule_pattern(path: Column) -> Column:
+    """RFC 9309 pattern -> anchored Java/RE2 regex, or null for
+    wildcard-free rules (those keep the cheap startswith match).
+    `*` matches any character run; a trailing `$` anchors the end;
+    every other regex metacharacter in the rule is escaped. Compiled
+    once per RULE row — the bounded side of the join."""
+    has_wild = path.contains("*") | path.endswith("$")
+    ends = path.endswith("$")
+    body = F.when(
+        ends, F.substring(path, F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.regexp_replace(
+        body, r"([\\.\+\?\(\)\[\]\{\}\^\$\|])", "\\\\$1")
+    rx = F.concat(F.lit("^"), F.replace(esc, F.lit("*"), F.lit(".*")),
+                  F.when(ends, F.lit("$")).otherwise(F.lit("")))
+    return F.when(has_wild, rx)
+
+
 def robots_verdicts(urls: DataFrame, rules: DataFrame,
                     url_col: str = "url",
                     host_col: str = "host",
                     broadcast_limit: int = 1_000_000) -> DataFrame:
     """Per URL: allowed (1/0), the matched rule path ('' if none) and
-    the host's crawl_delay. Longest matching prefix wins; Allow wins
+    the host's crawl_delay. RFC 9309 most-specific rule wins (longest
+    rule string in octets, `*`/`$` patterns included); Allow wins
     equal-length ties. URLs on hosts without rules pass through
     allowed (the left join).
 
@@ -123,8 +149,11 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame,
     if rules.count() <= broadcast_limit:
         rules = F.broadcast(rules)
     cand = u.join(rules, host_col, "left")
-    hit = F.col("path").isNotNull() \
-        & F.col("__path").startswith(F.col("path"))
+    # wildcard-free rules match by prefix; compiled rules by regex
+    hit = F.col("path").isNotNull() & F.when(
+        F.col("pattern").isNotNull(),
+        F.regexp_like(F.col("__path"), F.col("pattern")),
+    ).otherwise(F.col("__path").startswith(F.col("path")))
     return (
         cand.groupBy(url_col, host_col)
         .agg(

@@ -992,6 +992,8 @@ def _with_robots(docs: DataFrame) -> DataFrame:
         F.lit("User-agent: trainingbot\n"),
         F.lit("Disallow: /p/1\n"),
         F.lit("Allow: /p/12\n"),
+        F.lit("Disallow: /p/*0$\n"),
+        F.lit("Allow: /p/*00$\n"),
         F.lit("Crawl-delay: "), h, F.lit("\n\n"),
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /p/"), h)
@@ -1050,6 +1052,8 @@ WHEN h % 2 = 0 THEN
   'User-agent: trainingbot' || chr(10) ||
   'Disallow: /p/1' || chr(10) ||
   'Allow: /p/12' || chr(10) ||
+  'Disallow: /p/*0$' || chr(10) ||
+  'Allow: /p/*00$' || chr(10) ||
   'Crawl-delay: ' || CAST(h AS VARCHAR) || chr(10) || chr(10) ||
   'User-agent: *' || chr(10) ||
   'Disallow: /p/' || CAST(h AS VARCHAR)
@@ -1100,9 +1104,21 @@ ch AS (
     MIN(CASE WHEN list_contains(agents, '*') THEN gid END)) AS gid
   FROM ag GROUP BY host),
 ru AS (
-  SELECT g.host, g.kind, g.val AS path
-  FROM gr g JOIN ch ON g.host = ch.host AND g.gid = ch.gid
-  WHERE g.kind IN ('allow', 'disallow') AND length(g.val) > 0),
+  -- operators/robots.py::_rule_pattern replica: trailing-$ anchor,
+  -- * -> .*, every other metachar escaped; NULL for wildcard-free
+  SELECT host, kind, path,
+    CASE WHEN path LIKE '%*%' OR path LIKE '%$' THEN
+      '^' || replace(regexp_replace(
+          CASE WHEN path LIKE '%$'
+               THEN substr(path, 1, length(path) - 1)
+               ELSE path END,
+          '([\\.\+\?\(\)\[\]\{\}\^\$\|])', '\\\1', 'g'), '*', '.*')
+      || CASE WHEN path LIKE '%$' THEN '$' ELSE '' END
+    END AS pattern
+  FROM (
+    SELECT g.host, g.kind, g.val AS path
+    FROM gr g JOIN ch ON g.host = ch.host AND g.gid = ch.gid
+    WHERE g.kind IN ('allow', 'disallow') AND length(g.val) > 0)),
 dl AS (
   SELECT g.host, MIN(CAST(g.val AS INT)) AS crawl_delay
   FROM gr g JOIN ch ON g.host = ch.host AND g.gid = ch.gid
@@ -1118,7 +1134,10 @@ mt AS (
       a := CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END,
       p := r.path)) AS best
   FROM uu u JOIN ru r
-    ON u.host = r.host AND starts_with(u.path, r.path)
+    ON u.host = r.host
+   AND CASE WHEN r.pattern IS NOT NULL
+            THEN regexp_matches(u.path, r.pattern)
+            ELSE starts_with(u.path, r.path) END
   GROUP BY u.doc_id)
 SELECT u.doc_id, u.host,
   CASE WHEN m.best IS NULL THEN 1 ELSE (m.best).a END AS allowed,

@@ -87,6 +87,52 @@ class TestRobotsVerdicts:
         row = robots_verdicts(urls, rules).head()
         assert row.allowed == 1 and row.crawl_delay == 0
 
+    def test_wildcard_star_and_dollar(self, spark):
+        """RFC 9309 pattern language: * matches any run, trailing $
+        anchors the end, and precedence is rule-string length."""
+        txt = ("User-agent: trainingbot\n"
+               "Disallow: /p/*0$\n"
+               "Allow: /p/*00$\n"
+               "Disallow: /fish*.php\n"
+               "Disallow: /x$\n")
+        rules = _rules(spark, txt)
+        urls = spark.createDataFrame([
+            Row(url="https://h.example/p/10"),     # *0$ -> blocked
+            Row(url="https://h.example/p/100"),    # *00$ beats *0$
+            Row(url="https://h.example/p/105"),    # no rule matches
+            Row(url="https://h.example/fishheads/catfish.php"),
+            Row(url="https://h.example/fish.html"),  # .php anchor... no
+            Row(url="https://h.example/x"),        # /x$ exact
+            Row(url="https://h.example/xy"),       # $ stops the match
+        ])
+        out = {r.url: r for r in
+               robots_verdicts(urls, rules).collect()}
+        assert out["https://h.example/p/10"].allowed == 0
+        assert out["https://h.example/p/10"].matched_rule == "/p/*0$"
+        assert out["https://h.example/p/100"].allowed == 1
+        assert out["https://h.example/p/100"].matched_rule == "/p/*00$"
+        assert out["https://h.example/p/105"].allowed == 1
+        assert out["https://h.example/fishheads/catfish.php"] \
+            .allowed == 0
+        # '.php' must match literally — '.' is escaped, so
+        # '/fishXphp' style paths stay allowed
+        assert out["https://h.example/fish.html"].allowed == 1
+        assert out["https://h.example/x"].allowed == 0
+        assert out["https://h.example/xy"].allowed == 1
+
+    def test_metachars_in_literal_rules_are_escaped(self, spark):
+        txt = ("User-agent: trainingbot\n"
+               "Disallow: /a.b*\n")
+        rules = _rules(spark, txt)
+        urls = spark.createDataFrame([
+            Row(url="https://h.example/a.b/c"),
+            Row(url="https://h.example/aXb/c"),
+        ])
+        out = {r.url: r.allowed for r in
+               robots_verdicts(urls, rules).collect()}
+        assert out == {"https://h.example/a.b/c": 0,
+                       "https://h.example/aXb/c": 1}
+
     def test_delay_only_group_keeps_its_delay(self, spark):
         """A chosen group with a Crawl-delay and NO (non-empty) path
         rules must still surface the delay (the r8 ADVICE case: the
