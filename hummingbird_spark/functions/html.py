@@ -338,14 +338,25 @@ def h1_count(html: Column) -> Column:
 # Link extraction + reference resolution (RFC 3986 subset)
 # ---------------------------------------------------------------------------
 
-_HREF_RE = r'(?is)<a\b[^>]*href="([^"]*)"'
+_HREF_RE = r"(?is)<a\b[^>]*href=(\"[^\"]*\"|'[^']*')"
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
 def extract_hrefs(html: Column) -> Column:
-    """Raw href values of every double-quoted anchor, in document
-    order."""
-    return F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+    """Raw href values of every anchor, double- OR single-quoted, in
+    document order (one alternation capture keeps the interleaving;
+    the surrounding quotes are stripped after the fact)."""
+    quoted = F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+    return F.transform(
+        quoted,
+        lambda q: F.substring(q, F.lit(2), F.length(q) - 2))
+
+
+def base_href(html: Column) -> Column:
+    """href of the first <base href="..."> element, '' when absent —
+    HTML's document-wide resolution-base override."""
+    return F.regexp_extract(
+        html, r"(?is)<base\b[^>]*href=[\"']([^\"']*)[\"']", 1)
 
 
 def url_origin(url: Column) -> Column:
@@ -409,11 +420,19 @@ def resolve_href(href: Column, base: Column) -> Column:
         .otherwise(resolved)
 
 
-def extract_links(html: Column, base: Column) -> Column:
+def extract_links(html: Column, base: Column,
+                  honor_base_tag: bool = False) -> Column:
     """All anchor targets of a page as resolved absolute URLs (array,
-    document order) — feed through canonical_url() for identity."""
+    document order) — feed through canonical_url() for identity.
+    With honor_base_tag, a <base href> element overrides the
+    resolution base per the HTML spec (the base tag's own href
+    resolves against the page URL first, so relative bases work)."""
+    eff = base
+    if honor_base_tag:
+        b = base_href(html)
+        eff = F.when(b == "", base).otherwise(resolve_href(b, base))
     return F.transform(extract_hrefs(html),
-                       lambda h: resolve_href(h, base))
+                       lambda h: resolve_href(h, eff))
 
 
 # Minimal public-suffix subset: second-level registries where the

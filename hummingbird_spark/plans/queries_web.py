@@ -774,7 +774,12 @@ def _link_page_sql() -> str:
     )
 
 
-_HREF_SQL = r"""regexp_extract_all(html, '(?is)<a\b[^>]*href="([^"]*)"', 1)"""
+# double- OR single-quoted hrefs, one alternation capture (order
+# preserved), quotes stripped after — functions/html.py mirror
+_HREF_SQL = (
+    r"""list_transform(regexp_extract_all(html, """
+    r"""'(?is)<a\b[^>]*href=("[^"]*"|''[^'']*'')', 1), """
+    r"""q -> substr(q, 2, length(q) - 2))""")
 
 # one path segment that is NOT '.' or '..' — mirrors functions/html.py
 _DOT_SEG_SQL = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"

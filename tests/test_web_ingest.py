@@ -223,17 +223,36 @@ class TestLinkExtraction:
             "https://site.example:8080/",
         ]
 
-    def test_no_anchors_and_single_quoted_skipped(self, spark):
+    def test_no_anchors_and_quote_styles(self, spark):
         from hummingbird_spark.functions.html import extract_hrefs
 
         rows = spark.createDataFrame(
             [Row(h="<p>no links</p>"),
              Row(h="<a href='single.html'>s</a>"
-                   '<a href="double.html">d</a>')]
+                   '<a href="double.html">d</a>'
+                   "<a href='again.html'>a</a>")]
         ).select(extract_hrefs(F.col("h")).alias("hs")).collect()
         assert rows[0].hs == []
-        # documented contract: double-quoted hrefs only
-        assert rows[1].hs == ["double.html"]
+        # both quote styles, document order preserved
+        assert rows[1].hs == ["single.html", "double.html",
+                              "again.html"]
+
+    def test_base_tag_overrides_resolution_base(self, spark):
+        from hummingbird_spark.functions.html import extract_links
+
+        html = ('<head><base href="/deep/dir/"></head>'
+                '<a href="rel">r</a><a href="/root">x</a>')
+        row = spark.range(1).select(
+            extract_links(F.lit(html), F.lit("https://h.example/a/b"),
+                          honor_base_tag=True).alias("ls"),
+            extract_links(F.lit(html), F.lit("https://h.example/a/b"))
+            .alias("plain")).head()
+        # base tag's own href resolves against the page URL first
+        assert row.ls == ["https://h.example/deep/dir/rel",
+                          "https://h.example/root"]
+        # default path ignores the tag (documented)
+        assert row.plain == ["https://h.example/a/rel",
+                             "https://h.example/root"]
 
     def test_base_without_path(self, spark):
         from hummingbird_spark.functions.html import extract_links
