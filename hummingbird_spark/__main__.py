@@ -452,6 +452,17 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--id-col", default="media_id")
     aud.add_argument("--window-ms", type=int, default=4)
     aud.add_argument("--min-matched", type=int, default=4)
+    win = sub.add_parser("warc-ingest")
+    win.add_argument("src", help="WARC path/glob: .warc text, "
+                                 ".warc.gz (per-record gzip members) "
+                                 "or uncompressed binary")
+    win.add_argument("out", help="(url, html) parquet — the crawl "
+                                 "subcommand's input shape")
+    win.add_argument("--reader",
+                     choices=["auto", "text", "gz", "binary"],
+                     default="auto",
+                     help="auto dispatches on a .gz suffix; pass gz/"
+                          "binary explicitly for directories")
     crw = sub.add_parser("crawl")
     crw.add_argument("src", help="stream input dir (parquet files of "
                                  "url + html rows)")
@@ -1042,6 +1053,44 @@ def main(argv: list[str] | None = None) -> int:
             "n_links": spark.read.parquet(args.links).count(),
             "n_edges": edges.count(),
             "edges": args.edges,
+        }))
+        return 0
+    if args.command == "warc-ingest":
+        # decode plane: WARC records -> (url, html) parquet rows, the
+        # exact input shape the `crawl` subcommand streams — chain
+        # `warc-ingest` then `crawl` to go from Common-Crawl-style
+        # files to the curated store. Only complete (length_ok) 200
+        # responses with a target URI pass.
+        from pyspark.sql import functions as F
+
+        from hummingbird_spark.sources.warc import (
+            read_warc,
+            read_warc_binary,
+            read_warc_gz,
+        )
+
+        spark = get_spark(app_name="hummingbird_warc_ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        reader = {"auto": read_warc, "text": read_warc,
+                  "gz": read_warc_gz,
+                  "binary": read_warc_binary}[args.reader]
+        recs = reader(spark, args.src)
+        n_records = recs.count()
+        ok = recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == "200")
+            & F.col("length_ok") & (F.col("target_uri") != ""))
+        pages = ok.select(F.col("target_uri").alias("url"),
+                          F.col("body").alias("html"))
+        pages.write.mode("overwrite").parquet(args.out)
+        n_pages = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "command": "warc-ingest",
+            "reader": args.reader,
+            "n_records": n_records,
+            "n_pages": n_pages,
+            "n_rejected": n_records - n_pages,
+            "out": args.out,
         }))
         return 0
     if args.command == "crawl":

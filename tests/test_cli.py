@@ -624,6 +624,55 @@ def test_cli_web_graph(spark, tmp_path, capsys):
     assert rep["n_edges"] == web_link_edges(pages).count()
 
 
+def test_cli_warc_ingest_chains_into_crawl(spark, tmp_path, capsys):
+    """warc-ingest: .warc.gz files -> (url, html) parquet, which the
+    crawl subcommand then curates — the Common Crawl front door,
+    end-to-end."""
+    import gzip
+    import json as _json
+
+    CRLF = "\r\n"
+    GAP = CRLF + CRLF
+
+    def rec(uri, body, status="200 OK"):
+        http = (f"HTTP/1.1 {status}" + CRLF
+                + "Content-Type: text/html" + GAP + body)
+        return ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF
+                + f"WARC-Target-URI: {uri}" + CRLF
+                + f"Content-Length: {len(http)}" + GAP + http + GAP)
+
+    page = ("<html><body><p>enough body text to clear the length "
+            "filter for page %d</p></body></html>")
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    for f in range(2):
+        with open(wdir / f"crawl-{f}.warc.gz", "wb") as fh:
+            for i in range(3):
+                fh.write(gzip.compress(rec(
+                    f"https://w{f}.example/p/{i}",
+                    page % (f * 3 + i)).encode("ascii")))
+            # a 404 must be rejected by the ingest filter
+            fh.write(gzip.compress(rec(
+                f"https://w{f}.example/gone", "missing",
+                status="404 Not Found").encode("ascii")))
+
+    out = str(tmp_path / "wi_pages")
+    assert main(["warc-ingest", str(wdir / "*.warc.gz"), out,
+                 "--reader", "gz"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_records"] == 8
+    assert rep["n_pages"] == 6 and rep["n_rejected"] == 2
+    rows = spark.read.parquet(out)
+    assert set(rows.columns) == {"url", "html"}
+
+    # chain: the ingest output IS the crawl subcommand's input
+    curated = str(tmp_path / "wi_curated")
+    store = str(tmp_path / "wi_store")
+    assert main(["crawl", out, curated, store]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_pages"] == 6 and rep["store_urls"] == 6
+
+
 def test_cli_frontier(spark, tmp_path, capsys):
     """frontier: sitemap stream -> fetch-queue store + schedule
     report; crawled and disallowed URLs never queue."""
