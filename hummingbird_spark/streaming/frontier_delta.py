@@ -143,8 +143,13 @@ def frontier_delta_batch(
     xml_col: str = "sitemap_xml",
     n_buckets: int = DEFAULT_BUCKETS,
     batch_id: int | None = None,
+    compact_every: int = 32,
 ) -> None:
-    """One delta tick. See the module docstring for the contract."""
+    """One delta tick. See the module docstring for the contract.
+    Every `compact_every` applied batches the mirror compacts (it
+    appends one file per touched bucket per tick; the queue needs no
+    compaction — each rebuild rewrites a touched bucket as one
+    file)."""
     queue, mirror, cursor, _ = _paths(root)
     led = BatchLedger(queue)
     if led.seen(batch_id):
@@ -236,6 +241,12 @@ def frontier_delta_batch(
     led.record(batch_id)
     if delta_files:
         _advance_cursor(cursor, delta_files)
+    if (compact_every and batch_id is not None
+            and len(led.applied()) % compact_every == 0
+            and os.path.isdir(mirror)):
+        from hummingbird_spark.operators.compact import compact_table
+
+        compact_table(spark, mirror, partition_cols=["bucket"])
 
 
 def start_streaming_frontier_delta(

@@ -182,6 +182,29 @@ def test_partial_bucket_swap_replay_converges(spark, tmp_path):
     assert _state(spark, root) == want
 
 
+def test_mirror_compacts_on_cadence(spark, tmp_path):
+    """The mirror appends one file per touched bucket per tick;
+    compaction on the ledger cadence bounds the file count without
+    changing the maintained state."""
+    from hummingbird_spark.streaming.frontier_delta import _paths
+
+    root = str(tmp_path / "fd")
+    crawled = str(tmp_path / "crawled")
+    for i in range(4):
+        _crawl(spark, crawled, [f"https://a.example/c{i}"])
+        b = [(f"https://a.example/p{i}", f"2026-01-{i + 1:02d}")]
+        frontier_delta_batch(spark, _sm(spark, b), root,
+                             crawled_path=crawled, n_buckets=4,
+                             batch_id=i, compact_every=2)
+    mirror = _paths(root)[1]
+    n_files = len(spark.read.parquet(mirror).inputFiles())
+    # 4 appends into one host bucket would be >= 4 files uncompacted
+    assert n_files <= 2
+    assert _state(spark, root) == [
+        ("a.example", f"https://a.example/p{i}", f"2026-01-{i + 1:02d}")
+        for i in range(4)]
+
+
 def test_robots_gate_at_enqueue(spark, tmp_path):
     root = str(tmp_path / "fd")
     robots = spark.createDataFrame([Row(
