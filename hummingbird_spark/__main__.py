@@ -463,6 +463,14 @@ def main(argv: list[str] | None = None) -> int:
                      default="auto",
                      help="auto dispatches on a .gz suffix; pass gz/"
                           "binary explicitly for directories")
+    wet = sub.add_parser("wet-export")
+    wet.add_argument("src", help="curated parquet (the crawl "
+                                 "subcommand's output)")
+    wet.add_argument("out", help="output dir of .warc.gz files "
+                                 "(one gzip member per record)")
+    wet.add_argument("--uri-col", default="canonical_url")
+    wet.add_argument("--body-col", default="text")
+    wet.add_argument("--warc-type", default="conversion")
     crw = sub.add_parser("crawl")
     crw.add_argument("src", help="stream input dir (parquet files of "
                                  "url + html rows)")
@@ -1090,6 +1098,26 @@ def main(argv: list[str] | None = None) -> int:
             "n_records": n_records,
             "n_pages": n_pages,
             "n_rejected": n_records - n_pages,
+            "out": args.out,
+        }))
+        return 0
+    if args.command == "wet-export":
+        # encode plane: curated rows -> WET-style per-record-gzip
+        # WARC conversion records — the inverse of warc-ingest, so
+        # the codec roundtrips end-to-end.
+        from hummingbird_spark.sources.warc import write_warc_gz
+
+        spark = get_spark(app_name="hummingbird_wet_export")
+        spark.sparkContext.setLogLevel("ERROR")
+        manifest = write_warc_gz(
+            spark.read.parquet(args.src), args.out,
+            uri_col=args.uri_col, body_col=args.body_col,
+            warc_type=args.warc_type).collect()
+        print(json.dumps({
+            "command": "wet-export",
+            "n_files": sum(1 for m in manifest if m.n_records),
+            "n_records": sum(m.n_records for m in manifest),
+            "n_bytes": sum(m.n_bytes for m in manifest),
             "out": args.out,
         }))
         return 0

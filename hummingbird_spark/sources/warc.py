@@ -285,3 +285,72 @@ def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
     payloads may contain blank lines and the record magic. Same
     file-grain parallelism contract as `read_warc_gz`."""
     return _binary_warc_df(spark, path, gz=False)
+
+
+# ---------------------------------------------------------------------------
+# Writer: per-record-gzip WARC (the WET-style export layout)
+# ---------------------------------------------------------------------------
+
+def render_record_bytes(uri: str, body: str,
+                        warc_type: str = "conversion") -> bytes:
+    """One WARC record as bytes — the Python twin of
+    `render_warc_record`, except Content-Length counts OCTETS of the
+    utf-8-encoded block (the spec's unit), so non-ASCII payloads
+    validate under the offset readers."""
+    http = ("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html"
+            + _GAP + body).encode("utf-8")
+    head = (RECORD_MAGIC
+            + f"WARC-Type: {warc_type}" + CRLF
+            + f"WARC-Target-URI: {uri}" + CRLF
+            + f"Content-Length: {len(http)}" + _GAP).encode("ascii")
+    return head + http + _GAP_B
+
+
+def write_warc_gz(df: DataFrame, out_dir: str,
+                  uri_col: str = "canonical_url",
+                  body_col: str = "text",
+                  warc_type: str = "conversion") -> DataFrame:
+    """Write (uri, body) rows as `.warc.gz` files with ONE GZIP
+    MEMBER PER RECORD — the layout `read_warc_gz` reads and Common
+    Crawl ships (WET-style conversion records by default). One file
+    per input partition, written executor-side (out_dir must be a
+    filesystem every executor can reach — the same contract as every
+    path-based store in this package). Returns the manifest
+    (file, n_records, n_bytes) — an action on it performs the
+    write."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def kernel(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+
+        fname = os.path.join(out_dir,
+                             f"part-{uuid.uuid4().hex}.warc.gz")
+        fh = None
+        n = 0
+        nbytes = 0
+        for pdf in batches:
+            if len(pdf) and fh is None:
+                fh = open(fname, "wb")
+            for uri, body in zip(pdf[uri_col], pdf[body_col]):
+                member = gzip.compress(render_record_bytes(
+                    str(uri), "" if body is None else str(body),
+                    warc_type))
+                fh.write(member)
+                n += 1
+                nbytes += len(member)
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame([(fname, n, nbytes)],
+                               columns=["file", "n_records",
+                                        "n_bytes"])
+        else:
+            yield pd.DataFrame(
+                [], columns=["file", "n_records", "n_bytes"])
+
+    return df.select(uri_col, body_col).mapInPandas(
+        kernel, "file string, n_records long, n_bytes long")

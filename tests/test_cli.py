@@ -672,6 +672,19 @@ def test_cli_warc_ingest_chains_into_crawl(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip())
     assert rep["n_pages"] == 6 and rep["store_urls"] == 6
 
+    # and back out: curated -> WET-style conversion records that the
+    # gz reader roundtrips (decode -> curate -> encode closes)
+    wet = str(tmp_path / "wi_wet")
+    assert main(["wet-export", curated, wet]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_records"] == 6
+    from hummingbird_spark.sources.warc import read_warc_gz
+
+    back = read_warc_gz(spark, wet + "/*.warc.gz")
+    assert back.count() == 6
+    assert back.filter("warc_type = 'conversion' AND length_ok") \
+        .count() == 6
+
 
 def test_cli_frontier(spark, tmp_path, capsys):
     """frontier: sitemap stream -> fetch-queue store + schedule

@@ -118,6 +118,35 @@ def test_binary_walk_holds_magic_in_body(spark, tmp_path):
     assert _rows(read_warc_gz(spark, str(g))) == got
 
 
+def test_write_warc_gz_roundtrips(spark, tmp_path):
+    """The writer's output is the layout read_warc_gz reads: bodies
+    roundtrip (including non-ASCII, where Content-Length counts
+    octets), warc_type carries, and every member validates."""
+    from pyspark.sql import Row
+
+    from hummingbird_spark.sources.warc import write_warc_gz
+
+    rows = [
+        Row(canonical_url="https://w.example/a",
+            text="plain ascii body"),
+        Row(canonical_url="https://w.example/b",
+            text="non-ascii: café — naïve \U0001F600"),
+        Row(canonical_url="https://w.example/c",
+            text="blank\r\n\r\nline body"),
+        Row(canonical_url="https://w.example/d", text=""),
+    ]
+    out = str(tmp_path / "wet")
+    manifest = write_warc_gz(spark.createDataFrame(rows), out).collect()
+    assert sum(m.n_records for m in manifest) == len(rows)
+
+    got = {r.target_uri: r for r in
+           read_warc_gz(spark, out + "/*.warc.gz").collect()}
+    assert {u: r.body for u, r in got.items()} == {
+        r.canonical_url: r.text for r in rows}
+    assert all(r.length_ok for r in got.values())
+    assert all(r.warc_type == "conversion" for r in got.values())
+
+
 def test_lying_content_length_resyncs(spark, tmp_path):
     """First record declares 5 bytes too few; the walker must resync
     at the next magic, flag the liar, and parse the second record
