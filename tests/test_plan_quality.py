@@ -528,8 +528,14 @@ def test_html_extraction_prunes_and_stays_jvm(spark):
 def test_robots_verdicts_broadcast_no_smj(spark):
     """The URL x rules join must broadcast the (tiny, RFC-bounded)
     rules side — a sort-merge fallback would shuffle every crawl URL
-    against it at corpus scale."""
+    against it at corpus scale. The ONE allowed SortMergeJoin is the
+    r9 full-outer of path rules with per-host delays (both bounded
+    by host count; full outer cannot broadcast-hash, and it exists so
+    delay-only groups keep their Crawl-delay)."""
     df = QUERIES["robots_crawl_verdicts"].spark(spark, SF_SMOKE)
     plan = _executed_plan(df)
-    assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    smj = plan.count("SortMergeJoin")
+    assert smj <= 1, f"unexpected extra sort-merge joins: {smj}"
+    if smj:
+        assert "FullOuter" in plan  # it is the rules/delay join
