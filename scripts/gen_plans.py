@@ -95,7 +95,13 @@ PICKS = {
                          "PR rounds on checkpointed node frames",
     "robots_crawl_verdicts": "robots verdicts: one broadcast rules "
                              "join + one conditional-max aggregate "
-                             "— the URL side shuffles exactly once",
+                             "— the URL side shuffles exactly once "
+                             "(the one SMJ is the bounded rules/"
+                             "delay full outer)",
+    # r9: delta frontier + RFC 9309 patterns ride the same picks;
+    # sitemap_frontier gained the child-refs aggregate branch
+    "sitemap_frontier": "structural per-<url> parse + child-ref "
+                        "count; anti-join vs the crawled set",
 }
 
 out = ["# PLANS — executed-plan snapshots at sf0.1",
