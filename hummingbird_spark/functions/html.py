@@ -110,10 +110,14 @@ def strip_noise(html: Column) -> Column:
 
 
 def _decode_entities(col: Column) -> Column:
-    out = decode_numeric_entities(col)
+    out = F.when(col.contains("&#"), decode_numeric_entities(col)) \
+        .otherwise(col)
     for ent, ch in ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return out
+    # one contains() scan gates the whole 20+-op decode chain —
+    # decode is the identity on '&'-free text (most blocks), and
+    # lambdas are interpreted, so skipped ops are real savings
+    return F.when(col.contains("&"), out).otherwise(col)
 
 
 def block_text(raw: Column) -> Column:
@@ -410,14 +414,21 @@ def resolve_href(href: Column, base: Column) -> Column:
         .when(href.startswith("/"), F.concat(url_origin(base), href))
         .otherwise(F.concat(url_origin(base), bdir, F.lit("/"), href))
     )
-    folded = F.concat(
-        F.regexp_extract(resolved,
-                         r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1),
-        remove_dot_segments(F.regexp_extract(resolved, _PATH_RE, 1)),
-        F.regexp_extract(resolved, r"^[^?#]*([?#].*)", 1),
-    )
-    return F.when(resolved.rlike(_HAS_DOTS_RE), folded) \
-        .otherwise(resolved)
+
+    # bind `resolved` ONCE via a 1-element transform (the
+    # block_structs discipline): the fold references it three times,
+    # and resolve_href usually runs inside interpreted lambdas where
+    # repeated subtrees re-evaluate
+    def _fold(r: Column) -> Column:
+        folded = F.concat(
+            F.regexp_extract(
+                r, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1),
+            remove_dot_segments(F.regexp_extract(r, _PATH_RE, 1)),
+            F.regexp_extract(r, r"^[^?#]*([?#].*)", 1),
+        )
+        return F.when(r.rlike(_HAS_DOTS_RE), folded).otherwise(r)
+
+    return F.element_at(F.transform(F.array(resolved), _fold), 1)
 
 
 def extract_links(html: Column, base: Column,

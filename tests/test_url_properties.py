@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from hummingbird_spark.functions.html import canonical_url, resolve_href
 
 _LABEL = st.from_regex(r"[a-z][a-z0-9-]{0,6}", fullmatch=True)
-_SEG = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True)
+# '.'/'..' excluded: a CLEAN url has no dot segments by definition —
+# resolve_href now folds them per RFC 3986, so they are exactly the
+# segments for which absolute-is-identity must NOT hold
+_SEG = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True) \
+    .filter(lambda s: s not in (".", ".."))
 _KEY = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
 
 _TRACKERS = ["utm_source=x", "utm_medium=m", "fbclid=F1",
