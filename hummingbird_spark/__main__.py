@@ -1027,10 +1027,18 @@ def main(argv: list[str] | None = None) -> int:
                       if args.delta else args.frontier)
         sched = read_fetch_schedule(spark, queue_path, robots_df,
                                     args.robots_agent)
+        n_directives = 0
+        if robots_df is not None:
+            from hummingbird_spark.operators.robots import (
+                robots_sitemaps,
+            )
+
+            n_directives = robots_sitemaps(robots_df).count()
         print(json.dumps({
             "command": "frontier",
             "n_queued": sched.count(),
             "n_hosts": sched.select("host").distinct().count(),
+            "n_sitemap_directives": n_directives,
             "frontier": args.frontier,
         }))
         return 0

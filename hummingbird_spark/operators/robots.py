@@ -102,6 +102,29 @@ def robots_rules(robots: DataFrame, agent: str,
     return path_rules.join(delay, host_col, "full_outer")
 
 
+def robots_sitemaps(robots: DataFrame,
+                    host_col: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """`Sitemap:` directives -> (host, sitemap_url). Per RFC 9309 the
+    directive is host-wide (independent of any user-agent group), so
+    this is a plain line scan — no group selection. The discovery
+    half of the crawl loop: these URLs seed the sitemap fetches whose
+    XML then feeds the frontier."""
+    lines = (
+        robots.select(
+            host_col,
+            F.explode(F.split(F.col(txt_col), "\n")).alias("raw"))
+        .select(host_col,
+                F.trim(F.regexp_replace("raw", "#.*$", "")).alias("ln"))
+        .filter(F.lower(F.col("ln")).startswith("sitemap:"))
+        .select(host_col,
+                F.trim(F.expr("substring(ln, 9)")).alias("sitemap_url"))
+        .filter(F.length("sitemap_url") > 0)
+        .distinct()
+    )
+    return lines
+
+
 def _rule_pattern(path: Column) -> Column:
     """RFC 9309 pattern -> anchored Java/RE2 regex, or null for
     wildcard-free rules (those keep the cheap startswith match).

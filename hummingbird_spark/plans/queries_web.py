@@ -1328,8 +1328,10 @@ ORDER BY target
 
 _SITEMAP_REAL = 10
 _SITEMAP_FRESH = 3
-_SITEMAP_EL = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
-_LOC_EL = r"(?is)<loc>(.*?)</loc>"
+# namespace-prefix-tolerant, mirroring streaming/frontier.py
+_NS_P = r"(?:[A-Za-z0-9_-]+:)?"
+_SITEMAP_EL = rf"(?is)<{_NS_P}sitemap\b[^>]*>(.*?)</{_NS_P}sitemap>"
+_LOC_EL = rf"(?is)<{_NS_P}loc>(.*?)</{_NS_P}loc>"
 
 
 def _with_sitemap(docs: DataFrame) -> DataFrame:
@@ -1361,11 +1363,13 @@ def _with_sitemap(docs: DataFrame) -> DataFrame:
                            F.lit(_SITEMAP_REAL + _SITEMAP_FRESH - 1)),
                 entry), ""),
         F.lit("</urlset>"))
+    # the index row uses NAMESPACE-PREFIXED tags — the common
+    # real-world emission the parser must tolerate
     index = F.concat(
-        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'
-              "https://site"), hs,
-        F.lit(".example/sitemap-news.xml</loc></sitemap>"
-              "</sitemapindex>"))
+        F.lit('<?xml version="1.0"?><sm:sitemapindex><sm:sitemap>'
+              "<sm:loc>https://site"), hs,
+        F.lit(".example/sitemap-news.xml</sm:loc></sm:sitemap>"
+              "</sm:sitemapindex>"))
     # one branch (explode of a 2-array), not a self-union: the union
     # form trips a Catalyst attribute-resolution bug when the nested
     # array lambdas downstream prune against both branches
@@ -1445,28 +1449,35 @@ sm AS (
   FROM hosts
   UNION ALL
   SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
-    '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://site'
-    || CAST(h AS VARCHAR) ||
-    '.example/sitemap-news.xml</loc></sitemap></sitemapindex>' AS xml
+    '<?xml version="1.0"?><sm:sitemapindex><sm:sitemap><sm:loc>' ||
+    'https://site' || CAST(h AS VARCHAR) ||
+    '.example/sitemap-news.xml</sm:loc></sm:sitemap>' ||
+    '</sm:sitemapindex>' AS xml
   FROM hosts),
 els AS (
   SELECT host,
     unnest(regexp_extract_all(xml,
-        '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS el
+        '(?is)<(?:[A-Za-z0-9_-]+:)?url\\b[^>]*>(.*?)' ||
+        '</(?:[A-Za-z0-9_-]+:)?url>', 1)) AS el
   FROM sm),
 ent0 AS (
   SELECT host,
-    regexp_extract(el, '(?is)<loc>(.*?)</loc>', 1) AS url,
-    nullif(regexp_extract(el, '(?is)<lastmod>(.*?)</lastmod>', 1),
-           '') AS lastmod
+    regexp_extract(el, '(?is)<(?:[A-Za-z0-9_-]+:)?loc>(.*?)' ||
+        '</(?:[A-Za-z0-9_-]+:)?loc>', 1) AS url,
+    nullif(regexp_extract(el,
+        '(?is)<(?:[A-Za-z0-9_-]+:)?lastmod>(.*?)' ||
+        '</(?:[A-Za-z0-9_-]+:)?lastmod>', 1), '') AS lastmod
   FROM els
-  WHERE regexp_extract(el, '(?is)<loc>(.*?)</loc>', 1) <> ''),
+  WHERE regexp_extract(el, '(?is)<(?:[A-Za-z0-9_-]+:)?loc>(.*?)' ||
+        '</(?:[A-Za-z0-9_-]+:)?loc>', 1) <> ''),
 refs AS (
   SELECT host, CAST(SUM(len(list_filter(
-      regexp_extract_all(xml, '(?is)<sitemap\\b[^>]*>(.*?)</sitemap>',
-                         1),
-      e -> regexp_extract(e, '(?is)<loc>(.*?)</loc>', 1) <> '')))
-      AS BIGINT) AS n_child_sitemaps
+      regexp_extract_all(xml,
+          '(?is)<(?:[A-Za-z0-9_-]+:)?sitemap\\b[^>]*>(.*?)' ||
+          '</(?:[A-Za-z0-9_-]+:)?sitemap>', 1),
+      e -> regexp_extract(e, '(?is)<(?:[A-Za-z0-9_-]+:)?loc>(.*?)' ||
+          '</(?:[A-Za-z0-9_-]+:)?loc>', 1) <> ''))) AS BIGINT)
+      AS n_child_sitemaps
   FROM sm GROUP BY host),
 ec AS (""" + _canon_select("ent0", "host, lastmod") + """),
 pu AS (SELECT doc_id, base AS url FROM lpg),

@@ -33,10 +33,14 @@ from pyspark.sql.streaming import StreamingQuery
 from hummingbird_spark.functions.html import canonical_url, url_host
 from hummingbird_spark.streaming.ledger import BatchLedger, commit_swap
 
-_LOC_RE = r"(?is)<loc>(.*?)</loc>"
-_MOD_RE = r"(?is)<lastmod>(.*?)</lastmod>"
-_URL_EL_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
-_SITEMAP_EL_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+# sitemaps in the wild emit namespace-prefixed tags (<sm:url>,
+# <sitemap:loc>, ...) as freely as bare ones — every tag pattern
+# tolerates one optional prefix
+_NS = r"(?:[A-Za-z0-9_-]+:)?"
+_LOC_RE = rf"(?is)<{_NS}loc>(.*?)</{_NS}loc>"
+_MOD_RE = rf"(?is)<{_NS}lastmod>(.*?)</{_NS}lastmod>"
+_URL_EL_RE = rf"(?is)<{_NS}url\b[^>]*>(.*?)</{_NS}url>"
+_SITEMAP_EL_RE = rf"(?is)<{_NS}sitemap\b[^>]*>(.*?)</{_NS}sitemap>"
 
 
 def sitemap_url_elements(xml: F.Column) -> F.Column:

@@ -133,6 +133,25 @@ class TestRobotsVerdicts:
         assert out == {"https://h.example/a.b/c": 0,
                        "https://h.example/aXb/c": 1}
 
+    def test_sitemap_directives_are_host_wide(self, spark):
+        """Sitemap: lines are group-independent per RFC 9309 — they
+        surface regardless of agent groups, case-insensitively, with
+        comments stripped and duplicates collapsed."""
+        from hummingbird_spark.operators.robots import robots_sitemaps
+
+        txt = ("Sitemap: https://h.example/sitemap.xml\n"
+               "User-agent: other\n"
+               "Disallow: /\n"
+               "sitemap: https://h.example/news.xml  # daily\n"
+               "Sitemap: https://h.example/sitemap.xml\n")
+        df = spark.createDataFrame(
+            [Row(host="h.example", robots_txt=txt)])
+        got = {r.sitemap_url for r in robots_sitemaps(df).collect()}
+        assert got == {"https://h.example/sitemap.xml",
+                       "https://h.example/news.xml"}
+        # and the group machine never sees them as rules
+        assert _rules(spark, txt).count() == 0
+
     def test_delay_only_group_keeps_its_delay(self, spark):
         """A chosen group with a Crawl-delay and NO (non-empty) path
         rules must still surface the delay (the r8 ADVICE case: the

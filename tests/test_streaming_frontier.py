@@ -170,3 +170,31 @@ def test_sitemap_index_refs_do_not_pollute_frontier(spark):
             for r in parse_sitemap_index_refs(df).collect()}
     assert refs == {"https://a.example/sitemap-a.xml": "2026-02-01",
                     "https://a.example/sitemap-b.xml": None}
+
+
+def test_namespace_prefixed_tags_parse(spark):
+    """Real sitemaps emit <sm:url>/<sitemap:loc>-style prefixed tags
+    as freely as bare ones; both parsers must tolerate one prefix."""
+    from hummingbird_spark.streaming.frontier import (
+        parse_sitemap_entries,
+        parse_sitemap_index_refs,
+    )
+
+    urlset = ('<?xml version="1.0"?><sm:urlset>'
+              '<sm:url><sm:loc>https://a.example/p1</sm:loc>'
+              '<sm:lastmod>2026-03-01</sm:lastmod></sm:url>'
+              '<sm:url><sm:loc>https://a.example/p2</sm:loc>'
+              '</sm:url></sm:urlset>')
+    index = ('<?xml version="1.0"?><sitemap:sitemapindex>'
+             '<sitemap:sitemap><sitemap:loc>'
+             'https://a.example/more.xml</sitemap:loc>'
+             '</sitemap:sitemap></sitemap:sitemapindex>')
+    df = spark.createDataFrame([Row(sitemap_xml=urlset),
+                                Row(sitemap_xml=index)])
+    got = {r.curl: r.lastmod
+           for r in parse_sitemap_entries(df).collect()}
+    assert got == {"https://a.example/p1": "2026-03-01",
+                   "https://a.example/p2": None}
+    refs = {r.sitemap_curl
+            for r in parse_sitemap_index_refs(df).collect()}
+    assert refs == {"https://a.example/more.xml"}
