@@ -344,6 +344,11 @@ def h1_count(html: Column) -> Column:
 
 _HREF_RE = r"(?is)<a\b[^>]*href=(\"[^\"]*\"|'[^']*')"
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+# scheme-prefixed but NOT hierarchical (no '://'): mailto:, tel:,
+# javascript:, data:, ... — absolute URIs with opaque payloads, not
+# crawlable links; left un-filtered they would resolve as RELATIVE
+# ("https://host/dir/mailto:x@y") and pollute the link graph
+_OPAQUE_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def extract_hrefs(html: Column) -> Column:
@@ -442,8 +447,10 @@ def extract_links(html: Column, base: Column,
     if honor_base_tag:
         b = base_href(html)
         eff = F.when(b == "", base).otherwise(resolve_href(b, base))
-    return F.transform(extract_hrefs(html),
-                       lambda h: resolve_href(h, eff))
+    crawlable = F.filter(
+        extract_hrefs(html),
+        lambda h: h.rlike(_ABS_RE) | ~h.rlike(_OPAQUE_RE))
+    return F.transform(crawlable, lambda h: resolve_href(h, eff))
 
 
 # Minimal public-suffix subset: second-level registries where the

@@ -711,7 +711,8 @@ _LINK_SEGS: tuple[tuple[str, str], ...] = (
     ("lit", '">p</a><a href="'), ("ext", ""),
     ("lit", '">x</a><a href="'), ("proto", ""),
     ("lit", '">c</a><a href="'), ("dot", ""),
-    ("lit", '">d</a></body></html>'),
+    ("lit", '">d</a><a href="mailto:ops@corp.example">m</a>'
+            '</body></html>'),
 )
 
 
@@ -816,7 +817,10 @@ _FOLD_URL_SQL = (
 _RESOLVE_SQL = """
 rsv AS (
   SELECT doc_id, base,
-    list_transform(hrefs, h -> (list_transform([CASE
+    list_transform(list_filter(hrefs, h ->
+      regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') OR
+      NOT regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')),
+      h -> (list_transform([CASE
       WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
       WHEN h LIKE '//%' THEN scheme || ':' || h
       WHEN h LIKE '/%' THEN origin || h

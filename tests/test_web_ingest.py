@@ -237,6 +237,25 @@ class TestLinkExtraction:
         assert rows[1].hs == ["single.html", "double.html",
                               "again.html"]
 
+    def test_opaque_scheme_hrefs_never_become_links(self, spark):
+        """mailto:/javascript:/tel:/data: hrefs are absolute URIs
+        with opaque payloads — un-filtered they would resolve as
+        RELATIVE and pollute the link graph."""
+        from hummingbird_spark.functions.html import extract_links
+
+        html = ('<a href="mailto:x@y.example">m</a>'
+                '<a href="javascript:void(0)">j</a>'
+                '<a href="tel:+1555">t</a>'
+                '<a href="data:text/plain,hi">d</a>'
+                '<a href="real/page">r</a>'
+                '<a href="https://ok.example/a">o</a>')
+        row = spark.range(1).select(
+            extract_links(F.lit(html),
+                          F.lit("https://h.example/dir/p"))
+            .alias("ls")).head()
+        assert row.ls == ["https://h.example/dir/real/page",
+                          "https://ok.example/a"]
+
     def test_base_tag_overrides_resolution_base(self, spark):
         from hummingbird_spark.functions.html import extract_links
 
