@@ -1501,6 +1501,9 @@ _VERIFY_FIRST = [
     # window takes the first ~46; the overflow names stay listed so a
     # larger window keeps draining oldest-first). Done bar:
     # CORRECTNESS_r09 leaves no oracle-backed name older than r5.
+    # new this round (robots Sitemap: directive discovery) — never
+    # recorded, so it leads
+    "sitemap_discovery",
     # latest record: round 4 (the r8 window cut exactly these)
     "union_namespaces", "variant_props", "window_rank",
     "zorder_verify",

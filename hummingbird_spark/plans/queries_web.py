@@ -1020,10 +1020,25 @@ def _with_robots(docs: DataFrame) -> DataFrame:
         F.lit("Crawl-delay: "), h, F.lit("\n\n"),
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /p/"), h)
+    # Sitemap: directives are host-wide (group-independent) — every
+    # host declares its main sitemap; even hosts add a news sitemap
+    # with a trailing comment and a duplicate line (dupes collapse)
+    sitemap_lines = F.concat(
+        F.lit("Sitemap: https://site"), h,
+        F.lit(".example/sitemap.xml\n"),
+        F.when(
+            F.col("h") % 2 == 0,
+            F.concat(F.lit("sitemap: https://site"), h,
+                     F.lit(".example/news.xml  # daily\n"
+                           "Sitemap: https://site"), h,
+                     F.lit(".example/sitemap.xml\n")),
+        ).otherwise(F.lit("")))
     return hosts.select(
         F.concat(F.lit("site"), h, F.lit(".example")).alias("host"),
-        F.when(F.col("h") == 6, delay_only)
-        .when(F.col("h") % 2 == 0, even).otherwise(odd)
+        F.concat(
+            sitemap_lines,
+            F.when(F.col("h") == 6, delay_only)
+            .when(F.col("h") % 2 == 0, even).otherwise(odd))
         .alias("robots_txt"))
 
 
@@ -1050,6 +1065,14 @@ def q_robots_crawl_verdicts(spark: SparkSession,
 
 
 _ROBOTS_TXT_SQL = """
+'Sitemap: https://site' || CAST(h AS VARCHAR) ||
+'.example/sitemap.xml' || chr(10) ||
+CASE WHEN h % 2 = 0 THEN
+  'sitemap: https://site' || CAST(h AS VARCHAR) ||
+  '.example/news.xml  # daily' || chr(10) ||
+  'Sitemap: https://site' || CAST(h AS VARCHAR) ||
+  '.example/sitemap.xml' || chr(10)
+ELSE '' END ||
 CASE WHEN h = 6 THEN
   '# robots for site' || CAST(h AS VARCHAR) || chr(10) ||
   'User-agent: trainingbot' || chr(10) ||
@@ -1156,6 +1179,45 @@ FROM uu u
 LEFT JOIN mt m ON u.doc_id = m.doc_id
 LEFT JOIN dl d ON u.host = d.host
 ORDER BY u.doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q8b: sitemap_discovery — robots Sitemap: directives, host-wide
+# ---------------------------------------------------------------------------
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt `Sitemap:` directives -> per-host discovery audit:
+    distinct sitemaps each host declares (directives are host-wide
+    per RFC 9309, duplicates collapse, comments strip) and the first
+    one a scheduler would fetch."""
+    from hummingbird_spark.operators.robots import robots_sitemaps
+
+    docs = load_table(spark, sf_dir, "documents")
+    sm = robots_sitemaps(_with_robots(docs))
+    return (
+        sm.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_sitemaps"),
+             F.min("sitemap_url").alias("first_sitemap"))
+        .orderBy("host")
+    )
+
+
+ORACLE_SITEMAP_DISCOVERY = (
+    """WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+rb AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+       """ + _ROBOTS_TXT_SQL + """ AS txt FROM hosts),
+ln0 AS (
+  SELECT host, trim(regexp_replace(unnest(string_split(txt, chr(10))),
+                                   '#.*$', '')) AS ln
+  FROM rb),
+sm AS (
+  SELECT DISTINCT host, trim(substr(ln, 9)) AS sitemap_url
+  FROM ln0
+  WHERE lower(ln) LIKE 'sitemap:%' AND length(trim(substr(ln, 9))) > 0)
+SELECT host, COUNT(*) AS n_sitemaps,
+       MIN(sitemap_url) AS first_sitemap
+FROM sm GROUP BY host ORDER BY host
 """)
 
 
@@ -1505,6 +1567,10 @@ ORDER BY e.host
 
 
 WEB_QUERIES: dict[str, tuple] = {
+    "sitemap_discovery": (
+        q_sitemap_discovery, ORACLE_SITEMAP_DISCOVERY,
+        "robots Sitemap: directives -> per-host sitemap discovery "
+        "audit (host-wide, comment-stripped, deduped)"),
     "sitemap_frontier": (
         q_sitemap_frontier, ORACLE_SITEMAP_FRONTIER,
         "sitemap loc/lastmod parse -> canonicalize -> anti the "
