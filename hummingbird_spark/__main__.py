@@ -992,8 +992,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "frontier":
         # crawl-scheduler tick: drain sitemap arrivals into the fetch
         # queue (streaming/frontier.py), then report the schedule.
-        import os
-
         from hummingbird_spark.streaming.frontier import (
             read_fetch_schedule,
             start_streaming_frontier,
@@ -1023,9 +1021,18 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         robots_df = (spark.read.parquet(args.robots)
                      if args.robots else None)
-        queue_path = (os.path.join(args.frontier, "queue")
-                      if args.delta else args.frontier)
-        sched = read_fetch_schedule(spark, queue_path, robots_df,
+        if args.delta:
+            # read_delta_frontier handles the empty store (every
+            # entry robots-blocked or crawled, or no batch arrived)
+            # where a bare parquet read on <root>/queue throws.
+            from hummingbird_spark.streaming.frontier_delta import (
+                read_delta_frontier,
+            )
+
+            queue_src = read_delta_frontier(spark, args.frontier)
+        else:
+            queue_src = args.frontier
+        sched = read_fetch_schedule(spark, queue_src, robots_df,
                                     args.robots_agent)
         n_directives = 0
         if robots_df is not None:

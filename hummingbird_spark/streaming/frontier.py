@@ -182,12 +182,18 @@ def start_streaming_frontier(
     )
 
 
-def read_fetch_schedule(spark: SparkSession, frontier_path: str,
+def read_fetch_schedule(spark: SparkSession,
+                        frontier_path: str | DataFrame,
                         robots: DataFrame | None = None,
                         robots_agent: str = "trainingbot") -> DataFrame:
     """The queue as per-host fetch slots: newest lastmod first,
-    fetch_at_sec spaced by the host's crawl-delay (1s floor)."""
-    q = spark.read.parquet(frontier_path)
+    fetch_at_sec spaced by the host's crawl-delay (1s floor).
+    `frontier_path` is the swap store's parquet path, or an already
+    loaded (host, curl, lastmod) frame — the delta store passes
+    `read_delta_frontier(...)`, which handles the empty/boot case a
+    bare parquet read would throw on."""
+    q = (frontier_path if isinstance(frontier_path, DataFrame)
+         else spark.read.parquet(frontier_path))
     delay = F.lit(1)
     if robots is not None:
         from hummingbird_spark.operators.robots import robots_rules

@@ -47,6 +47,12 @@ crash mid-loop leaves a prefix swapped; the replay recomputes every
 touched bucket from current state — maxmerge and anti are
 idempotent, so it converges), ledger then cursor last (a lost cursor
 update replays the same crawl files into the mirror as duplicates).
+Each bucket swap is itself crash-safe via rename-aside: the old dir
+moves to a sibling tree (`<queue>.__aside/bucket=<b>`, outside the
+queue so readers never see it) before the new dir renames in, and
+`_sweep_swap_debris` at the next tick start restores any aside whose
+replacement never landed — so no window loses a bucket's backlog —
+and drops orphaned temp trees.
 Robots verdicts gate entries at ENQUEUE time (batch-bounded); the
 swap frontier re-gates the whole queue every tick — equivalent while
 the robots table is static, documented divergence if it is not.
@@ -133,6 +139,27 @@ def _advance_cursor(cursor: str, files: list[str]) -> None:
     os.rename(tmp, cursor)
 
 
+def _sweep_swap_debris(queue: str) -> None:
+    """Recover from a crash inside the swap loop, BEFORE any read of
+    the queue this tick. Two kinds of debris: orphaned write temp
+    trees (`<queue>.__tmp_*` — always safe to drop, the replay
+    rewrites them) and aside dirs (`__old_bucket=<b>` inside the
+    queue). An aside whose bucket dir is missing means the crash hit
+    between the two renames — restore it, so the replay's rebuild
+    sees the bucket's pre-swap backlog. An aside whose bucket dir
+    exists is post-swap leftovers — drop it."""
+    for tmp in glob.glob(queue + ".__tmp_*"):
+        shutil.rmtree(tmp, ignore_errors=True)
+    for aside in glob.glob(
+            os.path.join(queue + ".__aside", "bucket=*")):
+        dst = os.path.join(queue, os.path.basename(aside))
+        if os.path.isdir(dst):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, dst)
+    shutil.rmtree(queue + ".__aside", ignore_errors=True)
+
+
 def frontier_delta_batch(
     spark: SparkSession,
     batch_sitemaps: DataFrame,
@@ -154,6 +181,7 @@ def frontier_delta_batch(
     led = BatchLedger(queue)
     if led.seen(batch_id):
         return
+    _sweep_swap_debris(queue)
     n = _n_buckets(root, n_buckets)
 
     entries = parse_sitemap_entries(batch_sitemaps, xml_col)
@@ -222,20 +250,35 @@ def frontier_delta_batch(
     nxt = merged.select("bucket", "host", "curl", "lastmod") \
         .localCheckpoint(eager=True)
 
-    # 3. per-bucket swap: write to a temp dir, rename bucket dirs in
+    # 3. per-bucket swap: write to a temp dir, rename bucket dirs in.
+    # Rename-ASIDE discipline (never rmtree-then-rename): a crash
+    # between "rmtree(dst)" and "rename(src, dst)" would permanently
+    # lose the bucket's backlog from earlier batches — the replay's
+    # rebuild reads the (now empty) old side and can only re-derive
+    # the replayed batch's own rows. Instead the old dir moves to an
+    # aside name first; _sweep_swap_debris restores it at the next
+    # tick start if the replacement rename never landed. Asides live
+    # in a SIBLING tree (<queue>.__aside/bucket=<b>), never inside
+    # the queue dir — Spark's partition discovery would treat any
+    # in-tree key=value dir name as a conflicting partition column.
     tmp = queue + ".__tmp_" + uuid.uuid4().hex[:8]
+    aside_root = queue + ".__aside"
     nxt.repartition("bucket").write.mode("overwrite") \
         .partitionBy("bucket").parquet(tmp)
     os.makedirs(queue, exist_ok=True)
+    os.makedirs(aside_root, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"bucket={b}")
         dst = os.path.join(queue, f"bucket={b}")
+        aside = os.path.join(aside_root, f"bucket={b}")
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, aside)
         if os.path.isdir(src):
             os.rename(src, dst)
         # a touched bucket with nothing left simply disappears
+        shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(aside_root, ignore_errors=True)
 
     # 4. ledger, then cursor
     led.record(batch_id)

@@ -731,3 +731,22 @@ def test_cli_frontier(spark, tmp_path, capsys):
                  "--crawled", crawled, "--robots", robots]) == 0
     rep = _json.loads(capsys.readouterr().out.strip())
     assert rep["n_queued"] == 1 and rep["n_hosts"] == 1
+
+    # delta mode with an EMPTY maintained queue (every advertised URL
+    # robots-blocked) must print an empty schedule, not throw on the
+    # bare parquet read of a store with no bucket dirs
+    src2 = tmp_path / "fr_in2"
+    src2.mkdir()
+    xml2 = ('<?xml version="1.0"?><urlset>'
+            '<url><loc>https://a.example/private/y</loc>'
+            '<lastmod>2026-01-08</lastmod></url></urlset>')
+    tmp2 = tempfile.mkdtemp()
+    spark.createDataFrame([Row(sitemap_xml=xml2)]).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp2)
+    shutil.move(glob.glob(f"{tmp2}/part-*.parquet")[0],
+                str(src2 / "b0.parquet"))
+    empty_root = str(tmp_path / "fr_delta_empty")
+    assert main(["frontier", str(src2), empty_root, "--delta",
+                 "--robots", robots]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_queued"] == 0 and rep["n_hosts"] == 0

@@ -182,6 +182,50 @@ def test_partial_bucket_swap_replay_converges(spark, tmp_path):
     assert _state(spark, root) == want
 
 
+def test_crash_between_swap_renames_restores_backlog(spark, tmp_path):
+    """The worst swap window: the old bucket dir was moved aside but
+    the new dir never renamed in (and the write temp tree survived).
+    The lost bucket holds BACKLOG rows from an earlier batch that the
+    replayed batch cannot re-derive — rmtree-then-rename would lose
+    them permanently; the rename-aside discipline + tick-start sweep
+    must restore them."""
+    from hummingbird_spark.streaming.frontier_delta import _paths
+
+    root = str(tmp_path / "fd")
+    crawled = str(tmp_path / "crawled")
+    b0 = [(f"https://h{i}.example/p{i}", f"2026-01-{i + 1:02d}")
+          for i in range(12)]
+    frontier_delta_batch(spark, _sm(spark, b0), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=0)
+    want0 = _state(spark, root)
+    queue = _paths(root)[0]
+
+    # simulate batch 1 crashing between the two renames on one
+    # populated bucket: old content sits ONLY in the aside dir; a
+    # junk temp tree is left behind; the ledger never recorded it
+    victim = sorted(os.listdir(queue))[0]
+    assert victim.startswith("bucket=")
+    os.makedirs(queue + ".__aside", exist_ok=True)
+    os.rename(os.path.join(queue, victim),
+              os.path.join(queue + ".__aside", victim))
+    os.makedirs(queue + ".__tmp_deadbeef/bucket=99", exist_ok=True)
+    # the damaged store under-reports (aside is outside the queue)
+    assert len(_state(spark, root)) < len(want0)
+
+    # replay batch 1 — an unrelated host, so the victim bucket's
+    # rows are NOT derivable from the batch itself
+    b1 = [("https://other.example/new", "2026-02-01")]
+    frontier_delta_batch(spark, _sm(spark, b1), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=1)
+    assert _state(spark, root) == _expected(
+        spark, b0 + b1, set())
+    # debris gone: no aside tree, no temp trees
+    assert not os.path.isdir(queue + ".__aside")
+    assert not os.path.isdir(queue + ".__tmp_deadbeef")
+
+
 def test_mirror_compacts_on_cadence(spark, tmp_path):
     """The mirror appends one file per touched bucket per tick;
     compaction on the ledger cadence bounds the file count without
