@@ -99,7 +99,15 @@ def robots_rules(robots: DataFrame, agent: str,
     # (non-empty) path rules — such a host must still surface its
     # delay (as a row with null kind/path; null path can never win a
     # longest-prefix match, so verdicts see only the delay).
-    return path_rules.join(delay, host_col, "full_outer")
+    # The RESULT is checkpointed too, not just the grouped-lines
+    # frame: every caller evaluates it at least twice (verdicts count
+    # it for the broadcast gate, then join against it; frontier ticks
+    # reuse it per batch) and without the cut the group-selection
+    # joins, pattern compile, and full-outer delay join re-derive on
+    # each evaluation. Bounded: one row per effective rule line,
+    # capped by the RFC's 500 KiB/host file limit.
+    return path_rules.join(delay, host_col, "full_outer") \
+        .localCheckpoint(eager=True)
 
 
 def robots_sitemaps(robots: DataFrame,
