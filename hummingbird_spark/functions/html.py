@@ -34,27 +34,39 @@ _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"(?is)<[^>]*>"
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
 
-# &amp; decoded LAST so literal "&amp;lt;" renders as "&lt;" text.
-# (The numeric forms &#NN;/&#xHH; decode BEFORE this table — see
-# decode_numeric_entities; "&#39;" here is then a no-op kept for the
-# historical contract.)
-ENTITIES: tuple[tuple[str, str], ...] = (
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-    ("&apos;", "'"), ("&nbsp;", " "), ("&copy;", "(c)"),
-    ("&ndash;", "–"), ("&mdash;", "—"),
-    ("&hellip;", "…"), ("&lsquo;", "‘"),
-    ("&rsquo;", "’"), ("&ldquo;", "“"),
-    ("&rdquo;", "”"), ("&bull;", "•"),
-    ("&middot;", "·"), ("&deg;", "°"),
-    ("&times;", "×"), ("&divide;", "÷"),
-    ("&reg;", "®"), ("&trade;", "™"),
-    ("&laquo;", "«"), ("&raquo;", "»"),
-    ("&amp;", "&"),
-)
+# Full WHATWG named-character-reference table (the semicolon forms),
+# taken from the stdlib's spec-derived `html.entities.html5` mapping.
+# Keys are case-SENSITIVE per the spec ('amp' and 'AMP' are separate
+# entries; '&Amp;' is not a reference); values may be multi-codepoint
+# (e.g. NotEqualTilde). ~2125 names — the 23-entry curated table this
+# replaces under-decoded real pages.
+NAMED_ENTITIES: dict[str, str] = {
+    name[:-1]: text
+    for name, text in __import__("html.entities", fromlist=["html5"])
+    .html5.items()
+    if name.endswith(";")
+}
 
-# Sentinel for the numeric-entity rewrite (never occurs in page text;
+# Sentinel for the entity-token rewrite (never occurs in page text;
 # documented contract — pages containing \x01 would mis-split).
 _NUM_SENT = "\x01"
+
+# One token pass over BOTH reference forms. Length bounds: hex <= 6
+# digits / dec <= 7 digits cover all of Unicode; the longest WHATWG
+# name is 31 chars. Identical pattern string in the DuckDB oracles.
+ENTITY_TOKEN_RE = (r"&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}"
+                   r"|[A-Za-z][A-Za-z0-9]{1,31});")
+
+# str_to_map delimiters for the literal entity map: building the map
+# as 2×2125 F.lit() calls costs ~3s of py4j round trips PER CALL
+# SITE at plan-build time; one str_to_map over a single embedded
+# string literal parses JVM-side in ~ms and constant-folds to the
+# same map. \x02/\x03 never occur in entity names or values
+# (asserted at import).
+assert not any("\x02" in v or "\x03" in v
+               for v in NAMED_ENTITIES.values())
+_ENT_BLOB = "\x03".join(k + "\x02" + v
+                        for k, v in NAMED_ENTITIES.items())
 
 
 def _codepoint_char(cp: Column) -> Column:
@@ -75,27 +87,53 @@ def _codepoint_char(cp: Column) -> Column:
         .when(cp > 0xFFFF, sup).otherwise(bmp)
 
 
-def decode_numeric_entities(col: Column) -> Column:
-    """&#NN; / &#xHH; -> the character, as a bounded split/transform
-    (no UDF, no explode): entities rewrite to sentinel-delimited
-    tokens, the string splits on the sentinel, and odd elements
-    decode via `_codepoint_char`. Runs BEFORE the named-entity
-    replaces so '&amp;#65;' stays the literal text '&#65;' (the HTML
-    double-escape rule)."""
-    m = F.regexp_replace(col, r"&#[xX]([0-9a-fA-F]{1,6});",
-                         _NUM_SENT + "x$1" + _NUM_SENT)
-    m = F.regexp_replace(m, r"&#([0-9]{1,7});",
-                         _NUM_SENT + "d$1" + _NUM_SENT)
+def _entity_map() -> Column:
+    """The NAMED_ENTITIES table as a map literal (name -> text), via
+    one str_to_map expression (see _ENT_BLOB). Constant-folded by
+    Catalyst; the lookup is a zero-shuffle probe that works inside
+    array lambdas — the functions/psl.py literal-map template."""
+    blob = _ENT_BLOB.replace("\\", "\\\\").replace("'", "\\'")
+    return F.expr(
+        "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+
+
+def decode_entities(col: Column) -> Column:
+    """ONE left-to-right pass over both numeric (&#NN;/&#xHH;) and
+    named (&name;) character references, as a bounded split/transform
+    (no UDF, no explode): reference tokens rewrite to
+    sentinel-delimited form, the string splits on the sentinel, and
+    odd elements decode — numeric via `_codepoint_char`, named via
+    the WHATWG literal map (unknown names restore literally).
+
+    Single-pass is the HTML parser's non-rescanning semantics: a
+    consumed reference's output never recombines with following
+    text, so '&amp;lt;', '&#38;lt;' and '&amp;#65;' all stay the
+    literal texts '&lt;' / '&lt;' / '&#65;' (the double-escape
+    rule). A numeric-then-named two-pass decoder gets '&#38;lt;'
+    wrong (the decoded '&' re-combines into a second decode).
+    Invalid numeric scalars (0, surrogates, > 0x10FFFF) yield ''
+    (documented divergence from WHATWG's U+FFFD, mirrored in the
+    DuckDB oracles)."""
+    m = F.regexp_replace(col, ENTITY_TOKEN_RE,
+                         _NUM_SENT + "$1" + _NUM_SENT)
     parts = F.split(m, _NUM_SENT)
-    cp = (lambda p: F.when(
-        p.startswith("x"),
-        F.conv(F.substring(p, 2, 8), 16, 10).cast("long"))
-        .otherwise(F.substring(p, 2, 8).cast("long")))
+    emap = _entity_map()
+
+    def _dec(p: Column) -> Column:
+        cp = F.when(
+            p.rlike("^#[xX]"),
+            F.conv(F.substring(p, 3, 8), 16, 10).cast("long"),
+        ).otherwise(F.substring(p, 2, 8).cast("long"))
+        return F.when(p.startswith("#"), _codepoint_char(cp)) \
+            .otherwise(F.coalesce(
+                F.element_at(emap, p),
+                F.concat(F.lit("&"), p, F.lit(";"))))
+
     return F.array_join(
         F.transform(
             parts,
-            lambda p, i: F.when(i % 2 == 1, _codepoint_char(cp(p)))
-            .otherwise(p)), "")
+            lambda p, i: F.when(i % 2 == 1, _dec(p)).otherwise(p)),
+        "")
 
 # Query parameters that never change page identity (analytics junk).
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
@@ -110,14 +148,11 @@ def strip_noise(html: Column) -> Column:
 
 
 def _decode_entities(col: Column) -> Column:
-    out = F.when(col.contains("&#"), decode_numeric_entities(col)) \
-        .otherwise(col)
-    for ent, ch in ENTITIES:
-        out = F.replace(out, F.lit(ent), F.lit(ch))
-    # one contains() scan gates the whole 20+-op decode chain —
+    # one contains() scan gates the whole tokenize/decode chain —
     # decode is the identity on '&'-free text (most blocks), and
     # lambdas are interpreted, so skipped ops are real savings
-    return F.when(col.contains("&"), out).otherwise(col)
+    return F.when(col.contains("&"), decode_entities(col)) \
+        .otherwise(col)
 
 
 def block_text(raw: Column) -> Column:

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from hummingbird_spark.functions.html import (
     BLOCK_SPLIT_RE,
-    ENTITIES,
+    ENTITY_TOKEN_RE,
+    NAMED_ENTITIES,
     TRACKING_PARAMS,
     SECOND_LEVEL_SUFFIXES,
     block_stats_from,
@@ -83,7 +84,14 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
     ("p1", ""),
     ("lit", '</p><p>'),
     ("p2", ""),
-    ("lit", '</p></div><div class="side"><ul>'
+    # entity sampler: accents, fractions, currency, Greek, arrows,
+    # uppercase variants, and BOTH double-escape forms (named
+    # '&amp;lt;' and numeric '&#38;lt;' must stay literal '&lt;')
+    ("lit", '</p><p>caf&eacute; na&iuml;ve r&eacute;sum&eacute; '
+            '&frac12;&sup2; &euro;99 &pound;5 &alpha;&beta;&gamma; '
+            '&AMP; x &rarr; y &laquo;q&raquo; &Uuml;ber &szlig; '
+            'escaped &amp;lt; and &#38;lt; stay literal</p>'),
+    ("lit", '</div><div class="side"><ul>'
             '<li><a href="/t/1">one tag</a></li>'
             '<li><a href="/t/2">two tag</a></li></ul></div>'
             '<footer>&copy; 2026 Corp &amp; it&#x2019;s fine &#8212; '
@@ -158,33 +166,45 @@ def _strip_noise_sql(e: str) -> str:
     return "regexp_replace(%s, '(?s)<!--.*?-->', ' ', 'g')" % out
 
 
-def _num_ent_sql(e: str) -> str:
-    """decode_numeric_entities() replica: sentinel-rewrite both
-    entity forms, split on chr(1), decode odd elements (guarding the
-    same invalid scalar values), rebuild. The single-element
-    list_transform binds sp/cp once — DuckDB's lambda-closure idiom
-    for a local name."""
-    marked = ("regexp_replace(regexp_replace(%s,"
-              " '&#[xX]([0-9a-fA-F]{1,6});', chr(1)||'x\\1'||chr(1),"
-              " 'g'), '&#([0-9]{1,7});', chr(1)||'d\\1'||chr(1), 'g')"
-              % e)
-    cp = ("CASE WHEN sp[i][1] = 'x'"
-          " THEN try_cast('0x'||substr(sp[i],2,8) AS BIGINT)"
+def _ent_map_sql() -> str:
+    """The WHATWG named-entity table as one MAP literal, generated
+    from the same NAMED_ENTITIES dict the Spark expression uses —
+    single source of truth (the functions/psl.py VALUES-CTE
+    discipline)."""
+    ks = ",".join("'" + _sq(k) + "'" for k in NAMED_ENTITIES)
+    vs = ",".join("'" + _sq(v) + "'"
+                  for v in NAMED_ENTITIES.values())
+    return "MAP([" + ks + "],[" + vs + "])"
+
+
+def _ent_sql(e: str) -> str:
+    """decode_entities() replica: ONE tokenizer pass over both
+    numeric and named reference forms (same pattern string), split on
+    chr(1), decode odd elements — numeric guarded against the same
+    invalid scalar values, named via the shared map with
+    literal-restore fallback. The single-element list_transform binds
+    sp/cp once — DuckDB's lambda-closure idiom for a local name."""
+    marked = ("regexp_replace(%s, '%s', chr(1)||'\\1'||chr(1), 'g')"
+              % (e, ENTITY_TOKEN_RE))
+    cp = ("CASE WHEN regexp_matches(sp[i], '^#[xX]')"
+          " THEN try_cast('0x'||substr(sp[i],3,8) AS BIGINT)"
           " ELSE try_cast(substr(sp[i],2,8) AS BIGINT) END")
     ch = ("(list_transform([" + cp + "], cp -> CASE WHEN cp IS NULL"
           " OR cp <= 0 OR (cp >= 55296 AND cp <= 57343)"
           " OR cp > 1114111 THEN '' ELSE chr(CAST(cp AS INT)) END))[1]")
+    named = ("coalesce(map_extract(" + _ent_map_sql()
+             + ", sp[i])[1], '&'||sp[i]||';')")
+    tok = ("CASE WHEN sp[i][1] = '#' THEN " + ch
+           + " ELSE " + named + " END")
     return ("(list_transform([string_split(" + marked + ", chr(1))],"
             " sp -> array_to_string(list_transform(range(1,"
-            " len(sp)+1), i -> CASE WHEN i % 2 = 0 THEN " + ch
+            " len(sp)+1), i -> CASE WHEN i % 2 = 0 THEN " + tok
             + " ELSE sp[i] END), '')))[1]")
 
 
 def _btext_sql(e: str) -> str:
     out = "regexp_replace(%s, '(?is)<[^>]*>', ' ', 'g')" % e
-    out = _num_ent_sql(out)  # numeric BEFORE named (&amp;#65; rule)
-    for ent, ch in ENTITIES:
-        out = "replace(%s, '%s', '%s')" % (out, _sq(ent), _sq(ch))
+    out = _ent_sql(out)
     return "trim(regexp_replace(%s, '[ \\t\\r\\n]+', ' ', 'g'))" % out
 
 

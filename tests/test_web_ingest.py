@@ -89,6 +89,68 @@ class TestHtmlExtraction:
         assert row.mt == ("AA dash—here \U0001F600 "
                           "literal &#65; badend")
 
+    def test_numeric_amp_never_double_decodes(self, spark):
+        # '&#38;lt;' is the NUMERIC double-escape form: the decoded
+        # '&' must not recombine with 'lt;' into a second decode
+        # (the one-pass tokenizer rule; a numeric-then-named chain
+        # gets this wrong)
+        row = _one(
+            spark, "<p>q &#38;lt; r &#38;amp; s &#38;#65; end</p>"
+        ).select(main_text(F.col("h"), min_chars=1).alias("mt")).head()
+        assert row.mt == "q &lt; r &amp; s &#65; end"
+
+    def test_named_entities_match_stdlib_unescape(self, spark):
+        # differential vs html.unescape over the most common WHATWG
+        # names + numeric forms: for semicolon-form references our
+        # semantics equal the stdlib's one-pass decoder (invalid
+        # scalars excepted — we yield '', it yields U+FFFD)
+        import html as _html
+
+        names = [
+            "amp", "lt", "gt", "quot", "apos", "nbsp", "copy", "reg",
+            "trade", "deg", "plusmn", "para", "sect", "middot",
+            "laquo", "raquo", "ndash", "mdash", "lsquo", "rsquo",
+            "ldquo", "rdquo", "bdquo", "dagger", "Dagger", "bull",
+            "hellip", "permil", "prime", "Prime", "lsaquo", "rsaquo",
+            "euro", "cent", "pound", "curren", "yen", "brvbar",
+            "uml", "ordf", "ordm", "not", "shy", "macr", "sup1",
+            "sup2", "sup3", "frac14", "frac12", "frac34", "iquest",
+            "iexcl", "times", "divide", "fnof", "circ", "tilde",
+            "ensp", "emsp", "thinsp", "zwnj", "zwj", "lrm", "rlm",
+            "oline", "frasl", "OElig", "oelig", "Scaron", "scaron",
+            "Yuml", "Agrave", "Aacute", "Acirc", "Atilde", "Auml",
+            "Aring", "AElig", "Ccedil", "Egrave", "Eacute", "Ecirc",
+            "Euml", "Igrave", "Iacute", "Icirc", "Iuml", "ETH",
+            "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml",
+            "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute",
+            "THORN", "szlig", "agrave", "aacute", "acirc", "atilde",
+            "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+            "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+            "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde",
+            "ouml", "oslash", "ugrave", "uacute", "ucirc", "uuml",
+            "yacute", "thorn", "yuml", "alpha", "beta", "gamma",
+            "delta", "epsilon", "pi", "sigma", "omega", "Omega",
+            "mu", "lambda", "phi", "psi", "theta", "infin", "ne",
+            "le", "ge", "minus", "radic", "sum", "prod", "int",
+            "asymp", "equiv", "sub", "sup", "isin", "notin", "cap",
+            "cup", "and", "or", "forall", "exist", "nabla", "part",
+            "larr", "uarr", "rarr", "darr", "harr", "lArr", "rArr",
+            "hArr", "loz", "spades", "clubs", "hearts", "diams",
+            "AMP", "LT", "GT", "QUOT", "COPY", "REG",
+        ]
+        cases = ["w &%s; z" % n for n in names]
+        cases += ["&amp;%s;" % n for n in ("lt", "gt", "amp", "copy")]
+        cases += ["&#38;lt;", "&#38;amp;", "&#x26;gt;",
+                  "&unknownname; kept", "&amp;#65;", "&#169;&#xA9;"]
+        from hummingbird_spark.functions.html import decode_entities
+
+        df = spark.createDataFrame([Row(s=c) for c in cases])
+        got = [r.d for r in
+               df.select(decode_entities(F.col("s")).alias("d"))
+               .collect()]
+        want = [_html.unescape(c) for c in cases]
+        assert got == want
+
     def test_empty_and_tagless_input(self, spark):
         rows = spark.createDataFrame(
             [Row(h=""), Row(h="plain text no markup at all")]
