@@ -377,7 +377,11 @@ def h1_count(html: Column) -> Column:
 # Link extraction + reference resolution (RFC 3986 subset)
 # ---------------------------------------------------------------------------
 
-_HREF_RE = r"(?is)<a\b[^>]*href=(\"[^\"]*\"|'[^']*')"
+# double-quoted, single-quoted, or UNQUOTED attribute values (the
+# HTML spec's unquoted form: no whitespace/quotes/'>'; common in
+# minified and legacy markup). Quoted alternatives first so a quoted
+# value never half-matches as unquoted.
+_HREF_RE = r"(?is)<a\b[^>]*href=(\"[^\"]*\"|'[^']*'|[^\s\"'>][^\s>]*)"
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 # scheme-prefixed but NOT hierarchical (no '://'): mailto:, tel:,
 # javascript:, data:, ... — absolute URIs with opaque payloads, not
@@ -387,13 +391,16 @@ _OPAQUE_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def extract_hrefs(html: Column) -> Column:
-    """Raw href values of every anchor, double- OR single-quoted, in
-    document order (one alternation capture keeps the interleaving;
-    the surrounding quotes are stripped after the fact)."""
-    quoted = F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+    """Raw href values of every anchor — double-quoted, single-quoted,
+    or unquoted — in document order (one alternation capture keeps
+    the interleaving; surrounding quotes are stripped after the fact,
+    unquoted values pass through as-is)."""
+    vals = F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
     return F.transform(
-        quoted,
-        lambda q: F.substring(q, F.lit(2), F.length(q) - 2))
+        vals,
+        lambda q: F.when(
+            q.startswith('"') | q.startswith("'"),
+            F.substring(q, F.lit(2), F.length(q) - 2)).otherwise(q))
 
 
 def base_href(html: Column) -> Column:

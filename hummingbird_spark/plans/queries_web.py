@@ -710,13 +710,15 @@ ORDER BY source
 # Q6/Q7: anchor-link extraction + the REAL web link graph
 # ---------------------------------------------------------------------------
 # Link-page fixture: a deterministic 7-host web over the documents
-# table. Each page links out six ways — absolute (with tracking
+# table. Each page links out seven ways — absolute (with tracking
 # noise), root-relative, plain relative, an external tracker, a
-# protocol-relative CDN asset, and a DOT-SEGMENT relative
+# protocol-relative CDN asset, a DOT-SEGMENT relative
 # ('.././p/<t4>', exercising RFC 3986 §5.2.4 folding: it resolves to
 # /p/<t4> on the source host and becomes a real edge when the target
-# lives there) — so resolution + canonicalization is exercised on
-# every supported reference form, and only links whose canonical form
+# lives there), and an UNQUOTED-attribute root-relative
+# (<a href=/p/<t5>>, the legacy/minified form) — so resolution +
+# canonicalization is exercised on every supported reference form,
+# and only links whose canonical form
 # equals a real page's canonical URL become graph edges
 # (root/plain/dot-relative hrefs resolve on the SOURCE's host, so
 # they dangle unless the target lives on the same host — exactly how
@@ -731,7 +733,10 @@ _LINK_SEGS: tuple[tuple[str, str], ...] = (
     ("lit", '">p</a><a href="'), ("ext", ""),
     ("lit", '">x</a><a href="'), ("proto", ""),
     ("lit", '">c</a><a href="'), ("dot", ""),
-    ("lit", '">d</a><a href="mailto:ops@corp.example">m</a>'
+    # UNQUOTED attribute value (legacy/minified form): terminated by
+    # the '>' — resolves root-relative on the source host
+    ("lit", '">d</a><a href='), ("unq", ""),
+    ("lit", '>u</a><a href="mailto:ops@corp.example">m</a>'
             '</body></html>'),
 )
 
@@ -743,7 +748,7 @@ def _with_link_page(docs: DataFrame) -> DataFrame:
     n = docs.count()
     d = F.col("doc_id")
     t1, t2, t3 = (d + 1) % n, (3 * d + 7) % n, (7 * d + 3) % n
-    t4 = (5 * d + 11) % n
+    t4, t5 = (5 * d + 11) % n, (11 * d + 5) % n
     exprs = {
         "id": d.cast("string"),
         "abs": F.concat(F.lit("https://site"), (t1 % 7).cast("string"),
@@ -756,6 +761,7 @@ def _with_link_page(docs: DataFrame) -> DataFrame:
         "proto": F.concat(F.lit("//cdn.site"), (d % 7).cast("string"),
                           F.lit(".example/a/"), d.cast("string")),
         "dot": F.concat(F.lit(".././p/"), t4.cast("string")),
+        "unq": F.concat(F.lit("/p/"), t5.cast("string")),
     }
     base = F.concat(F.lit("https://site"), (d % 7).cast("string"),
                     F.lit(".example/p/"), d.cast("string"))
@@ -779,6 +785,7 @@ def _link_page_sql() -> str:
         "proto": ("'//cdn.site' || CAST(doc_id % 7 AS VARCHAR) ||"
                   " '.example/a/' || CAST(doc_id AS VARCHAR)"),
         "dot": "'.././p/' || CAST(t4 AS VARCHAR)",
+        "unq": "'/p/' || CAST(t5 AS VARCHAR)",
     }
     html = " || ".join("'" + _sq(t) + "'" if k == "lit" else exprs[k]
                        for k, t in _LINK_SEGS)
@@ -786,7 +793,7 @@ def _link_page_sql() -> str:
         "npg AS (SELECT COUNT(*) AS n FROM documents), "
         "lt AS (SELECT doc_id, (doc_id + 1) % n AS t1,"
         " (3 * doc_id + 7) % n AS t2, (7 * doc_id + 3) % n AS t3,"
-        " (5 * doc_id + 11) % n AS t4"
+        " (5 * doc_id + 11) % n AS t4, (11 * doc_id + 5) % n AS t5"
         " FROM documents, npg), "
         "lpg AS (SELECT doc_id,"
         " 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||"
@@ -795,12 +802,14 @@ def _link_page_sql() -> str:
     )
 
 
-# double- OR single-quoted hrefs, one alternation capture (order
-# preserved), quotes stripped after — functions/html.py mirror
+# double-quoted, single-quoted, or UNQUOTED hrefs, one alternation
+# capture (order preserved), quotes stripped after when present —
+# functions/html.py mirror
 _HREF_SQL = (
     r"""list_transform(regexp_extract_all(html, """
-    r"""'(?is)<a\b[^>]*href=("[^"]*"|''[^'']*'')', 1), """
-    r"""q -> substr(q, 2, length(q) - 2))""")
+    r"""'(?is)<a\b[^>]*href=("[^"]*"|''[^'']*''|[^\s"''>][^\s>]*)',"""
+    r""" 1), q -> CASE WHEN q[1] = '"' OR q[1] = '''' """
+    r"""THEN substr(q, 2, length(q) - 2) ELSE q END)""")
 
 # one path segment that is NOT '.' or '..' — mirrors functions/html.py
 _DOT_SEG_SQL = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"

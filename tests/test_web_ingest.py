@@ -299,6 +299,38 @@ class TestLinkExtraction:
         assert rows[1].hs == ["single.html", "double.html",
                               "again.html"]
 
+    def test_unquoted_attribute_hrefs(self, spark):
+        """<a href=/foo> (no quotes — legacy/minified HTML): value
+        runs to the first whitespace or '>', mixes with quoted forms
+        in document order, and resolves like any other reference."""
+        from hummingbird_spark.functions.html import (
+            extract_hrefs,
+            extract_links,
+        )
+
+        html = ("<a href=/p/1>one</a>"
+                '<a href="/p/2">two</a>'
+                "<a href=rel/3 class=x>three</a>"
+                "<a href=https://abs.example/4>four</a>"
+                "<a class=y href=//cdn.example/5>five</a>"
+                "<a href='/p/6'>six</a>")
+        out = spark.range(1).select(
+            extract_hrefs(F.lit(html)).alias("hs"),
+            extract_links(F.lit(html),
+                          F.lit("https://h.example/dir/p"))
+            .alias("ls")).head()
+        assert out.hs == ["/p/1", "/p/2", "rel/3",
+                          "https://abs.example/4", "//cdn.example/5",
+                          "/p/6"]
+        assert out.ls == [
+            "https://h.example/p/1",
+            "https://h.example/p/2",
+            "https://h.example/dir/rel/3",
+            "https://abs.example/4",
+            "https://cdn.example/5",
+            "https://h.example/p/6",
+        ]
+
     def test_opaque_scheme_hrefs_never_become_links(self, spark):
         """mailto:/javascript:/tel:/data: hrefs are absolute URIs
         with opaque payloads — un-filtered they would resolve as
