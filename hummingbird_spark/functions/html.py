@@ -328,7 +328,16 @@ def url_query_canonical(url: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     """Scheme-lowered, www/default-port-stripped, slash-normalized,
     tracking-free, param-sorted, fragment-free canonical form — the
-    dedup key for crawl URLs."""
+    dedup key for crawl URLs.
+
+    IDN hosts (documented decision): hosts are opaque octet strings
+    here — the Unicode ('münchen.example') and punycode
+    ('xn--mnchen-3ya.example') spellings of the same host are
+    DISTINCT canonical identities. Bootstring decoding has no sane
+    fixed-depth Column-expression form, and keeping the forms apart
+    is lossless. Pipelines that need DNS-form identity normalize
+    first via functions/idn.py::normalize_idn_hosts (an opt-in
+    Arrow-batched kernel with an ASCII fast path)."""
     q = url_query_canonical(url)
     return F.concat(
         url_scheme(url), F.lit("://"), url_host(url), url_port(url),
