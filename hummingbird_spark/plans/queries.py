@@ -1493,37 +1493,37 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r9 rotation. Latest-record ages after r8 (r1∪…∪r8 union,
-    # counted against the actual window cut as the r8 verdict asked):
-    # {r2: 3 rows-only, r4: 4, r5: 49, r6: 50, r7: 50, r8: 50}.
-    # Window budget ~50: the 4 r4-stale survivors the r8 window cut
-    # lead, then ALL 49 round-5 names in their r5-record order (the
-    # window takes the first ~46; the overflow names stay listed so a
-    # larger window keeps draining oldest-first). Done bar:
-    # CORRECTNESS_r09 leaves no oracle-backed name older than r5.
-    # new this round (robots Sitemap: directive discovery) — never
-    # recorded, so it leads
-    "sitemap_discovery",
-    # latest record: round 4 (the r8 window cut exactly these)
-    "union_namespaces", "variant_props", "window_rank",
-    "zorder_verify",
-    # latest record: round 5, oldest-first (r5-record order)
-    "kmeans_assign", "kmeans_sizes", "kn_perplexity", "scd2_history",
-    "cluster_sample", "kn_perplexity_capped",
-    "semantic_decontamination", "dsir_logweights", "dsir_selection",
-    "dsir_selection_distributed", "knn_lsh", "media_pipeline",
-    "audio_windows", "perplexity_outliers", "perplexity_outliers_exact",
-    "doc_quality", "doc_bpe_tokens", "percentiles", "doc_lang_id",
-    "dedup_exact", "exact_dup_groups", "priority_linestatus",
-    "pipeline_status_rollup", "funnel_steps", "cohort_retention",
-    "session_stats", "running_revenue", "moving_avg_revenue",
-    "seg_first_last", "percent_rank_balance", "region_nations_agg",
-    "corr_price_qty", "histogram_price", "top_orders_per_cust",
-    "ntile_quartiles", "event_transitions", "dow_activity",
-    "stratified_sample", "dataset_split", "dup_group_histogram",
-    "minhash_dups", "dup_clusters", "token_diversity", "hash_sample",
-    "ngram_jaccard", "corpus_curation", "tfidf_dup_pairs",
-    "winnow_pairs", "knn_exact",
+    # r10 rotation. Latest-record ages after r9 (r1∪…∪r9 union,
+    # counted against the actual window cut): {r2: 3 rows-only,
+    # r5: 4, r6: 50, r7: 50, r8: 50, r9: 50}. Window budget ~50: the
+    # 4 r5-stale survivors the r9 window cut lead (exactly the
+    # predicted set), then ALL 50 round-6 names in their r6-record
+    # order (the window takes the first ~46; the overflow stays
+    # listed so a larger window keeps draining oldest-first). Done
+    # bar: CORRECTNESS_r10 leaves no oracle-backed name older than
+    # r6; predicted tail cut: the last ~4 r6 names below
+    # (lm_data_prep, cross_source_dups, asof_next_purchase,
+    # docgen_all_types, pack_sequences — whichever the window misses).
+    # latest record: round 5 (the r9 window cut exactly these)
+    "corpus_curation", "tfidf_dup_pairs", "winnow_pairs", "knn_exact",
+    # latest record: round 6, oldest-first (r6-record order)
+    "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
+    "classifier_scores", "classifier_eval", "unimax_curated_sample",
+    "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
+    "curation_pipeline_verify", "reservoir_sample",
+    "packed_interleaved", "hll_distinct", "source_length_profile",
+    "source_vocab_overlap", "source_heavy_hitters", "simhash_dups",
+    "embedding_top_pairs", "pivot_event_values", "token_frequencies",
+    "win_tumbling", "win_sliding", "win_session", "asof_attribution",
+    "range_join_week", "cube_agg", "grouping_sets",
+    "min_cost_supplier", "market_share", "product_profit",
+    "important_stock", "excess_suppliers", "waiting_suppliers",
+    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
+    "pipeline_bucket", "embedding_dup_clusters", "segment_dup_stats",
+    "classifier_quality_mix", "quality_canonical_dedup",
+    "vector_search_pipeline", "bm25_topk", "hybrid_rrf",
+    "lm_data_prep", "cross_source_dups", "asof_next_purchase",
+    "docgen_all_types", "pack_sequences",
 ]
 
 QUERIES = {
