@@ -32,6 +32,13 @@ HTTP payload so truncated records are detectable downstream.
   parallelism — exactly how Common Crawl shards (~64k files of ~1 GB
   per crawl); `binaryFile` scans distribute one file per task.
 
+- `read_warc_gz_index` / `fetch_warc_records` — the POINT-LOOKUP
+  path over that external index: `write_warc_gz` emits a CDX-style
+  parquet sidecar (target_uri, offset, length) per file, and the
+  fetch seeks + gunzips just the selected members — k records cost
+  O(k) bytes read, never whole-file decompression (the standard
+  Common Crawl CDX access pattern).
+
 Simplification vs full ISO 28500 (documented contract): the split
 parsers (`read_warc`/`parse_warc_records`) assume text payloads that
 do not themselves contain the bare record magic; payloads WITH
@@ -309,7 +316,8 @@ def render_record_bytes(uri: str, body: str,
 def write_warc_gz(df: DataFrame, out_dir: str,
                   uri_col: str = "canonical_url",
                   body_col: str = "text",
-                  warc_type: str = "conversion") -> DataFrame:
+                  warc_type: str = "conversion",
+                  index: bool = True) -> DataFrame:
     """Write (uri, body) rows as `.warc.gz` files with ONE GZIP
     MEMBER PER RECORD — the layout `read_warc_gz` reads and Common
     Crawl ships (WET-style conversion records by default). One file
@@ -317,7 +325,15 @@ def write_warc_gz(df: DataFrame, out_dir: str,
     filesystem every executor can reach — the same contract as every
     path-based store in this package). Returns the manifest
     (file, n_records, n_bytes) — an action on it performs the
-    write."""
+    write.
+
+    With `index` (default), each file gets a CDX-style sidecar
+    `<file>.cdx.parquet` recording (target_uri, offset, length, file)
+    per member — the writer is the one place member boundaries are
+    free. The sidecar is what makes record-range reads possible
+    later (`read_warc_gz_index` + `fetch_warc_records`): gzip
+    members are not splittable, so WITHOUT it a point lookup
+    decompresses whole files."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -333,6 +349,7 @@ def write_warc_gz(df: DataFrame, out_dir: str,
         fh = None
         n = 0
         nbytes = 0
+        idx: list[tuple[str, int, int]] = []
         for pdf in batches:
             if len(pdf) and fh is None:
                 fh = open(fname, "wb")
@@ -341,10 +358,25 @@ def write_warc_gz(df: DataFrame, out_dir: str,
                     str(uri), "" if body is None else str(body),
                     warc_type))
                 fh.write(member)
+                if index:
+                    idx.append((str(uri), nbytes, len(member)))
                 n += 1
                 nbytes += len(member)
         if fh is not None:
             fh.close()
+            if index:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                tbl = pa.table({
+                    "target_uri": [r[0] for r in idx],
+                    "offset": pa.array([r[1] for r in idx],
+                                       pa.int64()),
+                    "length": pa.array([r[2] for r in idx],
+                                       pa.int64()),
+                    "file": [fname] * len(idx),
+                })
+                pq.write_table(tbl, fname + ".cdx.parquet")
             yield pd.DataFrame([(fname, n, nbytes)],
                                columns=["file", "n_records",
                                         "n_bytes"])
@@ -354,3 +386,49 @@ def write_warc_gz(df: DataFrame, out_dir: str,
 
     return df.select(uri_col, body_col).mapInPandas(
         kernel, "file string, n_records long, n_bytes long")
+
+
+def read_warc_gz_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The CDX sidecars of a `write_warc_gz` output dir as one frame:
+    (target_uri, offset, length, file). Tiny relative to the data —
+    filter it (by URI, prefix, host, ...) and hand the survivors to
+    `fetch_warc_records` for ranged reads."""
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "*.cdx.parquet"))
+
+
+def fetch_warc_records(spark: SparkSession,
+                       index_df: DataFrame) -> DataFrame:
+    """Record-range reads over indexed `.warc.gz`: for each
+    (file, offset, length) row, seek + read + gunzip JUST that
+    member — the standard Common Crawl point-lookup pattern, never
+    decompressing whole files. Selected rows shuffle once on `file`
+    (one task per file's selections, seek-ordered); parallelism is
+    min(files, selections), and a lookup of k records costs O(k)
+    bytes read regardless of corpus size."""
+    sel = index_df.select("file", "offset", "length") \
+        .repartition("file")
+
+    def kernel(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("file"):
+                with open(fname, "rb") as fh:
+                    for off, ln in sorted(
+                            zip(grp["offset"], grp["length"])):
+                        fh.seek(int(off))
+                        rec = gzip.decompress(fh.read(int(ln)))
+                        parsed = _parse_record_bytes(rec)
+                        if parsed is not None:
+                            rows.append(parsed)
+            yield pd.DataFrame(
+                rows, columns=["warc_type", "target_uri",
+                               "content_length", "http_status",
+                               "body", "length_ok"])
+
+    return sel.mapInPandas(kernel, PARSED_SCHEMA)

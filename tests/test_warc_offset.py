@@ -147,6 +147,54 @@ def test_write_warc_gz_roundtrips(spark, tmp_path):
     assert all(r.warc_type == "conversion" for r in got.values())
 
 
+def test_cdx_index_point_reads_match_full_read(spark, tmp_path):
+    """The writer's CDX sidecar enables record-range reads: the
+    indexed fetch of EVERY record equals the full-file read, a
+    filtered fetch returns exactly the selected records (by seeking
+    only their members), and index=False writes no sidecar."""
+    import glob as _glob
+
+    from pyspark.sql import Row
+
+    from hummingbird_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc_gz_index,
+        write_warc_gz,
+    )
+
+    rows = [Row(canonical_url=f"https://w.example/p{i}",
+                text=f"body number {i} café \r\n\r\n tail {i}")
+            for i in range(9)]
+    out = str(tmp_path / "wet_idx")
+    write_warc_gz(spark.createDataFrame(rows).repartition(3),
+                  out).collect()
+    sidecars = _glob.glob(out + "/*.cdx.parquet")
+    warcs = _glob.glob(out + "/*.warc.gz")
+    assert len(sidecars) == len(warcs) >= 1
+
+    idx = read_warc_gz_index(spark, out)
+    assert idx.count() == len(rows)
+    # indexed read of everything == full-file read
+    full = _rows(read_warc_gz(spark, out + "/*.warc.gz"))
+    assert _rows(fetch_warc_records(spark, idx)) == full
+
+    # point lookup: exactly the selected records come back
+    want = {"https://w.example/p2", "https://w.example/p7"}
+    sel = idx.filter(F.col("target_uri").isin(*want))
+    got = fetch_warc_records(spark, sel).collect()
+    assert {r.target_uri for r in got} == want
+    assert all(r.length_ok for r in got)
+    assert {r.body for r in got} == {
+        "body number 2 café \r\n\r\n tail 2",
+        "body number 7 café \r\n\r\n tail 7"}
+
+    # opt-out writes no sidecar
+    out2 = str(tmp_path / "wet_noidx")
+    write_warc_gz(spark.createDataFrame(rows), out2,
+                  index=False).collect()
+    assert _glob.glob(out2 + "/*.cdx.parquet") == []
+
+
 def test_lying_content_length_resyncs(spark, tmp_path):
     """First record declares 5 bytes too few; the walker must resync
     at the next magic, flag the liar, and parse the second record
