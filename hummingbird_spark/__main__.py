@@ -508,6 +508,11 @@ def main(argv: list[str] | None = None) -> int:
                           "(streaming/frontier_delta.py): per-tick "
                           "cost bounded by the batch + crawl delta, "
                           "not the queue")
+    fro.add_argument("--recrawl-on-update", action="store_true",
+                     help="(--delta only) a sitemap advertising a "
+                          "strictly newer lastmod re-queues a "
+                          "crawled URL instead of dying against "
+                          "the mirror")
     wbg = sub.add_parser("web-graph")
     wbg.add_argument("src", help="stream input dir (parquet files of "
                                  "doc_id + base + html rows)")
@@ -1008,7 +1013,8 @@ def main(argv: list[str] | None = None) -> int:
             q = start_streaming_frontier_delta(
                 spark, args.src, args.frontier, schema,
                 crawled_path=args.crawled, robots_path=args.robots,
-                robots_agent=args.robots_agent)
+                robots_agent=args.robots_agent,
+                recrawl_on_update=args.recrawl_on_update)
         else:
             q = start_streaming_frontier(
                 spark, args.src, args.frontier, schema,

@@ -51,18 +51,27 @@ def _read_count(spark: SparkSession, path: str) -> int:
 
 def compact_table(spark: SparkSession, path: str,
                   target_file_bytes: int = 128 * 1024 * 1024,
-                  partition_cols: list[str] | None = None) -> dict:
+                  partition_cols: list[str] | None = None,
+                  merge_schema: bool = False) -> dict:
     """Rewrite a parquet table into ~size/target_file_bytes files.
 
     partition_cols: hive-style partition columns of the layout (e.g.
     ["__bucket"] for the CDC sink); preserved in the rewritten table,
     one file per partition directory.
 
+    merge_schema: read with parquet schema merging — required when
+    the table's files mix schema versions (a column added by a later
+    writer), else the rewrite silently drops the new column whenever
+    the picked footer predates it.
+
     Returns a report dict (files/bytes before and after).
     """
     before_files = parquet_file_count(spark, path)
     before_bytes = table_bytes(spark, path)
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     n_out = max(1, math.ceil(before_bytes / target_file_bytes))
 
     tmp = path.rstrip("/") + "__compact_tmp"

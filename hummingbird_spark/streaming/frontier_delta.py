@@ -56,6 +56,13 @@ and drops orphaned temp trees.
 Robots verdicts gate entries at ENQUEUE time (batch-bounded); the
 swap frontier re-gates the whole queue every tick — equivalent while
 the robots table is static, documented divergence if it is not.
+
+Recrawl-on-update (opt-in, `recrawl_on_update=True`): the mirror
+additionally records the lastmod the queue held when each crawl
+landed, and the rebuild's mirror check becomes "advertised strictly
+newer than the newest crawled version ⇒ re-queue" instead of
+crawled-is-crawled. See frontier_delta_batch's docstring for the
+null/version semantics.
 """
 
 from __future__ import annotations
@@ -96,23 +103,29 @@ def _bucket(col: Column, n: int) -> Column:
 
 
 def _read_bucketed(spark: SparkSession, path: str,
-                   touched: list[int] | None = None) -> DataFrame | None:
+                   touched: list[int] | None = None,
+                   merge: bool = False) -> DataFrame | None:
     """Read the store, or just the touched bucket dirs. Listing only
     the touched dirs matters: a plain read partition-DISCOVERS every
     bucket dir before pruning — O(n_buckets) driver-side listing per
     tick, which measured 6x tick growth at 6400 buckets. basePath
-    keeps the bucket partition column."""
+    keeps the bucket partition column. `merge` turns on parquet
+    schema merging (the mirror may mix files written before and
+    after the lastmod column)."""
     if not os.path.isdir(path):
         return None
+    reader = spark.read
+    if merge:
+        reader = reader.option("mergeSchema", "true")
     if touched is None:
         if not glob.glob(os.path.join(path, "bucket=*")):
             return None
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     dirs = [os.path.join(path, f"bucket={b}") for b in touched]
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         return None
-    return spark.read.option("basePath", path).parquet(*dirs)
+    return reader.option("basePath", path).parquet(*dirs)
 
 
 def _crawled_delta_files(crawled_path: str, cursor: str) -> list[str]:
@@ -171,12 +184,23 @@ def frontier_delta_batch(
     n_buckets: int = DEFAULT_BUCKETS,
     batch_id: int | None = None,
     compact_every: int = 32,
+    recrawl_on_update: bool = False,
 ) -> None:
     """One delta tick. See the module docstring for the contract.
     Every `compact_every` applied batches the mirror compacts (it
     appends one file per touched bucket per tick; the queue needs no
     compaction — each rebuild rewrites a touched bucket as one
-    file)."""
+    file).
+
+    recrawl_on_update (opt-in — real crawlers re-fetch on update):
+    the mirror records the LASTMOD THE QUEUE HELD when each crawl
+    landed, and a sitemap advertising a STRICTLY NEWER lastmod
+    re-queues the URL instead of dying against the mirror. A crawl
+    with no known lastmod (never queued, or a replay after the queue
+    entry was retired) blocks all re-advertisements for that URL —
+    max-on-read over the mirror keeps the newest known crawl version,
+    so duplicate replay rows with null lastmod are absorbed. Off by
+    default: crawled-is-crawled (the r9 contract) stays bit-exact."""
     queue, mirror, cursor, _ = _paths(root)
     led = BatchLedger(queue)
     if led.seen(batch_id):
@@ -231,8 +255,26 @@ def frontier_delta_batch(
     # it each of the N shuffle tasks writes a file into every bucket
     # dir it holds rows for (tasks x buckets tiny files — measured
     # 3x tick cost at 640 buckets); with it, one file per bucket.
+    # The mirror row carries the lastmod the queue held for the
+    # crawled URL (null when unknown or recrawl is off) — the version
+    # the recrawl_on_update comparison is against. Reading the queue
+    # here is safe: writes have not started.
     if newly is not None:
-        newly.select("bucket", "curl").repartition("bucket") \
+        mrow = newly.select("bucket", "curl")
+        lm = None
+        if recrawl_on_update:
+            nb = sorted({r.bucket for r in
+                         newly.select("bucket").distinct().collect()})
+            qnow = _read_bucketed(spark, queue, nb)
+            if qnow is not None:
+                lm = qnow.select("curl", "lastmod")
+        if lm is not None:
+            mrow = mrow.join(lm, "curl", "left")
+        else:
+            mrow = mrow.withColumn("lastmod",
+                                   F.lit(None).cast("string"))
+        mrow.select("bucket", "curl", "lastmod") \
+            .repartition("bucket") \
             .write.mode("append").partitionBy("bucket").parquet(mirror)
 
     # 2. rebuild ONLY the touched buckets
@@ -243,10 +285,27 @@ def frontier_delta_batch(
             old.select("bucket", "host", "curl", "lastmod"))
     merged = cand.groupBy("bucket", "host", "curl").agg(
         F.max("lastmod").alias("lastmod"))
-    seen = _read_bucketed(spark, mirror, touched)
+    seen = _read_bucketed(spark, mirror, touched, merge=True)
     if seen is not None:
-        merged = merged.join(seen.select("curl").distinct(), "curl",
-                             "left_anti")
+        if "lastmod" not in seen.columns:  # pre-lastmod mirror files
+            seen = seen.withColumn("lastmod",
+                                   F.lit(None).cast("string"))
+        if recrawl_on_update:
+            # keep an entry iff never crawled, or advertised STRICTLY
+            # newer than the newest known crawled version (a crawl
+            # with unknown version blocks everything for its URL)
+            mseen = seen.groupBy("curl").agg(
+                F.max("lastmod").alias("__mlm"),
+                F.count(F.lit(1)).alias("__mn"))
+            merged = (
+                merged.join(mseen, "curl", "left")
+                .filter(F.col("__mn").isNull()
+                        | (F.col("__mlm").isNotNull()
+                           & (F.col("lastmod") > F.col("__mlm"))))
+                .drop("__mlm", "__mn"))
+        else:
+            merged = merged.join(seen.select("curl").distinct(),
+                                 "curl", "left_anti")
     nxt = merged.select("bucket", "host", "curl", "lastmod") \
         .localCheckpoint(eager=True)
 
@@ -289,7 +348,11 @@ def frontier_delta_batch(
             and os.path.isdir(mirror)):
         from hummingbird_spark.operators.compact import compact_table
 
-        compact_table(spark, mirror, partition_cols=["bucket"])
+        # merge_schema: the mirror may mix pre- and post-lastmod
+        # files; a plain read could pick an old footer and silently
+        # drop the crawl-version column in the rewrite
+        compact_table(spark, mirror, partition_cols=["bucket"],
+                      merge_schema=True)
 
 
 def start_streaming_frontier_delta(
@@ -302,6 +365,7 @@ def start_streaming_frontier_delta(
     robots_agent: str = "trainingbot",
     checkpoint: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    recrawl_on_update: bool = False,
 ):
     """File-source parquet stream of sitemap rows -> delta ticks —
     the streaming twin of start_streaming_frontier with per-tick cost
@@ -314,7 +378,8 @@ def start_streaming_frontier_delta(
         frontier_delta_batch(
             spark, batch_df, root, crawled_path=crawled_path,
             robots=robots, robots_agent=robots_agent,
-            n_buckets=n_buckets, batch_id=batch_id)
+            n_buckets=n_buckets, batch_id=batch_id,
+            recrawl_on_update=recrawl_on_update)
 
     return (
         stream.writeStream.foreachBatch(_apply)

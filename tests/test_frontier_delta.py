@@ -249,6 +249,134 @@ def test_mirror_compacts_on_cadence(spark, tmp_path):
         for i in range(4)]
 
 
+def test_recrawl_on_update_requeues_strictly_newer(spark, tmp_path):
+    """Opt-in lastmod-aware recrawl: the mirror records the lastmod
+    the queue held at crawl time; a sitemap advertising a STRICTLY
+    newer lastmod re-queues the URL; equal, older, and unversioned
+    re-advertisements stay blocked."""
+    root = str(tmp_path / "fd")
+    crawled = str(tmp_path / "crawled")
+    kw = dict(crawled_path=crawled, n_buckets=8,
+              recrawl_on_update=True)
+    u = "https://a.example/p1"
+
+    # tick 1: queue it at v 2026-01-05; tick 2: crawl lands
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-01-05")]),
+                         root, batch_id=0, **kw)
+    _crawl(spark, crawled, [u])
+    frontier_delta_batch(spark, _sm(spark, []), root, batch_id=1,
+                         **kw)
+    assert _state(spark, root) == []
+
+    # equal and OLDER re-advertisements stay blocked
+    frontier_delta_batch(spark, _sm(
+        spark, [(u, "2026-01-05"), (u, "2026-01-01")]), root,
+        batch_id=2, **kw)
+    assert _state(spark, root) == []
+    # unversioned re-advertisement stays blocked too
+    frontier_delta_batch(spark, _sm(spark, [(u, None)]), root,
+                         batch_id=3, **kw)
+    assert _state(spark, root) == []
+
+    # strictly newer -> re-queued at the new version
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-02-01")]),
+                         root, batch_id=4, **kw)
+    assert _state(spark, root) == [("a.example", u, "2026-02-01")]
+
+    # the recrawl lands: blocked again at the NEW version...
+    _crawl(spark, crawled, [u])
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-02-01")]),
+                         root, batch_id=5, **kw)
+    assert _state(spark, root) == []
+    # ...and only a version beyond 2026-02-01 re-queues now
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-01-20")]),
+                         root, batch_id=6, **kw)
+    assert _state(spark, root) == []
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-03-01")]),
+                         root, batch_id=7, **kw)
+    assert _state(spark, root) == [("a.example", u, "2026-03-01")]
+
+
+def test_recrawl_mirror_replay_and_unqueued_crawls(spark, tmp_path):
+    """Replay rows carrying null lastmod are absorbed by max-on-read;
+    a crawl that was never queued (unknown version) blocks all
+    re-advertisements of its URL."""
+    root = str(tmp_path / "fd")
+    crawled = str(tmp_path / "crawled")
+    kw = dict(crawled_path=crawled, n_buckets=8,
+              recrawl_on_update=True)
+    u = "https://a.example/p1"
+    v = "https://a.example/out-of-band"
+
+    frontier_delta_batch(spark, _sm(spark, [(u, "2026-01-05")]),
+                         root, batch_id=0, **kw)
+    # v is crawled WITHOUT ever being queued
+    _crawl(spark, crawled, [u, v])
+    frontier_delta_batch(spark, _sm(spark, []), root, batch_id=1,
+                         **kw)
+
+    # simulate the crash-replay duplicate: the same crawl file
+    # re-mirrored AFTER u's queue entry was retired -> a (u, null)
+    # mirror row that must not mask the known version
+    from hummingbird_spark.streaming.frontier_delta import (
+        _bucket,
+        _paths,
+    )
+    from hummingbird_spark.functions.html import url_host
+
+    mirror = _paths(root)[1]
+    spark.createDataFrame([(u, None)],
+                          "curl string, lastmod string") \
+        .withColumn("bucket", _bucket(url_host(F.col("curl")), 8)) \
+        .select("bucket", "curl", "lastmod") \
+        .write.mode("append").partitionBy("bucket").parquet(mirror)
+
+    # strictly newer still re-queues u (max ignores the null dup);
+    # v stays blocked at ANY advertised version (unknown crawl ver)
+    frontier_delta_batch(spark, _sm(
+        spark, [(u, "2026-02-01"), (v, "2027-01-01")]), root,
+        batch_id=2, **kw)
+    assert _state(spark, root) == [
+        ("a.example", u, "2026-02-01")]
+
+
+def test_recrawl_reads_pre_lastmod_mirror_files(spark, tmp_path):
+    """A mirror written before the lastmod column existed (two-column
+    files) reads as unknown-version rows: crawled URLs stay blocked,
+    and mixed-schema stores don't crash the tick."""
+    root = str(tmp_path / "fd")
+    crawled = str(tmp_path / "crawled")
+    u = "https://a.example/p1"
+
+    # build the store with the flag OFF — but hand-write the mirror
+    # rows in the OLD two-column shape first
+    from hummingbird_spark.streaming.frontier_delta import (
+        _bucket,
+        _paths,
+    )
+    from hummingbird_spark.functions.html import url_host
+
+    mirror = _paths(root)[1]
+    spark.createDataFrame([Row(curl=u)]) \
+        .withColumn("bucket", _bucket(url_host(F.col("curl")), 8)) \
+        .select("bucket", "curl") \
+        .write.mode("append").partitionBy("bucket").parquet(mirror)
+
+    # a new-schema row for another URL lands in the same store
+    _crawl(spark, crawled, ["https://a.example/p2"])
+    frontier_delta_batch(
+        spark, _sm(spark, [(u, "2026-02-01"),
+                           ("https://a.example/p2", "2026-01-01"),
+                           ("https://a.example/p3", "2026-01-01")]),
+        root, crawled_path=crawled, n_buckets=8, batch_id=0,
+        recrawl_on_update=True)
+    # u: old-schema mirror row = unknown version -> blocked even
+    # though advertised with a lastmod; p2: crawled -> blocked;
+    # p3: fresh -> queued
+    assert _state(spark, root) == [
+        ("a.example", "https://a.example/p3", "2026-01-01")]
+
+
 def test_robots_gate_at_enqueue(spark, tmp_path):
     root = str(tmp_path / "fd")
     robots = spark.createDataFrame([Row(
