@@ -90,7 +90,8 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
     ("lit", '</p><p>caf&eacute; na&iuml;ve r&eacute;sum&eacute; '
             '&frac12;&sup2; &euro;99 &pound;5 &alpha;&beta;&gamma; '
             '&AMP; x &rarr; y &laquo;q&raquo; &Uuml;ber &szlig; '
-            'escaped &amp;lt; and &#38;lt; stay literal</p>'),
+            'escaped &amp;lt; and &#38;lt; stay literal '
+            '&notareal; kept</p>'),
     ("lit", '</div><div class="side"><ul>'
             '<li><a href="/t/1">one tag</a></li>'
             '<li><a href="/t/2">two tag</a></li></ul></div>'
@@ -284,6 +285,76 @@ FROM (
              s -> s.btxt), chr(10)) AS mt
   FROM blk)
 ORDER BY doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# Q1b: page_entity_stats — character-reference decode audit
+# ---------------------------------------------------------------------------
+
+def q_page_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-reference audit over the page fixture:
+    how many references each page carries (named / numeric /
+    unknown-name split) and how many characters the one-pass decode
+    removes — the decode-coverage metric a real ingest tracks to
+    catch entity-soup sources. Zero-shuffle per-page projection +
+    one bounded rollup."""
+    from hummingbird_spark.functions.html import (
+        ENTITY_TOKEN_RE,
+        _entity_map,
+        decode_entities,
+    )
+
+    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.col("page"),
+                                F.lit(ENTITY_TOKEN_RE), F.lit(1))
+    emap = _entity_map()
+    per = pages.select(
+        "source",
+        F.size(toks).alias("__n"),
+        F.size(F.filter(toks, lambda t: t.startswith("#")))
+        .alias("__num"),
+        F.size(F.filter(
+            toks,
+            lambda t: ~t.startswith("#")
+            & F.element_at(emap, t).isNull())).alias("__unk"),
+        (F.length("page")
+         - F.length(decode_entities(F.col("page")))).alias("__shrink"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_refs"),
+            F.sum(F.col("__n") - F.col("__num")).alias("n_named"),
+            F.sum("__num").alias("n_numeric"),
+            F.sum("__unk").alias("n_unknown"),
+            F.sum("__shrink").alias("decode_shrink"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PAGE_ENTITY_STATS = (
+    "WITH " + _TOK_CTE + ", " + _pages_cte() + """,
+per AS (
+  SELECT source,
+    regexp_extract_all(page, '""" + ENTITY_TOKEN_RE + """', 1)
+      AS toks,
+    length(page) - length(""" + _ent_sql("page") + """) AS shrink
+  FROM pages)
+SELECT source,
+  CAST(SUM(len(toks)) AS BIGINT) AS n_refs,
+  CAST(SUM(len(toks) - len(list_filter(toks, t -> t[1] = '#')))
+       AS BIGINT) AS n_named,
+  CAST(SUM(len(list_filter(toks, t -> t[1] = '#'))) AS BIGINT)
+       AS n_numeric,
+  CAST(SUM(len(list_filter(toks, t -> t[1] <> '#' AND
+       len(map_extract(""" + _ent_map_sql() + """, t)) = 0)))
+       AS BIGINT) AS n_unknown,
+  CAST(SUM(shrink) AS BIGINT) AS decode_shrink
+FROM per
+GROUP BY source
+ORDER BY source
 """)
 
 
@@ -1631,6 +1702,11 @@ WEB_QUERIES: dict[str, tuple] = {
         "HTML -> main-text extraction audit: block segmentation + "
         "link-density boilerplate filter (jusText-style), pure "
         "per-row array projection"),
+    "page_entity_stats": (
+        q_page_entity_stats, ORACLE_PAGE_ENTITY_STATS,
+        "character-reference decode audit: named/numeric/unknown "
+        "token split + decode shrinkage per source, over the full "
+        "WHATWG table (one-pass tokenizer)"),
     "warc_extract_stats": (
         q_warc_extract_stats, ORACLE_WARC_EXTRACT,
         "WARC record parse audit: Content-Length validation, HTTP "
