@@ -87,14 +87,26 @@ def _codepoint_char(cp: Column) -> Column:
         .when(cp > 0xFFFF, sup).otherwise(bmp)
 
 
+_ENT_MAP_COL: Column | None = None
+
+
 def _entity_map() -> Column:
     """The NAMED_ENTITIES table as a map literal (name -> text), via
     one str_to_map expression (see _ENT_BLOB). Constant-folded by
     Catalyst; the lookup is a zero-shuffle probe that works inside
-    array lambdas — the functions/psl.py literal-map template."""
-    blob = _ENT_BLOB.replace("\\", "\\\\").replace("'", "\\'")
-    return F.expr(
-        "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+    array lambdas — the functions/psl.py literal-map template.
+
+    The parsed Column is CACHED per process: F.expr on the ~40 KB
+    embedded blob costs a py4j round trip + JVM SQL parse (~0.7 s
+    cold), and decode_entities has multiple call sites per query —
+    the expression tree is immutable and session-independent, so one
+    parse serves every plan."""
+    global _ENT_MAP_COL
+    if _ENT_MAP_COL is None:
+        blob = _ENT_BLOB.replace("\\", "\\\\").replace("'", "\\'")
+        _ENT_MAP_COL = F.expr(
+            "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+    return _ENT_MAP_COL
 
 
 def decode_entities(col: Column) -> Column:
