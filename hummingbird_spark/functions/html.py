@@ -59,14 +59,12 @@ ENTITY_TOKEN_RE = (r"&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}"
 
 # str_to_map delimiters for the literal entity map: building the map
 # as 2×2125 F.lit() calls costs ~3s of py4j round trips PER CALL
-# SITE at plan-build time; one str_to_map over a single embedded
-# string literal parses JVM-side in ~ms and constant-folds to the
-# same map. \x02/\x03 never occur in entity names or values
-# (asserted at import).
+# SITE at plan-build time; str_to_map over embedded string literals
+# parses JVM-side in ~ms and constant-folds to the same maps.
+# \x02/\x03 never occur in entity names or values (asserted at
+# import).
 assert not any("\x02" in v or "\x03" in v
                for v in NAMED_ENTITIES.values())
-_ENT_BLOB = "\x03".join(k + "\x02" + v
-                        for k, v in NAMED_ENTITIES.items())
 
 
 def _codepoint_char(cp: Column) -> Column:
@@ -91,21 +89,36 @@ _ENT_MAP_COL: Column | None = None
 
 
 def _entity_map() -> Column:
-    """The NAMED_ENTITIES table as a map literal (name -> text), via
-    one str_to_map expression (see _ENT_BLOB). Constant-folded by
-    Catalyst; the lookup is a zero-shuffle probe that works inside
-    array lambdas — the functions/psl.py literal-map template.
+    """The NAMED_ENTITIES table as a NESTED map literal
+    (first char -> (name -> text)), built from str_to_map
+    expressions over embedded blobs. Constant-folded by Catalyst;
+    the lookup is a zero-shuffle probe that works inside array
+    lambdas — the functions/psl.py literal-map template.
 
-    The parsed Column is CACHED per process: F.expr on the ~40 KB
-    embedded blob costs a py4j round trip + JVM SQL parse (~0.7 s
-    cold), and decode_entities has multiple call sites per query —
-    the expression tree is immutable and session-independent, so one
-    parse serves every plan."""
+    Two-level on purpose: Catalyst's GetMapValue over a literal map
+    is a LINEAR scan, so one flat 2125-entry map costs ~2k string
+    compares per probe (measured ~+2 s on the entity-heavy sf0.1
+    bench entries); bucketing by first character cuts it to ~50 + 40.
+    The assembled Column is CACHED per process: the F.expr parses
+    cost a py4j round trip + JVM SQL parse each, decode_entities has
+    multiple call sites per query, and the tree is immutable and
+    session-independent — one build serves every plan."""
     global _ENT_MAP_COL
     if _ENT_MAP_COL is None:
-        blob = _ENT_BLOB.replace("\\", "\\\\").replace("'", "\\'")
-        _ENT_MAP_COL = F.expr(
-            "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+        groups: dict[str, dict[str, str]] = {}
+        for k, v in NAMED_ENTITIES.items():
+            groups.setdefault(k[0], {})[k] = v
+        firsts = []
+        subs = []
+        for c in sorted(groups):
+            blob = "\x03".join(k + "\x02" + v
+                               for k, v in groups[c].items())
+            blob = blob.replace("\\", "\\\\").replace("'", "\\'")
+            firsts.append(F.lit(c))
+            subs.append(F.expr(
+                "str_to_map('%s', '\\u0003', '\\u0002')" % blob))
+        _ENT_MAP_COL = F.map_from_arrays(F.array(*firsts),
+                                         F.array(*subs))
     return _ENT_MAP_COL
 
 
@@ -138,7 +151,8 @@ def decode_entities(col: Column) -> Column:
         ).otherwise(F.substring(p, 2, 8).cast("long"))
         return F.when(p.startswith("#"), _codepoint_char(cp)) \
             .otherwise(F.coalesce(
-                F.element_at(emap, p),
+                F.element_at(
+                    F.element_at(emap, F.substring(p, 1, 1)), p),
                 F.concat(F.lit("&"), p, F.lit(";"))))
 
     return F.array_join(

@@ -317,7 +317,9 @@ def q_page_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(
             toks,
             lambda t: ~t.startswith("#")
-            & F.element_at(emap, t).isNull())).alias("__unk"),
+            & F.element_at(
+                F.element_at(emap, F.substring(t, 1, 1)), t)
+            .isNull())).alias("__unk"),
         (F.length("page")
          - F.length(decode_entities(F.col("page")))).alias("__shrink"),
     )
