@@ -2,7 +2,7 @@
 """Compare the latest BENCH_DETAIL.json against the committed
 baseline and flag regressions.
 
-The baseline (BENCH_BASELINE_R9.json, refrozen per round) carries
+The baseline (BENCH_BASELINE_R10.json, refrozen per round) carries
 `calibration_sec` — the fixed-slot, data-independent CPU probe
 bench.py times first every run. When both sides have it, the
 calibration ratio IS the drift estimate and is AUTHORITATIVE: a query
@@ -130,7 +130,7 @@ def main() -> int:
     # 0.72s after the parallelism-floor fix ended its three-round
     # slot-variance saga.
     failures = compare(
-        os.path.join(ROOT, "BENCH_BASELINE_R9.json"), cur_doc,
+        os.path.join(ROOT, "BENCH_BASELINE_R10.json"), cur_doc,
         "r9 baseline (calibration-pinned)")
     return 1 if failures else 0
 
