@@ -463,6 +463,10 @@ def main(argv: list[str] | None = None) -> int:
                      default="auto",
                      help="auto dispatches on a .gz suffix; pass gz/"
                           "binary explicitly for directories")
+    wix = sub.add_parser("warc-index")
+    wix.add_argument("src", help=".warc.gz path/glob to backfill "
+                                 "CDX sidecars for (skips files "
+                                 "already indexed)")
     wet = sub.add_parser("wet-export")
     wet.add_argument("src", help="curated parquet (the crawl "
                                  "subcommand's output)")
@@ -1120,6 +1124,25 @@ def main(argv: list[str] | None = None) -> int:
             "n_pages": n_pages,
             "n_rejected": n_records - n_pages,
             "out": args.out,
+        }))
+        return 0
+    if args.command == "warc-index":
+        # index plane: backfill CDX sidecars (target_uri, offset,
+        # length) for external .warc.gz files — one member walk per
+        # file; every later lookup via fetch_warc_records is ranged.
+        from pyspark.sql import functions as F
+
+        from hummingbird_spark.sources.warc import index_warc_gz
+
+        spark = get_spark(app_name="hummingbird_warc_index")
+        spark.sparkContext.setLogLevel("ERROR")
+        man = index_warc_gz(spark, args.src).collect()
+        print(json.dumps({
+            "command": "warc-index",
+            "n_files": len(man),
+            "n_indexed": sum(1 for m in man if m.indexed),
+            "n_skipped": sum(1 for m in man if not m.indexed),
+            "n_records": sum(m.n_records for m in man if m.indexed),
         }))
         return 0
     if args.command == "wet-export":

@@ -388,6 +388,69 @@ def write_warc_gz(df: DataFrame, out_dir: str,
         kernel, "file string, n_records long, n_bytes long")
 
 
+def index_warc_gz(spark: SparkSession, path: str) -> DataFrame:
+    """Backfill CDX sidecars for EXTERNAL `.warc.gz` files (crawl
+    output we didn't write): one member-boundary walk per file —
+    zlib's unused_data gives each member's compressed extent for
+    free while decompressing once — then `<file>.cdx.parquet` lands
+    next to the file. File-grain parallel like the readers (the walk
+    is the unavoidable one-time full decompression; every later
+    point lookup is ranged). Files whose sidecar already exists are
+    skipped. Returns a manifest (file, n_records, indexed) — an
+    action on it performs the writes."""
+    import os
+    import zlib
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def kernel(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                fname = fpath[len("file:"):] if str(fpath).startswith(
+                    "file:") else str(fpath)
+                side = fname + ".cdx.parquet"
+                if os.path.exists(side):
+                    out.append((fname, -1, False))
+                    continue
+                data = bytes(content)
+                idx = []
+                pos = 0
+                while pos < len(data):
+                    d = zlib.decompressobj(wbits=31)
+                    try:
+                        rec = d.decompress(data[pos:])
+                    except zlib.error:
+                        break
+                    consumed = len(data) - pos - len(d.unused_data)
+                    if consumed <= 0:
+                        break
+                    parsed = _parse_record_bytes(rec)
+                    if parsed is not None:
+                        idx.append((parsed[1], pos, consumed))
+                    pos += consumed
+                tbl = pa.table({
+                    "target_uri": [r[0] for r in idx],
+                    "offset": pa.array([r[1] for r in idx],
+                                       pa.int64()),
+                    "length": pa.array([r[2] for r in idx],
+                                       pa.int64()),
+                    "file": [fname] * len(idx),
+                })
+                pq.write_table(tbl, side)
+                out.append((fname, len(idx), True))
+            yield pd.DataFrame(
+                out, columns=["file", "n_records", "indexed"])
+
+    return files.mapInPandas(
+        kernel, "file string, n_records long, indexed boolean")
+
+
 def read_warc_gz_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """The CDX sidecars of a `write_warc_gz` output dir as one frame:
     (target_uri, offset, length, file). Tiny relative to the data —

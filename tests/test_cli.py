@@ -685,6 +685,27 @@ def test_cli_warc_ingest_chains_into_crawl(spark, tmp_path, capsys):
     assert back.filter("warc_type = 'conversion' AND length_ok") \
         .count() == 6
 
+    # warc-index: the exporter already wrote sidecars, so everything
+    # skips; drop one sidecar and only that file re-indexes
+    import glob as _glob
+    import os as _os
+
+    assert main(["warc-index", wet + "/*.warc.gz"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_indexed"] == 0 and rep["n_skipped"] >= 1
+    victim = sorted(_glob.glob(wet + "/*.cdx.parquet"))[0]
+    _os.remove(victim)
+    assert main(["warc-index", wet + "/*.warc.gz"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_indexed"] == 1 and rep["n_records"] >= 1
+    from hummingbird_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc_gz_index,
+    )
+
+    idx = read_warc_gz_index(spark, wet)
+    assert fetch_warc_records(spark, idx).count() == 6
+
 
 def test_cli_frontier(spark, tmp_path, capsys):
     """frontier: sitemap stream -> fetch-queue store + schedule

@@ -195,6 +195,41 @@ def test_cdx_index_point_reads_match_full_read(spark, tmp_path):
     assert _glob.glob(out2 + "/*.cdx.parquet") == []
 
 
+def test_index_backfill_external_files(spark, tmp_path):
+    """index_warc_gz backfills sidecars for .warc.gz files we did
+    not write (hand-assembled per-record members here): the indexed
+    fetch equals the full read, and already-indexed files skip."""
+    from hummingbird_spark.sources.warc import (
+        fetch_warc_records,
+        index_warc_gz,
+        read_warc_gz,
+        read_warc_gz_index,
+    )
+
+    d = tmp_path / "external"
+    d.mkdir()
+    for fi in range(2):
+        members = b"".join(
+            gzip.compress(_render(
+                f"http://x.example/f{fi}/p{i}",
+                f"body {fi}-{i} with magic WARC/1.0\r\n inside"
+            ).encode()) for i in range(4))
+        (d / f"crawl-{fi}.warc.gz").write_bytes(members)
+
+    man = index_warc_gz(spark, str(d) + "/*.warc.gz").collect()
+    assert sorted(m.indexed for m in man) == [True, True]
+    assert sum(m.n_records for m in man) == 8
+
+    idx = read_warc_gz_index(spark, str(d))
+    assert idx.count() == 8
+    assert _rows(fetch_warc_records(spark, idx)) == _rows(
+        read_warc_gz(spark, str(d) + "/*.warc.gz"))
+
+    # second pass: sidecars exist, nothing re-indexed
+    man2 = index_warc_gz(spark, str(d) + "/*.warc.gz").collect()
+    assert sorted(m.indexed for m in man2) == [False, False]
+
+
 def test_lying_content_length_resyncs(spark, tmp_path):
     """First record declares 5 bytes too few; the walker must resync
     at the next magic, flag the liar, and parse the second record
