@@ -151,6 +151,69 @@ class TestHtmlExtraction:
         want = [_html.unescape(c) for c in cases]
         assert got == want
 
+    def test_decode_differential_random_reference_soup(self, spark):
+        """Seeded-random differential vs html.unescape: ~300 strings
+        interleaving plain text with well-formed known/unknown named
+        refs, numeric refs (dec/hex), and the double-escape forms.
+        Generation excludes the documented divergences (legacy
+        non-semicolon refs — including unknown names whose PREFIX is
+        a legacy name, e.g. '&notareal;' where unescape applies
+        '&not'; cp 0/surrogates/>10FFFF yield '' not U+FFFD;
+        cp 0x80-0x9F skip WHATWG's windows-1252 remap)."""
+        import html as _html
+        import html.entities as _he
+        import random
+
+        from hummingbird_spark.functions.html import (
+            NAMED_ENTITIES,
+            decode_entities,
+        )
+
+        legacy = {k for k in _he.html5 if not k.endswith(";")}
+
+        def legacy_free(name):
+            return not any(name.startswith(p) for p in legacy)
+
+        rng = random.Random(1009)
+        # full-name '&name;' tokens always win longest-match in
+        # unescape too, so every KNOWN name is safe to generate
+        known = sorted(NAMED_ENTITIES)
+        texts = ["plain", "x y", "a#b", "semi; colon", "amp & bare",
+                 "1<2", "", "tail "]
+
+        def tok():
+            r = rng.random()
+            if r < 0.35:
+                return "&%s;" % rng.choice(known)
+            if r < 0.45:
+                name = rng.choice(["zzqreal", "bogusXx", "qqqq1"])
+                assert legacy_free(name)
+                return "&%s;" % name
+            if r < 0.60:
+                # no control/noncharacter cps: unescape REMOVES
+                # those (0x7F etc.), we return them raw — another
+                # documented divergence
+                cp = rng.choice(
+                    [9, 10, 13, 32, 65, 0xA0, 0x2019, 0x4E2D,
+                     0xFFFD, 0x1F600, 0x103A0])
+                return "&#%d;" % cp
+            if r < 0.75:
+                cp = rng.choice([0x41, 0x26, 0x3C, 0x2212, 0x1D538])
+                return "&#x%X;" % cp if rng.random() < 0.5 \
+                    else "&#x%x;" % cp
+            if r < 0.85:
+                return rng.choice(["&amp;lt;", "&#38;gt;",
+                                   "&amp;#65;", "&#x26;amp;"])
+            return rng.choice(texts)
+
+        cases = ["".join(tok() for _ in range(rng.randint(1, 8)))
+                 for _ in range(300)]
+        df = spark.createDataFrame([(c,) for c in cases], "s string")
+        got = [r.d for r in df.select(
+            decode_entities(F.col("s")).alias("d")).collect()]
+        want = [_html.unescape(c) for c in cases]
+        assert got == want
+
     def test_empty_and_tagless_input(self, spark):
         rows = spark.createDataFrame(
             [Row(h=""), Row(h="plain text no markup at all")]
