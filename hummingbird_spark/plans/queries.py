@@ -1504,9 +1504,8 @@ _VERIFY_FIRST = [
     # r6; predicted tail cut: the last ~4 r6 names below
     # (lm_data_prep, cross_source_dups, asof_next_purchase,
     # docgen_all_types, pack_sequences — whichever the window misses).
-    # new this round (character-reference decode audit over the full
-    # WHATWG table) — never recorded, so it leads
-    "page_entity_stats",
+    # new this round — never recorded, so they lead
+    "page_entity_stats", "gopher_repetition",
     # latest record: round 5 (the r9 window cut exactly these)
     "corpus_curation", "tfidf_dup_pairs", "winnow_pairs", "knn_exact",
     # latest record: round 6, oldest-first (r6-record order)

@@ -16,6 +16,7 @@ from hummingbird_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
 )
 from hummingbird_spark.operators.dedup import (
     dedup_exact,
@@ -359,6 +360,91 @@ SELECT doc_id, len(ws) AS n_tokens,
             ELSE round(CAST(len(list_distinct(ws)) AS DOUBLE)
                        / CAST(len(ws) AS DOUBLE), 6) END AS diversity
 FROM t
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Appendix A1.2 —
+    the published 'repetitious text' table) over the documents table;
+    the semantics live in
+    operators/quality_repetition.py::gopher_repetition_stats."""
+    from hummingbird_spark.operators.quality_repetition import (
+        gopher_repetition_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition_stats(d).orderBy("doc_id")
+
+
+def _grams_sql(n: int) -> str:
+    # len - n + 1 grams: i in [1, len - n + 1], range() excludes its
+    # upper bound so it is len + 2 - n
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return (f"SELECT doc_id, unnest(list_transform("
+            f"range(1, len(ws) + 2 - {n}), i -> {parts})) AS g "
+            f"FROM t WHERE len(ws) >= {n}")
+
+
+ORACLE_GOPHER_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS ws,
+         list_filter(list_transform(string_split(text, chr(10)),
+             x -> trim(x)), x -> length(x) > 0) AS ln
+  FROM documents
+),
+""" + f"""
+g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_grams_sql(2)})
+       GROUP BY doc_id, g),
+g3 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_grams_sql(3)})
+       GROUP BY doc_id, g),
+g5 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_grams_sql(5)})
+       GROUP BY doc_id, g),
+""" + """
+t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g)
+                           ELSE 0 END AS top2 FROM g2
+       QUALIFY row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g DESC) = 1),
+t3 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g)
+                           ELSE 0 END AS top3 FROM g3
+       QUALIFY row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g DESC) = 1),
+d5 AS (SELECT doc_id, SUM(c * length(g)) AS dup5 FROM g5
+       WHERE c > 1 GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id,
+    len(ln) AS n_ln, len(list_distinct(ln)) AS n_dln,
+    coalesce(list_sum(list_transform(ln, x -> length(x))), 0) AS lc,
+    coalesce(list_sum(list_transform(list_distinct(ln),
+        x -> length(x))), 0) AS dlc,
+    length(text) AS nchars,
+    coalesce(t2.top2, 0) AS top2, coalesce(t3.top3, 0) AS top3,
+    coalesce(d5.dup5, 0) AS dup5
+  FROM t LEFT JOIN t2 ON t.doc_id = t2.doc_id
+         LEFT JOIN t3 ON t.doc_id = t3.doc_id
+         LEFT JOIN d5 ON t.doc_id = d5.doc_id
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN n_ln = 0 THEN 0.0 ELSE round(
+      CAST(n_ln - n_dln AS DOUBLE) / n_ln, 6) END AS dup_line_frac,
+    CASE WHEN lc = 0 THEN 0.0 ELSE round(
+      CAST(lc - dlc AS DOUBLE) / lc, 6) END AS dup_line_char_frac,
+    CASE WHEN nchars = 0 THEN 0.0 ELSE round(
+      CAST(top2 AS DOUBLE) / nchars, 6) END AS top2_char_frac,
+    CASE WHEN nchars = 0 THEN 0.0 ELSE round(
+      CAST(top3 AS DOUBLE) / nchars, 6) END AS top3_char_frac,
+    CASE WHEN nchars = 0 THEN 0.0 ELSE round(
+      CAST(dup5 AS DOUBLE) / nchars, 6) END AS dup5_char_frac
+  FROM m
+)
+SELECT *,
+  CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+       AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+       AND dup5_char_frac <= 0.15 AS INT) AS keep
+FROM f
+ORDER BY doc_id
 """
 
 
@@ -1435,6 +1521,10 @@ TEXT_QUERIES: dict[str, tuple] = {
                      "near-dup connected components (clusters)"),
     "token_diversity": (q_token_diversity, ORACLE_TOKEN_DIVERSITY,
                         "distinct/total token repetition signal"),
+    "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION,
+                          "Gopher A1.2 repetition filters: dup-line "
+                          "fractions + top/duplicated n-gram char "
+                          "fractions with the paper's thresholds"),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE,
                     "deterministic hash-mod sampling + rollup"),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
