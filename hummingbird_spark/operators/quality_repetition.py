@@ -10,6 +10,8 @@ Per document:
                       not a duplicate)
   dup_line_char_frac  characters inside duplicate line OCCURRENCES /
                       total line characters
+  dup_para_frac       same pair over PARAGRAPHS (blank-line-separated
+  dup_para_char_frac  blocks, split on 2+ newlines)
   top2_char_frac      characters covered by the most frequent 2-gram
                       (count x gram length) / total characters; a
                       top gram occurring only once contributes 0
@@ -42,6 +44,8 @@ from hummingbird_spark.functions.text import tokens
 THRESHOLDS = {
     "dup_line_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_frac": 0.30,
+    "dup_para_char_frac": 0.20,
     "top2_char_frac": 0.20,
     "top3_char_frac": 0.18,
     "dup5_char_frac": 0.15,
@@ -64,6 +68,9 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.filter(
             F.transform(F.split(F.col(text_col), "\n"), F.trim),
             lambda ln: F.length(ln) > 0).alias("__ln"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n{2,}"), F.trim),
+            lambda p: F.length(p) > 0).alias("__pg"),
     ).localCheckpoint(eager=True)  # three gram branches + line stats
 
     def grams(n: int) -> DataFrame:
@@ -103,6 +110,11 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     lc = F.aggregate(F.col("__ln"), F.lit(0),
                      lambda a, x: a + F.length(x))
     dlc = F.aggregate(dln, F.lit(0), lambda a, x: a + F.length(x))
+    n_pg = F.size("__pg")
+    dpg = F.array_distinct(F.col("__pg"))
+    pc = F.aggregate(F.col("__pg"), F.lit(0),
+                     lambda a, x: a + F.length(x))
+    dpc = F.aggregate(dpg, F.lit(0), lambda a, x: a + F.length(x))
     nchars = F.length("__text")
 
     return (
@@ -113,6 +125,8 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
             id_col,
             _frac(n_ln - F.size(dln), n_ln).alias("dup_line_frac"),
             _frac(lc - dlc, lc).alias("dup_line_char_frac"),
+            _frac(n_pg - F.size(dpg), n_pg).alias("dup_para_frac"),
+            _frac(pc - dpc, pc).alias("dup_para_char_frac"),
             _frac(F.coalesce("__top2", F.lit(0)), nchars)
             .alias("top2_char_frac"),
             _frac(F.coalesce("__top3", F.lit(0)), nchars)
@@ -125,6 +139,9 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
             ((F.col("dup_line_frac") <= THRESHOLDS["dup_line_frac"])
              & (F.col("dup_line_char_frac")
                 <= THRESHOLDS["dup_line_char_frac"])
+             & (F.col("dup_para_frac") <= THRESHOLDS["dup_para_frac"])
+             & (F.col("dup_para_char_frac")
+                <= THRESHOLDS["dup_para_char_frac"])
              & (F.col("top2_char_frac") <= THRESHOLDS["top2_char_frac"])
              & (F.col("top3_char_frac") <= THRESHOLDS["top3_char_frac"])
              & (F.col("dup5_char_frac") <= THRESHOLDS["dup5_char_frac"]))

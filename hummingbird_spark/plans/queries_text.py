@@ -391,7 +391,10 @@ WITH t AS (
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\s+') END AS ws,
          list_filter(list_transform(string_split(text, chr(10)),
-             x -> trim(x)), x -> length(x) > 0) AS ln
+             x -> trim(x)), x -> length(x) > 0) AS ln,
+         list_filter(list_transform(
+             string_split_regex(text, '\n{2,}'),
+             x -> trim(x)), x -> length(x) > 0) AS pg
   FROM documents
 ),
 """ + f"""
@@ -418,6 +421,10 @@ m AS (
     coalesce(list_sum(list_transform(ln, x -> length(x))), 0) AS lc,
     coalesce(list_sum(list_transform(list_distinct(ln),
         x -> length(x))), 0) AS dlc,
+    len(pg) AS n_pg, len(list_distinct(pg)) AS n_dpg,
+    coalesce(list_sum(list_transform(pg, x -> length(x))), 0) AS pc,
+    coalesce(list_sum(list_transform(list_distinct(pg),
+        x -> length(x))), 0) AS dpc,
     length(text) AS nchars,
     coalesce(t2.top2, 0) AS top2, coalesce(t3.top3, 0) AS top3,
     coalesce(d5.dup5, 0) AS dup5
@@ -431,6 +438,10 @@ f AS (
       CAST(n_ln - n_dln AS DOUBLE) / n_ln, 6) END AS dup_line_frac,
     CASE WHEN lc = 0 THEN 0.0 ELSE round(
       CAST(lc - dlc AS DOUBLE) / lc, 6) END AS dup_line_char_frac,
+    CASE WHEN n_pg = 0 THEN 0.0 ELSE round(
+      CAST(n_pg - n_dpg AS DOUBLE) / n_pg, 6) END AS dup_para_frac,
+    CASE WHEN pc = 0 THEN 0.0 ELSE round(
+      CAST(pc - dpc AS DOUBLE) / pc, 6) END AS dup_para_char_frac,
     CASE WHEN nchars = 0 THEN 0.0 ELSE round(
       CAST(top2 AS DOUBLE) / nchars, 6) END AS top2_char_frac,
     CASE WHEN nchars = 0 THEN 0.0 ELSE round(
@@ -441,6 +452,7 @@ f AS (
 )
 SELECT *,
   CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+       AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
        AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
        AND dup5_char_frac <= 0.15 AS INT) AS keep
 FROM f

@@ -62,12 +62,24 @@ def test_duplicated_5gram_fraction(spark):
     assert s["keep"] == 0  # 46/75 > 0.15
 
 
+def test_duplicate_paragraphs(spark):
+    # 3 paragraphs (split on blank lines), the 10-char one twice:
+    # dup_para_frac = 1/3; para chars 10+6+10=26, dup chars 10
+    s = _stats(spark,
+               "cookie ban\n\nmiddle\n\n\ncookie ban")
+    assert s["dup_para_frac"] == round(1 / 3, 6)
+    assert s["dup_para_char_frac"] == round(10 / 26, 6)
+    # lines (single-newline split) are the same three strings
+    assert s["dup_line_frac"] == round(1 / 3, 6)
+
+
 def test_short_and_empty_docs(spark):
     s = _stats(spark, "one")
     assert s["top2_char_frac"] == 0.0 and s["keep"] == 1
     s = _stats(spark, "")
     assert all(s[k] == 0.0 for k in
                ("dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
                 "top2_char_frac", "top3_char_frac",
                 "dup5_char_frac"))
     assert s["keep"] == 1
