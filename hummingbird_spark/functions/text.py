@@ -177,18 +177,26 @@ def hamming_bits(a: Column, b: Column) -> Column:
 # PII patterns for redaction (training-data hygiene). Deliberately
 # conservative/simple — the point is the Spark shape (pure regexp
 # projection, codegen'd, zero shuffle), swap patterns per deployment.
+# Order is load-bearing: the card shape and IPv4 run BEFORE the
+# phone rule (which has no word anchors and would otherwise consume
+# fragments of longer digit runs).
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}", "<PHONE>"),
     (r"https?://[^\s]+", "<URL>"),
 )
 
 
 def redact_pii(col: Column) -> Column:
-    """Replace emails / SSN-shaped ids / phone numbers / URLs with typed
-    placeholders. Chained regexp_replace — stays JVM-side whole-stage
-    codegen, so redaction rides the scan projection for free."""
+    """Replace emails / SSN-shaped ids / card-shaped numbers / IPv4
+    addresses / phone numbers / URLs with typed placeholders. Shape
+    rules only (a regex cannot Luhn-check a card — scrub-on-shape is
+    the conservative choice). Chained regexp_replace — stays JVM-side
+    whole-stage codegen, so redaction rides the scan projection for
+    free."""
     out = col
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)

@@ -20,7 +20,15 @@ Per document:
   dup5_char_frac      characters covered by ALL occurrences of
                       duplicated 5-grams / total characters
   keep                none of the paper's thresholds tripped
-                      (0.30 / 0.20 / 0.20 / 0.18 / 0.15)
+                      (0.30 / 0.20 / 0.30 / 0.20 / 0.20 / 0.18 /
+                      0.15)
+
+Documented subset: the paper's table spans top 2/3/4-grams and
+duplicated 5..10-grams; this ships top {2,3} and duplicated {5} —
+one representative of each rule family. The remaining n values are
+the IDENTICAL plan shape (another grams(n) branch each) and add a
+shuffle per n; widen when a corpus shows tail n-gram spam the n=5
+rule misses.
 
 Scale shape: line fractions are array-only (zero shuffle, ride the
 scan). The n-gram modes use explode + groupBy(doc_id, gram) + a

@@ -354,9 +354,12 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_PII_SCRUB = r"""
 WITH scrubbed AS (
   SELECT source,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CC>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
       '\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
       'https?://[^\s]+', '<URL>', 'g') AS red,
     text

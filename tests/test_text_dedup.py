@@ -287,12 +287,18 @@ def test_redact_pii_patterns(spark):
                    "+1 (555) 123-4567 ok"),
         Row(i=1, t="ssn 123-45-6789 and site https://a.example.com/p?q=1 end"),
         Row(i=2, t="nothing sensitive here 12345"),
+        Row(i=3, t="card 4111 1111 1111 1111 or 4111-1111-1111-1111 "
+                   "or 4111111111111111 end"),
+        Row(i=4, t="server at 192.168.1.100 port 8080 done"),
     ]
     got = {r.i: r.c for r in spark.createDataFrame(rows)
            .select("i", redact_pii(F.col("t")).alias("c")).collect()}
     assert got[0] == "mail me at <EMAIL> or call <PHONE> ok"
     assert got[1] == "ssn <SSN> and site <URL> end"
     assert got[2] == "nothing sensitive here 12345"
+    # card shapes redact BEFORE the phone rule can eat fragments
+    assert got[3] == "card <CC> or <CC> or <CC> end"
+    assert got[4] == "server at <IP> port 8080 done"
 
 
 def test_exact_near_dup_threshold_and_topk(spark):
