@@ -467,6 +467,14 @@ def main(argv: list[str] | None = None) -> int:
     wix.add_argument("src", help=".warc.gz path/glob to backfill "
                                  "CDX sidecars for (skips files "
                                  "already indexed)")
+    wfc = sub.add_parser("warc-fetch")
+    wfc.add_argument("src", help="indexed .warc.gz dir (sidecars "
+                                 "from wet-export or warc-index)")
+    wfc.add_argument("out", help="parquet of the fetched records")
+    wfc.add_argument("--url", action="append", default=[],
+                     help="exact target URI (repeatable)")
+    wfc.add_argument("--url-prefix", default=None,
+                     help="target URI prefix filter")
     wet = sub.add_parser("wet-export")
     wet.add_argument("src", help="curated parquet (the crawl "
                                  "subcommand's output)")
@@ -1143,6 +1151,34 @@ def main(argv: list[str] | None = None) -> int:
             "n_indexed": sum(1 for m in man if m.indexed),
             "n_skipped": sum(1 for m in man if not m.indexed),
             "n_records": sum(m.n_records for m in man if m.indexed),
+        }))
+        return 0
+    if args.command == "warc-fetch":
+        # lookup plane: CDX-indexed record-range reads — k records
+        # cost O(k) bytes regardless of corpus size.
+        from pyspark.sql import functions as F
+
+        from hummingbird_spark.sources.warc import (
+            fetch_warc_records,
+            read_warc_gz_index,
+        )
+
+        spark = get_spark(app_name="hummingbird_warc_fetch")
+        spark.sparkContext.setLogLevel("ERROR")
+        idx = read_warc_gz_index(spark, args.src)
+        if args.url:
+            idx = idx.filter(F.col("target_uri").isin(*args.url))
+        if args.url_prefix:
+            idx = idx.filter(
+                F.col("target_uri").startswith(args.url_prefix))
+        recs = fetch_warc_records(spark, idx)
+        recs.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "command": "warc-fetch",
+            "n_selected": idx.count(),
+            "n_fetched": n,
+            "out": args.out,
         }))
         return 0
     if args.command == "wet-export":

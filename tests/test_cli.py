@@ -706,6 +706,14 @@ def test_cli_warc_ingest_chains_into_crawl(spark, tmp_path, capsys):
     idx = read_warc_gz_index(spark, wet)
     assert fetch_warc_records(spark, idx).count() == 6
 
+    # warc-fetch: CDX point lookup straight from the CLI
+    one = idx.head().target_uri
+    fetched = str(tmp_path / "wi_fetched")
+    assert main(["warc-fetch", wet, fetched, "--url", one]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_selected"] == 1 and rep["n_fetched"] == 1
+    assert spark.read.parquet(fetched).head().target_uri == one
+
 
 def test_cli_frontier(spark, tmp_path, capsys):
     """frontier: sitemap stream -> fetch-queue store + schedule
