@@ -479,27 +479,33 @@ def remove_dot_segments(path: Column,
     return p
 
 
-def resolve_href(href: Column, base: Column) -> Column:
-    """Resolve one reference against a base URL. Supported subset
-    (documented contract, same in the SQL oracles): absolute,
-    protocol-relative (//host/...), root-relative (/path), and plain
-    relative (resolved against the base's directory). './' and '../'
-    segments fold per RFC 3986 §5.2.4 via `remove_dot_segments`
-    (applied only when the resolved form still contains a dot
-    segment, so the common case stays a single conditional chain)."""
+def _resolve_ctx(base: Column) -> Column:
+    """The base-derived resolution context (scheme, origin, base
+    dir) as one struct — computed ONCE per row and bound into the
+    per-href lambdas (which are interpreted: an inline form would
+    re-run these four regexes for every href of the page)."""
     bdir = F.regexp_replace(
         F.regexp_extract(base, _PATH_RE, 1), r"/[^/]*$", "")
+    return F.struct(
+        url_scheme(base).alias("scheme"),
+        url_origin(base).alias("origin"),
+        bdir.alias("bdir"),
+    )
+
+
+def _resolve_href_ctx(href: Column, c: Column) -> Column:
+    """resolve_href body over an already-bound context struct."""
     resolved = (
         F.when(href.rlike(_ABS_RE), href)
         .when(href.startswith("//"),
-              F.concat(url_scheme(base), F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(url_origin(base), href))
-        .otherwise(F.concat(url_origin(base), bdir, F.lit("/"), href))
+              F.concat(c["scheme"], F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(c["origin"], href))
+        .otherwise(F.concat(c["origin"], c["bdir"], F.lit("/"), href))
     )
 
     # bind `resolved` ONCE via a 1-element transform (the
     # block_structs discipline): the fold references it three times,
-    # and resolve_href usually runs inside interpreted lambdas where
+    # and resolution usually runs inside interpreted lambdas where
     # repeated subtrees re-evaluate
     def _fold(r: Column) -> Column:
         folded = F.concat(
@@ -511,6 +517,19 @@ def resolve_href(href: Column, base: Column) -> Column:
         return F.when(r.rlike(_HAS_DOTS_RE), folded).otherwise(r)
 
     return F.element_at(F.transform(F.array(resolved), _fold), 1)
+
+
+def resolve_href(href: Column, base: Column) -> Column:
+    """Resolve one reference against a base URL. Supported subset
+    (documented contract, same in the SQL oracles): absolute,
+    protocol-relative (//host/...), root-relative (/path), and plain
+    relative (resolved against the base's directory). './' and '../'
+    segments fold per RFC 3986 §5.2.4 via `remove_dot_segments`
+    (applied only when the resolved form still contains a dot
+    segment, so the common case stays a single conditional chain)."""
+    return F.element_at(
+        F.transform(F.array(_resolve_ctx(base)),
+                    lambda c: _resolve_href_ctx(href, c)), 1)
 
 
 def extract_links(html: Column, base: Column,
@@ -527,7 +546,13 @@ def extract_links(html: Column, base: Column,
     crawlable = F.filter(
         extract_hrefs(html),
         lambda h: h.rlike(_ABS_RE) | ~h.rlike(_OPAQUE_RE))
-    return F.transform(crawlable, lambda h: resolve_href(h, eff))
+    # bind the base-derived context ONCE per row, outside the
+    # per-href lambda — 4 regexes per page instead of per href
+    return F.element_at(
+        F.transform(
+            F.array(_resolve_ctx(eff)),
+            lambda c: F.transform(
+                crawlable, lambda h: _resolve_href_ctx(h, c))), 1)
 
 
 # Minimal public-suffix subset: second-level registries where the

@@ -965,22 +965,34 @@ def q_page_out_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _with_link_page(load_table(spark, sf_dir, "documents"))
-    base_dom = registered_domain(url_host(F.col("base")))
-    links = extract_links(F.col("html"), F.col("base"))
 
     def _dom(u):
         return registered_domain(url_host(u))
 
-    return pages.select(
+    # bind the link array, then the per-link domains, ONCE each (the
+    # block_structs discipline): the naive form evaluated the
+    # extraction three times and the domain chain twice per link;
+    # n_external is n_links - n_internal (domains are total).
+    bound = pages.select(
         "doc_id",
-        F.size(links).alias("n_links"),
+        registered_domain(url_host(F.col("base"))).alias("__bd"),
+        extract_links(F.col("html"), F.col("base")).alias("__ls"),
         F.size(F.filter(extract_hrefs(F.col("html")),
                         lambda h: h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
                ).alias("n_abs"),
-        F.size(F.filter(links, lambda u: _dom(u) == base_dom))
-        .alias("n_internal"),
-        F.size(F.filter(links, lambda u: _dom(u) != base_dom))
-        .alias("n_external"),
+    ).select(
+        "doc_id", "__bd", "n_abs",
+        F.size("__ls").alias("n_links"),
+        F.transform(F.col("__ls"), _dom).alias("__doms"),
+    )
+    n_int = F.size(F.filter(
+        F.col("__doms"), lambda d: d == F.col("__bd")))
+    return bound.select(
+        "doc_id",
+        "n_links",
+        "n_abs",
+        n_int.alias("n_internal"),
+        (F.col("n_links") - n_int).alias("n_external"),
     ).orderBy("doc_id")
 
 
