@@ -494,6 +494,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="(host, robots_txt) parquet; disallowed "
                           "URLs never land")
     crw.add_argument("--robots-agent", default="trainingbot")
+    crw.add_argument("--allow-updates", action="store_true",
+                     help="recrawl mode: refetched URLs land again; "
+                          "curated rows gain fetch_seq (read with "
+                          "read_curated_latest)")
     lkg = sub.add_parser("link-graph")
     lkg.add_argument("src", help="stream input dir (JSON files of "
                                  "doc_id + text rows)")
@@ -1215,7 +1219,8 @@ def main(argv: list[str] | None = None) -> int:
         q = start_streaming_crawl_ingest(
             spark, args.src, args.out, args.store, schema,
             blocked_domains=tuple(args.block_domain),
-            robots_path=args.robots, robots_agent=args.robots_agent)
+            robots_path=args.robots, robots_agent=args.robots_agent,
+            allow_updates=args.allow_updates)
         if not q.awaitTermination(600):
             q.stop()
             print("crawl: availableNow drain exceeded 600s; "

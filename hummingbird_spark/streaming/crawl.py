@@ -49,13 +49,23 @@ def crawl_ingest_batch_against_store(
     max_link_density: float = 0.34,
     robots: DataFrame | None = None,
     robots_agent: str = "trainingbot",
+    allow_updates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest round: returns (curated_rows, new_store_rows).
 
     Pure plan construction — robots verdicts (optional), blocklist
     filter, store anti-join, intra-batch canonical dedup, extraction.
     batch_df: (url, html). robots: (host, robots_txt) — pages whose
-    URL a disallow rule matches for `robots_agent` never land."""
+    URL a disallow rule matches for `robots_agent` never land.
+
+    allow_updates: skip the store anti-join so REFETCHES of known
+    URLs land again (the recrawl-on-update loop: the delta frontier
+    only schedules a refetch when a sitemap advertises a strictly
+    newer lastmod, so the ingest trusts its scheduler; intra-batch
+    dedup is kept). Pair with the streaming wrapper's update mode,
+    which versions curated rows with fetch_seq —
+    `read_curated_latest` resolves each canonical URL to its newest
+    fetch."""
     if robots is not None:
         from hummingbird_spark.operators.robots import (
             robots_rules,
@@ -76,7 +86,8 @@ def crawl_ingest_batch_against_store(
         tagged = tagged.filter(
             ~F.col("domain").isin(*blocked_domains))
 
-    if os.path.exists(os.path.join(store_path, "_SUCCESS")):
+    if (not allow_updates
+            and os.path.exists(os.path.join(store_path, "_SUCCESS"))):
         store = spark.read.parquet(store_path).select("canonical_url")
         tagged = tagged.join(store, "canonical_url", "left_anti")
 
@@ -105,6 +116,23 @@ def crawl_ingest_batch_against_store(
     return curated, new_store
 
 
+def read_curated_latest(spark: SparkSession,
+                        out_path: str) -> DataFrame:
+    """Update-mode curated store -> one row per canonical URL, the
+    NEWEST fetch winning (max fetch_seq). Map-side-partial
+    max(struct) — no window, hub-safe; same output columns as the
+    default-mode store plus fetch_seq."""
+    df = spark.read.parquet(out_path)
+    others = [c for c in df.columns
+              if c not in ("canonical_url", "fetch_seq")]
+    packed = df.groupBy("canonical_url").agg(
+        F.max(F.struct("fetch_seq", *others)).alias("w"))
+    return packed.select(
+        "canonical_url",
+        *[F.col(f"w.{c}").alias(c) for c in others],
+        F.col("w.fetch_seq").alias("fetch_seq"))
+
+
 def start_streaming_crawl_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -116,12 +144,19 @@ def start_streaming_crawl_ingest(
     robots_agent: str = "trainingbot",
     checkpoint: str | None = None,
     compact_every: int = 32,
+    allow_updates: bool = False,
 ) -> StreamingQuery:
     """File-source stream of (url, html) rows -> per-batch robots +
     canonical dedup + extraction -> curated rows append to out_path,
     canonical keys to store_path. Idempotent on batch replay via the
     ledger. robots_path: optional (host, robots_txt) parquet,
-    re-read per batch so policy updates apply to the next tick."""
+    re-read per batch so policy updates apply to the next tick.
+
+    allow_updates (the recrawl-on-update loop): refetched URLs land
+    again, and curated rows carry a `fetch_seq` (the batch id) —
+    read the store through `read_curated_latest` to resolve each
+    canonical URL to its newest fetch. The default mode's curated
+    schema is unchanged."""
     led = BatchLedger(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -133,7 +168,11 @@ def start_streaming_crawl_ingest(
                   if robots_path else None)
         curated, new_store = crawl_ingest_batch_against_store(
             spark, batch_df, store_path, blocked_domains,
-            robots=robots, robots_agent=robots_agent)
+            robots=robots, robots_agent=robots_agent,
+            allow_updates=allow_updates)
+        if allow_updates:
+            curated = curated.withColumn(
+                "fetch_seq", F.lit(batch_id or 0).cast("long"))
         # both plans read the store (anti-join) — materialize BEFORE
         # appending to the store they read from
         curated = curated.localCheckpoint(eager=True)

@@ -145,3 +145,83 @@ def test_crawl_loop_end_to_end(spark, tmp_path):
     assert q.awaitTermination(240)
     left = [r.curl for r in spark.read.parquet(frontier).collect()]
     assert left == [f"https://{HOST}/p/9"]
+
+
+def test_recrawl_loop_updates_curated(spark, tmp_path):
+    """The recrawl-on-update loop composes: a sitemap advertising a
+    STRICTLY newer lastmod re-queues a crawled URL out of the delta
+    frontier, the update-mode ingest lands the refetch, and
+    read_curated_latest resolves the canonical URL to the NEW text —
+    then the next tick drains it again at the new version."""
+    from hummingbird_spark.streaming.crawl import read_curated_latest
+    from hummingbird_spark.streaming.frontier_delta import (
+        frontier_delta_batch,
+        read_delta_frontier,
+    )
+
+    pg_src = str(tmp_path / "pg_in")
+    os.makedirs(pg_src)
+    root = str(tmp_path / "fd")
+    curated = str(tmp_path / "curated")
+    crawled = str(tmp_path / "crawled")
+    url = f"https://{HOST}/p/0"
+
+    def _sm(lastmod):
+        return spark.createDataFrame([Row(
+            sitemap_xml='<?xml version="1.0"?><urlset><url>'
+            f"<loc>{url}</loc><lastmod>{lastmod}</lastmod>"
+            "</url></urlset>")])
+
+    def _queued():
+        return sorted(r.curl for r in
+                      read_delta_frontier(spark, root).collect())
+
+    # tick 1: v1 advertised -> queued
+    frontier_delta_batch(spark, _sm("2026-02-01"), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=0, recrawl_on_update=True)
+    assert _queued() == [url]
+
+    # fetch v1, ingest in UPDATE mode
+    _drop(spark.createDataFrame(
+        [Row(url=url, html=_page(0, []))]), pg_src, "b0.parquet")
+    q = start_streaming_crawl_ingest(
+        spark, pg_src, curated, crawled, PAGE_SCHEMA,
+        allow_updates=True)
+    assert q.awaitTermination(240)
+    v1 = read_curated_latest(spark, curated).collect()
+    assert len(v1) == 1 and "body text of page 0" in v1[0].text
+
+    # tick 2: same version re-advertised -> drains (crawled at v1)
+    frontier_delta_batch(spark, _sm("2026-02-01"), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=1, recrawl_on_update=True)
+    assert _queued() == []
+
+    # tick 3: STRICTLY newer version -> re-queued
+    frontier_delta_batch(spark, _sm("2026-03-01"), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=2, recrawl_on_update=True)
+    assert _queued() == [url]
+
+    # refetch with UPDATED content; latest-wins resolves to v2
+    html2 = ("<html><body><h1>Page 0</h1>"
+             "<p>updated body text with fresh characters</p>"
+             "</body></html>")
+    _drop(spark.createDataFrame(
+        [Row(url=url, html=html2)]), pg_src, "b1.parquet")
+    q = start_streaming_crawl_ingest(
+        spark, pg_src, curated, crawled, PAGE_SCHEMA,
+        allow_updates=True)
+    assert q.awaitTermination(240)
+    latest = read_curated_latest(spark, curated).collect()
+    assert len(latest) == 1
+    assert "updated body text" in latest[0].text
+    # full history retained underneath (two fetches)
+    assert spark.read.parquet(curated).count() == 2
+
+    # tick 4: the refetch landed -> drains at the NEW version
+    frontier_delta_batch(spark, _sm("2026-03-01"), root,
+                         crawled_path=crawled, n_buckets=8,
+                         batch_id=3, recrawl_on_update=True)
+    assert _queued() == []
