@@ -1,0 +1,253 @@
+"""Update-aware incremental web graph: the recrawl-loop twin of
+streaming/web_graph.py. The append-only module's contract is
+immutable facts — correct while crawled-is-crawled holds, but under
+recrawl-on-update a page's NEW version can REMOVE out-links, and an
+append-only edge store would keep them forever (the stale-edge gap
+documented in SURVEY §24/§25). This module maintains the graph over
+the LATEST version of every page, with retractions.
+
+State (all append-only files; mutation is logical, by sequence):
+
+    <links>/    (src, curl, seq)  — every version's full out-link set
+    <vers>/     (tgt, seq)        — accepted page versions
+    <pages>/    (curl, tgt)       — page identity (append-once; a
+                                    page's id never changes across
+                                    versions — derived from its URL)
+    <edges>/    (src, dst, seq, op) — DIRECTED edge ops, +1/-1
+
+Directed ops + max-seq-wins is what makes retraction append-only:
+the valid directed set is "per (src, dst), the highest-seq op is
++1", and the undirected edge set is the symmetrized distinct of the
+valid directed set. Directed (not undirected) ops are load-bearing:
+an undirected edge (a, b) can be supported by EITHER endpoint's
+anchor, so removing a's link to b must not retract the edge while b
+still links to a — per-direction validity composes, per-edge
+tombstones would not.
+
+Per batch (seq = batch id):
+
+    new_links(p)  = extracted links of each batch page's NEW version
+    prev_links(p) = the stored links of p's previous latest version
+                    (versions store, seq < batch — so a replay never
+                    sees its own half-landed rows as "previous")
+    latest_links  = stored-latest for non-batch srcs
+                    ∪ new_links for batch srcs
+    D_new = new_links  ⨝ all pages        (directed, src ≠ dst)
+    D_old = prev_links ⨝ all pages
+    ops   = +(D_new \\ D_old)  ∪  -(D_old \\ D_new)          (dir 1)
+          ∪ +(latest_links hitting BATCH curls ⨝ batch pages) (dir 2:
+            dangling anchors whose target just arrived)
+
+Replay safety needs no special recovery path: every derived row is
+keyed by the batch's seq, redundant ops are harmless under
+max-seq-wins (a duplicate +1 for a still-valid direction keeps it
+valid; dir-2 recomputes for ALL batch curls, not just new ones, so a
+crash between appends replays to the same state). Append order
+links -> versions -> pages -> ops -> ledger.
+
+Cost per batch: equi-joins bounded by the batch's links plus the
+store rows matching the batch's keys — never a graph rescan. The
+latest-links filter is a max-seq semi-join on the (bounded) srcs
+that can matter to the batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hummingbird_spark.functions.html import canonical_url, extract_links
+from hummingbird_spark.streaming.ledger import BatchLedger
+
+
+def _read(spark: SparkSession, path: str,
+          cols: list[str]) -> DataFrame | None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path).select(*cols).distinct()
+    return None
+
+
+def _latest_per(df: DataFrame, key: str, seq_col: str = "seq",
+                below: int | None = None) -> DataFrame:
+    """(key, seq) -> the max seq per key (optionally only seqs
+    strictly below `below` — the replay guard)."""
+    if below is not None:
+        df = df.filter(F.col(seq_col) < below)
+    return df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
+
+
+def web_graph_versioned_batch(
+    spark: SparkSession,
+    batch_pages: DataFrame,
+    links_path: str,
+    vers_path: str,
+    pages_path: str,
+    edges_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    base_col: str = "base",
+    html_col: str = "html",
+    compact_every: int = 32,
+) -> None:
+    """One maintenance round over (id, base, html) rows — new pages
+    AND new versions of known pages. See the module docstring."""
+    led = BatchLedger(edges_path)
+    if led.seen(batch_id):
+        return
+    seq = int(batch_id or 0)
+
+    tagged = (
+        batch_pages.select(
+            F.col(id_col).alias("tgt"),
+            canonical_url(F.col(base_col)).alias("curl"),
+            F.col(base_col).alias("base"),
+            F.col(html_col).alias("html"))
+        .groupBy("curl")
+        .agg(F.min(F.struct("tgt", "base", "html")).alias("w"))
+        .select("curl", F.col("w.tgt").alias("tgt"),
+                F.col("w.base").alias("base"),
+                F.col("w.html").alias("html"))
+        .localCheckpoint(eager=True)
+    )
+
+    # the batch versions' link facts
+    new_links = tagged.select(
+        F.col("tgt").alias("src"),
+        F.explode(extract_links(F.col("html"), F.col("base")))
+        .alias("url"),
+    ).select("src", canonical_url(F.col("url")).alias("curl")) \
+        .distinct()
+
+    pages_store = _read(spark, pages_path, ["curl", "tgt"])
+    links_store = _read(spark, links_path, ["src", "curl", "seq"])
+    vers_store = _read(spark, vers_path, ["tgt", "seq"])
+
+    new_pages = tagged.select("curl", "tgt")
+    if pages_store is not None:
+        new_pages = new_pages.join(pages_store.select("curl"),
+                                   "curl", "left_anti")
+    all_pages = (new_pages if pages_store is None
+                 else pages_store.unionByName(new_pages))
+
+    batch_srcs = tagged.select(F.col("tgt").alias("src"))
+    if vers_store is not None and links_store is not None:
+        prev_seq = _latest_per(
+            vers_store.withColumnRenamed("tgt", "src"), "src",
+            below=seq).join(batch_srcs, "src", "left_semi")
+        prev_links = links_store.join(prev_seq, ["src", "seq"]) \
+            .select("src", "curl")
+    else:
+        prev_links = new_links.limit(0)
+
+    def _directed(links: DataFrame, pages: DataFrame) -> DataFrame:
+        return (
+            links.join(pages.select("curl",
+                                    F.col("tgt").alias("dst")), "curl")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct()
+        )
+
+    d_new = _directed(new_links, all_pages)
+    d_old = _directed(prev_links, all_pages)
+    plus = d_new.join(d_old, ["src", "dst"], "left_anti")
+    minus = d_old.join(d_new, ["src", "dst"], "left_anti")
+
+    # dir 2: anchors of NON-batch srcs (their latest version) whose
+    # target is a batch curl. Batch srcs' own links are d_new above;
+    # recomputing over ALL batch curls (not just new ones) is what
+    # makes crash replay recovery-free — redundant +1 ops are
+    # harmless under max-seq-wins.
+    if links_store is not None and vers_store is not None:
+        hitting = links_store.join(tagged.select("curl"), "curl",
+                                   "left_semi") \
+            .join(batch_srcs, "src", "left_anti")
+        latest = _latest_per(
+            vers_store.withColumnRenamed("tgt", "src"), "src")
+        hitting = hitting.join(latest, ["src", "seq"]) \
+            .select("src", "curl")
+        plus = plus.unionByName(
+            _directed(hitting, tagged.select("curl", "tgt"))) \
+            .distinct()
+
+    ops = plus.select("src", "dst", F.lit(seq).cast("long").alias("seq"),
+                      F.lit(1).cast("int").alias("op")) \
+        .unionByName(minus.select(
+            "src", "dst", F.lit(seq).cast("long").alias("seq"),
+            F.lit(-1).cast("int").alias("op")))
+
+    # materialize every plan BEFORE mutating the stores they read
+    out_links = new_links.select(
+        "src", "curl", F.lit(seq).cast("long").alias("seq")) \
+        .localCheckpoint(eager=True)
+    out_vers = tagged.select("tgt", F.lit(seq).cast("long").alias("seq")) \
+        .localCheckpoint(eager=True)
+    out_pages = new_pages.localCheckpoint(eager=True)
+    out_ops = ops.localCheckpoint(eager=True)
+
+    out_links.write.mode("append").parquet(links_path)
+    out_vers.write.mode("append").parquet(vers_path)
+    out_pages.write.mode("append").parquet(pages_path)
+    out_ops.write.mode("append").parquet(edges_path)
+    led.record(batch_id)
+    # physical file compaction only — the logical state is the row
+    # set, which compact_table preserves (superseded seqs stay; the
+    # max-seq-wins read is the logical GC)
+    if (compact_every and batch_id is not None
+            and len(led.applied()) % compact_every == 0):
+        from hummingbird_spark.operators.compact import compact_table
+
+        for p in (links_path, vers_path, pages_path, edges_path):
+            compact_table(spark, p)
+
+
+def read_web_edges_versioned(spark: SparkSession,
+                             edges_path: str) -> DataFrame:
+    """The maintained undirected edge list (a < b) over the LATEST
+    op per direction: valid directed pairs symmetrized, distinct —
+    the exact shape web_link_edges returns for the latest page
+    versions."""
+    ops = spark.read.parquet(edges_path)
+    valid = (
+        ops.groupBy("src", "dst")
+        .agg(F.max(F.struct("seq", "op")).alias("w"))
+        .filter(F.col("w.op") == 1)
+    )
+    return valid.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b")).distinct()
+
+
+def start_streaming_web_graph_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    links_path: str,
+    vers_path: str,
+    pages_path: str,
+    edges_path: str,
+    schema,
+    id_col: str = "doc_id",
+    base_col: str = "base",
+    html_col: str = "html",
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """File-source parquet stream of crawled page VERSIONS -> update-
+    aware web graph maintenance. The maintained edge set equals a
+    from-scratch web_link_edges over the latest version of every
+    page, at every batch boundary (asserted in tests)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        web_graph_versioned_batch(
+            spark, batch_df, links_path, vers_path, pages_path,
+            edges_path, batch_id, id_col, base_col, html_col)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation",
+                checkpoint or edges_path + "._checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
