@@ -538,6 +538,12 @@ def main(argv: list[str] | None = None) -> int:
                                    "store path")
     wbg.add_argument("edges", help="append-only (a, b) edge store "
                                    "path")
+    wbg.add_argument("--versioned", action="store_true",
+                     help="update-aware graph "
+                          "(streaming/web_graph_versioned.py): page "
+                          "UPDATES retract removed out-links; edge "
+                          "store holds directed +1/-1 ops, versions "
+                          "store lands at <edges>.vers")
     sim = sub.add_parser("sim")
     sim.add_argument("--ops", type=int, default=300)
     sim.add_argument("--seconds", type=int, default=10)
@@ -1083,15 +1089,27 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="hummingbird_web_graph")
         spark.sparkContext.setLogLevel("ERROR")
         schema = spark.read.parquet(args.src).schema
-        q = start_streaming_web_graph(
-            spark, args.src, args.pages, args.links, args.edges,
-            schema)
+        if args.versioned:
+            from hummingbird_spark.streaming.web_graph_versioned import (
+                read_web_edges_versioned,
+                start_streaming_web_graph_versioned,
+            )
+
+            q = start_streaming_web_graph_versioned(
+                spark, args.src, args.links, args.edges + ".vers",
+                args.pages, args.edges, schema)
+        else:
+            q = start_streaming_web_graph(
+                spark, args.src, args.pages, args.links, args.edges,
+                schema)
         if not q.awaitTermination(600):
             q.stop()
             print("web-graph: availableNow drain exceeded 600s; "
                   "stores are incomplete", file=sys.stderr)
             return 1
-        edges = read_web_edges(spark, args.edges)
+        edges = (read_web_edges_versioned(spark, args.edges)
+                 if args.versioned
+                 else read_web_edges(spark, args.edges))
         print(json.dumps({
             "command": "web-graph",
             "n_pages": spark.read.parquet(args.pages).count(),

@@ -623,6 +623,13 @@ def test_cli_web_graph(spark, tmp_path, capsys):
     assert rep["n_pages"] == 80
     assert rep["n_edges"] == web_link_edges(pages).count()
 
+    # the update-aware twin reaches the same graph on version-1 input
+    pv, lv, ev = (str(tmp_path / x) for x in ("pgv", "lkv", "edv"))
+    assert main(["web-graph", str(src), pv, lv, ev,
+                 "--versioned"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_edges"] == web_link_edges(pages).count()
+
 
 def test_cli_warc_ingest_chains_into_crawl(spark, tmp_path, capsys):
     """warc-ingest: .warc.gz files -> (url, html) parquet, which the
