@@ -79,25 +79,20 @@ def _latest_per(df: DataFrame, key: str, seq_col: str = "seq",
     return df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
 
 
-def web_graph_versioned_batch(
+def _versioned_delta(
     spark: SparkSession,
     batch_pages: DataFrame,
     links_path: str,
     vers_path: str,
     pages_path: str,
     edges_path: str,
-    batch_id: int,
+    seq: int,
     id_col: str = "doc_id",
     base_col: str = "base",
     html_col: str = "html",
-    compact_every: int = 32,
-) -> None:
-    """One maintenance round over (id, base, html) rows — new pages
-    AND new versions of known pages. See the module docstring."""
-    led = BatchLedger(edges_path)
-    if led.seen(batch_id):
-        return
-    seq = int(batch_id or 0)
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four append deltas (links, versions, pages, ops) for one
+    batch — the seam the chaos tests drive window-by-window."""
 
     tagged = (
         batch_pages.select(
@@ -178,7 +173,8 @@ def web_graph_versioned_batch(
             "src", "dst", F.lit(seq).cast("long").alias("seq"),
             F.lit(-1).cast("int").alias("op")))
 
-    # materialize every plan BEFORE mutating the stores they read
+    # materialize every plan BEFORE any caller mutates the stores
+    # they read
     out_links = new_links.select(
         "src", "curl", F.lit(seq).cast("long").alias("seq")) \
         .localCheckpoint(eager=True)
@@ -186,6 +182,30 @@ def web_graph_versioned_batch(
         .localCheckpoint(eager=True)
     out_pages = new_pages.localCheckpoint(eager=True)
     out_ops = ops.localCheckpoint(eager=True)
+    return out_links, out_vers, out_pages, out_ops
+
+
+def web_graph_versioned_batch(
+    spark: SparkSession,
+    batch_pages: DataFrame,
+    links_path: str,
+    vers_path: str,
+    pages_path: str,
+    edges_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    base_col: str = "base",
+    html_col: str = "html",
+    compact_every: int = 32,
+) -> None:
+    """One maintenance round over (id, base, html) rows — new pages
+    AND new versions of known pages. See the module docstring."""
+    led = BatchLedger(edges_path)
+    if led.seen(batch_id):
+        return
+    out_links, out_vers, out_pages, out_ops = _versioned_delta(
+        spark, batch_pages, links_path, vers_path, pages_path,
+        edges_path, int(batch_id or 0), id_col, base_col, html_col)
 
     out_links.write.mode("append").parquet(links_path)
     out_vers.write.mode("append").parquet(vers_path)

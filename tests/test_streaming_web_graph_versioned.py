@@ -150,6 +150,38 @@ def test_replay_and_crash_window_converge(spark, tmp_path):
     assert h.maintained() == [(1, 2)]
 
 
+def test_chaos_kill_in_every_append_window(spark, tmp_path):
+    """Kill the update batch after every prefix of the four appends
+    (none / links / +versions / +pages / all-but-ledger); the replay
+    must converge to the clean twin's state in every window."""
+    from hummingbird_spark.streaming.web_graph_versioned import (
+        _versioned_delta,
+    )
+
+    b0 = [_row(0, [_url(1), _url(2)]), _row(1, [_url(0)]),
+          _row(2, [])]
+    # batch 1: page 0 drops BOTH links, page 1 keeps its link
+    b1 = [_row(0, [])]
+
+    # clean twin
+    clean = Harness(spark, tmp_path / "clean")
+    clean.apply(b0, batch_id=0)
+    clean.apply(b1, batch_id=1)
+    want = clean.maintained()
+    assert want == [(0, 1)]  # (0,1) survives via 1->0; (0,2) gone
+
+    for k in range(5):
+        h = Harness(spark, tmp_path / f"w{k}")
+        h.apply(b0, batch_id=0)
+        deltas = _versioned_delta(
+            spark, spark.createDataFrame(b1), *h.paths, 1)
+        for df, path in list(zip(deltas, h.paths))[:k]:
+            df.write.mode("append").parquet(path)
+        # ledger never recorded batch 1 -> restart replays it
+        h.apply(b1, batch_id=1)
+        assert h.maintained() == want, f"window {k}"
+
+
 def test_intra_batch_dedup_and_self_links(spark, tmp_path):
     h = Harness(spark, tmp_path)
     # two raw variants of one canonical in a batch + a self-link
