@@ -182,6 +182,29 @@ def test_chaos_kill_in_every_append_window(spark, tmp_path):
         assert h.maintained() == want, f"window {k}"
 
 
+def test_versioned_edges_feed_pagerank_unchanged(spark, tmp_path):
+    """read_web_edges_versioned returns the exact (a, b) shape the
+    graph operators consume: PageRank over the maintained store
+    equals PageRank over the from-scratch latest-version build —
+    including after an update changed the topology."""
+    from hummingbird_spark.operators.graph import pagerank_scaled
+
+    h = Harness(spark, tmp_path)
+    h.apply([_row(0, [_url(1)]), _row(1, [_url(2)]),
+             _row(2, [_url(0)])])
+    h.apply([_row(0, [_url(2)])])  # update rewires 0->1 to 0->2
+    h.check()
+
+    maintained = read_web_edges_versioned(spark, h.paths[3])
+    scratch = web_link_edges(
+        spark.createDataFrame(list(h.latest.values())))
+    pr_m = {r.node: r.rank_scaled for r in
+            pagerank_scaled(maintained, rounds=2).collect()}
+    pr_s = {r.node: r.rank_scaled for r in
+            pagerank_scaled(scratch, rounds=2).collect()}
+    assert pr_m == pr_s and len(pr_m) >= 2
+
+
 def test_intra_batch_dedup_and_self_links(spark, tmp_path):
     h = Harness(spark, tmp_path)
     # two raw variants of one canonical in a batch + a self-link
