@@ -47,15 +47,50 @@ NAMED_ENTITIES: dict[str, str] = {
     if name.endswith(";")
 }
 
+# WHATWG LEGACY named references: the ~106 HTML4-era names that also
+# decode WITHOUT a trailing semicolon (the non-';' keys of the spec
+# table). They double as the longest-PREFIX fallback for unmatched
+# names — '&notareal;' decodes as '&not' + 'areal;', exactly
+# html.unescape's loop. Lengths 2..6, no name is a prefix of another
+# (asserted), so descending-length first-hit IS longest-match.
+LEGACY_ENTITIES: dict[str, str] = {
+    name: text
+    for name, text in __import__("html.entities", fromlist=["html5"])
+    .html5.items()
+    if not name.endswith(";")
+}
+_LEGACY_LMAX = max(len(k) for k in LEGACY_ENTITIES)
+_LEGACY_LMIN = min(len(k) for k in LEGACY_ENTITIES)
+assert _LEGACY_LMAX == 6 and _LEGACY_LMIN == 2
+assert not any(a != b and b.startswith(a)
+               for a in LEGACY_ENTITIES for b in LEGACY_ENTITIES)
+
+# WHATWG numeric-reference windows-1252 remap: code points 0x80-0x9F
+# are historical cp1252 bytes, not C1 controls — '&#147;' means a
+# curly quote on real pages. Derived from the stdlib decoder (not a
+# private table) so the differential test is tautologically aligned.
+W1252_REMAP: dict[int, str] = {
+    cp: __import__("html").unescape("&#%d;" % cp)
+    for cp in range(0x80, 0xA0)
+}
+
 # Sentinel for the entity-token rewrite (never occurs in page text;
 # documented contract — pages containing \x01 would mis-split).
 _NUM_SENT = "\x01"
 
-# One token pass over BOTH reference forms. Length bounds: hex <= 6
-# digits / dec <= 7 digits cover all of Unicode; the longest WHATWG
-# name is 31 chars. Identical pattern string in the DuckDB oracles.
-ENTITY_TOKEN_RE = (r"&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}"
-                   r"|[A-Za-z][A-Za-z0-9]{1,31});")
+# One token pass over all four reference forms: numeric (';'
+# optional, per the spec's parse-error-but-decode rule) and named
+# (the ';'-terminated general case plus the bare legacy form
+# '&amp x'). The token CARRIES its trailing ';' when present (the
+# decoder needs the distinction; the restore path must not invent
+# one). Length bounds: hex <= 6 digits / dec <= 7 digits cover all
+# of Unicode; the longest WHATWG name is 31 chars. A digit run
+# LONGER than the bound (always an out-of-range scalar) tokenizes
+# its bounded prefix and leaves the tail as text — same
+# documented-divergence class as the ''-for-U+FFFD rule. Identical
+# pattern string in the DuckDB oracles.
+ENTITY_TOKEN_RE = (r"&(#[xX][0-9a-fA-F]{1,6};?|#[0-9]{1,7};?"
+                   r"|[A-Za-z][A-Za-z0-9]{1,31};?)")
 
 # str_to_map delimiters for the literal entity map: building the map
 # as 2×2125 F.lit() calls costs ~3s of py4j round trips PER CALL
@@ -122,6 +157,63 @@ def _entity_map() -> Column:
     return _ENT_MAP_COL
 
 
+_LEGACY_MAP_COL: Column | None = None
+_W1252_MAP_COL: Column | None = None
+
+
+def _legacy_map() -> Column:
+    """LEGACY_ENTITIES as one FLAT str_to_map literal (106 entries —
+    a linear probe here is ~50 compares and only runs on the named
+    MISS path, i.e. unknown names; known names short-circuit on the
+    bucketed full map). Process-cached like _entity_map()."""
+    global _LEGACY_MAP_COL
+    if _LEGACY_MAP_COL is None:
+        blob = "\x03".join(k + "\x02" + v
+                           for k, v in LEGACY_ENTITIES.items())
+        blob = blob.replace("\\", "\\\\").replace("'", "\\'")
+        _LEGACY_MAP_COL = F.expr(
+            "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+    return _LEGACY_MAP_COL
+
+
+def _w1252_map() -> Column:
+    """W1252_REMAP as a str_to_map literal keyed by the DECIMAL code
+    point string (32 entries; probed once per numeric token)."""
+    global _W1252_MAP_COL
+    if _W1252_MAP_COL is None:
+        blob = "\x03".join(str(cp) + "\x02" + ch
+                           for cp, ch in W1252_REMAP.items())
+        blob = blob.replace("\\", "\\\\").replace("'", "\\'")
+        _W1252_MAP_COL = F.expr(
+            "str_to_map('%s', '\\u0003', '\\u0002')" % blob)
+    return _W1252_MAP_COL
+
+
+def named_ref_decode(tok: Column, name: Column) -> Column:
+    """Decode of one NAMED reference token, or NULL if it restores
+    literally. `tok` is the raw token (trailing ';' kept when
+    present), `name` the token without that ';'. Match order is the
+    WHATWG/stdlib one: (1) full name, ';' forms only, on the bucketed
+    spec table; (2) longest LEGACY prefix, lengths 6..2 descending —
+    the hit's decoded text plus the unconsumed tail (which keeps the
+    ';' literal). substring past the token end yields '', so probes
+    at L >= token length degrade to full-token probes, and concat's
+    NULL propagation turns each missed probe into a skipped coalesce
+    arm (one map probe per length, no double eval)."""
+    emap = _entity_map()
+    full = F.when(
+        tok.endswith(";"),
+        F.element_at(F.element_at(emap, F.substring(name, 1, 1)),
+                     name))
+    lmap = _legacy_map()
+    probes = [
+        F.concat(F.element_at(lmap, F.substring(tok, 1, length)),
+                 F.substring(tok, length + 1, 40))
+        for length in range(_LEGACY_LMAX, _LEGACY_LMIN - 1, -1)
+    ]
+    return F.coalesce(full, *probes)
+
+
 def decode_entities(col: Column) -> Column:
     """ONE left-to-right pass over both numeric (&#NN;/&#xHH;) and
     named (&name;) character references, as a bounded split/transform
@@ -136,24 +228,39 @@ def decode_entities(col: Column) -> Column:
     literal texts '&lt;' / '&lt;' / '&#65;' (the double-escape
     rule). A numeric-then-named two-pass decoder gets '&#38;lt;'
     wrong (the decoded '&' re-combines into a second decode).
-    Invalid numeric scalars (0, surrogates, > 0x10FFFF) yield ''
-    (documented divergence from WHATWG's U+FFFD, mirrored in the
-    DuckDB oracles)."""
+
+    WHATWG coverage beyond the ';' forms: bare LEGACY names ('&amp '
+    -> '& '), longest-legacy-prefix fallback for unmatched names
+    ('&notareal;' -> '¬areal;'), and the windows-1252 numeric
+    remap for 0x80-0x9F ('&#147;' -> '“'). Remaining documented
+    divergences (mirrored in the DuckDB oracles): invalid numeric
+    scalars (0, surrogates, > 0x10FFFF) yield '' not U+FFFD,
+    control/noncharacter code points pass through raw instead of
+    being dropped, and numeric references still require the ';'."""
     m = F.regexp_replace(col, ENTITY_TOKEN_RE,
                          _NUM_SENT + "$1" + _NUM_SENT)
     parts = F.split(m, _NUM_SENT)
-    emap = _entity_map()
+    w1252 = _w1252_map()
 
     def _dec(p: Column) -> Column:
-        cp = F.when(
-            p.rlike("^#[xX]"),
-            F.conv(F.substring(p, 3, 8), 16, 10).cast("long"),
-        ).otherwise(F.substring(p, 2, 8).cast("long"))
-        return F.when(p.startswith("#"), _codepoint_char(cp)) \
-            .otherwise(F.coalesce(
-                F.element_at(
-                    F.element_at(emap, F.substring(p, 1, 1)), p),
-                F.concat(F.lit("&"), p, F.lit(";"))))
+        # bind the ';'-stripped token once (interpreted-lambda rule:
+        # a 1-element transform is the closure idiom)
+        def _with_name(pn: Column) -> Column:
+            cp = F.when(
+                pn.rlike("^#[xX]"),
+                F.conv(F.substring(pn, 3, 8), 16, 10).cast("long"),
+            ).otherwise(F.substring(pn, 2, 8).cast("long"))
+            num = F.coalesce(
+                F.element_at(w1252, cp.cast("string")),
+                _codepoint_char(cp))
+            return F.when(p.startswith("#"), num) \
+                .otherwise(F.coalesce(
+                    named_ref_decode(p, pn),
+                    F.concat(F.lit("&"), p)))
+
+        return F.element_at(
+            F.transform(F.array(F.regexp_replace(p, ";$", "")),
+                        _with_name), 1)
 
     return F.array_join(
         F.transform(

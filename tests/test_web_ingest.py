@@ -99,6 +99,31 @@ class TestHtmlExtraction:
         ).select(main_text(F.col("h"), min_chars=1).alias("mt")).head()
         assert row.mt == "q &lt; r &amp; s &#65; end"
 
+    def test_legacy_and_w1252_forms(self, spark):
+        # WHATWG coverage landed in r11: bare legacy names, the
+        # longest-legacy-prefix fallback (full ';' names still win),
+        # windows-1252 numeric remap, bare numerics
+        cases = {
+            "&amp x": "& x",            # bare legacy
+            "&copy 1999": "© 1999",
+            "&GT": ">",
+            "&ampfoo;": "&foo;",         # prefix fallback, ';' kept
+            "&notareal; kept": "¬areal; kept",
+            "&notin;": "∉",              # full name beats prefix
+            "&Corp stays": "&Corp stays",  # no legacy prefix
+            "&#147;q&#148;": "“q”",      # w1252 remap
+            "&#x99;": "™",
+            "&#38 bare": "& bare",       # bare numeric
+            "&#38;lt;": "&lt;",          # double-escape unchanged
+        }
+        from hummingbird_spark.functions.html import decode_entities
+
+        df = spark.createDataFrame([Row(s=c) for c in cases])
+        got = [r.d for r in
+               df.select(decode_entities(F.col("s")).alias("d"))
+               .collect()]
+        assert got == list(cases.values())
+
     def test_named_entities_match_stdlib_unescape(self, spark):
         # differential vs html.unescape over the most common WHATWG
         # names + numeric forms: for semicolon-form references our
@@ -154,49 +179,64 @@ class TestHtmlExtraction:
     def test_decode_differential_random_reference_soup(self, spark):
         """Seeded-random differential vs html.unescape: ~300 strings
         interleaving plain text with well-formed known/unknown named
-        refs, numeric refs (dec/hex), and the double-escape forms.
-        Generation excludes the documented divergences (legacy
-        non-semicolon refs — including unknown names whose PREFIX is
-        a legacy name, e.g. '&notareal;' where unescape applies
-        '&not'; cp 0/surrogates/>10FFFF yield '' not U+FFFD;
-        cp 0x80-0x9F skip WHATWG's windows-1252 remap)."""
+        refs (semicolon AND bare-legacy forms, plus unknown names
+        whose PREFIX is a legacy name — '&notareal;' decodes as
+        '&not' + 'areal;'), numeric refs (dec/hex, with and without
+        ';', including the windows-1252 remap range 0x80-0x9F), and
+        the double-escape forms. Generation excludes only the
+        remaining documented divergences (cp 0/surrogates/>10FFFF
+        yield '' not U+FFFD; control/noncharacter cps pass raw where
+        unescape drops them; digit runs past the tokenizer length
+        bound)."""
         import html as _html
-        import html.entities as _he
         import random
 
         from hummingbird_spark.functions.html import (
+            LEGACY_ENTITIES,
             NAMED_ENTITIES,
             decode_entities,
         )
-
-        legacy = {k for k in _he.html5 if not k.endswith(";")}
-
-        def legacy_free(name):
-            return not any(name.startswith(p) for p in legacy)
 
         rng = random.Random(1009)
         # full-name '&name;' tokens always win longest-match in
         # unescape too, so every KNOWN name is safe to generate
         known = sorted(NAMED_ENTITIES)
+        legacy = sorted(LEGACY_ENTITIES)
         texts = ["plain", "x y", "a#b", "semi; colon", "amp & bare",
                  "1<2", "", "tail "]
 
         def tok():
             r = rng.random()
-            if r < 0.35:
+            if r < 0.25:
                 return "&%s;" % rng.choice(known)
+            if r < 0.35:
+                # bare legacy refs + legacy-PREFIX unknowns, with and
+                # without the terminator
+                form = rng.random()
+                if form < 0.4:
+                    return "&%s" % rng.choice(legacy)
+                if form < 0.7:
+                    return "&%s%s" % (rng.choice(legacy),
+                                      rng.choice(["x", "q9", ""]))
+                return "&%s;" % (rng.choice(legacy)
+                                 + rng.choice(["areal", "it", "z1"]))
             if r < 0.45:
                 name = rng.choice(["zzqreal", "bogusXx", "qqqq1"])
-                assert legacy_free(name)
                 return "&%s;" % name
             if r < 0.60:
                 # no control/noncharacter cps: unescape REMOVES
                 # those (0x7F etc.), we return them raw — another
-                # documented divergence
+                # documented divergence. 0x80-0x9F now INCLUDED
+                # (windows-1252 remap).
                 cp = rng.choice(
                     [9, 10, 13, 32, 65, 0xA0, 0x2019, 0x4E2D,
-                     0xFFFD, 0x1F600, 0x103A0])
-                return "&#%d;" % cp
+                     0xFFFD, 0x1F600, 0x103A0,
+                     0x80, 0x82, 0x91, 0x93, 0x99, 0x9F, 0x8D])
+                # bare numerics decode too — but only when the next
+                # char can't extend the digit run (tok() output is
+                # concatenated, so always emit a non-digit tail)
+                return ("&#%d; " if rng.random() < 0.7
+                        else "&#%d end ") % cp
             if r < 0.75:
                 cp = rng.choice([0x41, 0x26, 0x3C, 0x2212, 0x1D538])
                 return "&#x%X;" % cp if rng.random() < 0.5 \
