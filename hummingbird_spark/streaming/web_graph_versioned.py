@@ -49,11 +49,21 @@ Cost per batch: equi-joins bounded by the batch's links plus the
 store rows matching the batch's keys — never a graph rescan. The
 latest-links filter is a max-seq semi-join on the (bounded) srcs
 that can matter to the batch.
+
+Growth control is two-tier: compact_table merges small files
+(physical, row-set preserving), and gc_web_graph_versioned is the
+LOGICAL tick — below a replay-safe watermark it keeps only the
+winning op per direction (dropping -1 winners outright) and only
+each page's latest version's link rows, so the history the
+max-seq-wins read scans stays proportional to the live graph, not
+to total recrawl churn. Every swap is rename-aside crash-safe
+(_swap_store / _sweep_gc_debris — the frontier-delta discipline).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -197,9 +207,14 @@ def web_graph_versioned_batch(
     base_col: str = "base",
     html_col: str = "html",
     compact_every: int = 32,
+    gc_every: int = 8,
 ) -> None:
     """One maintenance round over (id, base, html) rows — new pages
     AND new versions of known pages. See the module docstring."""
+    # a crashed logical-GC swap must heal before anything reads the
+    # stores (the window can leave a live dir renamed aside)
+    for p in (links_path, vers_path, pages_path, edges_path):
+        _sweep_gc_debris(p)
     led = BatchLedger(edges_path)
     if led.seen(batch_id):
         return
@@ -212,15 +227,122 @@ def web_graph_versioned_batch(
     out_pages.write.mode("append").parquet(pages_path)
     out_ops.write.mode("append").parquet(edges_path)
     led.record(batch_id)
-    # physical file compaction only — the logical state is the row
-    # set, which compact_table preserves (superseded seqs stay; the
-    # max-seq-wins read is the logical GC)
+    # logical GC on cadence: watermark = this (recorded) batch id —
+    # recorded batches never replay, any in-flight replay is higher
+    if (gc_every and batch_id is not None
+            and len(led.applied()) % gc_every == 0):
+        gc_web_graph_versioned(spark, links_path, vers_path,
+                               pages_path, edges_path,
+                               watermark=int(batch_id))
+    # physical file compaction (small-file merge) on a slower cadence
     if (compact_every and batch_id is not None
             and len(led.applied()) % compact_every == 0):
         from hummingbird_spark.operators.compact import compact_table
 
         for p in (links_path, vers_path, pages_path, edges_path):
             compact_table(spark, p)
+
+
+def _sweep_gc_debris(path: str) -> None:
+    """Restore a crashed logical-GC swap for one store. Windows:
+    tmp written but never swapped (rm tmp); live renamed aside but
+    tmp not yet renamed in (restore aside, rm tmp); tmp renamed in
+    but aside not yet removed (rm aside). The aside is a SIBLING
+    path (never inside a partitioned root — the frontier lesson:
+    in-tree key=value names break partition discovery)."""
+    aside, tmp = path + ".__gc_aside", path + ".__gc_tmp"
+    if os.path.exists(aside):
+        if os.path.exists(path):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _swap_store(df: DataFrame, path: str) -> None:
+    """Crash-safe store rewrite: write tmp, verify non-emptiness of
+    the _SUCCESS marker, rename live aside, rename tmp in, drop the
+    aside. Any crash window replays via _sweep_gc_debris."""
+    tmp = path + ".__gc_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"gc rewrite of {path} produced no "
+                           "_SUCCESS marker; live store untouched")
+    aside = path + ".__gc_aside"
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def gc_web_graph_versioned(
+    spark: SparkSession,
+    links_path: str,
+    vers_path: str,
+    pages_path: str,
+    edges_path: str,
+    watermark: int,
+) -> None:
+    """Watermark-gated LOGICAL compaction: physical file compaction
+    (compact_table) preserves the row set, so superseded ops and old
+    versions' link rows accumulate forever and the max-seq-wins read
+    scans all history. This tick drops rows that can no longer
+    affect any read or any future batch with seq > watermark:
+
+      edges: below-watermark ops reduce to the winning op per
+        (src, dst) direction — and a winning -1 is dropped outright
+        (absent == invalid under max-seq-wins, and any future op
+        carries a higher seq). Above-watermark ops are kept verbatim.
+        Ties (a dir-2 redundant +1 at the retraction's seq) keep the
+        read's tie rule: max(struct(seq, op)) prefers +1.
+      links/vers: per src, only the LATEST version at or below the
+        watermark survives (plus everything above). Correct because
+        the only historical read is prev_links' "latest version with
+        seq < batch" lookup, and every future batch seq exceeds the
+        watermark.
+      pages: append-once identity — untouched.
+
+    Safe watermark: any batch id at or below the ledger's max
+    recorded id (recorded batches never replay; an in-flight crash
+    replay has a HIGHER seq). Each store swaps independently via
+    rename-aside (_swap_store) — a crash between stores leaves each
+    store individually consistent (orphaned link rows whose version
+    was GC'd never join: every links read goes through a vers-derived
+    seq), and the per-store windows replay via _sweep_gc_debris at
+    the next tick/batch start."""
+    for p in (links_path, vers_path, pages_path, edges_path):
+        _sweep_gc_debris(p)
+    if not all(os.path.exists(os.path.join(p, "_SUCCESS"))
+               for p in (links_path, vers_path, edges_path)):
+        return
+
+    ops = spark.read.parquet(edges_path)
+    below, above = (ops.filter(F.col("seq") <= watermark),
+                    ops.filter(F.col("seq") > watermark))
+    win = (
+        below.groupBy("src", "dst")
+        .agg(F.max(F.struct("seq", "op")).alias("w"))
+        .filter(F.col("w.op") == 1)
+        .select("src", "dst", F.col("w.seq").alias("seq"),
+                F.col("w.op").alias("op"))
+    )
+    new_ops = win.unionByName(above).localCheckpoint(eager=True)
+    _swap_store(new_ops, edges_path)
+
+    vers = spark.read.parquet(vers_path)
+    keep_v = (
+        vers.filter(F.col("seq") <= watermark)
+        .groupBy("tgt").agg(F.max("seq").alias("seq"))
+        .unionByName(vers.filter(F.col("seq") > watermark))
+        .localCheckpoint(eager=True)
+    )
+    # links keep the seqs that survived in vers (per src)
+    links = spark.read.parquet(links_path)
+    keep_l = links.join(
+        keep_v.select(F.col("tgt").alias("src"), "seq"),
+        ["src", "seq"], "left_semi").localCheckpoint(eager=True)
+    _swap_store(keep_v, vers_path)
+    _swap_store(keep_l, links_path)
 
 
 def read_web_edges_versioned(spark: SparkSession,

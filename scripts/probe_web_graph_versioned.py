@@ -75,5 +75,65 @@ def main():
             shutil.rmtree(work, ignore_errors=True)
 
 
+def main_gc():
+    """Logical-GC probe: the same 500 pages recrawl U times, so
+    superseded ops / old version rows accumulate ~U-fold. Without GC
+    the max-seq-wins read and the prev-version lookup scan all
+    history; with the watermark-gated GC the store stays ~flat.
+    Times the LAST update tick + a maintained-edges read, and counts
+    store rows, for U=3 vs U=12 recrawl waves, with gc off/on."""
+    from hummingbird_spark.streaming.web_graph_versioned import (
+        gc_web_graph_versioned,
+    )
+
+    spark = get_spark(app_name="probe_wgv_gc")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = 20_000
+    print("| recrawl waves | gc | last tick s | read s | op rows "
+          "| link rows |")
+    print("|---|---|---|---|---|---|")
+    for waves in (3, 12):
+        for gc in (False, True):
+            work = tempfile.mkdtemp(prefix="wgv_gc_probe_")
+            paths = tuple(os.path.join(work, x)
+                          for x in ("lk", "vs", "pg", "ed"))
+            try:
+                step = n // 4
+                for b in range(4):
+                    web_graph_versioned_batch(
+                        spark, _pages(spark, b * step, n, 0)
+                        .filter((F.col("doc_id") >= b * step)
+                                & (F.col("doc_id") < (b + 1) * step)),
+                        *paths, batch_id=b, gc_every=0)
+                last = 0.0
+                for u in range(waves):
+                    upd = _pages(spark, 0, n, salt=u + 11).filter(
+                        F.col("doc_id") < 500) \
+                        .localCheckpoint(eager=True)
+                    t0 = time.perf_counter()
+                    web_graph_versioned_batch(
+                        spark, upd, *paths, batch_id=4 + u,
+                        gc_every=0)
+                    if gc:
+                        gc_web_graph_versioned(
+                            spark, *paths, watermark=4 + u)
+                    last = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                n_edges = read_web_edges_versioned(
+                    spark, paths[3]).count()
+                read_s = time.perf_counter() - t0
+                assert n_edges > n
+                ops = spark.read.parquet(paths[3]).count()
+                links = spark.read.parquet(paths[0]).count()
+                print(f"| {waves} | {'on' if gc else 'off'} "
+                      f"| {last:.2f} | {read_s:.2f} | {ops} "
+                      f"| {links} |")
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--gc" in sys.argv:
+        main_gc()
+    else:
+        main()

@@ -224,3 +224,122 @@ def test_intra_batch_dedup_and_self_links(spark, tmp_path):
     h.seq = 1
     got = h.maintained()
     assert got == [(3, 4)]  # self-link filtered, one canonical row
+
+
+def _apply_fixture_batches(h):
+    """Three batches with churn: batch 1 supersedes page 0 twice over
+    (drops a link, later relinks), batch 2 retracts page 1's link —
+    leaves superseded ops, -1 winners, and old version rows behind."""
+    h.apply([_row(0, [_url(1), _url(2)]), _row(1, [_url(2)]),
+             _row(2, [])], batch_id=0)
+    h.apply([_row(0, [_url(2)])], batch_id=1)   # drop 0->1
+    h.apply([_row(1, [])], batch_id=2)          # drop 1->2
+    return h
+
+
+class TestLogicalGc:
+    def test_gc_preserves_state_and_prunes(self, spark, tmp_path):
+        from hummingbird_spark.streaming.web_graph_versioned import (
+            gc_web_graph_versioned,
+        )
+
+        h = _apply_fixture_batches(Harness(spark, tmp_path))
+        want = h.maintained()
+        assert want == [(0, 2)]
+        rows_before = {
+            p: spark.read.parquet(p).count() for p in h.paths[:2]
+        }
+        ops_before = spark.read.parquet(h.paths[3]).count()
+        gc_web_graph_versioned(spark, *h.paths, watermark=2)
+        h.check()
+        assert h.maintained() == want
+        # superseded ops + -1 winners dropped; one valid direction
+        # per surviving edge endpoint support remains
+        ops_after = spark.read.parquet(h.paths[3]).count()
+        assert ops_after < ops_before
+        valid = spark.read.parquet(h.paths[3])
+        assert valid.filter("op = -1").count() == 0
+        # old versions' link rows dropped (page 0 has 3 versions'
+        # worth of links before, only the latest after)
+        assert (spark.read.parquet(h.paths[0]).count()
+                < rows_before[h.paths[0]])
+        assert (spark.read.parquet(h.paths[1]).count()
+                < rows_before[h.paths[1]])
+
+    def test_equality_across_gc_boundary(self, spark, tmp_path):
+        """Batches after a GC tick behave identically: retractions of
+        edges whose +1 op was rewritten by the GC still land, and the
+        maintained set equals from-scratch at every step."""
+        from hummingbird_spark.streaming.web_graph_versioned import (
+            gc_web_graph_versioned,
+        )
+
+        h = _apply_fixture_batches(Harness(spark, tmp_path))
+        gc_web_graph_versioned(spark, *h.paths, watermark=2)
+        # batch 3: page 0 drops its remaining link (retracts the
+        # GC-rewritten +1), page 2 starts linking 1
+        h.apply([_row(0, []), _row(2, [_url(1)])], batch_id=3)
+        h.check()
+        assert h.maintained() == [(1, 2)]
+        # and a second GC over the post-GC store is a no-op on state
+        gc_web_graph_versioned(spark, *h.paths, watermark=3)
+        h.check()
+
+    def test_gc_prev_version_lookup_survives(self, spark, tmp_path):
+        """After GC, an UPDATE to a page whose only stored version is
+        the GC-kept one still retracts correctly (prev_links reads
+        the latest sub-watermark version)."""
+        from hummingbird_spark.streaming.web_graph_versioned import (
+            gc_web_graph_versioned,
+        )
+
+        h = Harness(spark, tmp_path)
+        h.apply([_row(0, [_url(1)]), _row(1, [])], batch_id=0)
+        gc_web_graph_versioned(spark, *h.paths, watermark=0)
+        h.apply([_row(0, [])], batch_id=1)
+        h.check()
+        assert h.maintained() == []
+
+    def test_chaos_kill_in_every_gc_window(self, spark, tmp_path):
+        """Kill the GC inside each per-store swap window (tmp
+        written / live aside / tmp in, aside left); the debris sweep
+        at the next batch start must heal, and the next batch must
+        produce the clean twin's state."""
+        import os
+        import shutil
+
+        from hummingbird_spark.streaming.web_graph_versioned import (
+            gc_web_graph_versioned,
+        )
+
+        b3 = [_row(0, []), _row(2, [_url(1)])]
+        clean = _apply_fixture_batches(Harness(spark, tmp_path / "c"))
+        gc_web_graph_versioned(spark, *clean.paths, watermark=2)
+        clean.apply(b3, batch_id=3)
+        want = clean.maintained()
+        assert want == [(1, 2)]
+
+        for store_i in (0, 1, 3):  # links, vers, edges
+            for window in ("tmp", "aside", "in"):
+                h = _apply_fixture_batches(
+                    Harness(spark, tmp_path / f"w{store_i}{window}"))
+                path = h.paths[store_i]
+                tmp, aside = path + ".__gc_tmp", path + ".__gc_aside"
+                # a rewrite that would have been the GC's (content
+                # irrelevant for crash healing — the sweep never
+                # promotes a tmp)
+                spark.read.parquet(path).limit(0).write.parquet(tmp)
+                if window in ("aside", "in"):
+                    os.rename(path, aside)
+                if window == "in":
+                    # promote tmp by hand the way _swap_store does,
+                    # but KEEP the aside (crash before cleanup);
+                    # promote the real GC result? the healed state
+                    # only needs the live dir present — reuse aside
+                    # content for a faithful "renamed in" window
+                    shutil.rmtree(tmp)
+                    shutil.copytree(aside, path)
+                h.apply(b3, batch_id=3)
+                assert h.maintained() == want, (store_i, window)
+                assert not os.path.exists(tmp)
+                assert not os.path.exists(aside)
