@@ -1493,39 +1493,41 @@ for _name, (_fn, _oracle, _doc) in {
 # hash-match record first, so every query accumulates a verified record
 # across rounds. Queries added in the current round belong in this list.
 _VERIFY_FIRST = [
-    # r10 rotation. Latest-record ages after r9 (r1∪…∪r9 union,
-    # counted against the actual window cut): {r2: 3 rows-only,
-    # r5: 4, r6: 50, r7: 50, r8: 50, r9: 50}. Window budget ~50: the
-    # 4 r5-stale survivors the r9 window cut lead (exactly the
-    # predicted set), then ALL 50 round-6 names in their r6-record
-    # order (the window takes the first ~46; the overflow stays
-    # listed so a larger window keeps draining oldest-first). Done
-    # bar: CORRECTNESS_r10 leaves no oracle-backed name older than
-    # r6; predicted tail cut: the last ~4 r6 names below
-    # (lm_data_prep, cross_source_dups, asof_next_purchase,
-    # docgen_all_types, pack_sequences — whichever the window misses).
-    # new this round — never recorded, so they lead
-    "page_entity_stats", "gopher_repetition",
-    # latest record: round 5 (the r9 window cut exactly these)
-    "corpus_curation", "tfidf_dup_pairs", "winnow_pairs", "knn_exact",
-    # latest record: round 6, oldest-first (r6-record order)
-    "unimax_mixture", "cms_heavy_hitters", "doc_novelty",
-    "classifier_scores", "classifier_eval", "unimax_curated_sample",
-    "mg_heavy_hitters", "unimax_packed_pipeline", "hdr_quantiles",
-    "curation_pipeline_verify", "reservoir_sample",
-    "packed_interleaved", "hll_distinct", "source_length_profile",
-    "source_vocab_overlap", "source_heavy_hitters", "simhash_dups",
-    "embedding_top_pairs", "pivot_event_values", "token_frequencies",
-    "win_tumbling", "win_sliding", "win_session", "asof_attribution",
-    "range_join_week", "cube_agg", "grouping_sets",
-    "min_cost_supplier", "market_share", "product_profit",
-    "important_stock", "excess_suppliers", "waiting_suppliers",
-    "pricing_summary", "filter_in", "filter_date_range", "filter_or",
-    "pipeline_bucket", "embedding_dup_clusters", "segment_dup_stats",
-    "classifier_quality_mix", "quality_canonical_dedup",
-    "vector_search_pipeline", "bm25_topk", "hybrid_rrf",
+    # r11 rotation. Latest-record ages after r10: {r2: 3 rows-only
+    # declared, r6: 6, r7: 50, r8: 50, r9: 50, r10: 50}. Window
+    # budget ~50: the new query leads, then the 6 r6-stale names the
+    # r10 window cut (the predicted 5 plus hybrid_rrf), then ALL 50
+    # round-7 names in their r7-record order (the window takes the
+    # first ~43; the overflow stays listed so a larger window keeps
+    # draining oldest-first). Done bar: CORRECTNESS_r11 leaves no
+    # oracle-backed name older than r7; predicted tail cut: the last
+    # ~7 r7 names below (semi_join, cdc_apply_verify,
+    # migration_copy_verify, status_counts, count_pred and
+    # neighbors — whichever the window misses).
+    # new this round — never recorded, so it leads
+    "versioned_pagerank",
+    # latest record: round 6 (the r10 window cut exactly these)
     "lm_data_prep", "cross_source_dups", "asof_next_purchase",
-    "docgen_all_types", "pack_sequences",
+    "docgen_all_types", "pack_sequences", "hybrid_rrf",
+    # latest record: round 7, oldest-first (r7-record order)
+    "wav_dsp_features", "link_pagerank", "link_communities",
+    "phash_near_dups", "phash_dup_clusters", "video_near_dups",
+    "trustrank_scores", "link_pagerank_weighted",
+    "link_canonical_docs", "basket_pairs", "c4_filter_stats",
+    "decile_stats", "decontamination", "doc_chunks",
+    "doc_fingerprint", "doc_outliers", "doc_pii_scrub",
+    "embedding_norms", "events_sessionized", "first_order_gap",
+    "keep_newest_orders", "minhash_signature_probe",
+    "mixture_rebalance", "mixture_temperature", "order_price_bands",
+    "order_seasonality", "pipeline_densify_fill",
+    "pipeline_expressions", "pipeline_window_fields",
+    "profile_orders", "quality_mixture", "repetition_stats",
+    "rfm_segments", "shingle_stats", "supplier_fill_rate",
+    "top_users", "weekly_active_users", "bpe_fertility",
+    "ivf_recall_probe", "range_scan", "mask_default", "mask_hex",
+    "mask_nested", "mask_partial", "anti_join", "semi_join",
+    "cdc_apply_verify", "migration_copy_verify", "status_counts",
+    "count_pred",
 ]
 
 QUERIES = {

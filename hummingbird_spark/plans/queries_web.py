@@ -23,15 +23,21 @@ fixture synthesis only, never the read path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hummingbird_spark.functions.html import (
     BLOCK_SPLIT_RE,
     ENTITY_TOKEN_RE,
+    LEGACY_ENTITIES,
     NAMED_ENTITIES,
     TRACKING_PARAMS,
     SECOND_LEVEL_SUFFIXES,
+    W1252_REMAP,
+    _LEGACY_LMAX,
+    _LEGACY_LMIN,
     block_stats_from,
     block_structs,
     canonical_url,
@@ -91,7 +97,9 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
             '&frac12;&sup2; &euro;99 &pound;5 &alpha;&beta;&gamma; '
             '&AMP; x &rarr; y &laquo;q&raquo; &Uuml;ber &szlig; '
             'escaped &amp;lt; and &#38;lt; stay literal '
-            '&notareal; kept</p>'),
+            '&notareal; prefix-decodes &unknownzz; kept '
+            'legacy &amp bare &copy 1999 w1252 &#147;q&#148; '
+            'bare-num &#169 done</p>'),
     ("lit", '</div><div class="side"><ul>'
             '<li><a href="/t/1">one tag</a></li>'
             '<li><a href="/t/2">two tag</a></li></ul></div>'
@@ -178,25 +186,63 @@ def _ent_map_sql() -> str:
     return "MAP([" + ks + "],[" + vs + "])"
 
 
+def _legacy_map_sql() -> str:
+    """LEGACY_ENTITIES (the ~106 no-semicolon names, also the
+    longest-prefix fallback table) as one MAP literal — same dict as
+    functions/html.py's _legacy_map()."""
+    ks = ",".join("'" + _sq(k) + "'" for k in LEGACY_ENTITIES)
+    vs = ",".join("'" + _sq(v) + "'"
+                  for v in LEGACY_ENTITIES.values())
+    return "MAP([" + ks + "],[" + vs + "])"
+
+
+def _w1252_map_sql() -> str:
+    """W1252_REMAP keyed by the decimal code-point string — same
+    dict as functions/html.py's _w1252_map()."""
+    ks = ",".join("'%d'" % cp for cp in W1252_REMAP)
+    vs = ",".join("'" + _sq(ch) + "'" for ch in W1252_REMAP.values())
+    return "MAP([" + ks + "],[" + vs + "])"
+
+
+def _named_sql(t: str, pn: str) -> str:
+    """named_ref_decode() replica over one token: full ';'-form name
+    first, then the longest LEGACY prefix (lengths 6..2 descending;
+    NULL-propagating || skips missed probes), NULL when the token
+    restores literally. `t` is the raw token (';' kept), `pn` the
+    ';'-stripped name."""
+    full = ("CASE WHEN %s LIKE '%%;' THEN map_extract("
+            % t + _ent_map_sql() + ", %s)[1] END" % pn)
+    probes = ", ".join(
+        "map_extract(" + _legacy_map_sql()
+        + ", substr(%s, 1, %d))[1] || substr(%s, %d)" % (t, L, t, L + 1)
+        for L in range(_LEGACY_LMAX, _LEGACY_LMIN - 1, -1))
+    return "coalesce(" + full + ", " + probes + ")"
+
+
 def _ent_sql(e: str) -> str:
-    """decode_entities() replica: ONE tokenizer pass over both
-    numeric and named reference forms (same pattern string), split on
-    chr(1), decode odd elements — numeric guarded against the same
-    invalid scalar values, named via the shared map with
-    literal-restore fallback. The single-element list_transform binds
-    sp/cp once — DuckDB's lambda-closure idiom for a local name."""
+    """decode_entities() replica: ONE tokenizer pass over all four
+    reference forms (same pattern string), split on chr(1), decode
+    odd elements — numeric guarded against the same invalid scalar
+    values with the windows-1252 remap, named via the shared maps
+    (full name -> legacy longest-prefix -> literal restore). The
+    single-element list_transform binds pn/cp once — DuckDB's
+    lambda-closure idiom for a local name."""
     marked = ("regexp_replace(%s, '%s', chr(1)||'\\1'||chr(1), 'g')"
               % (e, ENTITY_TOKEN_RE))
-    cp = ("CASE WHEN regexp_matches(sp[i], '^#[xX]')"
-          " THEN try_cast('0x'||substr(sp[i],3,8) AS BIGINT)"
-          " ELSE try_cast(substr(sp[i],2,8) AS BIGINT) END")
-    ch = ("(list_transform([" + cp + "], cp -> CASE WHEN cp IS NULL"
+    cp = ("CASE WHEN regexp_matches(pn, '^#[xX]')"
+          " THEN try_cast('0x'||substr(pn,3,8) AS BIGINT)"
+          " ELSE try_cast(substr(pn,2,8) AS BIGINT) END")
+    ch = ("(list_transform([" + cp + "], cp -> coalesce("
+          "map_extract(" + _w1252_map_sql()
+          + ", CAST(cp AS VARCHAR))[1], "
+          "CASE WHEN cp IS NULL"
           " OR cp <= 0 OR (cp >= 55296 AND cp <= 57343)"
-          " OR cp > 1114111 THEN '' ELSE chr(CAST(cp AS INT)) END))[1]")
-    named = ("coalesce(map_extract(" + _ent_map_sql()
-             + ", sp[i])[1], '&'||sp[i]||';')")
-    tok = ("CASE WHEN sp[i][1] = '#' THEN " + ch
-           + " ELSE " + named + " END")
+          " OR cp > 1114111 THEN '' ELSE chr(CAST(cp AS INT)) END)))[1]")
+    named = ("coalesce(" + _named_sql("sp[i]", "pn")
+             + ", '&'||sp[i])")
+    tok = ("(list_transform([regexp_replace(sp[i], ';$', '')],"
+           " pn -> CASE WHEN sp[i][1] = '#' THEN " + ch
+           + " ELSE " + named + " END))[1]")
     return ("(list_transform([string_split(" + marked + ", chr(1))],"
             " sp -> array_to_string(list_transform(range(1,"
             " len(sp)+1), i -> CASE WHEN i % 2 = 0 THEN " + tok
@@ -301,25 +347,26 @@ def q_page_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bounded rollup."""
     from hummingbird_spark.functions.html import (
         ENTITY_TOKEN_RE,
-        _entity_map,
         decode_entities,
+        named_ref_decode,
     )
 
     pages = _with_page(load_table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.col("page"),
                                 F.lit(ENTITY_TOKEN_RE), F.lit(1))
-    emap = _entity_map()
     per = pages.select(
         "source",
         F.size(toks).alias("__n"),
         F.size(F.filter(toks, lambda t: t.startswith("#")))
         .alias("__num"),
+        # "unknown" = a named token the decoder restores literally
+        # (no full ';'-form match AND no legacy prefix)
         F.size(F.filter(
             toks,
             lambda t: ~t.startswith("#")
-            & F.element_at(
-                F.element_at(emap, F.substring(t, 1, 1)), t)
-            .isNull())).alias("__unk"),
+            & named_ref_decode(
+                t, F.regexp_replace(t, ";$", "")).isNull()))
+        .alias("__unk"),
         (F.length("page")
          - F.length(decode_entities(F.col("page")))).alias("__shrink"),
     )
@@ -351,7 +398,8 @@ SELECT source,
   CAST(SUM(len(list_filter(toks, t -> t[1] = '#'))) AS BIGINT)
        AS n_numeric,
   CAST(SUM(len(list_filter(toks, t -> t[1] <> '#' AND
-       len(map_extract(""" + _ent_map_sql() + """, t)) = 0)))
+       (list_transform([regexp_replace(t, ';$', '')], pn -> """
+    + _named_sql("t", "pn") + """))[1] IS NULL)))
        AS BIGINT) AS n_unknown,
   CAST(SUM(shrink) AS BIGINT) AS decode_shrink
 FROM per
@@ -866,12 +914,76 @@ def _link_page_sql() -> str:
         "npg AS (SELECT COUNT(*) AS n FROM documents), "
         "lt AS (SELECT doc_id, (doc_id + 1) % n AS t1,"
         " (3 * doc_id + 7) % n AS t2, (7 * doc_id + 3) % n AS t3,"
-        " (5 * doc_id + 11) % n AS t4, (11 * doc_id + 5) % n AS t5"
+        " (5 * doc_id + 11) % n AS t4, (11 * doc_id + 5) % n AS t5,"
+        " (2 * doc_id + 5) % n AS t6"
         " FROM documents, npg), "
         "lpg AS (SELECT doc_id,"
         " 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||"
         " '.example/p/' || CAST(doc_id AS VARCHAR) AS base, "
         + html + " AS html FROM lt)"
+    )
+
+
+# v2 page body for the VERSIONED fixture: every third page recrawls
+# with all source-host-relative links REMOVED (root/rel/dot/unq —
+# each a retraction candidate) and its absolute link RETARGETED to
+# t6 (an addition). Shared segs tuple = the Spark/SQL no-drift rule.
+_V2_SEGS: tuple[tuple[str, str], ...] = (
+    ("lit", '<html><body><h1>Page '), ("id", ""),
+    ("lit", ' v2</h1><p>updated body text</p><a href="'),
+    ("abs2", ""),
+    ("lit", '">n</a><a href="'), ("ext", ""),
+    ("lit", '">x</a></body></html>'),
+)
+
+
+def _with_link_page_v2(docs: DataFrame) -> DataFrame:
+    """The recrawled (v2) versions: (doc_id, base, html) for
+    doc_id % 3 == 0 only."""
+    n = docs.count()
+    d = F.col("doc_id")
+    t6 = (2 * d + 5) % n
+    exprs = {
+        "id": d.cast("string"),
+        "abs2": F.concat(F.lit("https://site"), (t6 % 7).cast("string"),
+                         F.lit(".example/p/"), t6.cast("string"),
+                         F.lit("?utm_source=feed")),
+        "ext": F.concat(F.lit("https://ads.example/track?id="),
+                        d.cast("string")),
+    }
+    base = F.concat(F.lit("https://site"), (d % 7).cast("string"),
+                    F.lit(".example/p/"), d.cast("string"))
+    parts = [F.lit(t) if k == "lit" else exprs[k]
+             for k, t in _V2_SEGS]
+    return docs.filter(d % 3 == 0).select(
+        "doc_id", base.alias("base"), F.concat(*parts).alias("html"))
+
+
+def _link_page_v2_sql() -> str:
+    """Latest-version page set in SQL: v2 html where doc_id % 3 = 0,
+    v1 html otherwise — the from-scratch twin of the versioned
+    store's max-seq-wins read."""
+    v1 = _link_page_sql()
+    exprs = {
+        "id": "CAST(doc_id AS VARCHAR)",
+        "abs2": ("'https://site' || CAST(t6 % 7 AS VARCHAR) ||"
+                 " '.example/p/' || CAST(t6 AS VARCHAR) ||"
+                 " '?utm_source=feed'"),
+        "ext": "'https://ads.example/track?id=' ||"
+               " CAST(doc_id AS VARCHAR)",
+    }
+    v2html = " || ".join("'" + _sq(t) + "'" if k == "lit" else exprs[k]
+                         for k, t in _V2_SEGS)
+    # reuse npg/lt from the v1 builder, then override html per-page;
+    # the chain downstream reads FROM lpg, so emit the CASE as lpg
+    # (the v1 lpg becomes lpg1)
+    v1 = v1.replace("lpg AS (SELECT doc_id,", "lpg1 AS (SELECT doc_id,")
+    return (
+        v1 + ", lpgv2 AS (SELECT lt.doc_id, " + v2html
+        + " AS html FROM lt WHERE lt.doc_id % 3 = 0), "
+        "lpg AS (SELECT p.doc_id, p.base,"
+        " coalesce(v.html, p.html) AS html"
+        " FROM lpg1 p LEFT JOIN lpgv2 v ON p.doc_id = v.doc_id)"
     )
 
 
@@ -1052,10 +1164,10 @@ def q_web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _web_pagerank_oracle() -> str:
+def _web_pagerank_oracle(lpg_cte: str | None = None) -> str:
     base = _PR_SCALE * (100 - _PR_DAMP) // 100
     ctes = [
-        _link_page_sql(), _RESOLVE_SQL.strip().rstrip(),
+        lpg_cte or _link_page_sql(), _RESOLVE_SQL.strip().rstrip(),
         ("lurl AS (SELECT doc_id, unnest(links) AS url FROM rsv)"),
         "lcanon AS (" + _canon_select("lurl", "doc_id") + ")",
         ("turl AS (SELECT doc_id AS tgt, base AS url FROM lpg)"),
@@ -1090,6 +1202,59 @@ ORDER BY doc_id
 
 
 ORACLE_WEB_LINK_PAGERANK = _web_pagerank_oracle()
+
+
+def q_versioned_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the UPDATE-AWARE versioned web graph, end to
+    end through the store (streaming/web_graph_versioned.py): batch 0
+    crawls every page (the v1 link fixture), batch 1 RECRAWLS every
+    third page with its host-relative links removed and its absolute
+    link retargeted (directed -1/+1 ops under max-seq-wins), a
+    logical-GC tick compacts below the watermark, and the maintained
+    edge set feeds pagerank_scaled unchanged. The oracle is the
+    from-scratch build over the LATEST version of every page — only
+    correct retraction semantics (either-endpoint support, dangling
+    re-resolution, GC-preserved validity) make the two match.
+
+    Scale shape: each batch is equi-joins bounded by the batch's
+    links (never a graph rescan), the GC is one winner-per-direction
+    shuffle, and PageRank is the exact-integer trajectory
+    (operators/graph.py). The temp store is removed after an eager
+    localCheckpoint cuts lineage — no driver-side collect."""
+    import shutil
+    import tempfile
+
+    from hummingbird_spark.operators.graph import pagerank_scaled
+    from hummingbird_spark.streaming.web_graph_versioned import (
+        gc_web_graph_versioned,
+        read_web_edges_versioned,
+        web_graph_versioned_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = _with_link_page(docs)
+    v2 = _with_link_page_v2(docs)
+    tmp = tempfile.mkdtemp(prefix="hb_versioned_pr_")
+    try:
+        paths = tuple(os.path.join(tmp, x)
+                      for x in ("links", "vers", "pages", "edges"))
+        web_graph_versioned_batch(spark, v1, *paths, batch_id=0)
+        web_graph_versioned_batch(spark, v2, *paths, batch_id=1)
+        gc_web_graph_versioned(spark, *paths, watermark=1)
+        edges = read_web_edges_versioned(spark, paths[3])
+        pr = pagerank_scaled(edges, rounds=_PR_ROUNDS,
+                             damping_pct=_PR_DAMP, scale=_PR_SCALE)
+        out = pr.select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            "rank_scaled",
+        ).orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_VERSIONED_PAGERANK = _web_pagerank_oracle(_link_page_v2_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1711,6 +1876,12 @@ WEB_QUERIES: dict[str, tuple] = {
         "PageRank over the REAL extracted link graph (resolve + "
         "canonicalize hrefs, join to pages' canonical URLs, exact "
         "scaled-integer rounds)"),
+    "versioned_pagerank": (
+        q_versioned_pagerank, ORACLE_VERSIONED_PAGERANK,
+        "PageRank through the update-aware VERSIONED edge store: "
+        "recrawl batch retracts/adds directed ops (max-seq-wins), "
+        "logical GC below the watermark, oracle = from-scratch over "
+        "latest page versions"),
     "html_main_text_stats": (
         q_html_main_text_stats, ORACLE_HTML_MAIN_TEXT,
         "HTML -> main-text extraction audit: block segmentation + "

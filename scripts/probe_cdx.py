@@ -72,5 +72,41 @@ def main():
             shutil.rmtree(work, ignore_errors=True)
 
 
+def main_bigk():
+    """Concurrency probe at realistic k (the recrawl-verification
+    shape): k=10,000 point lookups across 200 files (50k records).
+    fetch_warc_records shuffles selections by file (one task per
+    file group, seeks offset-ordered) — the claim: per-task seek
+    batching holds at k >> files, staying well under the full-scan
+    cost while returning 20% of the corpus."""
+    spark = get_spark(app_name="probe_cdx_bigk")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| files | records | k | full-scan s | indexed fetch s |")
+    print("|---|---|---|---|---|")
+    for n_files, recs in ((200, 250),):
+        work = tempfile.mkdtemp(prefix="cdx_bigk_")
+        try:
+            n = build(spark, work, n_files, recs)
+            t0 = time.perf_counter()
+            assert read_warc_gz(spark, work + "/*.warc.gz").count() == n
+            full_s = time.perf_counter() - t0
+            idx = read_warc_gz_index(spark, work)
+            sel = idx.filter(
+                F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+                .cast("long") % 5 == 0)
+            k = sel.count()
+            t0 = time.perf_counter()
+            got = fetch_warc_records(spark, sel).count()
+            fetch_s = time.perf_counter() - t0
+            assert got == k, (got, k)
+            print(f"| {n_files} | {n} | {k} | {full_s:.2f} "
+                  f"| {fetch_s:.2f} |")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--bigk" in sys.argv:
+        main_bigk()
+    else:
+        main()
