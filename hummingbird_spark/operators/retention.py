@@ -65,12 +65,21 @@ def keep_newest(df: DataFrame, order_col: str, n: int,
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    # only partitions whose global offset is below n can contribute
+    # (range partitioning is ordered, so every row in a partition
+    # with offset >= n has global rank > n) — pre-filtering them
+    # keeps the per-partition window sort proportional to ~n rows,
+    # not to the table (r11: the window was sorting ALL rows to rank
+    # a top-500)
+    contrib = [pid for pid, off in offsets.items() if off < n]
     off_col = F.lit(0)
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("__pid") == pid, off).otherwise(off_col)
+    for pid in contrib:
+        off_col = F.when(F.col("__pid") == pid, offsets[pid]) \
+            .otherwise(off_col)
     w = Window.partitionBy("__pid").orderBy(F.desc(order_col))
     return (
-        tagged.withColumn("__rank", F.row_number().over(w) + off_col)
+        tagged.filter(F.col("__pid").isin(contrib))
+        .withColumn("__rank", F.row_number().over(w) + off_col)
         .filter(F.col("__rank") <= n)
         .drop("__pid", "__rank")
     )
