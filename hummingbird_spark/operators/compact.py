@@ -12,8 +12,10 @@ the plain-parquet equivalent:
     how many output files the data actually needs,
   - for partitioned layouts, repartition BY the partition columns so
     each partition directory lands in one task -> one file,
-  - write to a temp dir, verify row count, then atomically swap — a
-    failed compaction never corrupts the live table.
+  - write to a temp dir, verify row count, then swap via
+    RENAME-ASIDE (live -> aside, tmp -> live, drop aside) — a failed
+    compaction never corrupts the live table, and a crash inside the
+    swap heals at the next compaction (_sweep_compact_debris).
 
 The reference has no analogue (MongoDB storage compacts itself); this
 belongs to the Spark-first scale story.
@@ -49,6 +51,25 @@ def _read_count(spark: SparkSession, path: str) -> int:
     return spark.read.parquet(path).count()
 
 
+def _sweep_compact_debris(spark: SparkSession, path: str) -> None:
+    """Heal a crashed compaction swap. Windows: tmp written but never
+    promoted (drop it); live renamed aside but tmp not renamed in
+    (restore the aside); tmp renamed in, aside not yet removed (drop
+    the aside). Aside/tmp are SIBLING paths — never inside a
+    partitioned root, where a key=value dir name would be read as a
+    partition column."""
+    fs, live = _fs(spark, path)
+    _, aside = _fs(spark, path.rstrip("/") + "__compact_aside")
+    _, tmp = _fs(spark, path.rstrip("/") + "__compact_tmp")
+    if fs.exists(aside):
+        if fs.exists(live):
+            fs.delete(aside, True)
+        else:
+            fs.rename(aside, live)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+
+
 def compact_table(spark: SparkSession, path: str,
                   target_file_bytes: int = 128 * 1024 * 1024,
                   partition_cols: list[str] | None = None,
@@ -66,6 +87,7 @@ def compact_table(spark: SparkSession, path: str,
 
     Returns a report dict (files/bytes before and after).
     """
+    _sweep_compact_debris(spark, path)
     before_files = parquet_file_count(spark, path)
     before_bytes = table_bytes(spark, path)
     reader = spark.read
@@ -95,8 +117,13 @@ def compact_table(spark: SparkSession, path: str,
             f"compaction row-count mismatch ({n_tmp} != {n_src}); "
             f"live table untouched"
         )
-    fs.delete(live, True)
+    # rename-aside swap (never delete-then-rename: a crash between
+    # the two would lose the live table) — every window heals via
+    # _sweep_compact_debris on the next compaction
+    _, aside = _fs(spark, path.rstrip("/") + "__compact_aside")
+    fs.rename(live, aside)
     fs.rename(tmp_p, live)
+    fs.delete(aside, True)
     return {
         "path": path,
         "files_before": before_files,

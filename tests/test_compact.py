@@ -3,6 +3,8 @@ hygiene step for the bucketed CDC sink and any append-heavy target."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -111,3 +113,35 @@ def test_bucketed_cdc_then_compact_lifecycle(spark, tmp_path):
                           num_buckets=4)
     q2.awaitTermination(120)
     assert spark.read.parquet(table).count() == 39
+
+
+def test_compact_swap_crash_windows_heal(spark, tmp_path):
+    """Chaos over the rename-aside swap: for each crash window (tmp
+    written / live renamed aside / tmp renamed in, aside left), the
+    debris sweep at the next compact_table call restores a readable,
+    content-identical live table."""
+    import shutil
+
+    src = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 AS v") \
+        .repartition(8).write.parquet(src)
+    want = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+
+    for window in ("tmp", "aside", "in"):
+        tmp, aside = src + "__compact_tmp", src + "__compact_aside"
+        # a would-be rewrite the crash stranded
+        spark.read.parquet(src).repartition(1).write \
+            .mode("overwrite").parquet(tmp)
+        if window in ("aside", "in"):
+            os.rename(src, aside)
+        if window == "in":
+            os.rename(tmp, src)
+        report = compact_table(spark, src)
+        assert report["rows"] == 100, window
+        got = sorted(tuple(r) for r in spark.read.parquet(src)
+                     .select("id", "v").collect())
+        assert got == want, window
+        assert not os.path.exists(tmp) and not os.path.exists(aside)
+        shutil.rmtree(src)
+        spark.range(100).selectExpr("id", "id * 2 AS v") \
+            .repartition(8).write.parquet(src)
