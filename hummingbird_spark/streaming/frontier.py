@@ -191,15 +191,33 @@ def read_fetch_schedule(spark: SparkSession,
     `frontier_path` is the swap store's parquet path, or an already
     loaded (host, curl, lastmod) frame — the delta store passes
     `read_delta_frontier(...)`, which handles the empty/boot case a
-    bare parquet read would throw on."""
+    bare parquet read would throw on.
+
+    When `robots` is given, the CURRENT rules also re-gate ALLOW at
+    schedule time (real crawler discipline: robots.txt may have
+    changed since a URL was enqueued). Newly-disallowed backlog
+    stays queued but is never scheduled — and re-appears if robots
+    re-allows, which a purge-at-enqueue design could not do. Cost:
+    one verdict join bounded by the queue."""
     q = (frontier_path if isinstance(frontier_path, DataFrame)
          else spark.read.parquet(frontier_path))
     delay = F.lit(1)
     if robots is not None:
-        from hummingbird_spark.operators.robots import robots_rules
+        from hummingbird_spark.operators.robots import (
+            robots_rules,
+            robots_verdicts,
+        )
 
+        rules = robots_rules(robots, agent=robots_agent)
+        allowed = (
+            robots_verdicts(q.select(F.col("curl").alias("url")),
+                            rules)
+            .filter(F.col("allowed") == 1)
+            .select(F.col("url").alias("curl"))
+        )
+        q = q.join(allowed, "curl")
         delays = (
-            robots_rules(robots, agent=robots_agent)
+            rules
             .groupBy("host")
             .agg(F.min("crawl_delay").alias("__delay"))
         )

@@ -54,8 +54,11 @@ queue so readers never see it) before the new dir renames in, and
 replacement never landed — so no window loses a bucket's backlog —
 and drops orphaned temp trees.
 Robots verdicts gate entries at ENQUEUE time (batch-bounded); the
-swap frontier re-gates the whole queue every tick — equivalent while
-the robots table is static, documented divergence if it is not.
+swap frontier re-gates the whole queue every tick. When robots can
+CHANGE, pass the current robots frame to read_fetch_schedule — it
+re-gates ALLOW at schedule time (r11), so both stores honor robots
+updates without a queue rebuild; newly-disallowed backlog simply
+never schedules (and returns if re-allowed).
 
 Recrawl-on-update (opt-in, `recrawl_on_update=True`): the mirror
 additionally records the lastmod the queue held when each crawl

@@ -198,3 +198,58 @@ def test_namespace_prefixed_tags_parse(spark):
     refs = {r.sitemap_curl
             for r in parse_sitemap_index_refs(df).collect()}
     assert refs == {"https://a.example/more.xml"}
+
+
+def test_schedule_time_robots_regate(spark):
+    """read_fetch_schedule re-gates ALLOW against the CURRENT robots
+    (r11): URLs enqueued under permissive rules stop scheduling when
+    robots turns disallow, and return when re-allowed — no queue
+    rebuild involved."""
+    from pyspark.sql import functions as F
+
+    from hummingbird_spark.streaming.frontier import (
+        read_fetch_schedule,
+    )
+
+    queue = spark.createDataFrame([
+        Row(host="a.example", curl="https://a.example/p/1",
+            lastmod="2026-01-01"),
+        Row(host="a.example", curl="https://a.example/q/2",
+            lastmod="2026-01-02"),
+        Row(host="b.example", curl="https://b.example/p/9",
+            lastmod="2026-01-03"),
+    ])
+
+    def robots(a_txt):
+        return spark.createDataFrame([
+            Row(host="a.example", robots_txt=a_txt),
+            Row(host="b.example",
+                robots_txt="User-agent: *\nAllow: /"),
+        ])
+
+    permissive = robots("User-agent: *\nAllow: /")
+    got = {r.curl for r in read_fetch_schedule(
+        spark, queue, permissive).collect()}
+    assert got == {"https://a.example/p/1", "https://a.example/q/2",
+                   "https://b.example/p/9"}
+
+    # robots.txt changes AFTER enqueue: /q now disallowed on a
+    restrictive = robots("User-agent: *\nDisallow: /q")
+    got = {r.curl for r in read_fetch_schedule(
+        spark, queue, restrictive).collect()}
+    assert got == {"https://a.example/p/1", "https://b.example/p/9"}
+
+    # crawl-delay still applies alongside the gate
+    delayed = robots("User-agent: *\nDisallow: /q\nCrawl-delay: 7")
+    rows = {r.curl: r.fetch_at_sec for r in read_fetch_schedule(
+        spark, delayed and queue, delayed).collect()}
+    assert rows["https://a.example/p/1"] == 0
+    assert "https://a.example/q/2" not in rows
+
+    # re-allowed: the backlog entry returns without any rebuild
+    got = {r.curl for r in read_fetch_schedule(
+        spark, queue, permissive).collect()}
+    assert "https://a.example/q/2" in got
+
+    # no robots frame: pure pass-through (legacy shape intact)
+    assert read_fetch_schedule(spark, queue).count() == 3
