@@ -31,12 +31,14 @@ def main() -> int:
 
     runs: list[dict] = []
     for i in range(args.runs):
-        out = subprocess.run(
+        subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
             capture_output=True, text=True, cwd=ROOT, check=True)
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        doc = json.loads(line)
+        # the stdout line carries only the total (the per-query map
+        # overflowed the fd-1 buffer back in r02) — the full map is
+        # persisted to BENCH_DETAIL.json each run
+        with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as fh:
+            doc = json.load(fh)
         runs.append(doc)
         print(f"run {i + 1}/{args.runs}: total={doc['value']:.1f}s "
               f"calibration={doc.get('calibration_sec')}",
