@@ -19,9 +19,17 @@ commute), and the registry queries carry full DuckDB oracles. Classic
 float PageRank has none of these properties.
 
 Scale: each round is a bounded set of equi-joins/aggregations on the
-(node|edge)-grain frames; per-round lineage is cut with an eager
-localCheckpoint (the r6 connected-components fix) so round t+1 plans
-scan a materialized frame instead of re-deriving rounds 1..t.
+(node|edge)-grain frames; per-round lineage is cut with a LAZY
+localCheckpoint (the r6 connected-components fix established the cut;
+r11 made it lazy) so round t+1 plans scan a checkpointed frame
+instead of re-deriving rounds 1..t. Lazy (eager=False) keeps the cut
+— Dataset.localCheckpoint builds the checkpointed RDD at call time
+and returns a LogicalRDD plan either way — but drops the per-round
+driver barrier: all T rounds execute inside the ONE action that
+consumes the result instead of T+2 sequential jobs, removing T
+scheduler/py4j round trips per query here and T cluster-idle
+barriers at scale (guide §2.6: actions are only sequential because
+driver code calls them sequentially).
 """
 
 from __future__ import annotations
@@ -43,7 +51,12 @@ def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
 
     weighted: also return w = the NUMBER of shared rare trigrams per
     pair (the edge-strength signal weighted PageRank propagates)."""
-    tg = docs.select(
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
+
+    # a small corpus arrives as 1-2 scan partitions, which would run
+    # the tokenize/trigram/explode chain on one core (guide §2.5
+    # input skew); no-op at scale
+    tg = ensure_kernel_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(doc_trigrams(F.col(text_col))))
         .alias("g"),
@@ -65,8 +78,10 @@ def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
 
 def _symmetric(edges: DataFrame,
                weight_col: str | None = None) -> DataFrame:
-    """Both directions of an (a, b[, w]) edge list, eagerly
-    materialized once (every round re-scans it)."""
+    """Both directions of an (a, b[, w]) edge list, checkpointed once
+    (every round re-scans it; the checkpoint persists on first
+    compute, so the edge derivation runs once however many rounds
+    consume it)."""
     extra = ([F.col(weight_col).alias("__w")] if weight_col else [])
     return (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
@@ -74,7 +89,7 @@ def _symmetric(edges: DataFrame,
         .unionByName(
             edges.select(F.col("b").alias("src"),
                          F.col("a").alias("dst"), *extra))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -126,7 +141,7 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
     deg_agg = (F.sum(w) if weight_col
                else F.count(F.lit(1))).alias("deg")
     deg = sym.groupBy("src").agg(deg_agg) \
-        .withColumnRenamed("src", "node").localCheckpoint(eager=True)
+        .withColumnRenamed("src", "node").localCheckpoint(eager=False)
     base = scale * (100 - damping_pct) // 100
     if seeds is None:
         # uniform reset: every node receives base each round, so the
@@ -146,7 +161,7 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
                 .groupBy("dst")
                 .agg((F.lit(base) + F.sum(contrib)).alias("r"))
                 .select(F.col("dst").alias("node"), "r")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         return r.join(deg, "node").select(
             "node", "deg", F.col("r").alias("rank_scaled"))
@@ -159,7 +174,7 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
         "node",
         F.when(F.coalesce(F.col("__s"), F.lit(False)), F.lit(base))
         .otherwise(F.lit(0)).cast("long").alias("__base"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # r_0 = scale on seeds, 0 elsewhere
     r = bases.select(
         "node",
@@ -182,7 +197,7 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
             .select("node",
                     (F.col("__base") + F.coalesce("__in", F.lit(0)))
                     .alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return r.join(deg, "node").select(
         "node", "deg", F.col("r").alias("rank_scaled"))
@@ -222,7 +237,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 F.col("lab").alias("lab"))).alias("__m"))
             .select(F.col("src").alias("node"),
                     F.col("__m.lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lab").alias("community"))
 
@@ -241,7 +256,11 @@ def web_link_edges(pages: DataFrame, id_col: str = "doc_id",
         canonical_url,
         extract_links,
     )
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 
+    # anchor extraction + canonicalization is the CPU-heavy part; a
+    # single-partition page frame would serialize it (guide §2.5)
+    pages = ensure_kernel_parallelism(pages)
     links = pages.select(
         id_col,
         F.explode(extract_links(F.col(html_col), F.col(base_col)))

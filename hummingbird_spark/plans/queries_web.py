@@ -110,12 +110,30 @@ _PAGE_SEGS: tuple[tuple[str, str], ...] = (
 )
 
 
-def _with_page(docs: DataFrame) -> DataFrame:
+def _with_page(docs: DataFrame, spread: bool = False) -> DataFrame:
     """documents -> (doc_id, source, page). Token array bound FIRST
     (functions/text.py performance contract) so the two paragraph
-    slices never re-tokenize."""
-    ws = docs.select("doc_id", "source",
-                     tokens(F.col("text")).alias("__ws"))
+    slices never re-tokenize.
+
+    spread=True: the documents table arrives as ONE scan partition at
+    bench scale, so the page synthesis AND the downstream
+    html-extraction expression chain would run on a single core with
+    the rest idle (guide §2.5 input skew: "one huge unsplittable
+    file ... repartition immediately after the read"); no-op at real
+    scale where the scan already yields >= cores partitions. OPT-IN
+    per call site because the added exchange + task fan-out costs
+    ~0.3-0.5 s fixed at bench scale — a net win only where the
+    per-row chain is expensive enough (measured: main-text/entity
+    decode chains 2-4x faster; cheap consumers like the warc builders
+    regressed, so they keep the single-partition scan)."""
+    if spread:
+        from hummingbird_spark.operators.dedup import (
+            ensure_kernel_parallelism,
+        )
+
+        docs = ensure_kernel_parallelism(docs)
+    ws = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("__ws"))
     k = ((F.size("__ws") + 1) / 2).cast("int")
     exprs = {
         "id": F.col("doc_id").cast("string"),
@@ -288,7 +306,8 @@ def q_html_main_text_stats(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Synthetic page per doc -> block segmentation -> link-density
     main-content filter -> per-doc audit counters + extracted head."""
-    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    pages = _with_page(load_table(spark, sf_dir, "documents"),
+                       spread=True)
     # bind the block array ONCE (functions/html.py binding contract)
     bound = pages.select(
         "doc_id", block_structs(F.col("page")).alias("__b"))
@@ -351,7 +370,8 @@ def q_page_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         named_ref_decode,
     )
 
-    pages = _with_page(load_table(spark, sf_dir, "documents"))
+    pages = _with_page(load_table(spark, sf_dir, "documents"),
+                       spread=True)
     toks = F.regexp_extract_all(F.col("page"),
                                 F.lit(ENTITY_TOKEN_RE), F.lit(1))
     per = pages.select(
@@ -862,10 +882,10 @@ _LINK_SEGS: tuple[tuple[str, str], ...] = (
 )
 
 
-def _with_link_page(docs: DataFrame) -> DataFrame:
+def _with_link_page(docs: DataFrame, spread: bool = False) -> DataFrame:
     """documents -> (doc_id, base, html) over the 7-host fixture web.
     Needs the corpus size for the modular targets — one cheap count
-    (the SQL twin uses a scalar subquery)."""
+    (the SQL twin uses a scalar subquery). spread: see _with_page."""
     n = docs.count()
     d = F.col("doc_id")
     t1, t2, t3 = (d + 1) % n, (3 * d + 7) % n, (7 * d + 3) % n
@@ -888,6 +908,12 @@ def _with_link_page(docs: DataFrame) -> DataFrame:
                     F.lit(".example/p/"), d.cast("string"))
     parts = [F.lit(t) if k == "lit" else exprs[k]
              for k, t in _LINK_SEGS]
+    if spread:  # opt-in: _with_page docstring (1-partition scan)
+        from hummingbird_spark.operators.dedup import (
+            ensure_kernel_parallelism,
+        )
+
+        docs = ensure_kernel_parallelism(docs)
     return docs.select("doc_id", base.alias("base"),
                        F.concat(*parts).alias("html"))
 
@@ -1076,7 +1102,8 @@ def q_page_out_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_links,
     )
 
-    pages = _with_link_page(load_table(spark, sf_dir, "documents"))
+    pages = _with_link_page(load_table(spark, sf_dir, "documents"),
+                            spread=True)
 
     def _dom(u):
         return registered_domain(url_host(u))

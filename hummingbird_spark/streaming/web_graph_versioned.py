@@ -115,16 +115,23 @@ def _versioned_delta(
         .select("curl", F.col("w.tgt").alias("tgt"),
                 F.col("w.base").alias("base"),
                 F.col("w.html").alias("html"))
-        .localCheckpoint(eager=True)
+        # lazy: the checkpointed RDD is built here (toRdd runs at
+        # call time), persists on first compute, and every later
+        # consumer (links/vers/pages/ops deltas) reuses it — without
+        # a blocking materialization job per batch
+        .localCheckpoint(eager=False)
     )
 
     # the batch versions' link facts
+    # the checkpoint makes the extraction pass run once for its two
+    # consumers (out_links + the ops delta)
     new_links = tagged.select(
         F.col("tgt").alias("src"),
         F.explode(extract_links(F.col("html"), F.col("base")))
         .alias("url"),
     ).select("src", canonical_url(F.col("url")).alias("curl")) \
-        .distinct()
+        .distinct() \
+        .localCheckpoint(eager=False)
 
     pages_store = _read(spark, pages_path, ["curl", "tgt"])
     links_store = _read(spark, links_path, ["src", "curl", "seq"])
@@ -183,15 +190,21 @@ def _versioned_delta(
             "src", "dst", F.lit(seq).cast("long").alias("seq"),
             F.lit(-1).cast("int").alias("op")))
 
-    # materialize every plan BEFORE any caller mutates the stores
-    # they read
+    # pin every plan BEFORE any caller mutates the stores it reads.
+    # Lazy checkpoints suffice: Dataset.localCheckpoint builds the
+    # checkpointed RDD at CALL time (queryExecution.toRdd — file-scan
+    # partitions are fixed against the store's current file listing),
+    # so later appends to the same paths cannot leak into these
+    # frames; each materializes inside its own append-write job
+    # instead of a separate blocking job first (4 fewer driver
+    # barriers per batch; guide §2.6).
     out_links = new_links.select(
         "src", "curl", F.lit(seq).cast("long").alias("seq")) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     out_vers = tagged.select("tgt", F.lit(seq).cast("long").alias("seq")) \
-        .localCheckpoint(eager=True)
-    out_pages = new_pages.localCheckpoint(eager=True)
-    out_ops = ops.localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
+    out_pages = new_pages.localCheckpoint(eager=False)
+    out_ops = ops.localCheckpoint(eager=False)
     return out_links, out_vers, out_pages, out_ops
 
 
@@ -326,7 +339,11 @@ def gc_web_graph_versioned(
         .select("src", "dst", F.col("w.seq").alias("seq"),
                 F.col("w.op").alias("op"))
     )
-    new_ops = win.unionByName(above).localCheckpoint(eager=True)
+    # lazy checkpoints throughout the GC: each frame's RDD is pinned
+    # against the pre-swap file listing at call time and materializes
+    # inside its own _swap_store tmp write (which always completes
+    # before the live dir it read is renamed away)
+    new_ops = win.unionByName(above).localCheckpoint(eager=False)
     _swap_store(new_ops, edges_path)
 
     vers = spark.read.parquet(vers_path)
@@ -334,13 +351,13 @@ def gc_web_graph_versioned(
         vers.filter(F.col("seq") <= watermark)
         .groupBy("tgt").agg(F.max("seq").alias("seq"))
         .unionByName(vers.filter(F.col("seq") > watermark))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # links keep the seqs that survived in vers (per src)
     links = spark.read.parquet(links_path)
     keep_l = links.join(
         keep_v.select(F.col("tgt").alias("src"), "seq"),
-        ["src", "seq"], "left_semi").localCheckpoint(eager=True)
+        ["src", "seq"], "left_semi").localCheckpoint(eager=False)
     _swap_store(keep_v, vers_path)
     _swap_store(keep_l, links_path)
 
