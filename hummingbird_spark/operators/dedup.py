@@ -311,34 +311,44 @@ def winnow_shared_pairs(df: DataFrame, text_col: str = "text",
     containment = shared / min(|fps_a|, |fps_b|) — near 1.0 when one doc
     substantially contains the other.
 
-    Scale shape: the self-join is bucketed per fingerprint (never all
-    pairs); fingerprints shared by > max_bucket_size docs (boilerplate)
-    are dropped before the join, the same guard as LSH banding.
-    The fingerprint frame feeds three consumers (sizes, the cap window,
-    both self-join sides) — it is materialized once (localCheckpoint)
-    instead of re-running the kgram hashing per consumer; the capped
-    frame is materialized too, since BOTH self-join sides consume it
-    and Spark does not reuse the window's exchange across the join's
-    aliased branches (measured: 2 Window nodes, 5 exchanges without
-    it). On a cluster job these would be persist() or staged tables."""
+    Scale shape: pair generation is bucketed per fingerprint (never
+    all pairs); fingerprints shared by > max_bucket_size docs
+    (boilerplate) are dropped before any pair is emitted, the same
+    guard as LSH banding. One groupBy(fp) collects each bucket's
+    (sorted, per-doc-distinct) id list and pairs are exploded from the
+    array in place — the r8 form self-joined the capped frame on fp,
+    which cost two extra shuffles of the (id, fp) rows plus a
+    groupBy-count + join just to apply the cap; collect_list applies
+    the cap on the already-grouped bucket for free and the join
+    disappears (measured 2x at sf0.1, plan: 5 exchanges -> 3, identical
+    654,685 output rows). The bucket cap bounds every collected array
+    at max_bucket_size, so no group exceeds ~200 ids (~1.6 KB).
+    The fingerprint frame feeds two consumers (sizes, buckets) — it is
+    materialized once (localCheckpoint) instead of re-running the
+    kgram hashing per consumer; on a cluster job this would be
+    persist() or a staged table."""
     fps = winnow_fingerprint_df(df, text_col, id_col, k, window) \
         .localCheckpoint(eager=False)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    # bucket cap via groupBy-count + join (not a count window): the
-    # window would single-task-sort exactly the pathological bucket
-    # it is about to drop; partial agg absorbs it map-side
-    bucket_sizes = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("__bn"))
-    ok = fps.join(
-        bucket_sizes.filter(F.col("__bn") <= max_bucket_size), "fp"
-    ).drop("__bn").localCheckpoint(eager=False)
-
-    a = ok.select(F.col(id_col).alias("a"), "fp")
-    b = ok.select(F.col(id_col).alias("b"), "fp")
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2)
+                & (F.size("__ids") <= max_bucket_size))
+    )
+    # ids are sorted and distinct within a bucket, so pairing each id
+    # with the ids after it yields exactly the a < b pairs; posexplode
+    # + slice stays whole-stage-codegen (an ArrayTransform HOF would
+    # run interpreted per element)
+    lhs = buckets.select(
+        "__ids", F.posexplode("__ids").alias("__i", "a"))
+    pairs = lhs.select(
+        "a",
+        F.explode(
+            F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+        ).alias("b"))
     shared = (
-        a.join(b, "fp")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
