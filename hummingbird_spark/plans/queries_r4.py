@@ -467,8 +467,15 @@ def q_ngram_repetition_stats(spark: SparkSession,
     ~40-byte text), and the per-doc rollup is the same two-level
     aggregation as repetition_stats."""
     from hummingbird_spark.functions.text import tokens
+    from hummingbird_spark.operators.dedup import (
+        ensure_kernel_parallelism,
+    )
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # tokenize + both gram explodes + per-gram md5 ride the scan
+    # stage — spread the one-file bench scan first (guide §2.5);
+    # no-op at real scale
+    d = ensure_kernel_parallelism(
+        load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("ws"))
 
     def metric(n: int, *agg_fns):

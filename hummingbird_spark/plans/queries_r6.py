@@ -778,12 +778,19 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register-table algebra, |pairs|*m rows regardless of corpus
     size."""
     from hummingbird_spark.functions.text import doc_trigrams
+    from hummingbird_spark.operators.dedup import (
+        ensure_kernel_parallelism,
+    )
     from hummingbird_spark.operators.sketch import (
         hll_pairwise_overlap,
         hll_registers,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # the trigram explode + per-trigram md5 ride the scan stage — one
+    # parquet file at bench scale would serialize them on one core
+    # (guide §2.5); no-op at real scale. Measured 2.5 -> 1.5 s.
+    d = ensure_kernel_parallelism(
+        load_table(spark, sf_dir, "documents"))
     tg = d.select("source",
                   F.explode(doc_trigrams(F.col("text"))).alias("tok"))
     regs = hll_registers(tg, "tok", ["source"], _HLL_M) \
