@@ -133,9 +133,17 @@ def _versioned_delta(
         .distinct() \
         .localCheckpoint(eager=False)
 
+    # lazy checkpoints on the store reads: links/vers each feed TWO
+    # consumers (prev_links + dir-2, prev_seq + latest) and the read
+    # carries a distinct shuffle — the checkpoint runs each store's
+    # read+distinct once instead of once per consumer (guide §2.4)
     pages_store = _read(spark, pages_path, ["curl", "tgt"])
     links_store = _read(spark, links_path, ["src", "curl", "seq"])
     vers_store = _read(spark, vers_path, ["tgt", "seq"])
+    if links_store is not None:
+        links_store = links_store.localCheckpoint(eager=False)
+    if vers_store is not None:
+        vers_store = vers_store.localCheckpoint(eager=False)
 
     new_pages = tagged.select("curl", "tgt")
     if pages_store is not None:
@@ -162,10 +170,27 @@ def _versioned_delta(
             .select("src", "dst").distinct()
         )
 
-    d_new = _directed(new_links, all_pages)
-    d_old = _directed(prev_links, all_pages)
-    plus = d_new.join(d_old, ["src", "dst"], "left_anti")
-    minus = d_old.join(d_new, ["src", "dst"], "left_anti")
+    # one tagged union + one flags groupBy replaces the old
+    # distinct(d_new) / distinct(d_old) + two anti-joins (4 shuffles
+    # of the same (src, dst) keys -> 1 groupBy) and joins all_pages
+    # ONCE instead of once per side (guide §2.4). Set semantics are
+    # unchanged: plus = d_new \ d_old, minus = d_old \ d_new.
+    both = new_links.withColumn("__new", F.lit(True)).unionByName(
+        prev_links.withColumn("__new", F.lit(False)))
+    flags = (
+        both.join(all_pages.select("curl", F.col("tgt").alias("dst")),
+                  "curl")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max(F.col("__new")).alias("__in_new"),
+             F.max(~F.col("__new")).alias("__in_old"))
+        # plus and minus both read this — run the join+agg once
+        .localCheckpoint(eager=False)
+    )
+    plus = flags.filter(F.col("__in_new") & ~F.col("__in_old")) \
+        .select("src", "dst")
+    minus = flags.filter(F.col("__in_old") & ~F.col("__in_new")) \
+        .select("src", "dst")
 
     # dir 2: anchors of NON-batch srcs (their latest version) whose
     # target is a batch curl. Batch srcs' own links are d_new above;
@@ -344,7 +369,6 @@ def gc_web_graph_versioned(
     # inside its own _swap_store tmp write (which always completes
     # before the live dir it read is renamed away)
     new_ops = win.unionByName(above).localCheckpoint(eager=False)
-    _swap_store(new_ops, edges_path)
 
     vers = spark.read.parquet(vers_path)
     keep_v = (
@@ -358,8 +382,21 @@ def gc_web_graph_versioned(
     keep_l = links.join(
         keep_v.select(F.col("tgt").alias("src"), "seq"),
         ["src", "seq"], "left_semi").localCheckpoint(eager=False)
-    _swap_store(keep_v, vers_path)
-    _swap_store(keep_l, links_path)
+    # every read is pinned above, and each store's swap window is
+    # independently crash-safe in EITHER completion order (links
+    # GC'd before vers is as safe as the reverse: prev_seq takes a
+    # MAX over vers, which is insensitive to the dominated rows GC
+    # drops) — so the three rewrites can overlap on the cluster
+    # instead of running their write jobs back to back (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(_swap_store, df, p)
+                for df, p in ((new_ops, edges_path),
+                              (keep_v, vers_path),
+                              (keep_l, links_path))]
+        for f in futs:
+            f.result()
 
 
 def read_web_edges_versioned(spark: SparkSession,
