@@ -70,13 +70,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hummingbird_spark.functions.html import canonical_url, extract_links
+from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 from hummingbird_spark.streaming.ledger import BatchLedger
 
 
 def _read(spark: SparkSession, path: str,
           cols: list[str]) -> DataFrame | None:
+    """Plain pruned scan — deliberately NO distinct. Crash replay can
+    leave duplicate rows in a store, but every consumer is dup-
+    insensitive by construction (prev/latest go through groupBy-max,
+    ops through the flags groupBy or an explicit distinct, pages
+    through an anti-join and the flags groupBy), so deduplicating at
+    read time only added a shuffle + a blocking stage per store per
+    batch (guide §2.1: remove shuffles outright)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path).select(*cols).distinct()
+        return spark.read.parquet(path).select(*cols)
     return None
 
 
@@ -104,17 +112,36 @@ def _versioned_delta(
     """The four append deltas (links, versions, pages, ops) for one
     batch — the seam the chaos tests drive window-by-window."""
 
+    # anchor extraction + canonicalization is the batch's CPU, and it
+    # rides the groupBy's MAP side here (inside the min-struct), NOT
+    # the post-groupBy frame: the winner frame lands as ~1 AQE-
+    # coalesced partition at small batch sizes, which would serialize
+    # the regex parse on one core. The input-side spread guard keeps
+    # the map side wide (a no-op whenever the batch already arrives
+    # with >= cores partitions — always true at real scan scale;
+    # guide §2.5). Cost shift: links are extracted for every batch
+    # row rather than for curl-dedup winners only — duplicate-curl
+    # rows within one batch are a replay-safety rarity, not the bulk.
+    # Winner selection is unchanged: lcurls sits LAST in the struct,
+    # so min() still orders by (tgt, base, html), and lcurls is a
+    # pure function of (base, html) — ties tie.
     tagged = (
-        batch_pages.select(
+        ensure_kernel_parallelism(batch_pages)
+        .select(
             F.col(id_col).alias("tgt"),
             canonical_url(F.col(base_col)).alias("curl"),
             F.col(base_col).alias("base"),
             F.col(html_col).alias("html"))
         .groupBy("curl")
-        .agg(F.min(F.struct("tgt", "base", "html")).alias("w"))
+        .agg(F.min(F.struct(
+            "tgt", "base", "html",
+            F.transform(
+                extract_links(F.col("html"), F.col("base")),
+                lambda u: canonical_url(u)).alias("lcurls"))).alias("w"))
         .select("curl", F.col("w.tgt").alias("tgt"),
                 F.col("w.base").alias("base"),
-                F.col("w.html").alias("html"))
+                F.col("w.html").alias("html"),
+                F.col("w.lcurls").alias("lcurls"))
         # lazy: the checkpointed RDD is built here (toRdd runs at
         # call time), persists on first compute, and every later
         # consumer (links/vers/pages/ops deltas) reuses it — without
@@ -123,20 +150,20 @@ def _versioned_delta(
     )
 
     # the batch versions' link facts
-    # the checkpoint makes the extraction pass run once for its two
-    # consumers (out_links + the ops delta)
+    # the checkpoint makes the (already-extracted) link set land once
+    # for its two consumers (out_links + the ops delta)
     new_links = tagged.select(
         F.col("tgt").alias("src"),
-        F.explode(extract_links(F.col("html"), F.col("base")))
-        .alias("url"),
-    ).select("src", canonical_url(F.col("url")).alias("curl")) \
-        .distinct() \
+        F.explode(F.col("lcurls")).alias("curl"),
+    ).distinct() \
         .localCheckpoint(eager=False)
 
-    # lazy checkpoints on the store reads: links/vers each feed TWO
-    # consumers (prev_links + dir-2, prev_seq + latest) and the read
-    # carries a distinct shuffle — the checkpoint runs each store's
-    # read+distinct once instead of once per consumer (guide §2.4)
+    # lazy checkpoints on the links/vers store reads: each feeds TWO
+    # consumers (prev_links + dir-2, prev_seq + latest) — the
+    # checkpoint lands each store's scan once instead of once per
+    # consumer (guide §2.4; A/B'd: dropping them costs ~1s/query at
+    # bench scale), and pins the scanned file listing ahead of this
+    # batch's own appends as a belt-and-braces replay guard
     pages_store = _read(spark, pages_path, ["curl", "tgt"])
     links_store = _read(spark, links_path, ["src", "curl", "seq"])
     vers_store = _read(spark, vers_path, ["tgt", "seq"])
