@@ -161,33 +161,38 @@ def band_keys(sig_df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
                         max_bucket_size: int = 1000) -> DataFrame:
-    """Band the signature, bucket-join: docs sharing any full band are
-    candidates. Returns distinct (a, b) with a < b."""
-    # three consumers (sizes, both self-join sides) — stage the banded
-    # frame so the MinHash signature pipeline upstream runs once; it
-    # is (id, band, bkey) ≈ `bands` rows/doc, tiny at any scale
-    banded = band_keys(sig_df, id_col, bands, rows_per_band) \
-        .localCheckpoint(eager=False)
+    """Band the signature, bucket the collisions: docs sharing any
+    full band are candidates. Returns distinct (a, b) with a < b.
 
-    # drop pathological buckets (boilerplate explosion guard) via
-    # groupBy-count + join, not a count window: the window would have
-    # to SORT the pathological bucket in one task before dropping it,
-    # while partial aggregation absorbs the hot key map-side and AQE
-    # can skew-split the join
-    sizes = banded.groupBy("band", "bkey").agg(
-        F.count(F.lit(1)).alias("__bn"))
-    sized = (
-        banded.join(sizes.filter(F.col("__bn") <= max_bucket_size),
-                    ["band", "bkey"])
-        .drop("__bn")
+    Pair generation is grouped-and-exploded, not self-joined (the
+    winnow_shared_pairs discipline): one groupBy((band, bkey))
+    collects each bucket's sorted id list, the boilerplate-explosion
+    guard becomes a free `size <= max_bucket_size` filter on the
+    grouped array (the r8 form self-joined the banded frame on the
+    bucket key — two extra shuffles of every signature row — plus a
+    groupBy-count + join just to apply the cap), and the a < b pairs
+    explode from the array in place. A doc carries ONE bucket key per
+    band, so ids within a bucket are already distinct; the final
+    distinct dedups cross-band collisions only. The cap bounds every
+    collected array at max_bucket_size ids (~8 KB at the default)."""
+    banded = band_keys(sig_df, id_col, bands, rows_per_band)
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2)
+                & (F.size("__ids") <= max_bucket_size))
     )
-
-    a = sized.select(F.col(id_col).alias("a"), "band", "bkey")
-    b = sized.select(F.col(id_col).alias("b"), "band", "bkey")
+    # posexplode + slice stays whole-stage-codegen (an ArrayTransform
+    # HOF would run interpreted per element)
+    lhs = buckets.select(
+        "__ids", F.posexplode("__ids").alias("__i", "a"))
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        lhs.select(
+            "a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2),
+                        F.size("__ids"))
+            ).alias("b"))
         .distinct()
     )
 
