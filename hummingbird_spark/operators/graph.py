@@ -143,21 +143,25 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
     deg = sym.groupBy("src").agg(deg_agg) \
         .withColumnRenamed("src", "node").localCheckpoint(eager=False)
     base = scale * (100 - damping_pct) // 100
+    # attach deg to the edge frame ONCE and compute the floor-div
+    # share edge-side: floor(damping * r / (100 * deg)) is a pure
+    # integer function of (r, deg), so evaluating it per edge row is
+    # bit-identical to computing it once per src and joining — and it
+    # removes the r-to-deg join (one shuffle + one stage barrier) from
+    # EVERY round (guide §2.1/§3.1). One extra upfront join against
+    # the (bounded) degree frame pays for itself from rounds >= 2.
+    symd = sym.join(deg.withColumnRenamed("node", "src"), "src") \
+        .localCheckpoint(eager=False)
+    share = F.expr(f"({damping_pct} * r) div (100 * deg)")
+    contrib = (w * share if weight_col else share)
     if seeds is None:
         # uniform reset: every node receives base each round, so the
         # loop needs no per-node reset frame (one join fewer per round
         # than the seeded path)
         r = deg.select("node", F.lit(scale).cast("long").alias("r"))
         for _ in range(rounds):
-            shares = r.join(deg, "node").select(
-                F.col("node").alias("src"),
-                F.expr(f"({damping_pct} * r) div (100 * deg)")
-                .alias("share"),
-            )
-            contrib = (w * F.col("share") if weight_col
-                       else F.col("share"))
             r = (
-                sym.join(shares, "src")
+                symd.join(r.withColumnRenamed("node", "src"), "src")
                 .groupBy("dst")
                 .agg((F.lit(base) + F.sum(contrib)).alias("r"))
                 .select(F.col("dst").alias("node"), "r")
@@ -181,15 +185,8 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
         F.when(F.col("__base") > 0, F.lit(scale)).otherwise(F.lit(0))
         .cast("long").alias("r"))
     for _ in range(rounds):
-        shares = r.join(deg, "node").select(
-            F.col("node").alias("src"),
-            F.expr(f"({damping_pct} * r) div (100 * deg)")
-            .alias("share"),
-        )
-        contrib = (w * F.col("share") if weight_col
-                   else F.col("share"))
         r = (
-            sym.join(shares, "src")
+            symd.join(r.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(contrib).alias("__in"))
             .select(F.col("dst").alias("node"), "__in")
