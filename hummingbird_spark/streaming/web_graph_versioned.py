@@ -212,6 +212,8 @@ def _versioned_delta(
         .agg(F.max(F.col("__new")).alias("__in_new"),
              F.max(~F.col("__new")).alias("__in_old"))
         # plus and minus both read this — run the join+agg once
+        # (A/B'd without: both branches recompute the whole upstream
+        # inside the ops write, 8.4 -> 14.7 s)
         .localCheckpoint(eager=False)
     )
     plus = flags.filter(F.col("__in_new") & ~F.col("__in_old")) \
