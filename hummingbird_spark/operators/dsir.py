@@ -108,11 +108,14 @@ def dsir_log_weights(df: DataFrame, is_target: Column,
     # per consumer (same staging discipline as the LSH banded frame)
     db = db.localCheckpoint(eager=False)
 
+    # model is B rows, but it has TWO consumers (totals and lr) —
+    # without the checkpoint each re-runs the groupBy(bkt) over the
+    # full (doc, bucket) frame
     model = db.groupBy("bkt").agg(
         F.sum("cnt").alias("raw_cnt"),
         F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0)))
         .alias("tgt_cnt"),
-    )
+    ).localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("raw_cnt").alias("raw_tot"),
         F.sum("tgt_cnt").alias("tgt_tot"),

@@ -194,8 +194,15 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
         # scoring); re-running tokenize+explode instead measured 1.6x
         # slower at the 10x replica
         grams = grams.localCheckpoint(eager=False)
+        # stage the MODEL-grain frames too: bi_full (one wide
+        # groupBy(bg) over every gram occurrence) feeds uni and the
+        # top-K cut, and uni feeds the model join, vocab and the
+        # unseen table — without the checkpoints each consumer
+        # re-runs the wide groupBy from the grams RDD (the plan
+        # carried FOUR copies of it). Both frames are model-sized
+        # (Heaps term / vocabulary), never corpus-sized.
         bi_full = grams.groupBy("bg").agg(
-            F.count(F.lit(1)).alias("b_cnt"))
+            F.count(F.lit(1)).alias("b_cnt")).localCheckpoint(eager=False)
         uni = (
             bi_full.select(w1.alias("w1"), "b_cnt")
             .groupBy("w1").agg(F.sum("b_cnt").alias("u_cnt"))
@@ -203,9 +210,11 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
         vocab = uni.agg(F.count(F.lit(1)).alias("v"))
         # TakeOrdered, not a global sort; deterministic tie-break
         bi = bi_full.orderBy(F.desc("b_cnt"), "bg").limit(vocab_top_k)
+        # bi is <= K rows BY CONSTRUCTION (the literal cap), so it is
+        # broadcast-safe at any corpus scale; uni then never shuffles
+        # for this join
         model = (
-            bi.withColumn("w1", w1)
-            .join(uni, "w1")
+            uni.join(F.broadcast(bi.withColumn("w1", w1)), "w1")
             .crossJoin(F.broadcast(vocab))
             .select("bg", nll.alias("__nll"))
         )
@@ -236,7 +245,11 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
     doc_bi = grams.groupBy(id_col, "bg").agg(
         F.count(F.lit(1)).alias("d_cnt")
     ).localCheckpoint(eager=False)
-    bi_full = doc_bi.groupBy("bg").agg(F.sum("d_cnt").alias("b_cnt"))
+    # same model-grain staging as the capped path: bi_full feeds uni
+    # and the model join, uni feeds vocab and the model join — each
+    # would otherwise re-run its groupBy from doc_bi
+    bi_full = doc_bi.groupBy("bg").agg(
+        F.sum("d_cnt").alias("b_cnt")).localCheckpoint(eager=False)
     uni = (
         bi_full.select(w1.alias("w1"), "b_cnt")
         .groupBy("w1").agg(F.sum("b_cnt").alias("u_cnt"))
