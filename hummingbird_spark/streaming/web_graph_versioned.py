@@ -42,8 +42,15 @@ Replay safety needs no special recovery path: every derived row is
 keyed by the batch's seq, redundant ops are harmless under
 max-seq-wins (a duplicate +1 for a still-valid direction keeps it
 valid; dir-2 recomputes for ALL batch curls, not just new ones, so a
-crash between appends replays to the same state). Append order
-links -> versions -> pages -> ops -> ledger.
+crash between appends replays to the same state). The four appends
+land CONCURRENTLY (the ledger records strictly after all four): the
+replay argument is subset-independent, not order-dependent — the
+delta recomputes against "store minus this batch" semantics whichever
+appends landed (prev/latest via the seq < batch filter, pages via the
+anti-join — a landed pages append just makes the replay's new_pages
+empty, ops/links/vers dups collapse under max-seq-wins / groupBy-max
+/ the flags groupBy), so every one of the 2^4 crash subsets converges
+(pinned by test_chaos_kill_in_every_append_window over all subsets).
 
 Cost per batch: equi-joins bounded by the batch's links plus the
 store rows matching the batch's keys — never a graph rescan. The
@@ -64,6 +71,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,11 +160,10 @@ def _versioned_delta(
     # the batch versions' link facts
     # the checkpoint makes the (already-extracted) link set land once
     # for its two consumers (out_links + the ops delta)
-    new_links = tagged.select(
+    new_links_frame = tagged.select(
         F.col("tgt").alias("src"),
         F.explode(F.col("lcurls")).alias("curl"),
-    ).distinct() \
-        .localCheckpoint(eager=False)
+    ).distinct()
 
     # lazy checkpoints on the links/vers store reads: each feeds TWO
     # consumers (prev_links + dir-2, prev_seq + latest) — the
@@ -167,10 +174,19 @@ def _versioned_delta(
     pages_store = _read(spark, pages_path, ["curl", "tgt"])
     links_store = _read(spark, links_path, ["src", "curl", "seq"])
     vers_store = _read(spark, vers_path, ["tgt", "seq"])
-    if links_store is not None:
-        links_store = links_store.localCheckpoint(eager=False)
-    if vers_store is not None:
-        vers_store = vers_store.localCheckpoint(eager=False)
+    # these three checkpoint builds are mutually independent, and each
+    # toRdd call executes its AQE stages serially at call time —
+    # overlap them from a thread pool instead of paying the barriers
+    # back to back (guide §2.6; the GC swaps already use this pattern)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_new = ex.submit(new_links_frame.localCheckpoint, False)
+        f_ls = (ex.submit(links_store.localCheckpoint, False)
+                if links_store is not None else None)
+        f_vs = (ex.submit(vers_store.localCheckpoint, False)
+                if vers_store is not None else None)
+        new_links = f_new.result()
+        links_store = f_ls.result() if f_ls is not None else None
+        vers_store = f_vs.result() if f_vs is not None else None
 
     new_pages = tagged.select("curl", "tgt")
     if pages_store is not None:
@@ -250,16 +266,22 @@ def _versioned_delta(
     # partitions are fixed against the store's current file listing),
     # so later appends to the same paths cannot leak into these
     # frames; each materializes inside its own append-write job
-    # instead of a separate blocking job first (4 fewer driver
-    # barriers per batch; guide §2.6).
-    out_links = new_links.select(
-        "src", "curl", F.lit(seq).cast("long").alias("seq")) \
-        .localCheckpoint(eager=False)
-    out_vers = tagged.select("tgt", F.lit(seq).cast("long").alias("seq")) \
-        .localCheckpoint(eager=False)
-    out_pages = new_pages.localCheckpoint(eager=False)
-    out_ops = ops.localCheckpoint(eager=False)
-    return out_links, out_vers, out_pages, out_ops
+    # instead of a separate blocking job first (guide §2.6). The four
+    # builds are independent — overlap their call-time stage execution
+    # the same way as the store reads above.
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_l = ex.submit(
+            new_links.select(
+                "src", "curl",
+                F.lit(seq).cast("long").alias("seq")).localCheckpoint,
+            False)
+        f_v = ex.submit(
+            tagged.select(
+                "tgt", F.lit(seq).cast("long").alias("seq"))
+            .localCheckpoint, False)
+        f_p = ex.submit(new_pages.localCheckpoint, False)
+        f_o = ex.submit(ops.localCheckpoint, False)
+        return f_l.result(), f_v.result(), f_p.result(), f_o.result()
 
 
 def web_graph_versioned_batch(
@@ -289,10 +311,21 @@ def web_graph_versioned_batch(
         spark, batch_pages, links_path, vers_path, pages_path,
         edges_path, int(batch_id or 0), id_col, base_col, html_col)
 
-    out_links.write.mode("append").parquet(links_path)
-    out_vers.write.mode("append").parquet(vers_path)
-    out_pages.write.mode("append").parquet(pages_path)
-    out_ops.write.mode("append").parquet(edges_path)
+    # the four appends are order-independent (module docstring: every
+    # crash subset replays to the same state — pinned by the all-
+    # subsets chaos test), so they run concurrently; only the ledger
+    # record is ordered strictly after all four
+    def _append(df: DataFrame, path: str) -> None:
+        df.write.mode("append").parquet(path)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [ex.submit(_append, df, p)
+                for df, p in ((out_links, links_path),
+                              (out_vers, vers_path),
+                              (out_pages, pages_path),
+                              (out_ops, edges_path))]
+        for f in futs:
+            f.result()
     led.record(batch_id)
     # logical GC on cadence: watermark = this (recorded) batch id —
     # recorded batches never replay, any in-flight replay is higher
@@ -417,8 +450,6 @@ def gc_web_graph_versioned(
     # MAX over vers, which is insensitive to the dominated rows GC
     # drops) — so the three rewrites can overlap on the cluster
     # instead of running their write jobs back to back (guide §2.6)
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=3) as ex:
         futs = [ex.submit(_swap_store, df, p)
                 for df, p in ((new_ops, edges_path),

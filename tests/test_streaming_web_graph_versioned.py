@@ -151,9 +151,12 @@ def test_replay_and_crash_window_converge(spark, tmp_path):
 
 
 def test_chaos_kill_in_every_append_window(spark, tmp_path):
-    """Kill the update batch after every prefix of the four appends
-    (none / links / +versions / +pages / all-but-ledger); the replay
-    must converge to the clean twin's state in every window."""
+    """Kill the update batch after EVERY SUBSET of the four appends
+    (the appends land concurrently, so a crash can leave any of the
+    2^4 landed subsets, not just prefixes); the replay must converge
+    to the clean twin's state in every window."""
+    from itertools import combinations
+
     from hummingbird_spark.streaming.web_graph_versioned import (
         _versioned_delta,
     )
@@ -170,16 +173,19 @@ def test_chaos_kill_in_every_append_window(spark, tmp_path):
     want = clean.maintained()
     assert want == [(0, 1)]  # (0,1) survives via 1->0; (0,2) gone
 
-    for k in range(5):
-        h = Harness(spark, tmp_path / f"w{k}")
+    subsets = [s for k in range(5) for s in combinations(range(4), k)]
+    for w, landed in enumerate(subsets):
+        h = Harness(spark, tmp_path / f"w{w}")
         h.apply(b0, batch_id=0)
         deltas = _versioned_delta(
             spark, spark.createDataFrame(b1), *h.paths, 1)
-        for df, path in list(zip(deltas, h.paths))[:k]:
+        pairs = list(zip(deltas, h.paths))
+        for i in landed:
+            df, path = pairs[i]
             df.write.mode("append").parquet(path)
         # ledger never recorded batch 1 -> restart replays it
         h.apply(b1, batch_id=1)
-        assert h.maintained() == want, f"window {k}"
+        assert h.maintained() == want, f"window {landed}"
 
 
 def test_versioned_edges_feed_pagerank_unchanged(spark, tmp_path):
