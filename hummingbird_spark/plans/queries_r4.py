@@ -332,8 +332,12 @@ def q_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_quality_flags); the integer aggregate makes the oracle
     float-free."""
     from hummingbird_spark.functions.text import gopher_quality_flags
+    from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 
-    d = load_table(spark, sf_dir, "documents")
+    # the A1 rule expressions (regex + array lambdas) are the query's
+    # CPU and ride the scan — spread the one-file bench scan first
+    # (guide §2.5; no-op at real scale)
+    d = ensure_kernel_parallelism(load_table(spark, sf_dir, "documents"))
     g = d.select("source", gopher_quality_flags(F.col("text")).alias("g"))
 
     def cnt(flag):
