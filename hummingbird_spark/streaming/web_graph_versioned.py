@@ -429,16 +429,21 @@ def gc_web_graph_versioned(
     # lazy checkpoints throughout the GC: each frame's RDD is pinned
     # against the pre-swap file listing at call time and materializes
     # inside its own _swap_store tmp write (which always completes
-    # before the live dir it read is renamed away)
-    new_ops = win.unionByName(above).localCheckpoint(eager=False)
-
+    # before the live dir it read is renamed away). new_ops and
+    # keep_v are independent — overlap their call-time stage
+    # execution (the change-12 pattern); keep_l joins keep_v, so it
+    # builds after.
     vers = spark.read.parquet(vers_path)
-    keep_v = (
+    keep_v_frame = (
         vers.filter(F.col("seq") <= watermark)
         .groupBy("tgt").agg(F.max("seq").alias("seq"))
         .unionByName(vers.filter(F.col("seq") > watermark))
-        .localCheckpoint(eager=False)
     )
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_ops = ex.submit(
+            win.unionByName(above).localCheckpoint, False)
+        f_v = ex.submit(keep_v_frame.localCheckpoint, False)
+        new_ops, keep_v = f_ops.result(), f_v.result()
     # links keep the seqs that survived in vers (per src)
     links = spark.read.parquet(links_path)
     keep_l = links.join(
