@@ -276,10 +276,18 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    # The driver records only a truncated tail of stdout, so BENCH_r01/
-    # r02 ended up "parsed": null — the full per-query map (~2.5 KB)
-    # overflowed its buffer. Keep fd 1 to one compact line (<200 bytes)
-    # and persist the per-query detail to a committed repo file instead.
+    # The driver records only the LAST 2000 bytes of stdout: BENCH_r01/
+    # r02's ~5 KB one-line JSON was head-truncated in the recorded tail
+    # and failed to parse, while every parsed round's line was < 2 KB
+    # (each recorded "tail" is exactly 2000 chars). The full per-query
+    # map (~4.7 KB even at 2-decimal seconds) cannot fit, so the line
+    # carries real {name: sec} entries for as many of the most EXPENSIVE
+    # queries as fit a 1900-byte budget — ranked by the committed frozen
+    # baseline medians, which is file-stable, so the driver's 8-core and
+    # 32-core runs emit the SAME key set and its per-query speedup and
+    # scaling tables have real entries. The full map stays in
+    # BENCH_DETAIL.json. The previous rounds' {"n": ..} and {"detail":
+    # ..} keys are kept (entries are only ever added, never removed).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -293,14 +301,35 @@ def main() -> None:
             "calibration_sec": calibration,
             "queries": timings,
         }, f, indent=1, sort_keys=True)
-    line = json.dumps({
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_BASELINE_R11.json",
+    )
+    try:
+        with open(baseline_path) as f:
+            _medians = json.load(f).get("queries", {})
+    except Exception:
+        _medians = {}
+    rank = sorted(timings, key=lambda q: -_medians.get(q, timings[q]))
+    header = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": _sf_from_dir(SF_DIR),
         "calibration_sec": calibration,
-        "queries": {"n": len(timings), "detail": "BENCH_DETAIL.json"},
-    })
+    }
+    qmap: dict = {"n": len(timings), "detail": "BENCH_DETAIL.json"}
+    for name in rank:
+        trial = dict(qmap)
+        trial[name] = round(timings[name], 2)
+        trial_line = json.dumps(
+            {**header, "queries": trial}, separators=(",", ":")
+        )
+        if len(trial_line) > 1900:
+            break
+        qmap = trial
+    line = json.dumps({**header, "queries": qmap}, separators=(",", ":"))
     os.write(_json_fd, (line + "\n").encode())
     os.close(_json_fd)
 
