@@ -49,6 +49,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hummingbird_spark.operators.staging import StagePool
+
+# persist()-level staging for the per-iteration count/doc frames —
+# zero call-time barriers, cross-invocation cache reuse guarded
+# (rationale in operators/staging.py)
+_POOL = StagePool()
+
 SCALE = 1_000_000  # weight / residual quantization: 6 decimal places
 
 
@@ -111,29 +118,42 @@ def train_hashed_logreg(df: DataFrame, label: Column,
     double-exact), so the folded bias gradient is identical to the
     sum-of-residuals form the docstring equations (and the SQL
     oracle) state."""
+    _POOL.clear_prev()
     counts, docs = hashed_features(df, label, text_col, id_col,
                                    buckets, salt)
-    counts = (
+    # persist()-level staging (operators/staging.py): both frames stay
+    # inside each iteration's ONE executed plan as InMemoryRelations
+    # that materialize within the first gradient collect — the two
+    # toRdd call-time barriers of the old lazy checkpoints are gone.
+    docs = _POOL.stage(docs)
+    counts = _POOL.stage(
         counts.unionByName(
             docs.select(id_col, F.lit(buckets).alias("bucket"),
                         F.col("len").alias("cnt")))
-        .localCheckpoint(eager=False)
     )
-    docs = docs.localCheckpoint(eager=False)
-    n = docs.count()
+    n: int | None = None
     w = [0] * (buckets + 1)
-    if n == 0:
-        return w
     for _ in range(iterations):
         resid = _residuals(counts, docs, w, id_col)
-        grad_rows = (
+        grad = (
             counts.join(resid, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.round(F.col("cnt") * F.col("R") / F.col("len"),
                                0).cast("long")).alias("g"))
-            .collect()
         )
+        if n is None:
+            # fold the doc count into the first gradient collect as a
+            # synthetic bucket=-1 row — one driver round-trip instead
+            # of a separate docs.count() barrier (guide §2.6)
+            grad = grad.unionByName(
+                docs.groupBy().agg(F.count(F.lit(1)).alias("g"))
+                .select(F.lit(-1).alias("bucket"), "g"))
+        grad_rows = grad.collect()
         grads = {r["bucket"]: r["g"] for r in grad_rows}
+        if n is None:
+            n = int(grads.pop(-1))
+            if n == 0:
+                return w
         for b in range(buckets + 1):
             w[b] += _round_half_away(lr * (grads.get(b) or 0) / n)
     return w
