@@ -539,3 +539,36 @@ def test_robots_verdicts_broadcast_no_smj(spark):
     assert smj <= 1, f"unexpected extra sort-merge joins: {smj}"
     if smj:
         assert "FullOuter" in plan  # it is the rules/delay join
+
+
+def test_executed_audit_catches_injected_shuffle(spark):
+    """The executed-plan audit (plan_audit.py --executed-*) must flag
+    an extra shuffle in the FINAL adaptive plan — the drift class the
+    static (pre-AQE, pre-checkpoint) fingerprint cannot see. Injecting
+    a repartition into a query mid-plan must change the executed
+    fingerprint's exchange count."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(root, "scripts", "plan_audit.py"))
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    from hummingbird_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
+    injected = (
+        load_table(spark, SF_SMOKE, "orders")
+        .repartition(7)  # the deliberate extra shuffle
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
+    fp_base = pa.executed_fingerprint(base)
+    fp_injected = pa.executed_fingerprint(injected)
+    assert fp_base["final"] and fp_injected["final"]
+    assert fp_injected["exchanges"] > fp_base["exchanges"], (
+        fp_base, fp_injected)
