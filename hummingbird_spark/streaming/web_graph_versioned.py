@@ -106,7 +106,7 @@ def _latest_per(df: DataFrame, key: str, seq_col: str = "seq",
     return df.groupBy(key).agg(F.max(seq_col).alias(seq_col))
 
 
-def _staged_delta_frame(
+def _versioned_delta(
     spark: SparkSession,
     batch_pages: DataFrame,
     links_path: str,
@@ -117,12 +117,9 @@ def _staged_delta_frame(
     id_col: str = "doc_id",
     base_col: str = "base",
     html_col: str = "html",
-) -> DataFrame:
-    """ONE kind-tagged frame carrying all four append deltas (k in
-    l/v/p/o) — un-checkpointed, so its full plan (the shared tagged /
-    new_links / flags exchanges every branch ReusedExchange's) is
-    inspectable; _versioned_delta adds the eager checkpoint. Split out
-    for the plan-evidence probe (scripts/probe_web_graph_versioned.py)."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four append deltas (links, versions, pages, ops) for one
+    batch — the seam the chaos tests drive window-by-window."""
 
     # anchor extraction + canonicalization is the batch's CPU, and it
     # rides the groupBy's MAP side here (inside the min-struct), NOT
@@ -137,12 +134,9 @@ def _staged_delta_frame(
     # Winner selection is unchanged: lcurls sits LAST in the struct,
     # so min() still orders by (tgt, base, html), and lcurls is a
     # pure function of (base, html) — ties tie. base/html are ordering
-    # tie-breaks only — no consumer reads them, so they are projected
-    # away after the agg (guide §2.3: project before the exchange's
-    # downstream). NOT checkpointed: every consumer lives in the ONE
-    # staged plan below, where this groupBy's exchange canonicalizes
-    # identically in every branch and is shuffled once + ReusedExchange
-    # (guide §2.4) — the r11 change-13 discipline applied to the delta.
+    # tie-breaks only — no consumer reads them, so the post-agg
+    # projection drops them and the checkpoint stores (curl, tgt,
+    # lcurls) instead of every winner's html (guide §2.3).
     tagged = (
         ensure_kernel_parallelism(batch_pages)
         .select(
@@ -158,31 +152,44 @@ def _staged_delta_frame(
                 lambda u: canonical_url(u)).alias("lcurls"))).alias("w"))
         .select("curl", F.col("w.tgt").alias("tgt"),
                 F.col("w.lcurls").alias("lcurls"))
+        # lazy: the checkpointed RDD is built here (toRdd runs at
+        # call time), persists on first compute, and every later
+        # consumer (links/vers/pages/ops deltas) reuses it — without
+        # a blocking materialization job per batch
+        .localCheckpoint(eager=False)
     )
 
-    # the batch versions' link facts; the distinct's exchange is the
-    # shared landing point for its consumers inside the staged plan
-    new_links = tagged.select(
+    # the batch versions' link facts
+    # the checkpoint makes the (already-extracted) link set land once
+    # for its two consumers (out_links + the ops delta)
+    new_links_frame = tagged.select(
         F.col("tgt").alias("src"),
         F.explode(F.col("lcurls")).alias("curl"),
     ).distinct()
 
     # lazy checkpoints on the links/vers store reads: each feeds TWO
-    # consumers (prev_links + dir-2, prev_seq + latest) — parquet
-    # scans get no ReusedExchange inside the staged plan (only
-    # exchanges dedupe), so the checkpoint still lands each store's
-    # scan once (guide §2.4; A/B'd in r11: dropping them costs
-    # ~1s/query at bench scale), and pins the scanned file listing
-    # ahead of this batch's own appends as a belt-and-braces replay
-    # guard. toRdd on a scan-only plan runs no job, so these calls
-    # cost no barrier.
+    # consumers (prev_links + dir-2, prev_seq + latest) — the
+    # checkpoint lands each store's scan once instead of once per
+    # consumer (guide §2.4; A/B'd: dropping them costs ~1s/query at
+    # bench scale), and pins the scanned file listing ahead of this
+    # batch's own appends as a belt-and-braces replay guard
     pages_store = _read(spark, pages_path, ["curl", "tgt"])
     links_store = _read(spark, links_path, ["src", "curl", "seq"])
     vers_store = _read(spark, vers_path, ["tgt", "seq"])
-    if links_store is not None:
-        links_store = links_store.localCheckpoint(eager=False)
-    if vers_store is not None:
-        vers_store = vers_store.localCheckpoint(eager=False)
+    # these three checkpoint builds are mutually independent, and each
+    # toRdd call executes its AQE stages serially at call time —
+    # overlap them from a thread pool instead of paying the barriers
+    # back to back (guide §2.6; the GC swaps already use this pattern)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        itt = inheritable_thread_target(spark)
+        f_new = ex.submit(itt(new_links_frame.localCheckpoint), False)
+        f_ls = (ex.submit(itt(links_store.localCheckpoint), False)
+                if links_store is not None else None)
+        f_vs = (ex.submit(itt(vers_store.localCheckpoint), False)
+                if vers_store is not None else None)
+        new_links = f_new.result()
+        links_store = f_ls.result() if f_ls is not None else None
+        vers_store = f_vs.result() if f_vs is not None else None
 
     new_pages = tagged.select("curl", "tgt")
     if pages_store is not None:
@@ -214,11 +221,6 @@ def _staged_delta_frame(
     # of the same (src, dst) keys -> 1 groupBy) and joins all_pages
     # ONCE instead of once per side (guide §2.4). Set semantics are
     # unchanged: plus = d_new \ d_old, minus = d_old \ d_new.
-    # plus and minus both read this; inside the staged plan its
-    # groupBy exchange is shuffled once and ReusedExchange'd by the
-    # other branch (the r11 A/B that measured 8.4 -> 14.7 s without
-    # the old checkpoint had plus/minus in SEPARATE executed plans,
-    # where no reuse is possible — the staged plan removes that split)
     both = new_links.withColumn("__new", F.lit(True)).unionByName(
         prev_links.withColumn("__new", F.lit(False)))
     flags = (
@@ -228,6 +230,10 @@ def _staged_delta_frame(
         .groupBy("src", "dst")
         .agg(F.max(F.col("__new")).alias("__in_new"),
              F.max(~F.col("__new")).alias("__in_old"))
+        # plus and minus both read this — run the join+agg once
+        # (A/B'd without: both branches recompute the whole upstream
+        # inside the ops write, 8.4 -> 14.7 s)
+        .localCheckpoint(eager=False)
     )
     plus = flags.filter(F.col("__in_new") & ~F.col("__in_old")) \
         .select("src", "dst")
@@ -257,69 +263,29 @@ def _staged_delta_frame(
             "src", "dst", F.lit(seq).cast("long").alias("seq"),
             F.lit(-1).cast("int").alias("op")))
 
-    # land all four deltas from ONE staged frame: the kind-tagged
-    # union puts every output branch in a single executed plan, so the
-    # shared subtrees (the tagged groupBy, the new_links distinct, the
-    # flags groupBy) are shuffled once and ReusedExchange'd by every
-    # other branch, and the ONE eager checkpoint in _versioned_delta
-    # replaces the four per-output toRdd barriers + their thread pool
-    # (guide §2.4/§2.6; r12 restructure).
-    lseq = F.lit(seq).cast("long")
-    nl = F.lit(None).cast("long")
-    ns = F.lit(None).cast("string")
-    ni = F.lit(None).cast("int")
-    return (
-        new_links.select(
-            F.lit("l").alias("k"), F.col("src"), nl.alias("dst"),
-            nl.alias("tgt"), F.col("curl"), lseq.alias("seq"),
-            ni.alias("op"))
-        .unionByName(tagged.select(
-            F.lit("v").alias("k"), nl.alias("src"), nl.alias("dst"),
-            F.col("tgt"), ns.alias("curl"), lseq.alias("seq"),
-            ni.alias("op")))
-        .unionByName(new_pages.select(
-            F.lit("p").alias("k"), nl.alias("src"), nl.alias("dst"),
-            F.col("tgt"), F.col("curl"), nl.alias("seq"),
-            ni.alias("op")))
-        .unionByName(ops.select(
-            F.lit("o").alias("k"), F.col("src"), F.col("dst"),
-            nl.alias("tgt"), ns.alias("curl"), F.col("seq"),
-            F.col("op")))
-    )
-
-
-def _versioned_delta(
-    spark: SparkSession,
-    batch_pages: DataFrame,
-    links_path: str,
-    vers_path: str,
-    pages_path: str,
-    edges_path: str,
-    seq: int,
-    id_col: str = "doc_id",
-    base_col: str = "base",
-    html_col: str = "html",
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """The four append deltas (links, versions, pages, ops) for one
-    batch — the seam the chaos tests drive window-by-window. Eager
-    (not lazy) checkpoint of the staged frame is deliberate: the four
-    appends run concurrently, and four concurrent first-computes of a
-    shared lazy checkpoint can each recompute the upstream —
-    materializing once up front is the 'land once per consumer'
-    guarantee. The checkpoint also pins every store scan BEFORE any
-    caller mutates the stores it reads; the appends then filter the
-    in-memory blocks by kind."""
-    staged = _staged_delta_frame(
-        spark, batch_pages, links_path, vers_path, pages_path,
-        edges_path, seq, id_col, base_col, html_col,
-    ).localCheckpoint(eager=True)
-    return (
-        staged.filter(F.col("k") == "l").select("src", "curl", "seq"),
-        staged.filter(F.col("k") == "v").select("tgt", "seq"),
-        staged.filter(F.col("k") == "p").select("curl", "tgt"),
-        staged.filter(F.col("k") == "o").select("src", "dst", "seq",
-                                                "op"),
-    )
+    # pin every plan BEFORE any caller mutates the stores it reads.
+    # Lazy checkpoints suffice: Dataset.localCheckpoint builds the
+    # checkpointed RDD at CALL time (queryExecution.toRdd — file-scan
+    # partitions are fixed against the store's current file listing),
+    # so later appends to the same paths cannot leak into these
+    # frames; each materializes inside its own append-write job
+    # instead of a separate blocking job first (guide §2.6). The four
+    # builds are independent — overlap their call-time stage execution
+    # the same way as the store reads above.
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        itt = inheritable_thread_target(spark)
+        f_l = ex.submit(itt(
+            new_links.select(
+                "src", "curl",
+                F.lit(seq).cast("long").alias("seq")).localCheckpoint),
+            False)
+        f_v = ex.submit(itt(
+            tagged.select(
+                "tgt", F.lit(seq).cast("long").alias("seq"))
+            .localCheckpoint), False)
+        f_p = ex.submit(itt(new_pages.localCheckpoint), False)
+        f_o = ex.submit(itt(ops.localCheckpoint), False)
+        return f_l.result(), f_v.result(), f_p.result(), f_o.result()
 
 
 def web_graph_versioned_batch(
@@ -352,11 +318,7 @@ def web_graph_versioned_batch(
     # the four appends are order-independent (module docstring: every
     # crash subset replays to the same state — pinned by the all-
     # subsets chaos test), so they run concurrently; only the ledger
-    # record is ordered strictly after all four.
-    # inheritable_thread_target propagates the submitting thread's JVM
-    # local properties (job group/description, scheduler pool) into
-    # the workers, so cancelling the streaming query cancels in-flight
-    # append jobs too.
+    # record is ordered strictly after all four
     def _append(df: DataFrame, path: str) -> None:
         df.write.mode("append").parquet(path)
 
@@ -469,56 +431,36 @@ def gc_web_graph_versioned(
         .select("src", "dst", F.col("w.seq").alias("seq"),
                 F.col("w.op").alias("op"))
     )
-    # one staged frame for all three survivor sets (the r12 delta
-    # restructure applied to the GC): the kind-tagged union puts
-    # new_ops / keep_v / keep_l in ONE executed plan — keep_v's
-    # groupBy exchange is shuffled once and ReusedExchange'd by
-    # keep_l's semi-join branch — and the single eager checkpoint
-    # replaces the two-barrier pool + the separate keep_l toRdd. It
-    # also pins every read against the pre-swap file listing before
-    # any store is renamed away, and materializing once up front means
-    # the three concurrent swap writes filter in-memory blocks instead
-    # of racing to first-compute a shared lazy checkpoint.
+    # lazy checkpoints throughout the GC: each frame's RDD is pinned
+    # against the pre-swap file listing at call time and materializes
+    # inside its own _swap_store tmp write (which always completes
+    # before the live dir it read is renamed away). new_ops and
+    # keep_v are independent — overlap their call-time stage
+    # execution (the change-12 pattern); keep_l joins keep_v, so it
+    # builds after.
     vers = spark.read.parquet(vers_path)
-    keep_v = (
+    keep_v_frame = (
         vers.filter(F.col("seq") <= watermark)
         .groupBy("tgt").agg(F.max("seq").alias("seq"))
         .unionByName(vers.filter(F.col("seq") > watermark))
     )
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        itt = inheritable_thread_target(spark)
+        f_ops = ex.submit(
+            itt(win.unionByName(above).localCheckpoint), False)
+        f_v = ex.submit(itt(keep_v_frame.localCheckpoint), False)
+        new_ops, keep_v = f_ops.result(), f_v.result()
     # links keep the seqs that survived in vers (per src)
     links = spark.read.parquet(links_path)
     keep_l = links.join(
         keep_v.select(F.col("tgt").alias("src"), "seq"),
-        ["src", "seq"], "left_semi")
-    nl = F.lit(None).cast("long")
-    ns = F.lit(None).cast("string")
-    ni = F.lit(None).cast("int")
-    staged = (
-        win.unionByName(above).select(
-            F.lit("o").alias("k"), F.col("src"), F.col("dst"),
-            nl.alias("tgt"), ns.alias("curl"), F.col("seq"),
-            F.col("op"))
-        .unionByName(keep_v.select(
-            F.lit("v").alias("k"), nl.alias("src"), nl.alias("dst"),
-            F.col("tgt"), ns.alias("curl"), F.col("seq"),
-            ni.alias("op")))
-        .unionByName(keep_l.select(
-            F.lit("l").alias("k"), F.col("src"), nl.alias("dst"),
-            nl.alias("tgt"), F.col("curl"), F.col("seq"),
-            ni.alias("op")))
-        .localCheckpoint(eager=True)
-    )
-    new_ops = staged.filter(F.col("k") == "o").select(
-        "src", "dst", "seq", "op")
-    keep_v = staged.filter(F.col("k") == "v").select("tgt", "seq")
-    keep_l = staged.filter(F.col("k") == "l").select(
-        "src", "curl", "seq")
-    # each store's swap window is independently crash-safe in EITHER
-    # completion order (links GC'd before vers is as safe as the
-    # reverse: prev_seq takes a MAX over vers, which is insensitive to
-    # the dominated rows GC drops) — so the three rewrites can overlap
-    # on the cluster instead of running their write jobs back to back
-    # (guide §2.6)
+        ["src", "seq"], "left_semi").localCheckpoint(eager=False)
+    # every read is pinned above, and each store's swap window is
+    # independently crash-safe in EITHER completion order (links
+    # GC'd before vers is as safe as the reverse: prev_seq takes a
+    # MAX over vers, which is insensitive to the dominated rows GC
+    # drops) — so the three rewrites can overlap on the cluster
+    # instead of running their write jobs back to back (guide §2.6)
     with ThreadPoolExecutor(max_workers=3) as ex:
         futs = [ex.submit(inheritable_thread_target(spark)(_swap_store),
                           df, p)
