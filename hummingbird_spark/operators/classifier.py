@@ -49,13 +49,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hummingbird_spark.operators.staging import StagePool
-
-# persist()-level staging for the per-iteration count/doc frames —
-# zero call-time barriers, cross-invocation cache reuse guarded
-# (rationale in operators/staging.py)
-_POOL = StagePool()
-
 SCALE = 1_000_000  # weight / residual quantization: 6 decimal places
 
 
@@ -118,19 +111,15 @@ def train_hashed_logreg(df: DataFrame, label: Column,
     double-exact), so the folded bias gradient is identical to the
     sum-of-residuals form the docstring equations (and the SQL
     oracle) state."""
-    _POOL.clear_prev()
     counts, docs = hashed_features(df, label, text_col, id_col,
                                    buckets, salt)
-    # persist()-level staging (operators/staging.py): both frames stay
-    # inside each iteration's ONE executed plan as InMemoryRelations
-    # that materialize within the first gradient collect — the two
-    # toRdd call-time barriers of the old lazy checkpoints are gone.
-    docs = _POOL.stage(docs)
-    counts = _POOL.stage(
+    counts = (
         counts.unionByName(
             docs.select(id_col, F.lit(buckets).alias("bucket"),
                         F.col("len").alias("cnt")))
+        .localCheckpoint(eager=False)
     )
+    docs = docs.localCheckpoint(eager=False)
     n: int | None = None
     w = [0] * (buckets + 1)
     for _ in range(iterations):

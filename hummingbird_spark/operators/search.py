@@ -27,15 +27,6 @@ from pyspark.sql import functions as F
 
 from hummingbird_spark.functions.text import tokens
 
-# persist()-level staging for the multiply-consumed KN count tables:
-# zero call-time barriers, one executed plan, cross-invocation cache
-# reuse guarded — rationale in operators/staging.py
-from hummingbird_spark.operators.staging import StagePool
-
-_KN_POOL = StagePool()
-_stage = _KN_POOL.stage
-_unstage_prev = _KN_POOL.clear_prev
-
 
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 text_col: str = "text", id_col: str = "doc_id",
@@ -347,32 +338,31 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
     from hummingbird_spark.functions.text import doc_trigrams
     from hummingbird_spark.operators.dedup import ensure_kernel_parallelism
 
-    _unstage_prev()
     D = float(discount)
     grams = ensure_kernel_parallelism(df).select(
         F.col(id_col),
         F.explode(doc_trigrams(F.col(text_col))).alias("tg"),
     )
-    doc_tg = _stage(grams.groupBy(id_col, "tg").agg(
+    doc_tg = grams.groupBy(id_col, "tg").agg(
         F.count(F.lit(1)).alias("d_cnt")
-    ))
+    ).localCheckpoint(eager=False)
 
     parts = F.split(F.col("tg"), " ")
-    c3 = _stage(
+    c3 = (
         doc_tg.groupBy("tg").agg(F.sum("d_cnt").alias("c3"))
         .select(
             "tg", "c3",
             parts[0].alias("u"), parts[1].alias("v"), parts[2].alias("w"),
         )
-    )  # four consumers below
+        .localCheckpoint(eager=False)  # four consumers below
+    )
     # context totals + N1+(uv.) at (u,v) grain — c3 rows ARE distinct
     # trigram types, so count(*) is the continuation-type count
     ctx2 = c3.groupBy("u", "v").agg(
         F.sum("c3").alias("c2uv"), F.count(F.lit(1)).alias("n1p_uv"))
     # bigram-level KN continuation table: N1+(.vw) = distinct u per (v,w)
-    cont = _stage(
-        c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("ncont"))
-    )  # three consumers below
+    cont = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("ncont")) \
+        .localCheckpoint(eager=False)  # three consumers below
     midv = cont.groupBy("v").agg(
         F.sum("ncont").alias("n1p_v_mid"),    # N1+(.v.)
         F.count(F.lit(1)).alias("n1p_v"))     # N1+(v.)
@@ -419,9 +409,8 @@ def kn_trigram_perplexity(df: DataFrame, text_col: str = "text",
             .crossJoin(F.broadcast(ntypes))
             .select("tg", (-F.log(p3)).alias("__nll"))
         )
-        scored = _stage(
-            doc_tg.join(F.broadcast(model_kept), "tg", "left")
-        )  # kept + pruned consumers
+        scored = doc_tg.join(F.broadcast(model_kept), "tg", "left") \
+            .localCheckpoint(eager=False)  # kept + pruned consumers
         # pruned: the published formula with c3=0 — max(c3-D,0)
         # vanishes, leaving lambda(uv) * P_KN(w|v); joins to the exact
         # lower-order tables carry no hot keys (those are all kept)
