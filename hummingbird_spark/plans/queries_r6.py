@@ -1061,15 +1061,17 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     <3 tokens score 0 novelty over 0 trigrams (kept in the output so
     the score is total over the corpus)."""
     from hummingbird_spark.functions.text import doc_trigrams
-    from hummingbird_spark.operators.dedup import (
-        ensure_kernel_parallelism,
-    )
 
     d = load_table(spark, sf_dir, "documents")
-    # the trigram explode rides the scan stage — spread the one-file
-    # bench scan first (guide §2.5); no-op at real scale. 1.5 -> 1.15 s.
+    # NO input spread here (r12 re-adjudication of the r11 claim): the
+    # interleaved A/B with the guard toggled in-process shows the
+    # spread neutral-to-negative (nospread wins 2/3 rounds on min and
+    # median; plans/r12/doc_novelty_tg_{spread,nospread}.txt show the
+    # exchange it would add), and the r11 before/after dumps were
+    # identical because the checkpoint hid the subtree — the claimed
+    # win was never visible in the executed path.
     tg = (
-        ensure_kernel_parallelism(d)
+        d
         .select("doc_id",
                 F.explode(F.array_distinct(doc_trigrams(F.col("text"))))
                 .alias("tg"))
