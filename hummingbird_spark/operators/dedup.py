@@ -41,7 +41,16 @@ def ensure_kernel_parallelism(df: DataFrame) -> DataFrame:
     core. Repartition up to the session's parallelism ONLY in that case
     — at real scale a 100 TB scan already yields far more partitions
     than cores and this is a no-op (adds no shuffle). Measured: winnow
-    fingerprinting at sf0.1 went 4.3 s (1 task) -> sub-second (32)."""
+    fingerprinting at sf0.1 went 4.3 s (1 task) -> sub-second (32).
+
+    CONTRACT: call this on SCAN HEADS only (a frame whose plan is
+    scan + narrow projections/filters, no exchange upstream).
+    `df.rdd` converts the plan to an RDD, and under AQE that executes
+    every upstream query stage eagerly AT GUARD TIME — on a scan head
+    there are no stages so the call is free, but on a post-shuffle
+    frame it would silently run the subtree once just to count
+    partitions. Every current call site is a scan head; keep it that
+    way (r11 verdict item 5)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

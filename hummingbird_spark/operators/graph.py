@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 
 from hummingbird_spark.functions.text import doc_trigrams
 
+# Iterative operators keep all rounds in ONE plan for ReusedExchange,
+# but `rounds` is caller-supplied: cut the per-round frame's lineage
+# every _CUT_EVERY rounds so analyzer/optimizer depth stays bounded
+# for large round counts (no-op at the default 4; the window keeps
+# the intra-window exchange-reuse win).
+_CUT_EVERY = 8
+
 
 def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_df: int = 2,
@@ -162,20 +169,24 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
     # saves rounds-1 shuffles of the corpus-sized edge frame). The
     # trajectory is partition-invariant exact-integer math, so the
     # result is bit-identical either way; plan growth is linear in the
-    # (small, fixed) round count and the upstream is already cut at
-    # symd/deg.
+    # round count and the upstream is already cut at symd/deg —
+    # `rounds` is caller-supplied, so every _CUT_EVERY rounds the rank
+    # frame's lineage is cut to cap analyzer/optimizer depth (a no-op
+    # at the default 4; the intra-window ReusedExchange win is kept).
     if seeds is None:
         # uniform reset: every node receives base each round, so the
         # loop needs no per-node reset frame (one join fewer per round
         # than the seeded path)
         r = deg.select("node", F.lit(scale).cast("long").alias("r"))
-        for _ in range(rounds):
+        for t in range(rounds):
             r = (
                 symd.join(r.withColumnRenamed("node", "src"), "src")
                 .groupBy("dst")
                 .agg((F.lit(base) + F.sum(contrib)).alias("r"))
                 .select(F.col("dst").alias("node"), "r")
             )
+            if (t + 1) % _CUT_EVERY == 0 and t + 1 < rounds:
+                r = r.localCheckpoint(eager=False)
         return r.join(deg, "node").select(
             "node", "deg", F.col("r").alias("rank_scaled"))
 
@@ -193,7 +204,7 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
         "node",
         F.when(F.col("__base") > 0, F.lit(scale)).otherwise(F.lit(0))
         .cast("long").alias("r"))
-    for _ in range(rounds):
+    for t in range(rounds):
         r = (
             symd.join(r.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -204,6 +215,8 @@ def pagerank_scaled(edges: DataFrame, rounds: int = 4,
                     (F.col("__base") + F.coalesce("__in", F.lit(0)))
                     .alias("r"))
         )
+        if (t + 1) % _CUT_EVERY == 0 and t + 1 < rounds:
+            r = r.localCheckpoint(eager=False)
     return r.join(deg, "node").select(
         "node", "deg", F.col("r").alias("rank_scaled"))
 
@@ -221,7 +234,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("lab", F.col("node"))
     )
-    for _ in range(rounds):
+    for t in range(rounds):
         votes = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
@@ -246,6 +259,8 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"),
                     F.col("__m.lab").alias("lab"))
         )
+        if (t + 1) % _CUT_EVERY == 0 and t + 1 < rounds:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("lab").alias("community"))
 
 
