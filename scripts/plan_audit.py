@@ -61,16 +61,21 @@ SF = "/root/testdata/sf0.001"
 # The executed audit's query set: the 20 most expensive registry
 # entries by the r11 frozen medians, PINNED (not recomputed from the
 # current freeze) so the audited set cannot silently rotate away from
-# a regressed query.
+# a regressed query. link_canonical_docs (rank 9) is EXCLUDED as
+# AQE-nondeterministic at sf0.001: one of its joins sits on a size
+# threshold and flips SMJ<->broadcast between identical runs (measured
+# 39 exchanges/10 SMJ vs 38/9 back to back), so its executed
+# fingerprint cannot be a baseline; dsir_logweights (rank 21) takes
+# its slot.
 EXECUTED_TOP = [
     "versioned_pagerank", "curation_composite_weights",
     "kn_perplexity_capped", "trustrank_scores", "winnow_pairs",
     "classifier_scores", "classifier_eval", "quality_canonical_dedup",
-    "link_canonical_docs", "cross_source_dups",
+    "cross_source_dups",
     "migration_copy_verify", "cdc_apply_verify", "kn_perplexity",
     "corpus_curation", "dup_clusters", "web_link_pagerank",
     "link_pagerank_weighted", "link_pagerank", "bpe_fertility",
-    "gopher_repetition",
+    "gopher_repetition", "dsir_logweights",
 ]
 
 # Python-eval seams: row-at-a-time is banned outright; Arrow seams are
