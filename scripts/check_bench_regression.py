@@ -130,8 +130,8 @@ def main() -> int:
     # 0.72s after the parallelism-floor fix ended its three-round
     # slot-variance saga.
     failures = compare(
-        os.path.join(ROOT, "BENCH_BASELINE_R10.json"), cur_doc,
-        "r9 baseline (calibration-pinned)")
+        os.path.join(ROOT, "BENCH_BASELINE_R11.json"), cur_doc,
+        "r11 baseline (calibration-pinned)")
     return 1 if failures else 0
 
 
