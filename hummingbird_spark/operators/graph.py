@@ -53,8 +53,9 @@ def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
                        weighted: bool = False) -> DataFrame:
     """Undirected edge list (a < b): docs sharing >= 1 word trigram
     with corpus df in [min_df, max_df]. One explode at distinct-
-    per-doc grain, one map-side-partial df count, one df-capped
-    self-join; per-trigram pair fan-out <= C(max_df, 2).
+    per-doc grain, one shuffle total: a spill-safe window df count,
+    then a<b pairs from the df-capped per-trigram buckets; per-
+    trigram pair fan-out <= C(max_df, 2).
 
     weighted: also return w = the NUMBER of shared rare trigrams per
     pair (the edge-strength signal weighted PageRank propagates)."""
@@ -67,16 +68,43 @@ def rare_trigram_edges(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.array_distinct(doc_trigrams(F.col(text_col))))
         .alias("g"),
-    ).localCheckpoint(eager=False)  # df count + self-join share it
-    rare = (
-        tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
-        .select("g")
     )
-    tr = tg.join(rare, "g").localCheckpoint(eager=False)
-    a = tr.select(F.col("g"), F.col(id_col).alias("a"))
-    b = tr.select(F.col("g"), F.col(id_col).alias("b"))
-    pairs = a.join(b, "g").filter(F.col("a") < F.col("b"))
+    # pair generation from per-trigram buckets — the winnow/LSH
+    # group-and-explode restructure (r11 changes 3/10) transplanted:
+    # the old form counted df with one groupBy, semi-joined the rare
+    # set back, and SELF-JOINED the (id, g) rows on g — two extra
+    # shuffles of every trigram row plus two checkpoint barriers (tg
+    # had two consumers, tr fed both join sides). Here the df count
+    # is a window over partitionBy(g) (WindowExec spills its group
+    # buffer, so the Zipf-head trigrams that appear in most documents
+    # never build an in-memory corpus-sized state — a bare
+    # groupBy+collect_list WOULD, which is the unbounded-bucket
+    # hazard that kept simhash/phash as self-joins in r11), the rare
+    # filter drops the head BEFORE any list exists, and only the
+    # surviving buckets — bounded at max_df ids (<= 5 by default,
+    # ~40 bytes) — are collected. The window's exchange already
+    # clusters by g, so the collect aggregation adds NO exchange:
+    # the chain is scan -> ONE exchange -> sort/window -> filter ->
+    # agg -> explode, with no lineage cuts. ids are distinct per
+    # bucket (one row per doc_id upstream, trigrams array_distinct'd
+    # per doc), so slice-pairing emits exactly the a < b pairs and
+    # the per-pair count is the shared-trigram count, as before.
+    from pyspark.sql import Window
+
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    buckets = (
+        tg.withColumn("__df", df_w)
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+    )
+    lhs = buckets.select(
+        "__ids", F.posexplode("__ids").alias("__i", "a"))
+    pairs = lhs.select(
+        "a",
+        F.explode(
+            F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+        ).alias("b"))
     if weighted:
         return pairs.groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("w"))
